@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.TextOps
+
+/** Reference-app parity queries (SURVEY.md §2.2-2.4): the three Crane apps
+  * plus distributed grep and the global top-K snapshot, expressed over the
+  * shared test tables so the DuckDB oracle can check them.
+  */
+object RefQueries extends Registry {
+
+  val defs: Map[String, QueryFn] = Map(
+    // T1+A1/A2+O1: server/wordCount.go:75-84,99-137
+    "wordcount_top5" -> ((s, d) =>
+      TextOps.wordCountTopK(Tables.documents(s, d), "text", 5)),
+
+    // T4: server/querier.go:28-41 — regex filter with provenance
+    "grep_filter" -> ((s, d) =>
+      TextOps.grep(Tables.documents(s, d), "text", "merge (table|row)")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // A3: server/querier.go:25-49 — per-source match counts
+    "grep_count" -> ((s, d) =>
+      TextOps.grepCount(Tables.documents(s, d), "text", "scan.*join", "source")
+        .orderBy("source")),
+
+    // T2: server/twitter.go:59-67 — project token #2, count, top-5
+    "twitter_top5" -> ((s, d) =>
+      TextOps.topK(
+        TextOps.filterProjectToken(Tables.documents(s, d), "text", "", 2, 2)
+          .groupBy("token").agg(count(lit(1)).as("cnt")),
+        5, "cnt", "token")),
+
+    // T3: server/hothttp.go:59-73 — contains + arity filter, project token #7
+    "hothttp_top5" -> ((s, d) =>
+      TextOps.topK(
+        TextOps.filterProjectToken(Tables.documents(s, d), "text", "join", 10, 7)
+          .groupBy("token").agg(count(lit(1)).as("cnt")),
+        5, "cnt", "token")),
+
+    // O1: server/wordCount.go:99-123 — global sort desc + limit K
+    // (plans as TakeOrderedAndProject: no full sort at scale)
+    "topk_global" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(5)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "wordcount_top5" ->
+      """SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                          t -> t <> '')) AS word
+               FROM documents) t
+         GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 5""",
+
+    "grep_filter" ->
+      """SELECT doc_id, source FROM documents
+         WHERE regexp_matches(text, 'merge (table|row)')
+         ORDER BY doc_id""",
+
+    "grep_count" ->
+      """SELECT source, count(*) AS cnt FROM documents
+         WHERE regexp_matches(text, 'scan.*join')
+         GROUP BY source ORDER BY source""",
+
+    "twitter_top5" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT toks[2] AS token
+               FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> '') AS toks
+                     FROM documents)
+               WHERE len(toks) >= 2)
+         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 5""",
+
+    "hothttp_top5" ->
+      """SELECT token, count(*) AS cnt
+         FROM (SELECT toks[7] AS token
+               FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                                        t -> t <> '') AS toks
+                     FROM documents
+                     WHERE contains(text, 'join'))
+               WHERE len(toks) >= 10)
+         GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 5""",
+
+    "topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 5""",
+  )
+}

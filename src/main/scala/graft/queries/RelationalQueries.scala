@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Relational breadth the reference lacks (SURVEY.md §2.9) but any usable
+  * analytics engine — and a 100 TB training-data pipeline — needs: joins of
+  * every flavor, window functions, grouping sets, set ops, distinct
+  * aggregates, time-bucketed aggregation.
+  *
+  * Scale notes baked into each plan:
+  *  - dimension tables (customer/nation/region/supplier) are broadcast —
+  *    no shuffle of the fact side for those joins;
+  *  - fact-fact joins (lineitem⨝orders) shuffle on the join key once and
+  *    AQE handles skew;
+  *  - aggregates are partial (map-side combine) by construction;
+  *  - every query has a deterministic total order and rounded doubles so
+  *    the DuckDB oracle hash-matches.
+  */
+object RelationalQueries extends Registry {
+
+  val defs: Map[String, QueryFn] = Map(
+    // Broadcast hash join: small dim explicitly broadcast.
+    "join_broadcast_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("c_mktsegment")),
+
+    // 5-way join: fact⨝fact shuffles on orderkey; all dims broadcast.
+    "join_multiway_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("r_name")),
+
+    // Left-semi join (EXISTS): customers that have orders, count per nation.
+    "semi_join_count" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("c_nationkey")),
+
+    // Left-anti join (NOT EXISTS): customers with no orders.
+    "anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    // Ranking window: top-3 orders per customer by price.
+    "window_rank_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Frame window: running quantity per order by line number. RANGE frame
+    // (not ROWS): (l_orderkey, l_linenumber) is not unique in this data, so
+    // a ROWS frame would depend on nondeterministic peer order; RANGE
+    // includes all peers and is engine-stable.
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .withColumn("running_qty", round(sum("l_quantity").over(w), 2))
+        .select(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Lead/lag window: gap in days between a customer's consecutive orders.
+    "window_lag_gap" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Rollup over two grouping columns (NULL groups coalesced to 'ALL' so
+    // the oracle compare is total-order-stable across engines).
+    "rollup_count" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    "cube_count" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"))
+        .orderBy("status", "priority")),
+
+    // Set operations.
+    "setop_union" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")),
+
+    "setop_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    "setop_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // Distinct aggregates.
+    "distinct_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    // Statistical aggregates.
+    "stats_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+        .orderBy("l_linestatus")),
+
+    // HAVING: order-priority buckets above a count threshold.
+    "having_filter" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 50)
+        .orderBy("o_orderpriority")),
+
+    // Scalar-subquery pattern: customers above their nation's mean balance.
+    // Planned as agg + broadcast join back onto the dimension.
+    "above_avg_per_group" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val means = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(avg("c_acctbal").as("mean_bal"))
+      c.join(broadcast(means), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("mean_bal"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Time-bucketed aggregation over the events stream table.
+    "events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour")),
+
+    // Filter + projection pushdown showcase over a date predicate.
+    "date_filter_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_broadcast_agg" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_multiway_revenue" ->
+      """SELECT r_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "semi_join_count" ->
+      """SELECT c_nationkey, count(*) AS cnt FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "window_rank_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "window_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                  ORDER BY l_linenumber
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_qty
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "window_lag_gap" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(date_diff('day', prev_date, o_orderdate) AS INT) AS gap_days
+         FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_date
+           FROM orders) t
+         WHERE prev_date IS NOT NULL
+         ORDER BY o_custkey, o_orderkey""",
+
+    "rollup_count" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+
+    "cube_count" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                count(*) AS cnt
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+
+    "setop_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION
+         SELECT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+
+    "setop_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+
+    "setop_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT
+         SELECT s_nationkey AS nk FROM supplier
+         ORDER BY nk""",
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "stats_agg" ->
+      """SELECT l_linestatus,
+                round(min(l_extendedprice), 2) AS min_price,
+                round(max(l_extendedprice), 2) AS max_price,
+                round(avg(l_extendedprice), 2) AS avg_price,
+                round(stddev_samp(l_extendedprice), 2) AS sd_price
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "having_filter" ->
+      """SELECT o_orderpriority, count(*) AS cnt FROM orders
+         GROUP BY o_orderpriority HAVING count(*) > 50
+         ORDER BY o_orderpriority""",
+
+    "above_avg_per_group" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)
+         ORDER BY c_custkey""",
+
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY hour""",
+
+    "date_filter_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+  )
+}
