@@ -22,6 +22,8 @@ object SparkEntry {
   private val registries: Seq[Registry] = Seq(
     RefQueries,
     RelationalQueries,
+    TextQueries,
+    DedupQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

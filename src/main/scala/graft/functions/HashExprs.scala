@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/** Custom Catalyst expressions for the dedup / similarity operators
+  * (SURVEY.md §7.4): single-pass per-row kernels that would otherwise need
+  * either a Scala UDF (no Catalyst visibility, boxing) or a 64-way explode
+  * (a shuffle-volume disaster at 100 TB). Each is deterministic (fixed
+  * seeds), null-safe, and operates on Spark's internal row format directly
+  * (UTF8String / ArrayData — no conversion to java.lang.String collections).
+  *
+  * CodegenFallback is acceptable here: these sit between a columnar parquet
+  * scan and a hash aggregate, and each call does O(tokens × perms) work, so
+  * per-call dispatch overhead is negligible relative to the kernel.
+  */
+object HashExprs {
+
+  /** Deterministic 64-bit string hash: two 32-bit murmur3 passes with
+    * different seeds. Stable across JVMs (unlike Object.hashCode on
+    * non-String) and across Spark versions (unlike internal XXH64 wiring).
+    */
+  @inline def hash64(s: UTF8String, seed: Int): Long = {
+    val bytes = s.getBytes
+    val h1 = MurmurHash3.bytesHash(bytes, seed)
+    val h2 = MurmurHash3.bytesHash(bytes, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** 64-bit SimHash over a token array (Charikar 2002, "Similarity
+    * estimation techniques from rounding algorithms"): each token votes
+    * ±1 per bit of its 64-bit hash; the signature is the sign vector.
+    * Near-duplicate docs differ in few bits (small Hamming distance).
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hash64(arr.getUTF8String(i), 0x9747b28c)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** MinHash signature (Broder 1997, "On the resemblance and containment of
+    * documents"): element i is min over shingles of hash64(shingle, seed=i).
+    * E[fraction of matching positions] = Jaccard similarity of shingle sets.
+    */
+  case class MinHashSignature(child: Expression, numPerms: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(numPerms)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val s = arr.getUTF8String(i)
+          var p = 0
+          while (p < numPerms) {
+            val h = hash64(s, p)
+            if (h < sig(p)) sig(p) = h
+            p += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSignature =
+      copy(child = c)
+  }
+
+  /** Cosine similarity between two double arrays, accumulated in double in
+    * array order (bit-reproducible against any engine that does the same).
+    * Returns null on dimension mismatch or zero-norm input.
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  // Column-level API. Spark 4 wraps Expressions via classic.ExpressionUtils,
+  // reached through the single private-API shim in org.apache.spark.sql.graft.
+  import org.apache.spark.sql.graft.shims.{column, expression}
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def minhash(shingles: Column, numPerms: Int): Column =
+    column(MinHashSignature(expression(shingles), numPerms))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+}

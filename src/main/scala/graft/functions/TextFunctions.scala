@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline: language
+  * ID, quality scoring, token counting, fingerprinting, shingling. All are
+  * pure `org.apache.spark.sql.functions` compositions (codegen'd, no UDFs)
+  * and each has an exactly-equivalent DuckDB SQL form used by the oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (Go strings.Fields semantics). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** Canonical text form: lowercase, whitespace collapsed, trimmed. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content-defined fingerprint: md5 of the normalized text. md5 is
+    * engine-portable (identical hex in Spark and DuckDB), so exact-dedup
+    * groups are oracle-checkable — and at scale you group by a 128-bit
+    * digest instead of shuffling full document bodies. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word n-gram shingles (space-joined), the dedup unit for MinHash /
+    * Jaccard. Returns distinct shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt = size(toks) - (n - 1) // number of shingles = L - n + 1
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(0), cnt - 1),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of tokens that are purely alphabetic. */
+  def alphaRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Language stopword sets (tiny, public-knowledge function-word lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans", "une"),
+  )
+
+  /** Occurrences of any word from `set` among the tokens. */
+  def stopwordHits(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(set)))
+
+  /** N-gram-free language-ID heuristic: argmax of stopword hits, ties
+    * resolved en > es > de > fr, all-zero -> "und". Deterministic and
+    * SQL-expressible, so the oracle can replay it. */
+  def langId(text: Column): Column = {
+    val s = Seq("en", "es", "de", "fr").map(l => l -> stopwordHits(text, stopwords(l)))
+    val Seq(en, es, de, fr) = s.map(_._2)
+    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·alphaRatio + 0.3·typeTokenRatio + 0.3·min(tokens,200)/200. */
+  def qualityScore(text: Column): Column =
+    round(
+      lit(0.4) * alphaRatio(text) +
+        lit(0.3) * typeTokenRatio(text) +
+        lit(0.3) * (least(tokenCount(text), lit(200)).cast("double") / 200.0),
+      4)
+
+  /** Polynomial rolling hash of the normalized text (base 31, mod 2^61-1):
+    * the classic Rabin-Karp document fingerprint. Engine-internal (no SQL
+    * oracle) but deterministic. */
+  def rollingHash(text: Column): Column = {
+    // fold over characters is not expressible with codegen'd built-ins;
+    // use aggregate() over the char array (evaluated per-row, no UDF).
+    val chars = split(normalize(text), "")
+    aggregate(
+      filter(chars, c => c =!= lit("")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(2305843009213693951L)))
+  }
+}

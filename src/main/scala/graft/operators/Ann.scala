@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.HashExprs
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *  - bruteForceTopK: exact baseline — broadcast the (small) query set
+  *    against the candidate table; one pass, no shuffle of candidates.
+  *  - lshTopK: random-hyperplane LSH (Charikar 2002) — candidates are
+  *    bucketed by sign-bit signature, queries probe only their own bucket
+  *    per hash table. The 100 TB path: each query touches
+  *    O(tables × bucket size) candidates instead of all of them.
+  *  - ivfTopK: inverted-file index — k-means coarse quantizer (trained on a
+  *    driver-side sample, deterministic seed), candidates searched only in
+  *    the nprobe nearest cells. Same structure as FAISS IVF-Flat.
+  *
+  * Ranking is deterministic: (similarity desc, candidate id asc).
+  */
+object Ann {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic pseudo-random unit-less hyperplanes (seeded; no RNG at
+    * execution time — the plan is reproducible across runs/resumes). */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature as an int bucket id per hash table. */
+  private def bucketExpr(vec: org.apache.spark.sql.Column,
+                         ps: Array[Array[Double]]): org.apache.spark.sql.Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedLit(p.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k via L random-hyperplane hash tables of b bits each.
+    * Recall improves with more tables; cost with fewer bits. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
+              dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val c0 = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // one (row, table, bucket) index entry per hash table
+    val tablePlanes = (0 until tables).map(t => planes(bits, dim, seed + t))
+    val cIdx = tablePlanes.zipWithIndex.map { case (ps, t) =>
+      c0.select(col("cand_id"), col("cv"), lit(t).as("tbl"),
+        bucketExpr(col("cv"), ps).as("bucket"))
+    }.reduce(_ union _)
+    val qIdx = tablePlanes.zipWithIndex.map { case (ps, t) =>
+      q0.select(col("query_id"), col("qv"), lit(t).as("tbl"),
+        bucketExpr(col("qv"), ps).as("bucket"))
+    }.reduce(_ union _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    cIdx.join(broadcast(qIdx), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("qv"), col("cand_id"), col("cv"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF-Flat: assign every candidate to its nearest of `nlist` centroids
+    * (trained by k-means on a sample, fixed seed), then search each query
+    * only in its `nprobe` nearest cells. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              sampleSize: Int = 2000, iters: Int = 10,
+              seed: Long = 42L): DataFrame = {
+    val c0 = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q0 = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // deterministic k-means on a driver-side sample (coarse quantizer only;
+    // the index build over candidates stays distributed)
+    val sample = c0.orderBy("cand_id").limit(sampleSize)
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    val cents = kmeans(sample, nlist, iters, seed)
+    val centLit = array(cents.map(c => typedLit(c.toSeq)): _*)
+    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
+      val dists = transform(centLit, c =>
+        aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v))
+      slice(array_sort(
+        transform(sequence(lit(0), lit(nlist - 1)),
+          i => struct(element_at(dists, i + 1).as("d"), i.as("cell")))),
+        1, n)
+    }
+    val cCells = c0.withColumn("cell",
+      element_at(nearestCells(col("cv"), 1), 1).getField("cell"))
+    val qCells = q0.withColumn("cell",
+      explode(transform(nearestCells(col("qv"), nprobe), s => s.getField("cell"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    cCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Plain Lloyd's k-means, deterministic: first-k init after sorting. */
+  private[operators] def kmeans(points: Array[Array[Double]], k: Int,
+                                iters: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    val n = points.length
+    require(n >= k, s"need >= $k sample points, got $n")
+    var cents = rnd.shuffle(points.indices.toVector).take(k)
+      .map(points(_).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](points(0).length))
+      val cnts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (cnts(c) == 0) cents(c)
+        else sums(c).map(_ / cnts(c)))
+    }
+    cents
+  }
+}

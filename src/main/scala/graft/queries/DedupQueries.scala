@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Dedup queries over documents/embeddings (see operators.Dedup for the
+  * algorithms and scale rationale).
+  *
+  * Oracle coverage: exact dedup and n-gram Jaccard are replayed exactly in
+  * DuckDB. MinHash/SimHash signatures hinge on engine-internal hash
+  * functions, so those two get rows-only driver checks — but their outputs
+  * are *verified subsets* of the exact-Jaccard / Hamming relations, and the
+  * ScalaTest suite asserts recall against the exact operators.
+  */
+object DedupQueries extends Registry {
+
+  val defs: Map[String, QueryFn] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "dedup_exact_stats" -> ((s, d) =>
+      Dedup.exactStats(Tables.documents(s, d), "text")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerms = 32, bands = 8, threshold = 0.8)),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)),
+
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.2)),
+  )
+
+  private val toks =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+         FROM documents
+         GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+         ORDER BY doc_id""",
+
+    "dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs,
+                count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+                  AS n_distinct
+         FROM documents""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+                 FROM t),
+          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 (10000 * i) // (sa.nsh + sb.nsh - i) AS jac_bp
+          FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)
+          ORDER BY doc_a, doc_b""",
+
+    // dedup_minhash_lsh, dedup_simhash: engine-internal hashes — rows-only.
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(a.v, b.v), 4) AS sim
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+         JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+           ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+         ORDER BY id_a, id_b""",
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Text-analysis queries over the documents table: fingerprinting, token
+  * statistics, language ID, quality scoring. Each has an exact DuckDB
+  * oracle (md5 and arithmetic are engine-portable; rounding applied on
+  * both sides).
+  */
+object TextQueries extends Registry {
+
+  val defs: Map[String, QueryFn] = Map(
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "text_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          round(TF.typeTokenRatio(col("text")), 4).as("ttr"),
+          round(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))
+        .orderBy("doc_id")),
+
+    "text_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(TF.langId(col("text")).as("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_pred")),
+
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // total token volume per source — the "how big is my corpus" query
+    "text_token_volume" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          sum(TF.tokenCount(col("text"))).as("total_tokens"),
+          sum(length(col("text"))).as("total_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+  )
+
+  private val toks =
+    """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  val oracles: Map[String, String] = Map(
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "text_token_stats" ->
+      s"""SELECT doc_id, len(toks) AS n_tokens,
+                 round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+                 round(CAST(len(list_filter(toks,
+                     x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(toks), 4)
+                   AS alpha_ratio
+          FROM (SELECT doc_id, $toks AS toks FROM documents) t
+          ORDER BY doc_id""",
+
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sc AS (SELECT doc_id,
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','que','y','en'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('le','les','des','et','est','dans','une'))) AS s_fr
+                 FROM t)
+          SELECT lang_pred, count(*) AS cnt FROM (
+            SELECT CASE
+              WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+            FROM sc) GROUP BY lang_pred ORDER BY lang_pred""",
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+                 round(0.4 * (CAST(len(list_filter(toks,
+                          x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(toks))
+                     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                     + 0.3 * (CAST(least(len(toks), 200) AS DOUBLE) / 200.0), 4)
+                   AS quality
+          FROM (SELECT doc_id, $toks AS toks FROM documents) t
+          ORDER BY doc_id""",
+
+    "text_token_volume" ->
+      s"""SELECT source, sum(len($toks)) AS total_tokens,
+                 sum(length(text)) AS total_chars, count(*) AS n_docs
+          FROM documents GROUP BY source ORDER BY source""",
+  )
+}

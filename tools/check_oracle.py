@@ -1,82 +1,87 @@
 #!/usr/bin/env python3
-"""Dev-only harness mirroring the driver's DuckDB-oracle correctness gate.
-
-NOT part of the shipped library (the library is pure Scala/Spark). This
-script replays what the driver does with graft.Verify output: load each
-query's parquet result, run the matching oracle SQL in DuckDB over the same
-test tables, sort columns by name, sort rows, and compare values.
+"""Local pre-check mirroring the driver's DuckDB oracle compare.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
-"""
-import json
-import sys
 
+For each query dir in verifyOutDir: load the Spark parquet result, run the
+oracle SQL from oracle_sql.json in DuckDB over the same sfDir tables, sort
+columns by name, sort rows, and compare values (floats to 1e-9 rel).
+Queries with no oracle get a rows-only report.
+"""
+import json, sys, glob, math
 import duckdb
 import pandas as pd
 
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-
-def main(sf_dir: str, out_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failed = []
-    for name, sql in sorted(oracle.items()):
+def values_equal(a, b):
+    if pd.isna(a) and pd.isna(b): return True
+    if isinstance(a, float) or isinstance(b, float):
         try:
-            exp = con.execute(sql).df()
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-            exp, got = canon(exp), canon(got)
-            if list(exp.columns) != list(got.columns):
-                print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
-                failed.append(name)
-                continue
-            if len(exp) != len(got):
-                print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
-                failed.append(name)
-                continue
-            diffs = []
-            for c in exp.columns:
-                a, b = exp[c], got[c]
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    bad = ~((a.isna() & b.isna()) | (a == b))
-                    if bad.any():
-                        mad = (a[bad] - b[bad]).abs().max()
-                        diffs.append(f"{c}: {int(bad.sum())} float diffs, maxabs={mad}")
-                else:
-                    if not a.astype(str).equals(b.astype(str)):
-                        n = int((a.astype(str) != b.astype(str)).sum())
-                        diffs.append(f"{c}: {n} value diffs")
-            if diffs:
-                print(f"FAIL {name}: " + "; ".join(diffs))
-                ix = None
-                for c in exp.columns:
-                    neq = exp[c].astype(str) != got[c].astype(str)
-                    if neq.any():
-                        ix = neq[neq].index[:3]
-                        break
-                if ix is not None:
-                    print("  expected:\n", exp.loc[ix].to_string())
-                    print("  got:\n", got.loc[ix].to_string())
-                failed.append(name)
-            else:
-                print(f"PASS {name} ({len(exp)} rows)")
-        except Exception as e:  # noqa: BLE001
-            print(f"ERROR {name}: {e}")
-            failed.append(name)
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
-    return 1 if failed else 0
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb): return True
+        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    return str(a) == str(b)
 
+n_pass = n_fail = n_rowsonly = 0
+for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+    name = qdir.rstrip("/").split("/")[-1]
+    try:
+        spark_df = pd.concat(
+            [pd.read_parquet(p) for p in sorted(glob.glob(f"{qdir}/*.parquet"))],
+            ignore_index=True)
+    except Exception as e:
+        print(f"FAIL  {name}: cannot read spark result: {e}")
+        n_fail += 1
+        continue
+    if name not in oracles:
+        print(f"ROWS  {name}: {len(spark_df)} rows (no oracle)")
+        n_rowsonly += 1
+        continue
+    try:
+        duck_df = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL  {name}: oracle SQL error: {e}")
+        n_fail += 1
+        continue
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"FAIL  {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        n_fail += 1
+        continue
+    if len(s) != len(d):
+        print(f"FAIL  {name}: rows spark={len(s)} duck={len(d)}")
+        n_fail += 1
+        continue
+    mismatch = None
+    for ci, c in enumerate(s.columns):
+        sv, dv = s[c].tolist(), d[c].tolist()
+        for ri in range(len(sv)):
+            if not values_equal(sv[ri], dv[ri]):
+                mismatch = (c, ri, sv[ri], dv[ri])
+                break
+        if mismatch: break
+    if mismatch:
+        c, ri, a, b = mismatch
+        print(f"FAIL  {name}: col {c} row {ri}: spark={a!r} duck={b!r}")
+        n_fail += 1
+    else:
+        print(f"PASS  {name}: {len(s)} rows")
+        n_pass += 1
 
-if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+sys.exit(1 if n_fail else 0)
