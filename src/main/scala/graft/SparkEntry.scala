@@ -24,6 +24,7 @@ object SparkEntry {
     RelationalQueries,
     TextQueries,
     DedupQueries,
+    AnnQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -59,24 +59,30 @@ object Ann {
     }.reduce(_ + _)
 
   /** Approximate top-k via L random-hyperplane hash tables of b bits each.
-    * Recall improves with more tables; cost with fewer bits. */
+    * Recall ≈ 1-(1-p^bits)^tables with p = 1 - θ/π per hyperplane, so few
+    * bits + many tables suits the moderate-similarity regime (θ ≈ 60-80°)
+    * typical of real embedding neighbors; grow `bits` with corpus size to
+    * keep buckets bounded. Index entries for all tables are produced in a
+    * SINGLE scan (explode over a static struct array), not one scan per
+    * table. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4,
+              vecCol: String, k: Int, bits: Int = 4, tables: Int = 16,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     val c0 = candidates.select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    // one (row, table, bucket) index entry per hash table
     val tablePlanes = (0 until tables).map(t => planes(bits, dim, seed + t))
-    val cIdx = tablePlanes.zipWithIndex.map { case (ps, t) =>
-      c0.select(col("cand_id"), col("cv"), lit(t).as("tbl"),
-        bucketExpr(col("cv"), ps).as("bucket"))
-    }.reduce(_ union _)
-    val qIdx = tablePlanes.zipWithIndex.map { case (ps, t) =>
-      q0.select(col("query_id"), col("qv"), lit(t).as("tbl"),
-        bucketExpr(col("qv"), ps).as("bucket"))
-    }.reduce(_ union _)
+    def index(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col(idName), col(vecName),
+          explode(array(tablePlanes.zipWithIndex.map { case (ps, t) =>
+            struct(lit(t).as("tbl"),
+              bucketExpr(col(vecName), ps).as("bucket"))
+          }: _*)).as("tb"))
+        .select(col(idName), col(vecName), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+    val cIdx = index(c0, "cand_id", "cv")
+    val qIdx = index(q0, "query_id", "qv")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     cIdx.join(broadcast(qIdx), Seq("tbl", "bucket"))

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.VersionedStore
+
+/** End-to-end streaming lifecycle: source → app transform → running
+  * aggregate → periodic versioned top-K snapshot. This is the Spark
+  * rebuild of `start <app> <file> [period sendPeriod]`
+  * (client.go:286-291 → Crane.StartApp, SURVEY.md §3.1):
+  *
+  *  - the rate-limited spout (Crane.go:63-99: one line per SendPeriod)
+  *    becomes a file/socket/rate source with a processing-time trigger;
+  *  - the XOR-acker + replay machinery (acker.go, Crane.go:106-128) is
+  *    subsumed by checkpointed offsets + state store (exactly-once);
+  *  - the 10 s snapshot ticker (Crane.go:30,193-204) becomes
+  *    Trigger.ProcessingTime(period);
+  *  - writeToSDFS's versioned top-5 put (wordCount.go:99-137) becomes a
+  *    foreachBatch write of the top-K into a VersionedStore, one version
+  *    per micro-batch (batchId as the version — deterministic across
+  *    restarts, unlike wall-clock; SURVEY.md §7.5).
+  */
+object CraneStream {
+
+  /** Unbounded line stream from files appearing under `dir`
+    * (the spout's file source, S1). */
+  def fileLines(spark: SparkSession, dir: String,
+                maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir).withColumnRenamed("text", "value")
+
+  /** TCP line stream (S5, the comparison apps' socketTextStream). */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream.format("socket")
+      .option("host", host).option("port", port).load()
+
+  /** Start an app: running counts in complete mode, top-K snapshot written
+    * as a new store version every trigger. Returns the running query.
+    *
+    * @param lines   streaming single-column `value: string` frame
+    * @param app     registered app name (StreamApps.apps)
+    * @param store   versioned snapshot sink (the SDFS-put analogue)
+    * @param k       snapshot size (reference: 5)
+    * @param period  snapshot period (reference Period default 10 s)
+    */
+  def start(lines: DataFrame, app: String, store: VersionedStore,
+            checkpointDir: String, k: Int = 5,
+            period: String = "10 seconds"): StreamingQuery = {
+    val counts = StreamApps.apps(app)(lines)
+    counts.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(period))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val top = StreamApps.topK(batch, k)
+        store.putVersion(s"${app}_result", batchId, top)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** ANN recall against the brute-force baseline on sf0.001 embeddings
+  * (500 vectors, dim 64; 10 query vectors). */
+class AnnSpec extends SparkSpec {
+
+  private lazy val embs = Tables.embeddings(spark, sfDir).cache()
+  private lazy val queries = embs.filter(col("vec_id") % 50 === 0)
+
+  private def neighborSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val exact =
+    neighborSet(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5))
+
+  test("brute force returns exactly k ranked neighbors per query") {
+    val res = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+    val perQuery = res.groupBy("query_id").count().collect()
+    perQuery.foreach(r => r.getLong(1) shouldBe 5L)
+    // ranks are 1..k and sims non-increasing within a query
+    val rows = res.collect().groupBy(_.getLong(0))
+    rows.values.foreach { g =>
+      g.map(_.getInt(1)).toSeq shouldBe (1 to 5)
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      sims.zip(sims.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+
+  test("LSH top-k recall >= 0.5 vs brute force") {
+    val lsh = neighborSet(Ann.lshTopK(embs, queries, "vec_id", "embedding", 5))
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall")
+  }
+
+  test("IVF top-k recall >= 0.5 vs brute force") {
+    val ivf = neighborSet(Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("kmeans is deterministic for a fixed seed") {
+    val pts = Array.tabulate(50)(i => Array(i.toDouble, (i * 7 % 13).toDouble))
+    val a = Ann.kmeans(pts, 4, 5, 42L).map(_.toSeq).toSeq
+    val b = Ann.kmeans(pts, 4, 5, 42L).map(_.toSeq).toSeq
+    a shouldBe b
+  }
+}

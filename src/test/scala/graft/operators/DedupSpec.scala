@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Dedup operator properties on the sf0.001 documents table. The
+  * approximate operators (MinHash-LSH, SimHash) are validated against the
+  * exact ones: LSH output must be a subset of the exact Jaccard relation
+  * (precision 1 by construction — candidates are re-verified) with high
+  * recall; SimHash banding is exhaustive for Hamming <= 3 by pigeonhole. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exactGroups partitions the corpus: group sizes sum to row count") {
+    val total = docs.count()
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    groups.agg(sum("n_dups")).head().getLong(0) shouldBe total
+  }
+
+  test("exactStats distinct count equals number of exact groups") {
+    val nGroups = Dedup.exactGroups(docs, "doc_id", "text").count()
+    val stats = Dedup.exactStats(docs, "text").head()
+    stats.getLong(0) shouldBe docs.count()
+    stats.getLong(1) shouldBe nGroups
+  }
+
+  test("minhash-LSH pairs are a subset of exact Jaccard pairs, recall >= 0.8") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair below the exact threshold")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.8,
+        s"LSH recall ${lsh.size}/${exact.size} below 0.8")
+  }
+
+  test("simhash finds all exact-duplicate pairs (Hamming 0)") {
+    import spark.implicits._
+    val dupIds = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter($"n_dups" >= 2)
+    val nDupGroups = dupIds.count()
+    if (nDupGroups > 0) {
+      val zero = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      assert(zero.count() > 0, "exact duplicates exist but SimHash found none")
+    }
+  }
+
+  test("embedding cosine pairs are symmetric-free and above threshold") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.5)
+      .collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonically ordered")
+      assert(r.getDouble(2) >= 0.5 - 1e-4)
+    }
+  }
+}

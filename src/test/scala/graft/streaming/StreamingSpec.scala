@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.sources.VersionedStore
+
+/** Streaming parity tests for the three reference apps: running counts in
+  * complete mode over a MemoryStream must equal the batch computation on
+  * the same lines (the reference's own dual-implementation oracle
+  * methodology, cs425_mp4.pdf §4). */
+class StreamingSpec extends SparkSpec {
+
+  private def runComplete(name: String,
+                          app: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                          batches: Seq[Seq[String]]): Map[String, Long] = {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val q = app(in.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally q.stop()
+  }
+
+  test("wordCount running counts accumulate across micro-batches") {
+    val got = runComplete("wc", StreamApps.wordCount,
+      Seq(Seq("to be or not to be", "  to   be  "), Seq("or not")))
+    got shouldBe Map("to" -> 3L, "be" -> 3L, "or" -> 2L, "not" -> 2L)
+  }
+
+  test("twitter keeps only well-formed edges and counts followees") {
+    val got = runComplete("tw", StreamApps.twitter,
+      Seq(Seq("1 5", "2 5", "malformed", "3 7", "1 5 9")))
+    got shouldBe Map("5" -> 2L, "7" -> 1L)
+  }
+
+  test("hothttp filters status-200 lines with >= 10 fields, keys field 7") {
+    // Calgary access-log shape: the [ts tz] timestamp splits into TWO
+    // whitespace fields, so the resource lands at field 7 (Go index 6).
+    val ok = "remote - - [01/Jun/1995:00:00:59 -0600] \"GET /index.html HTTP/1.0\" 200 1497"
+    val other = "remote - - [01/Jun/1995:00:01:00 -0600] \"GET /a.gif HTTP/1.0\" 200 50"
+    val short = "a b 200"
+    val no200 = "remote - - [01/Jun/1995:00:00:59 -0600] \"GET /index.html HTTP/1.0\" 404 1497"
+    val got = runComplete("hh", StreamApps.hothttp,
+      Seq(Seq(ok, ok, other, short, no200)))
+    got shouldBe Map("/index.html" -> 2L, "/a.gif" -> 1L)
+  }
+
+  test("topK is deterministic: count desc then key asc") {
+    import spark.implicits._
+    val counts = Seq(("b", 2L), ("a", 2L), ("c", 3L), ("d", 1L))
+      .toDF("word", "count")
+    StreamApps.topK(counts, 3).collect().map(_.getString(0)).toSeq shouldBe
+      Seq("c", "a", "b")
+  }
+
+  test("CraneStream end-to-end: versioned top-K snapshot per trigger") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("crane").toString
+    val store = VersionedStore(s"$tmp/store")
+    val in = MemoryStream[String]
+    val q = CraneStream.start(in.toDF(), "wordCount", store,
+      checkpointDir = s"$tmp/ckpt", k = 2, period = "0 seconds")
+    try {
+      in.addData("x x x y y z"); q.processAllAvailable()
+      in.addData("z z z z"); q.processAllAvailable()
+      val vs = store.versions(spark, "wordCount_result")
+      vs should not be empty
+      // latest snapshot reflects ALL data (running totals: z=5,x=3)
+      val latest = store.get(spark, "wordCount_result")
+        .orderBy($"count".desc).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      latest shouldBe Seq("z" -> 5L, "x" -> 3L)
+      // get-versions returns version-tagged history
+      val hist = store.getVersions(spark, "wordCount_result", vs.size)
+      hist.columns should contain("version")
+      hist.select("version").distinct().count() shouldBe vs.size
+    } finally q.stop()
+  }
+}
