@@ -25,6 +25,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     AnnQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

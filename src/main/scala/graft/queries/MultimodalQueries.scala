@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Ann, Multimodal}
+
+/** Multimodal queries (operators.Multimodal). The media table is derived
+  * deterministically from documents (payload = UTF-8 text bytes, metadata
+  * arithmetic on doc_id), so metadata-level ops are replayed exactly in
+  * DuckDB via the same CTE. Ops whose output depends on the stubbed codec
+  * (decode, features) are rows-only, with determinism asserted in
+  * ScalaTest.
+  */
+object MultimodalQueries extends Registry {
+
+  private def media(s: org.apache.spark.sql.SparkSession, d: String) =
+    Multimodal.mediaFromDocuments(Tables.documents(s, d))
+
+  val defs: Map[String, QueryFn] = Map(
+    "media_stats" -> ((s, d) =>
+      media(s, d).groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("bytes"))).as("total_bytes"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"))
+        .orderBy("kind")),
+
+    "media_resize_meta" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.resizeMeta(Multimodal.asMedia(media(s, d)), maxSide = 256)
+        .toDF().select("media_id", "width", "height")
+        .orderBy("media_id")
+    }),
+
+    "media_frame_sample" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.sampleFrames(Multimodal.asMedia(media(s, d)), n = 8)
+        .toDF().select("media_id", "frame_idx", "frame_ms")
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    "media_decode_stats" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decode(Multimodal.asMedia(media(s, d)))
+        .toDF().select(col("media_id"), col("kind"), col("n_pixels"),
+          round(col("mean_intensity"), 4).as("mean_intensity"))
+        .orderBy("media_id")
+    }),
+
+    "media_features_knn" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
+        .toDF().withColumnRenamed("feature", "embedding")
+      Ann.bruteForceTopK(feats,
+        feats.filter(col("media_id") % 100 === 0), "media_id", "embedding", 3)
+    }),
+  )
+
+  /** DuckDB replay of mediaFromDocuments (metadata columns only). */
+  private val mediaCte =
+    """media AS (
+         SELECT doc_id AS media_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                encode(text) AS bytes,
+                CAST(doc_id % 640 + 16 AS INT) AS width,
+                CAST(doc_id % 480 + 16 AS INT) AS height,
+                doc_id % 30000 + 1000 AS duration_ms
+         FROM documents)"""
+
+  val oracles: Map[String, String] = Map(
+    "media_stats" ->
+      s"""WITH $mediaCte
+          SELECT kind, count(*) AS n, sum(octet_length(bytes)) AS total_bytes,
+                 sum(width::BIGINT) AS sum_w, sum(height::BIGINT) AS sum_h
+          FROM media GROUP BY kind ORDER BY kind""",
+
+    "media_resize_meta" ->
+      s"""WITH $mediaCte
+          SELECT media_id,
+                 CASE WHEN greatest(width, height) <= 256 THEN width
+                      ELSE greatest(1, CAST(floor(width *
+                        (256.0 / greatest(width, height))) AS INT)) END AS width,
+                 CASE WHEN greatest(width, height) <= 256 THEN height
+                      ELSE greatest(1, CAST(floor(height *
+                        (256.0 / greatest(width, height))) AS INT)) END AS height
+          FROM media ORDER BY media_id""",
+
+    "media_frame_sample" ->
+      s"""WITH $mediaCte,
+          v AS (SELECT media_id, duration_ms,
+                       least(8, greatest(1, duration_ms // 1000)) AS k
+                FROM media WHERE kind = 'video'),
+          f AS (SELECT media_id, duration_ms, k, unnest(range(0, k)) AS i FROM v)
+          SELECT media_id, i AS frame_idx, i * duration_ms // k AS frame_ms
+          FROM f ORDER BY media_id, frame_idx""",
+
+    // media_decode_stats / media_features_knn: stub-codec-derived — rows
+    // only; determinism and shape asserted in MultimodalSpec.
+  )
+}
