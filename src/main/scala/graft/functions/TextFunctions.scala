@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Evaluate `c` ONCE and reuse it via a lambda binding. A Column subtree
+    * referenced k times is otherwise re-evaluated k times (Catalyst has no
+    * cross-reference CSE for interpreted higher-order lambdas) — for an
+    * expression like tokens() (a regex split) referenced inside a
+    * transform(), that turns O(L) work into O(L^2). `transform` over a
+    * 1-element array binds the evaluated value to a cheap lambda variable.
+    */
+  def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Whitespace tokens, empties dropped (Go strings.Fields semantics). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= lit(""))
@@ -25,31 +35,35 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** Word n-gram shingles (space-joined), the dedup unit for MinHash /
-    * Jaccard. Returns distinct shingles. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val cnt = size(toks) - (n - 1) // number of shingles = L - n + 1
-    when(cnt <= 0, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(0), cnt - 1),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-  }
+    * Jaccard. Returns distinct shingles. Tokenization is bound once per
+    * row (see [[bind]]): the naive form re-ran the regex split per
+    * element_at — ~3n times per shingle. */
+  def shingles(text: Column, n: Int): Column =
+    bind(tokens(text)) { toks =>
+      val cnt = size(toks) - (n - 1) // number of shingles = L - n + 1
+      when(cnt <= 0, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(
+            sequence(lit(0), cnt - 1),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+    }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Fraction of tokens that are purely alphabetic. */
-  def alphaRatio(text: Column): Column = {
-    val toks = tokens(text)
+  private def alphaRatioOf(toks: Column): Column =
     size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double") /
       size(toks).cast("double")
-  }
+
+  private def typeTokenRatioOf(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Fraction of tokens that are purely alphabetic. */
+  def alphaRatio(text: Column): Column =
+    bind(tokens(text))(alphaRatioOf)
 
   /** Type-token ratio (lexical diversity). */
-  def typeTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
-    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
-  }
+  def typeTokenRatio(text: Column): Column =
+    bind(tokens(text))(typeTokenRatioOf)
 
   /** Language stopword sets (tiny, public-knowledge function-word lists). */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -65,25 +79,32 @@ object TextFunctions {
 
   /** N-gram-free language-ID heuristic: argmax of stopword hits, ties
     * resolved en > es > de > fr, all-zero -> "und". Deterministic and
-    * SQL-expressible, so the oracle can replay it. */
-  def langId(text: Column): Column = {
-    val s = Seq("en", "es", "de", "fr").map(l => l -> stopwordHits(text, stopwords(l)))
-    val Seq(en, es, de, fr) = s.map(_._2)
-    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
-      .when(en >= es && en >= de && en >= fr, lit("en"))
-      .when(es >= de && es >= fr, lit("es"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
-  }
+    * SQL-expressible, so the oracle can replay it. Tokens and the four
+    * hit counts are each bound once per row — the when-chain references
+    * every count ~3 times. */
+  def langId(text: Column): Column =
+    bind(tokens(text)) { toks =>
+      def hits(set: Seq[String]) = size(filter(toks, t => t.isInCollection(set)))
+      bind(array(Seq("en", "es", "de", "fr").map(l => hits(stopwords(l))): _*)) { h =>
+        val Seq(en, es, de, fr) = (1 to 4).map(i => element_at(h, i))
+        when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+          .when(en >= es && en >= de && en >= fr, lit("en"))
+          .when(es >= de && es >= fr, lit("es"))
+          .when(de >= fr, lit("de"))
+          .otherwise(lit("fr"))
+      }
+    }
 
   /** Composite quality score in [0,1]:
     * 0.4·alphaRatio + 0.3·typeTokenRatio + 0.3·min(tokens,200)/200. */
   def qualityScore(text: Column): Column =
-    round(
-      lit(0.4) * alphaRatio(text) +
-        lit(0.3) * typeTokenRatio(text) +
-        lit(0.3) * (least(tokenCount(text), lit(200)).cast("double") / 200.0),
-      4)
+    bind(tokens(text)) { toks =>
+      round(
+        lit(0.4) * alphaRatioOf(toks) +
+          lit(0.3) * typeTokenRatioOf(toks) +
+          lit(0.3) * (least(size(toks), lit(200)).cast("double") / 200.0),
+        4)
+    }
 
   /** Polynomial rolling hash of the normalized text (base 31, mod 2^61-1):
     * the classic Rabin-Karp document fingerprint. Engine-internal (no SQL

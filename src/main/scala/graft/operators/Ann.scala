@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.HashExprs
+import graft.functions.{HashExprs, TextFunctions => TF}
 
 import scala.util.Random
 
@@ -23,10 +23,18 @@ import scala.util.Random
   */
 object Ann {
 
+  /** Spread a narrow input before CPU-heavy per-row work (one file = one
+    * partition would serialize signature/assignment compute onto a single
+    * core; no-op once inputs have enough partitions). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = candidates.select(col(idCol).as("cand_id"),
+    val c = spread(candidates).select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -48,7 +56,9 @@ object Ann {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature as an int bucket id per hash table. */
+  /** Sign-bit LSH signature as an int bucket id per hash table. `vec` must
+    * already be a bound lambda variable (callers wrap with TF.bind so the
+    * vector is materialized once per row, not once per hyperplane). */
   private def bucketExpr(vec: org.apache.spark.sql.Column,
                          ps: Array[Array[Double]]): org.apache.spark.sql.Column =
     ps.zipWithIndex.map { case (p, i) =>
@@ -68,17 +78,18 @@ object Ann {
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 4, tables: Int = 16,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val c0 = candidates.select(col(idCol).as("cand_id"),
+    val c0 = spread(candidates).select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val tablePlanes = (0 until tables).map(t => planes(bits, dim, seed + t))
     def index(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col(idName), col(vecName),
-          explode(array(tablePlanes.zipWithIndex.map { case (ps, t) =>
-            struct(lit(t).as("tbl"),
-              bucketExpr(col(vecName), ps).as("bucket"))
-          }: _*)).as("tb"))
+          explode(TF.bind(col(vecName)) { v =>
+            array(tablePlanes.zipWithIndex.map { case (ps, t) =>
+              struct(lit(t).as("tbl"), bucketExpr(v, ps).as("bucket"))
+            }: _*)
+          }).as("tb"))
         .select(col(idName), col(vecName), col("tb.tbl").as("tbl"),
           col("tb.bucket").as("bucket"))
     val cIdx = index(c0, "cand_id", "cv")
@@ -87,9 +98,11 @@ object Ann {
       .orderBy(col("sim").desc, col("cand_id").asc)
     cIdx.join(broadcast(qIdx), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("qv"), col("cand_id"), col("cv"))
-      .distinct() // a pair may collide in several tables
       .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+      // a pair may collide in several tables: dedup by grouping on the id
+      // pair (shuffling (long,long,double)), NOT distinct() over rows that
+      // still carry both vectors — hashing arrays dominates otherwise
+      .groupBy("query_id", "cand_id").agg(first("sim").as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"),
@@ -104,7 +117,7 @@ object Ann {
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               sampleSize: Int = 2000, iters: Int = 10,
               seed: Long = 42L): DataFrame = {
-    val c0 = candidates.select(col(idCol).as("cand_id"),
+    val c0 = spread(candidates).select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -114,15 +127,20 @@ object Ann {
       .select("cv").collect().map(_.getSeq[Double](0).toArray)
     val cents = kmeans(sample, nlist, iters, seed)
     val centLit = array(cents.map(c => typedLit(c.toSeq)): _*)
-    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) = {
-      val dists = transform(centLit, c =>
-        aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v))
-      slice(array_sort(
-        transform(sequence(lit(0), lit(nlist - 1)),
-          i => struct(element_at(dists, i + 1).as("d"), i.as("cell")))),
-        1, n)
-    }
+    // vec and the distance array are each bound once per row (TF.bind):
+    // unbound, `dists` would be re-evaluated per sequence element — an
+    // nlist x (nlist x dim) blowup.
+    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) =
+      TF.bind(vec) { v =>
+        TF.bind(transform(centLit, c =>
+            aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, s) => acc + s))) { dists =>
+          slice(array_sort(
+            transform(sequence(lit(0), lit(nlist - 1)),
+              i => struct(element_at(dists, i + 1).as("d"), i.as("cell")))),
+            1, n)
+        }
+      }
     val cCells = c0.withColumn("cell",
       element_at(nearestCells(col("cv"), 1), 1).getField("cell"))
     val qCells = q0.withColumn("cell",
