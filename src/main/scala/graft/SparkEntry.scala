@@ -26,6 +26,7 @@ object SparkEntry {
     DedupQueries,
     AnnQueries,
     MultimodalQueries,
+    EventQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

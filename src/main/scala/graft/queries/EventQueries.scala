@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Event-pipeline queries over the events table: JSON property
+  * extraction, gap-based sessionization (the batch form of
+  * streaming.EventTimeOps.sessionize — same 30-minute gap rule), and a
+  * salt-then-merge aggregation demonstrating the skew-mitigation shape
+  * (identical results to the direct group-by, which is exactly what the
+  * oracle checks).
+  */
+object EventQueries extends Registry {
+
+  private val gapSec = 1800L // 30-minute session gap
+
+  val defs: Map[String, QueryFn] = Map(
+    "events_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")),
+
+    "events_sessionize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val sessions = ev
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+            1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (unix_timestamp(max("ts")) - unix_timestamp(min("ts")))
+            .as("duration_sec"))
+      sessions.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          sum("duration_sec").as("total_duration_sec"))
+        .orderBy("user_id")
+    }),
+
+    "events_salted_agg" -> ((s, d) =>
+      // two-phase skew-resistant aggregation: pre-aggregate on
+      // (key, salt) so one hot key spreads over 8 reducers, then merge.
+      // Results are identical to the direct group-by (the oracle).
+      Tables.events(s, d)
+        .withColumn("salt", pmod(col("user_id"), lit(8)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+        .groupBy("event_type")
+        .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
+        .orderBy("event_type")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "events_sessionize" ->
+      s"""WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                        OR date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             ts) > $gapSec
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+          sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked),
+          agg AS (
+            SELECT user_id, session_id, count(*) AS n_events,
+                   date_diff('second', min(ts), max(ts)) AS duration_sec
+            FROM sess GROUP BY user_id, session_id)
+          SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+                 sum(duration_sec) AS total_duration_sec
+          FROM agg GROUP BY user_id ORDER BY user_id""",
+
+    "events_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+                round(sum("value"), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+  )
+}

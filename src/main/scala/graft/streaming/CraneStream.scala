@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.sources.VersionedStore
@@ -35,6 +36,27 @@ object CraneStream {
   def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")
       .option("host", host).option("port", port).load()
+
+  /** Rate-limited replay of a static file's lines — the spout's emit loop
+    * (Crane.go:63-99: one line per SendPeriod, line number = messageId).
+    * Line i is released when the rate stream reaches sequence number i, so
+    * `linesPerSecond` plays the role of 1/SendPeriod and the bench can
+    * sweep emit rates like cs425_mp4.pdf Fig. 2A. Implemented as a
+    * stream-static broadcast join: the static side is the indexed file,
+    * the stream side is Spark's rate source (offset-tracked, replayable —
+    * the replay map is subsumed by source offsets). */
+  def replayLines(spark: SparkSession, path: String,
+                  linesPerSecond: Int): DataFrame = {
+    import spark.implicits._
+    val indexed = spark.read.textFile(path).rdd.zipWithIndex()
+      .map { case (l, i) => (i, l) }.toDF("idx", "value")
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", linesPerSecond).load()
+      .withColumnRenamed("value", "seq")
+    rate.join(org.apache.spark.sql.functions.broadcast(indexed),
+        col("seq") === col("idx"))
+      .select(col("value"))
+  }
 
   /** Start an app: running counts in complete mode, top-K snapshot written
     * as a new store version every trigger. Returns the running query.

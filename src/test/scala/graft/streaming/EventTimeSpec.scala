@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+/** Event-time streaming: watermarked tumbling windows and
+  * flatMapGroupsWithState sessionization. */
+class EventTimeSpec extends SparkSpec {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  test("tumblingCounts aggregates per window+key (batch parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (ts(1), "a"), (ts(2), "a"), (ts(3), "b"),  // window [0,60)
+      (ts(61), "a")                              // window [60,120)
+    ).toDF("ts", "k")
+    val got = EventTimeOps.tumblingCounts(df, "ts", "k", "1 hour", "10 minutes")
+      .orderBy("window_start", "k").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((0L, "a", 2L), (0L, "b", 1L), (60L, "a", 1L))
+  }
+
+  test("tumblingCounts streams with watermark eviction") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventTimeOps.tumblingCounts(in.toDF()
+        .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "k"),
+      "ts", "k", "1 hour", "10 minutes")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tumbling").start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "a"))
+      q.processAllAvailable()
+      in.addData((ts(61), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+        .toSet
+      rows should contain((0L, "a", 2L))
+      rows should contain((60L, "a", 1L))
+    } finally q.stop()
+  }
+
+  test("sessionize emits a session once the watermark passes its gap") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val in = MemoryStream[EventTimeOps.Ev]
+    val q = EventTimeOps.sessionize(in.toDS(), gapMs = 30 * 60000L,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      // session: user 1, events at minute 100 and 105 (offset from epoch 0
+      // — an event timestamp equal to the initial watermark is dropped)
+      in.addData(EventTimeOps.Ev(1L, ts(100)), EventTimeOps.Ev(1L, ts(105)))
+      q.processAllAvailable()
+      // far-future event pushes the watermark beyond session end + gap
+      in.addData(EventTimeOps.Ev(2L, ts(340)))
+      q.processAllAvailable()
+      // one more batch so the timeout fires after the watermark update
+      in.addData(EventTimeOps.Ev(2L, ts(341)))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[EventTimeOps.Session].collect()
+      val s1 = sessions.filter(_.user_id == 1L)
+      s1.length shouldBe 1
+      s1.head.n_events shouldBe 2L
+      s1.head.session_start shouldBe ts(100)
+      s1.head.session_end shouldBe ts(105)
+    } finally q.stop()
+  }
+
+  test("sessionize splits on gap within a single batch") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val in = MemoryStream[EventTimeOps.Ev]
+    val q = EventTimeOps.sessionize(in.toDS(), gapMs = 30 * 60000L,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions2").start()
+    try {
+      // two bursts 2h apart in one batch: first session closes immediately
+      in.addData(EventTimeOps.Ev(1L, ts(100)), EventTimeOps.Ev(1L, ts(105)),
+        EventTimeOps.Ev(1L, ts(225)))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions2").as[EventTimeOps.Session].collect()
+      sessions.length shouldBe 1 // second session still open
+      sessions.head.n_events shouldBe 2L
+    } finally q.stop()
+  }
+}

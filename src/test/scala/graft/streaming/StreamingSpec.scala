@@ -60,6 +60,26 @@ class StreamingSpec extends SparkSpec {
       Seq("c", "a", "b")
   }
 
+  test("replayLines releases file lines through the rate source") {
+    val tmp = Files.createTempDirectory("replay")
+    val file = tmp.resolve("data.txt")
+    val lines = (0 until 50).map(i => s"line-$i")
+    Files.write(file, String.join("\n", lines: _*).getBytes)
+    val q = CraneStream.replayLines(spark, file.toString, linesPerSecond = 100)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("replay").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      var n = 0L
+      while (n < 50 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); q.processAllAvailable()
+        n = spark.table("replay").count()
+      }
+      val got = spark.table("replay").collect().map(_.getString(0)).toSet
+      got shouldBe lines.toSet // every line released exactly once
+    } finally q.stop()
+  }
+
   test("CraneStream end-to-end: versioned top-K snapshot per trigger") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
