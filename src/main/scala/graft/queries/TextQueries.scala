@@ -47,12 +47,36 @@ object TextQueries extends Registry {
           sum(length(col("text"))).as("total_chars"),
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
+
+    // BPE-ish subword counting: alpha runs / single digits / punctuation
+    // runs, the usual pre-tokenizer shape — a cheap, portable proxy for
+    // an LLM tokenizer's token count (both engines run the same RE).
+    "text_bpe_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_bpe"),
+          length(col("text")).as("n_chars"))
+        .withColumn("chars_per_tok",
+          round(col("n_chars").cast("double") /
+            greatest(col("n_bpe"), lit(1)).cast("double"), 4))
+        .orderBy("doc_id")),
   )
 
   private val toks =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe,
+                length(text) AS n_chars,
+                round(CAST(length(text) AS DOUBLE) /
+                  greatest(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]|[^a-z0-9\s]')), 1), 4) AS chars_per_tok
+         FROM documents ORDER BY doc_id""",
+
     "text_fingerprint" ->
       """SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
