@@ -18,9 +18,13 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches/broadcasts a query pinned, so queries are timed
-      // independently instead of under the previous query's memory pressure
+      // drop caches/broadcasts a query pinned and let GC settle, so
+      // queries are timed independently instead of under the previous
+      // query's memory pressure (all-pairs queries otherwise bleed
+      // multi-second pauses into whatever runs next)
       spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -98,9 +98,14 @@ object HashExprs {
   /** Cosine similarity between two double arrays, accumulated in double in
     * array order (bit-reproducible against any engine that does the same).
     * Returns null on dimension mismatch or zero-norm input.
+    *
+    * Unlike the signature expressions (one call per row), this runs once
+    * per candidate PAIR — millions of calls whose kernel is a short loop,
+    * so it generates code into the surrounding whole-stage instead of
+    * falling back to interpreted dispatch.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
@@ -118,6 +123,34 @@ object HashExprs {
       if (na == 0.0 || nb == 0.0) null
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        |int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $x = $a.getDouble($i);
+        |    double $y = $b.getDouble($i);
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  if ($na == 0.0 || $nb == 0.0) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |  }
+        |}
+        """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
   }
