@@ -47,6 +47,17 @@ object EventQueries extends Registry {
         .orderBy("user_id")
     }),
 
+    // HLL sketch distinct: at 100 TB you count distinct users with a
+    // bounded-memory sketch, not an exact shuffle of every key. No SQL
+    // oracle (HLL estimates are engine-specific); EventQueriesSpec bounds
+    // the estimate within 5% of exact.
+    "events_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01)
+          .as("approx_users"))
+        .orderBy("event_type")),
+
     "events_salted_agg" -> ((s, d) =>
       // two-phase skew-resistant aggregation: pre-aggregate on
       // (key, salt) so one hot key spreads over 8 reducers, then merge.
