@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected-components label propagation over near-dup pairs. */
+class ComponentsSpec extends SparkSpec {
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.components(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chains collapse to the minimum id (multi-hop propagation)") {
+    // 1-2, 2-3, 3-4 is one component even though 1 and 4 never pair
+    comps(Seq((1L, 2L), (2L, 3L), (3L, 4L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+  }
+
+  test("disjoint clusters keep distinct representatives") {
+    comps(Seq((5L, 9L), (2L, 7L), (7L, 3L))) shouldBe
+      Map(5L -> 5L, 9L -> 5L, 2L -> 2L, 7L -> 2L, 3L -> 2L)
+  }
+
+  test("every pair's endpoints land in the same component") {
+    val pairs = Seq((1L, 2L), (4L, 6L), (6L, 8L), (2L, 9L), (10L, 11L))
+    val m = comps(pairs)
+    pairs.foreach { case (a, b) => m(a) shouldBe m(b) }
+  }
+}
