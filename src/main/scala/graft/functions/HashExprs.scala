@@ -65,6 +65,41 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  /** Distinct word n-gram shingles over a token array, in first-occurrence
+    * order (array_distinct semantics), as one pass over the internal row —
+    * the higher-order-function formulation (sequence + transform +
+    * concat_ws + array_distinct) allocates per element and re-dispatches
+    * per lambda call; this is the single hot kernel under both dedup
+    * candidate generators. */
+  case class NgramShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val cnt = len - (n - 1)
+      if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+      val sep = UTF8String.fromString(" ")
+      val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i < cnt) {
+        var k = 0
+        while (k < n) { window(k) = arr.getUTF8String(i + k); k += 1 }
+        seen.add(UTF8String.concatWs(sep, window: _*))
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): NgramShingles =
+      copy(child = c)
+  }
+
   /** MinHash signature (Broder 1997, "On the resemblance and containment of
     * documents"): element i is min over shingles of hash64(shingle, seed=i).
     * E[fraction of matching positions] = Jaccard similarity of shingle sets.
@@ -159,6 +194,8 @@ object HashExprs {
   // reached through the single private-API shim in org.apache.spark.sql.graft.
   import org.apache.spark.sql.graft.shims.{column, expression}
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def ngram_shingles(tokens: Column, n: Int): Column =
+    column(NgramShingles(expression(tokens), n))
   def minhash(shingles: Column, numPerms: Int): Column =
     column(MinHashSignature(expression(shingles), numPerms))
   def cosine_sim(a: Column, b: Column): Column =

@@ -35,18 +35,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** Word n-gram shingles (space-joined), the dedup unit for MinHash /
-    * Jaccard. Returns distinct shingles. Tokenization is bound once per
-    * row (see [[bind]]): the naive form re-ran the regex split per
-    * element_at — ~3n times per shingle. */
+    * Jaccard. Returns distinct shingles in first-occurrence order, via a
+    * single-pass expression (HashExprs.NgramShingles) — the built-in
+    * formulation (sequence/transform/concat_ws/array_distinct) allocates
+    * per element and re-dispatches per lambda call on the hot path. */
   def shingles(text: Column, n: Int): Column =
-    bind(tokens(text)) { toks =>
-      val cnt = size(toks) - (n - 1) // number of shingles = L - n + 1
-      when(cnt <= 0, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          transform(
-            sequence(lit(0), cnt - 1),
-            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
-    }
+    HashExprs.ngram_shingles(tokens(text), n)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
