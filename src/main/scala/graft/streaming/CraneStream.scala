@@ -82,4 +82,44 @@ object CraneStream {
       }
       .start()
   }
+
+  /** The scale path for large key spaces (SURVEY.md §7.5): complete mode
+    * re-emits EVERY key each trigger — fine for a top-5 demo, fatal when
+    * the running state is billions of keys. Update mode emits only keys
+    * whose count changed; the sink merges them into the previous snapshot
+    * version (changed keys replace their old rows) and writes the merged
+    * state as version = batchId.
+    *
+    * Idempotent across restarts: a replayed batch merges against the
+    * newest version STRICTLY BELOW its own batchId and overwrites its own
+    * version, so re-execution produces identical output. Per-trigger cost
+    * is O(changed keys + snapshot rewrite); at scale the rewrite becomes a
+    * partitioned upsert (merge-on-write on the key's hash bucket), which
+    * this structure maps onto directly.
+    */
+  def startUpdateMode(lines: DataFrame, app: String, store: VersionedStore,
+                      checkpointDir: String,
+                      period: String = "10 seconds"): StreamingQuery = {
+    val counts = StreamApps.apps(app)(lines)
+    val key = StreamApps.keyCol(app)
+    val name = s"${app}_counts"
+    counts.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(period))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = store.versions(spark, name).filter(_ < batchId)
+        val merged =
+          if (prior.isEmpty) batch
+          else {
+            val prev = spark.read.parquet(
+              s"${store.root}/$name/version=${prior.last}")
+            prev.join(batch, Seq(key), "left_anti").unionByName(batch)
+          }
+        store.putVersion(name, batchId, merged)
+        ()
+      }
+      .start()
+  }
 }

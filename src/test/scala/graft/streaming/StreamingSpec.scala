@@ -80,6 +80,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update-mode merge-on-write: snapshots carry all keys, triggers only changed ones") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("upd").toString
+    val store = VersionedStore(s"$tmp/store")
+    val in = MemoryStream[String]
+    val q = CraneStream.startUpdateMode(in.toDF(), "wordCount", store,
+      checkpointDir = s"$tmp/ckpt", period = "0 seconds")
+    try {
+      in.addData("x x y"); q.processAllAvailable()
+      in.addData("y z"); q.processAllAvailable()
+      val vs = store.versions(spark, "wordCount_counts")
+      vs.size shouldBe 2
+      // final snapshot = exact running totals over both batches
+      val latest = store.get(spark, "wordCount_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      latest shouldBe Map("x" -> 2L, "y" -> 2L, "z" -> 1L)
+      // the second trigger only rewrote y (changed) and z (new) on top of
+      // the carried-over x row; x's count came from version 0 untouched
+      val v0 = spark.read.parquet(s"$tmp/store/wordCount_counts/version=${vs.head}")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      v0 shouldBe Map("x" -> 2L, "y" -> 1L)
+    } finally q.stop()
+  }
+
   test("CraneStream end-to-end: versioned top-K snapshot per trigger") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
