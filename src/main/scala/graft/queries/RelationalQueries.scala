@@ -155,6 +155,18 @@ object RelationalQueries extends Registry {
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
         .orderBy("l_linestatus")),
 
+    // Exact percentiles (interpolated): the doc-length/price-distribution
+    // query a data-quality dashboard runs. At 100 TB swap for
+    // approx_percentile — same call shape, sketch-based.
+    "stats_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+        .orderBy("l_returnflag")),
+
     // HAVING: order-priority buckets above a count threshold.
     "having_filter" -> ((s, d) =>
       Tables.orders(s, d)
@@ -194,6 +206,13 @@ object RelationalQueries extends Registry {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+                round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "join_broadcast_agg" ->
       """SELECT c_mktsegment, count(*) AS cnt,
                 round(sum(o_totalprice), 2) AS total_price

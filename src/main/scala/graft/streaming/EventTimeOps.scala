@@ -25,6 +25,23 @@ object EventTimeOps {
       .count()
       .select(col("w.start").as("window_start"), col(keyCol), col("count"))
 
+  /** Watermarked stream-stream interval join: each left row matches right
+    * rows for the same key whose timestamp falls in [left.ts, left.ts +
+    * horizon]. Both sides carry watermarks so the join state is evicted
+    * once the watermark passes the horizon — bounded state, the only way
+    * a stream-stream join survives at scale. (The reference has no joins
+    * at all, SURVEY.md §2.9 — this is modern-surface extension.) */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String, horizon: String,
+                   lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).as("l")
+    val r = right.withWatermark(rightTs, lateness).as("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + interval $horizon"))
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp)
 
   final case class SessionState(start: Long, end: Long, n: Long)

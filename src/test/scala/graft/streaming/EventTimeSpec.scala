@@ -75,6 +75,31 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin matches right rows within the horizon per key") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = EventTimeOps.intervalJoin(
+      views.toDF().toDF("user_id", "view_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"),
+      "user_id", "view_ts", "click_ts",
+      horizon = "10 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("vc").start()
+    try {
+      views.addData((1L, ts(100)), (2L, ts(100)))
+      clicks.addData((1L, ts(105)), // within horizon -> match
+        (2L, ts(115)),              // 15 min after view -> no match
+        (1L, ts(95)))               // before the view -> no match
+      q.processAllAvailable()
+      val got = spark.table("vc").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(3).getTime / 60000)).toSet
+      got shouldBe Set((1L, 100L, 105L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap within a single batch") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val sp: org.apache.spark.sql.SparkSession = spark
