@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.operators.Sampling
 
 /** Event-pipeline queries over the events table: JSON property
   * extraction, gap-based sessionization (the batch form of
@@ -58,6 +59,32 @@ object EventQueries extends Registry {
           .as("approx_users"))
         .orderBy("event_type")),
 
+    // Deterministic hash sampling (operators.Sampling): the sample itself
+    // is reproduced by the oracle — same md5-threshold rule in SQL.
+    "events_sample_bernoulli" -> ((s, d) =>
+      Sampling.bernoulli(Tables.events(s, d), "event_id", frac256 = 64)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")),
+
+    "events_sample_stratified" -> ((s, d) =>
+      Sampling.stratified(Tables.events(s, d), "event_id", "event_type",
+        fractions = Map("click" -> 64, "view" -> 32), default256 = 128)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Pivot: long->wide reshape, one column per event type. Explicit value
+    // list so the plan is a single pass (no distinct-values pre-query).
+    "events_pivot_daily" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy("day")),
+
     "events_salted_agg" -> ((s, d) =>
       // two-phase skew-resistant aggregation: pre-aggregate on
       // (key, salt) so one hot key spreads over 8 reducers, then merge.
@@ -100,6 +127,30 @@ object EventQueries extends Registry {
           SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
                  sum(duration_sec) AS total_duration_sec
           FROM agg GROUP BY user_id ORDER BY user_id""",
+
+    "events_sample_bernoulli" ->
+      """SELECT event_type, count(*) AS n, round(sum("value"), 2) AS sum_value
+         FROM events
+         WHERE substring(md5(event_id::VARCHAR || 'graft'), 1, 2) < '40'
+         GROUP BY event_type ORDER BY event_type""",
+
+    "events_sample_stratified" ->
+      """SELECT event_type, count(*) AS n
+         FROM events
+         WHERE substring(md5(event_id::VARCHAR || 'graft'), 1, 2) <
+               CASE event_type WHEN 'click' THEN '40'
+                               WHEN 'view' THEN '20'
+                               ELSE '80' END
+         GROUP BY event_type ORDER BY event_type""",
+
+    "events_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS "view"
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "events_salted_agg" ->
       """SELECT event_type, count(*) AS n,
