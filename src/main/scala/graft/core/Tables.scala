@@ -35,7 +35,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV, not `/`: Long `/` coerces to Double and the
+      // round-trip rounds-to-nearest, corrupting ~1.5% of timestamps by
+      // 1 us (and flipping whole seconds for ns just under a boundary);
+      // DuckDB truncates ns->us, so truncation is also what the oracle does
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

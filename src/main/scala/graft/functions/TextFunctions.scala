@@ -100,9 +100,12 @@ object TextFunctions {
         4)
     }
 
-  /** Polynomial rolling hash of the normalized text (base 31, mod 2^61-1):
-    * the classic Rabin-Karp document fingerprint. Engine-internal (no SQL
-    * oracle) but deterministic. */
+  /** Polynomial rolling hash of the normalized text (base 31, modulo the
+    * prime 1e17+3): the classic Rabin-Karp document fingerprint.
+    * Engine-internal (no SQL oracle) but deterministic. The modulus is
+    * chosen so acc*31 + 255 stays below 2^63 — a Mersenne-2^61 modulus
+    * would overflow Long in the multiply and silently compute a different
+    * (wrap-around) function than documented. */
   def rollingHash(text: Column): Column = {
     // fold over characters is not expressible with codegen'd built-ins;
     // use aggregate() over the char array (evaluated per-row, no UDF).
@@ -110,6 +113,6 @@ object TextFunctions {
     aggregate(
       filter(chars, c => c =!= lit("")),
       lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(2305843009213693951L)))
+      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(100000000000000003L)))
   }
 }

@@ -77,12 +77,17 @@ object Ann {
     * table. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 4, tables: Int = 16,
-              dim: Int = 64, seed: Long = 42L): DataFrame = {
+              dim: Int = -1, seed: Long = 42L): DataFrame = {
     val c0 = spread(candidates).select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q0 = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val tablePlanes = (0 until tables).map(t => planes(bits, dim, seed + t))
+    // infer dim from the data unless pinned: a plane/vector dim mismatch
+    // null-pads zip_with, every dot falls to the otherwise(0) branch, and
+    // ALL rows silently land in one bucket (an all-pairs join)
+    val d = if (dim > 0) dim
+            else c0.select(size(col("cv"))).head().getInt(0)
+    val tablePlanes = (0 until tables).map(t => planes(bits, d, seed + t))
     def index(df: DataFrame, idName: String, vecName: String): DataFrame =
       df.select(col(idName), col(vecName),
           explode(TF.bind(col(vecName)) { v =>

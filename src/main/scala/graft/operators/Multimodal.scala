@@ -125,8 +125,10 @@ object Multimodal {
       (0L until k).map { i =>
         val ms = if (k == 1) 0L else i * m.duration_ms / k
         val sliceLen = math.max(1, m.bytes.length / k.toInt)
-        val from = math.min(m.bytes.length, i.toInt * sliceLen)
-        val until = math.min(m.bytes.length, from + sliceLen)
+        // clamp so every frame carries >= 1 byte even when the payload is
+        // shorter than k (late frames would otherwise get empty slices)
+        val from = math.min(math.max(0, m.bytes.length - 1), i.toInt * sliceLen)
+        val until = math.max(from + 1, math.min(m.bytes.length, from + sliceLen))
         Frame(m.media_id, i, ms, java.util.Arrays.copyOfRange(m.bytes, from, until))
       }
     }

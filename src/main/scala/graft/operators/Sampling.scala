@@ -21,12 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** frac256/256 of rows, keyed on `key`, salted. */
-  def keepExpr(key: Column, frac256: Int, salt: String): Column = {
-    require(frac256 >= 0 && frac256 <= 256)
-    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 2) <
-      lit(f"$frac256%02x")
+  /** Threshold string for frac256/256: two lowercase hex chars, or "g"
+    * (lexicographically above every hex pair) for keep-everything —
+    * f"%02x" of 256 would be the 3-char "100", which compares BELOW "17"
+    * and would silently keep ~6.6%. */
+  private def thresholdLit(frac256: Int): Column = {
+    require(frac256 >= 0 && frac256 <= 256, s"frac256 out of range: $frac256")
+    lit(if (frac256 == 256) "g" else f"$frac256%02x")
   }
+
+  /** The single hash recipe (also mirrored by the SQL oracles): first two
+    * hex chars of md5(key || salt) compared against a threshold. */
+  private def hashPrefix(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")), 1, 2)
+
+  /** Keep ~frac256/256 of rows, keyed on `key`, salted. */
+  def keepExpr(key: Column, frac256: Int, salt: String): Column =
+    hashPrefix(key, salt) < thresholdLit(frac256)
 
   /** Bernoulli sample: keep ~frac256/256 of rows. */
   def bernoulli(df: DataFrame, keyCol: String, frac256: Int,
@@ -38,12 +49,10 @@ object Sampling {
   def stratified(df: DataFrame, keyCol: String, strataCol: String,
                  fractions: Map[String, Int], default256: Int,
                  salt: String = "graft"): DataFrame = {
-    val threshold = fractions.foldLeft(lit(f"$default256%02x")) {
+    val threshold = fractions.foldLeft(thresholdLit(default256)) {
       case (acc, (stratum, f)) =>
-        when(col(strataCol) === stratum, lit(f"$f%02x")).otherwise(acc)
+        when(col(strataCol) === stratum, thresholdLit(f)).otherwise(acc)
     }
-    df.filter(
-      substring(md5(concat(col(keyCol).cast("string"), lit(salt))
-        .cast("binary")), 1, 2) < threshold)
+    df.filter(hashPrefix(col(keyCol), salt) < threshold)
   }
 }

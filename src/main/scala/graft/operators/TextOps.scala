@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization matching Go's strings.Fields: trim, split on
-    * \s+, drop empties. */
-  def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+  /** Whitespace tokenization matching Go's strings.Fields — the single
+    * definition lives in TextFunctions so batch, streaming, and
+    * text-analysis tokenization cannot drift apart. */
+  def tokens(text: Column): Column = graft.functions.TextFunctions.tokens(text)
 
   /** T1+A1/A2: tokenize `textCol`, count per word. */
   def wordCount(df: DataFrame, textCol: String): DataFrame =

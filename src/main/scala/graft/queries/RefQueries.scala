@@ -26,12 +26,21 @@ object RefQueries extends Registry {
       TextOps.grepCount(Tables.documents(s, d), "text", "scan.*join", "source")
         .orderBy("source")),
 
-    // T2: server/twitter.go:59-67 — project token #2, count, top-5
-    "twitter_top5" -> ((s, d) =>
+    // T2: server/twitter.go:59-67 — exactly-2-field lines only (the
+    // reference drops malformed edges), project token #2, count, top-5.
+    // Edge lines are synthesized from events ("user_id event_type"), with
+    // every 10th line malformed (3 fields) to exercise the arity filter.
+    "twitter_top5" -> ((s, d) => {
+      val lines = Tables.events(s, d).select(
+        when(col("event_id") % 10 === 0,
+          concat_ws(" ", col("user_id"), col("event_type"), lit("extra")))
+          .otherwise(concat_ws(" ", col("user_id"), col("event_type")))
+          .as("line"))
       TextOps.topK(
-        TextOps.filterProjectToken(Tables.documents(s, d), "text", "", 2, 2)
+        TextOps.projectToken(lines, "line", 2, 2)
           .groupBy("token").agg(count(lit(1)).as("cnt")),
-        5, "cnt", "token")),
+        5, "cnt", "token")
+    }),
 
     // T3: server/hothttp.go:59-73 — contains + arity filter, project token #7
     "hothttp_top5" -> ((s, d) =>
@@ -71,10 +80,13 @@ object RefQueries extends Registry {
     "twitter_top5" ->
       """SELECT token, count(*) AS cnt
          FROM (SELECT toks[2] AS token
-               FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+               FROM (SELECT list_filter(string_split_regex(trim(line), '\s+'),
                                         t -> t <> '') AS toks
-                     FROM documents)
-               WHERE len(toks) >= 2)
+                     FROM (SELECT CASE WHEN event_id % 10 = 0
+                             THEN user_id::VARCHAR || ' ' || event_type || ' extra'
+                             ELSE user_id::VARCHAR || ' ' || event_type END AS line
+                           FROM events))
+               WHERE len(toks) = 2)
          GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 5""",
 
     "hothttp_top5" ->

@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
 object StreamApps {
 
   /** Whitespace tokens, empties dropped (Go strings.Fields semantics,
-    * wordCount.go:76). */
+    * wordCount.go:76) — single definition in TextFunctions. */
   private def words(line: Column): Column =
-    filter(split(trim(line), "\\s+"), t => t =!= lit(""))
+    graft.functions.TextFunctions.tokens(line)
 
   /** wordCount (server/wordCount.go): line → one row per word. */
   def wordCount(lines: DataFrame): DataFrame =
