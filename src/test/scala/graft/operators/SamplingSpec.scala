@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, sfDir)
+  private lazy val total = events.count()
+
+  test("bernoulli keeps roughly frac256/256 of rows, deterministically") {
+    val n1 = Sampling.bernoulli(events, "event_id", 64).count()
+    val n2 = Sampling.bernoulli(events, "event_id", 64).count()
+    n1 shouldBe n2 // same rows every run
+    val frac = n1.toDouble / total
+    assert(frac > 0.15 && frac < 0.35, s"25% target, got $frac")
+  }
+
+  test("frac256 edge cases: 0 keeps nothing, 256 keeps everything") {
+    Sampling.bernoulli(events, "event_id", 0).count() shouldBe 0L
+    Sampling.bernoulli(events, "event_id", 256).count() shouldBe total
+  }
+
+  test("disjoint salts give (near-)independent samples") {
+    val a = Sampling.bernoulli(events, "event_id", 64, salt = "a")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(events, "event_id", 64, salt = "b")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    // overlap should be ~ |a|*|b|/total, far from identical
+    assert(a != b)
+    val expected = a.size.toDouble * b.size / total
+    assert(math.abs((a intersect b).size - expected) < expected,
+      s"overlap ${(a intersect b).size} vs expected ~$expected")
+  }
+
+  test("entity-keyed sampling keeps all of an entity's rows together") {
+    val sampled = Sampling.bernoulli(events, "user_id", 64)
+    val sampledUsers = sampled.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // every row of every sampled user survives
+    val expectedRows = events
+      .filter(col("user_id").isInCollection(sampledUsers)).count()
+    sampled.count() shouldBe expectedRows
+  }
+
+  test("stratified honors per-stratum fractions") {
+    val s = Sampling.stratified(events, "event_id", "event_type",
+      fractions = Map("click" -> 0, "view" -> 256), default256 = 64)
+    val byType = s.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.get("click") shouldBe None // fraction 0
+    byType("view") shouldBe
+      events.filter(col("event_type") === "view").count() // fraction 1
+  }
+}
