@@ -74,10 +74,17 @@ object Ann {
     * typical of real embedding neighbors; grow `bits` with corpus size to
     * keep buckets bounded. Index entries for all tables are produced in a
     * SINGLE scan (explode over a static struct array), not one scan per
-    * table. */
+    * table.
+    *
+    * `multiProbe`: additionally probe every 1-bit-flipped bucket of each
+    * QUERY signature (Lv et al. 2007) — a near-miss on one hyperplane no
+    * longer loses the pair. The candidate index is untouched (no extra
+    * index space); only the tiny broadcast query side fans out ×(bits+1),
+    * buying the recall of many more tables at a fraction of the cost. */
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 4, tables: Int = 16,
-              dim: Int = -1, seed: Long = 42L): DataFrame = {
+              dim: Int = -1, seed: Long = 42L,
+              multiProbe: Boolean = false): DataFrame = {
     val c0 = spread(candidates).select(col(idCol).as("cand_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q0 = queries.select(col(idCol).as("query_id"),
@@ -88,17 +95,28 @@ object Ann {
     val d = if (dim > 0) dim
             else c0.select(size(col("cv"))).head().getInt(0)
     val tablePlanes = (0 until tables).map(t => planes(bits, d, seed + t))
-    def index(df: DataFrame, idName: String, vecName: String): DataFrame =
+    def index(df: DataFrame, idName: String, vecName: String,
+              probe: Boolean): DataFrame = {
+      // per table: one array of (tbl, bucket) structs, with the bucket
+      // signature bound once (the probe variants are cheap XORs of it)
+      def entries(v: org.apache.spark.sql.Column) =
+        concat(tablePlanes.zipWithIndex.map { case (ps, t) =>
+          TF.bind(bucketExpr(v, ps)) { base =>
+            val variants =
+              if (!probe) Seq(base)
+              else base +: (0 until bits).map(b =>
+                base.bitwiseXOR(lit(1 << b)))
+            array(variants.map(bk =>
+              struct(lit(t).as("tbl"), bk.as("bucket"))): _*)
+          }
+        }: _*)
       df.select(col(idName), col(vecName),
-          explode(TF.bind(col(vecName)) { v =>
-            array(tablePlanes.zipWithIndex.map { case (ps, t) =>
-              struct(lit(t).as("tbl"), bucketExpr(v, ps).as("bucket"))
-            }: _*)
-          }).as("tb"))
+          explode(TF.bind(col(vecName))(entries)).as("tb"))
         .select(col(idName), col(vecName), col("tb.tbl").as("tbl"),
           col("tb.bucket").as("bucket"))
-    val cIdx = index(c0, "cand_id", "cv")
-    val qIdx = index(q0, "query_id", "qv")
+    }
+    val cIdx = index(c0, "cand_id", "cv", probe = false)
+    val qIdx = index(q0, "query_id", "qv", probe = multiProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     cIdx.join(broadcast(qIdx), Seq("tbl", "bucket"))

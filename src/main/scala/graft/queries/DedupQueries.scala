@@ -43,6 +43,21 @@ object DedupQueries extends Registry {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8),
         "doc_a", "doc_b")),
+
+    // The pipeline's end product: the corpus with near-dup clusters
+    // collapsed to their representative (anti-join against non-rep ids).
+    "dedup_keep_representatives" -> ((s, d) => {
+      val comps = Dedup.components(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8),
+        "doc_a", "doc_b")
+      import org.apache.spark.sql.functions.col
+      Tables.documents(s, d)
+        .join(comps.filter(col("doc_id") =!= col("component")),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
   )
 
   private val toks =
@@ -108,6 +123,37 @@ object DedupQueries extends Registry {
             SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
           SELECT a AS doc_id, min(b) AS component
           FROM reach GROUP BY a ORDER BY doc_id""",
+
+    "dedup_keep_representatives" ->
+      s"""WITH RECURSIVE
+          t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+                 FROM t),
+          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b
+                    FROM inter
+                    JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+                    WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)),
+          und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION SELECT DISTINCT a, a FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          cc AS (SELECT a AS doc_id, min(b) AS component
+                 FROM reach GROUP BY a)
+          SELECT doc_id FROM documents
+          WHERE doc_id NOT IN
+            (SELECT doc_id FROM cc WHERE doc_id <> component)
+          ORDER BY doc_id""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

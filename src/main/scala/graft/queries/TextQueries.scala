@@ -48,6 +48,14 @@ object TextQueries extends Registry {
           count(lit(1)).as("n_docs"))
         .orderBy("source")),
 
+    // Corpus n-gram statistics: top-20 3-grams by document frequency (the
+    // "what phrases dominate my corpus" data-quality query).
+    "text_ngram_freq" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(TF.shingles(col("text"), 3)).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("shingle")).limit(20)),
+
     // BPE-ish subword counting: alpha runs / single digits / punctuation
     // runs, the usual pre-tokenizer shape — a cheap, portable proxy for
     // an LLM tokenizer's token count (both engines run the same RE).
@@ -67,6 +75,15 @@ object TextQueries extends Registry {
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+                 FROM t)
+          SELECT shingle, count(*) AS df FROM sh
+          GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 20""",
+
     "text_bpe_tokens" ->
       """SELECT doc_id,
                 len(regexp_extract_all(lower(text),

@@ -38,6 +38,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall")
   }
 
+  test("multi-probe LSH with half the tables matches standard recall") {
+    val standard = neighborSet(
+      Ann.lshTopK(embs, queries, "vec_id", "embedding", 5, tables = 8))
+    val probed = neighborSet(
+      Ann.lshTopK(embs, queries, "vec_id", "embedding", 5, tables = 8,
+        multiProbe = true))
+    val rStd = (standard intersect exact).size.toDouble / exact.size
+    val rPrb = (probed intersect exact).size.toDouble / exact.size
+    assert(rPrb >= rStd, s"multi-probe $rPrb < standard $rStd")
+    assert(rPrb >= 0.6, s"multi-probe recall $rPrb")
+  }
+
   test("IVF top-k recall >= 0.5 vs brute force") {
     val ivf = neighborSet(Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (ivf intersect exact).size.toDouble / exact.size
