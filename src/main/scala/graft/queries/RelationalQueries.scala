@@ -52,11 +52,16 @@ object RelationalQueries extends Registry {
         .orderBy("c_nationkey")),
 
     // Left-anti join (NOT EXISTS): customers with no orders.
+    // Anti join: customers with no high-value order. (Plain "customers
+    // without orders" is empty in this data — a 0-row result would make
+    // the oracle check vacuous.)
     "anti_join" -> ((s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy("c_custkey")),
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")),
 
     // Ranking window: top-3 orders per customer by price.
     "window_rank_topn" -> ((s, d) => {
@@ -129,10 +134,14 @@ object RelationalQueries extends Registry {
         .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
+    // EXCEPT with a non-empty result: customers who never placed an
+    // order with status 'F'.
     "setop_except" -> ((s, d) =>
-      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
-        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
-        .orderBy("nk")),
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")),
 
     // Distinct aggregates.
     "distinct_agg" -> ((s, d) =>
@@ -235,9 +244,11 @@ object RelationalQueries extends Registry {
          GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         ORDER BY c_custkey""",
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 400000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "window_rank_topn" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
@@ -295,10 +306,10 @@ object RelationalQueries extends Registry {
          ORDER BY nk""",
 
     "setop_except" ->
-      """SELECT c_nationkey AS nk FROM customer
+      """SELECT c_custkey AS k FROM customer
          EXCEPT
-         SELECT s_nationkey AS nk FROM supplier
-         ORDER BY nk""",
+         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY k""",
 
     "distinct_agg" ->
       """SELECT l_returnflag,
