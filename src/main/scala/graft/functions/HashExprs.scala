@@ -33,35 +33,43 @@ object HashExprs {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
+  /** Static kernel (Scala objects emit static forwarders, so generated
+    * Java calls `HashExprs.simhashKernel(arr)` directly). */
+  def simhashKernel(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash64(arr.getUTF8String(i), 0x9747b28c)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** 64-bit SimHash over a token array (Charikar 2002, "Similarity
     * estimation techniques from rounding algorithms"): each token votes
     * ±1 per bit of its 64-bit hash; the signature is the sign vector.
     * Near-duplicate docs differ in few bits (small Hamming distance).
+    * Codegen emits a call to the static kernel, keeping the expression
+    * inside the surrounding whole-stage instead of interpreted fallback.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val votes = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = hash64(arr.getUTF8String(i), 0x9747b28c)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
+    override def nullSafeEval(input: Any): Any =
+      simhashKernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.simhashKernel($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
@@ -71,33 +79,58 @@ object HashExprs {
     * concat_ws + array_distinct) allocates per element and re-dispatches
     * per lambda call; this is the single hot kernel under both dedup
     * candidate generators. */
-  case class NgramShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  /** Static kernel for shingling (see simhashKernel for the codegen path). */
+  def shinglesKernel(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    val cnt = len - (n - 1)
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i < cnt) {
+      var k = 0
+      while (k < n) { window(k) = arr.getUTF8String(i + k); k += 1 }
+      seen.add(UTF8String.concatWs(sep, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class NgramShingles(child: Expression, n: Int) extends UnaryExpression {
     require(n >= 1)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val len = arr.numElements()
-      val cnt = len - (n - 1)
-      if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
-      val sep = UTF8String.fromString(" ")
-      val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
-      val window = new Array[UTF8String](n)
-      var i = 0
-      while (i < cnt) {
-        var k = 0
-        while (k < n) { window(k) = arr.getUTF8String(i + k); k += 1 }
-        seen.add(UTF8String.concatWs(sep, window: _*))
-        i += 1
-      }
-      val out = new Array[Any](seen.size)
-      val it = seen.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      shinglesKernel(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.shinglesKernel($c, $n)")
     override protected def withNewChildInternal(c: Expression): NgramShingles =
       copy(child = c)
+  }
+
+  /** Static kernel for MinHash (see simhashKernel for the codegen path). */
+  def minhashKernel(arr: ArrayData, numPerms: Int): ArrayData = {
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var p = 0
+        while (p < numPerms) {
+          val h = hash64(s, p)
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
   }
 
   /** MinHash signature (Broder 1997, "On the resemblance and containment of
@@ -105,27 +138,13 @@ object HashExprs {
     * E[fraction of matching positions] = Jaccard similarity of shingle sets.
     */
   case class MinHashSignature(child: Expression, numPerms: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val sig = Array.fill(numPerms)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val s = arr.getUTF8String(i)
-          var p = 0
-          while (p < numPerms) {
-            val h = hash64(s, p)
-            if (h < sig(p)) sig(p) = h
-            p += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashKernel(input.asInstanceOf[ArrayData], numPerms)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.minhashKernel($c, $numPerms)")
     override protected def withNewChildInternal(c: Expression): MinHashSignature =
       copy(child = c)
   }
