@@ -52,6 +52,21 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Map("/index.html" -> 2L, "/a.gif" -> 1L)
   }
 
+  test("grep filters a stream by regex (distributed grep, streaming form)") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val q = StreamApps.grep(in.toDF(), "err(or)? [0-9]+")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("grep").start()
+    try {
+      in.addData("error 42 here", "all fine", "err 7", "errors none")
+      q.processAllAvailable()
+      spark.table("grep").collect().map(_.getString(0)).toSet shouldBe
+        Set("error 42 here", "err 7")
+    } finally q.stop()
+  }
+
   test("topK is deterministic: count desc then key asc") {
     import spark.implicits._
     val counts = Seq(("b", 2L), ("a", 2L), ("c", 3L), ("d", 1L))
