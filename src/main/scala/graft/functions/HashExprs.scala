@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,9 +16,9 @@ import scala.util.hashing.MurmurHash3
   * seeds), null-safe, and operates on Spark's internal row format directly
   * (UTF8String / ArrayData — no conversion to java.lang.String collections).
   *
-  * CodegenFallback is acceptable here: these sit between a columnar parquet
-  * scan and a hash aggregate, and each call does O(tokens × perms) work, so
-  * per-call dispatch overhead is negligible relative to the kernel.
+  * Every expression implements doGenCode: generated code calls a static
+  * Scala kernel (object static forwarders), so the expression stays inside
+  * the surrounding whole-stage with no interpreted dispatch or boxing.
   */
 object HashExprs {
 
@@ -153,10 +153,9 @@ object HashExprs {
     * array order (bit-reproducible against any engine that does the same).
     * Returns null on dimension mismatch or zero-norm input.
     *
-    * Unlike the signature expressions (one call per row), this runs once
-    * per candidate PAIR — millions of calls whose kernel is a short loop,
-    * so it generates code into the surrounding whole-stage instead of
-    * falling back to interpreted dispatch.
+    * This runs once per candidate PAIR (millions of calls with a short
+    * kernel), so the loop is inlined into the generated code directly
+    * rather than behind a kernel call.
     */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -63,6 +63,37 @@ object DedupQueries extends Registry {
   private val toks =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
 
+  /** Shared CTE block: 3-gram shingle index + pairwise intersections —
+    * the single definition all Jaccard-family oracles build on, so the
+    * threshold/shingle arithmetic cannot drift between them. */
+  private val shingleCtes =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+               FROM t),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)"""
+
+  /** Transitive closure over the >= 0.8-Jaccard pair relation. */
+  private val closureCtes =
+    s"""$shingleCtes,
+        pairs AS (SELECT doc_a, doc_b
+                  FROM inter
+                  JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION SELECT DISTINCT a, a FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -77,16 +108,7 @@ object DedupQueries extends Registry {
          FROM documents""",
 
     "dedup_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-          sh AS (SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-                 FROM t),
-          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                    FROM sh a JOIN sh b
-                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2)
+      s"""WITH $shingleCtes
           SELECT doc_a, doc_b,
                  (10000 * i) // (sa.nsh + sb.nsh - i) AS jac_bp
           FROM inter
@@ -98,56 +120,12 @@ object DedupQueries extends Registry {
     // dedup_minhash_lsh, dedup_simhash: engine-internal hashes — rows-only.
 
     "dedup_components" ->
-      s"""WITH RECURSIVE
-          t AS (SELECT doc_id, $toks AS toks FROM documents),
-          sh AS (SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-                 FROM t),
-          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                    FROM sh a JOIN sh b
-                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-          pairs AS (SELECT doc_a, doc_b
-                    FROM inter
-                    JOIN sizes sa ON doc_a = sa.doc_id
-                    JOIN sizes sb ON doc_b = sb.doc_id
-                    WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)),
-          und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-          reach(a, b) AS (
-            SELECT a, b FROM und
-            UNION SELECT DISTINCT a, a FROM und
-            UNION
-            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+      s"""WITH RECURSIVE $closureCtes
           SELECT a AS doc_id, min(b) AS component
           FROM reach GROUP BY a ORDER BY doc_id""",
 
     "dedup_keep_representatives" ->
-      s"""WITH RECURSIVE
-          t AS (SELECT doc_id, $toks AS toks FROM documents),
-          sh AS (SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
-                 FROM t),
-          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-                    FROM sh a JOIN sh b
-                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2),
-          pairs AS (SELECT doc_a, doc_b
-                    FROM inter
-                    JOIN sizes sa ON doc_a = sa.doc_id
-                    JOIN sizes sb ON doc_b = sb.doc_id
-                    WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)),
-          und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                  UNION SELECT doc_b, doc_a FROM pairs),
-          reach(a, b) AS (
-            SELECT a, b FROM und
-            UNION SELECT DISTINCT a, a FROM und
-            UNION
-            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+      s"""WITH RECURSIVE $closureCtes,
           cc AS (SELECT a AS doc_id, min(b) AS component
                  FROM reach GROUP BY a)
           SELECT doc_id FROM documents

@@ -51,8 +51,7 @@ object RelationalQueries extends Registry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("c_nationkey")),
 
-    // Left-anti join (NOT EXISTS): customers with no orders.
-    // Anti join: customers with no high-value order. (Plain "customers
+    // Anti join (NOT EXISTS): customers with no high-value order. (Plain "customers
     // without orders" is empty in this data — a 0-row result would make
     // the oracle check vacuous.)
     "anti_join" -> ((s, d) =>

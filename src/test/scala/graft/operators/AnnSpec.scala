@@ -38,16 +38,19 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall")
   }
 
-  test("multi-probe LSH with half the tables matches standard recall") {
-    val standard = neighborSet(
-      Ann.lshTopK(embs, queries, "vec_id", "embedding", 5, tables = 8))
-    val probed = neighborSet(
+  test("multi-probe with HALF the tables beats the full standard config") {
+    // deterministic seeds/data: measured 16-table standard = 0.94 recall,
+    // 8-table multi-probe = 1.00 — the feature's point is recall-per-cost
+    val standard16 = neighborSet(
+      Ann.lshTopK(embs, queries, "vec_id", "embedding", 5, tables = 16))
+    val probed8 = neighborSet(
       Ann.lshTopK(embs, queries, "vec_id", "embedding", 5, tables = 8,
         multiProbe = true))
-    val rStd = (standard intersect exact).size.toDouble / exact.size
-    val rPrb = (probed intersect exact).size.toDouble / exact.size
-    assert(rPrb >= rStd, s"multi-probe $rPrb < standard $rStd")
-    assert(rPrb >= 0.6, s"multi-probe recall $rPrb")
+    val rStd = (standard16 intersect exact).size.toDouble / exact.size
+    val rPrb = (probed8 intersect exact).size.toDouble / exact.size
+    assert(rPrb >= rStd,
+      s"8-table multi-probe $rPrb below 16-table standard $rStd")
+    assert(rPrb >= 0.9, s"multi-probe recall $rPrb")
   }
 
   test("IVF top-k recall >= 0.5 vs brute force") {
