@@ -163,17 +163,25 @@ object RelationalQueries extends Registry {
           round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
         .orderBy("l_linestatus")),
 
-    // Exact percentiles (interpolated): the doc-length/price-distribution
-    // query a data-quality dashboard runs. At 100 TB swap for
-    // approx_percentile — same call shape, sketch-based.
-    "stats_percentiles" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
-        .orderBy("l_returnflag")),
+    // Discrete percentiles (value at rank ceil(p*n)): the doc-length /
+    // price-distribution query a data-quality dashboard runs. Discrete
+    // (an actual data value) rather than interpolated — interpolation
+    // math differs in the last ulp across engines and a round() at a
+    // .xx5 boundary flips a cent. At 100 TB swap for approx_percentile —
+    // same shape, sketch-based.
+    "stats_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ranked = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("l_returnflag")))
+      def pick(p: Double) =
+        max(when(col("rn") === ceil(col("n") * p), col("l_extendedprice")))
+      ranked.groupBy("l_returnflag")
+        .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+        .orderBy("l_returnflag")
+    }),
 
     // HAVING: order-priority buckets above a count threshold.
     "having_filter" -> ((s, d) =>
@@ -215,11 +223,16 @@ object RelationalQueries extends Registry {
 
   val oracles: Map[String, String] = Map(
     "stats_percentiles" ->
-      """SELECT l_returnflag,
-                round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-                round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-                round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH r AS (SELECT l_returnflag, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice) AS rn,
+                count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = ceil(0.5 * n) THEN l_extendedprice END) AS p50,
+                max(CASE WHEN rn = ceil(0.9 * n) THEN l_extendedprice END) AS p90,
+                max(CASE WHEN rn = ceil(0.99 * n) THEN l_extendedprice END) AS p99
+         FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "join_broadcast_agg" ->
       """SELECT c_mktsegment, count(*) AS cnt,
