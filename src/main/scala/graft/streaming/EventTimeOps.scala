@@ -42,6 +42,17 @@ object EventTimeOps {
         s"r.$rightTs <= l.$leftTs + interval $horizon"))
   }
 
+  /** Streaming exact dedup: drop rows whose key was already seen, with
+    * state bounded by the watermark (dropDuplicatesWithinWatermark — the
+    * seen-keys store evicts once keys age past the lateness horizon).
+    * The streaming form of Dedup.exactGroups for an unbounded ingest
+    * feed: key on a content fingerprint (TextFunctions.fingerprint) to
+    * dedup documents as they arrive. */
+  def streamDedup(rows: DataFrame, keyCols: Seq[String], tsCol: String,
+                  lateness: String): DataFrame =
+    rows.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Ev(user_id: Long, ts: Timestamp)
 
   final case class SessionState(start: Long, end: Long, n: Long)

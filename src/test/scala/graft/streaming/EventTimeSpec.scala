@@ -75,6 +75,24 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamDedup drops duplicate keys arriving within the watermark") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Timestamp)]
+    val q = EventTimeOps.streamDedup(
+        in.toDF().toDF("fp", "ts"), Seq("fp"), "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").start()
+    try {
+      in.addData(("a", ts(100)), ("a", ts(101)), ("b", ts(102)))
+      q.processAllAvailable()
+      in.addData(("a", ts(103)), ("c", ts(104))) // "a" still within watermark
+      q.processAllAvailable()
+      val keys = spark.table("sdedup").collect().map(_.getString(0)).toSeq
+      keys.sorted shouldBe Seq("a", "b", "c") // each key exactly once
+    } finally q.stop()
+  }
+
   test("intervalJoin matches right rows within the horizon per key") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
