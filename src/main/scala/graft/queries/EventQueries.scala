@@ -101,7 +101,7 @@ object EventQueries extends Registry {
   val oracles: Map[String, String] = Map(
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
-                sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                 round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
          FROM events GROUP BY event_type ORDER BY event_type""",
 
@@ -124,8 +124,9 @@ object EventQueries extends Registry {
             SELECT user_id, session_id, count(*) AS n_events,
                    date_diff('second', min(ts), max(ts)) AS duration_sec
             FROM sess GROUP BY user_id, session_id)
-          SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-                 sum(duration_sec) AS total_duration_sec
+          SELECT user_id, count(*) AS n_sessions,
+                 CAST(sum(n_events) AS BIGINT) AS n_events,
+                 CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec
           FROM agg GROUP BY user_id ORDER BY user_id""",
 
     "events_sample_bernoulli" ->

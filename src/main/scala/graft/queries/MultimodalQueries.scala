@@ -70,8 +70,10 @@ object MultimodalQueries extends Registry {
   val oracles: Map[String, String] = Map(
     "media_stats" ->
       s"""WITH $mediaCte
-          SELECT kind, count(*) AS n, sum(octet_length(bytes)) AS total_bytes,
-                 sum(width::BIGINT) AS sum_w, sum(height::BIGINT) AS sum_h
+          SELECT kind, count(*) AS n,
+                 CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+                 CAST(sum(width::BIGINT) AS BIGINT) AS sum_w,
+                 CAST(sum(height::BIGINT) AS BIGINT) AS sum_h
           FROM media GROUP BY kind ORDER BY kind""",
 
     "media_resize_meta" ->

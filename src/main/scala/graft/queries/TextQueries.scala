@@ -136,8 +136,9 @@ object TextQueries extends Registry {
           ORDER BY doc_id""",
 
     "text_token_volume" ->
-      s"""SELECT source, sum(len($toks)) AS total_tokens,
-                 sum(length(text)) AS total_chars, count(*) AS n_docs
+      s"""SELECT source, CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
+                 CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                 count(*) AS n_docs
           FROM documents GROUP BY source ORDER BY source""",
   )
 }

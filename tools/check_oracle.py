@@ -5,10 +5,13 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query dir in verifyOutDir: load the Spark parquet result, run the
 oracle SQL from oracle_sql.json in DuckDB over the same sfDir tables, sort
-columns by name, sort rows, and compare values (floats to 1e-9 rel).
-Queries with no oracle get a rows-only report.
+columns by name, sort rows, and compare stringified values EXACTLY — the
+driver hashes string forms, so `99111` (int64) vs `99111.0` (float64, e.g.
+from DuckDB HUGEINT sums) must FAIL here too. Dtype differences between the
+two frames are surfaced in the failure message. Queries with no oracle get
+a rows-only report.
 """
-import json, sys, glob, math
+import json, sys, glob
 import duckdb
 import pandas as pd
 
@@ -27,14 +30,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def values_equal(a, b):
-    if pd.isna(a) and pd.isna(b): return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb): return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+    # Exact, type-visible compare mirroring the driver's hash of string
+    # forms: int 99111 != float 99111.0. No epsilon anywhere — both engines
+    # round doubles before output, so exact string equality must hold.
+    try:
+        if pd.isna(a) and pd.isna(b): return True
+    except (TypeError, ValueError):
+        pass  # arrays/lists: fall through to string compare
     return str(a) == str(b)
 
 n_pass = n_fail = n_rowsonly = 0
@@ -77,7 +79,8 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         if mismatch: break
     if mismatch:
         c, ri, a, b = mismatch
-        print(f"FAIL  {name}: col {c} row {ri}: spark={a!r} duck={b!r}")
+        print(f"FAIL  {name}: col {c} row {ri}: spark={a!r} duck={b!r} "
+              f"(dtypes spark={s[c].dtype} duck={d[c].dtype})")
         n_fail += 1
     else:
         print(f"PASS  {name}: {len(s)} rows")
