@@ -84,6 +84,35 @@ class ScaleMechanicsSpec extends SparkSpec {
       plan)
   }
 
+  test("embedding cosine pairs plan has no cartesian / nested-loop join") {
+    val q = graft.operators.Dedup.embeddingCosinePairs(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", threshold = 0.2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join is not block-structured:\n$plan")
+  }
+
+  test("jaccard verify stage shuffles no shingle arrays") {
+    // every exchange in the plan must carry scalar columns only: the
+    // array<string> shingle sets stay pinned to their scan-side stages
+    // (AQE off so the exchange tree is walkable pre-execution)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Dedup.ngramJaccardPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text", n = 3, threshold = 0.8)
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty, s"array columns cross a shuffle: $arrays")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SQL surface: registered views answer the flagship query") {
     Views.register(spark, sfDir)
     val rows = spark.sql(
