@@ -23,8 +23,18 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query must FAIL the bench visibly (stack to stderr, null
+      // in the JSON, excluded from the total) — a swallowed exception
+      // would bench a broken query as instantaneous
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+            false
+        }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop caches/broadcasts a query pinned and let GC settle, so
       // queries are timed independently instead of under the previous
       // query's memory pressure (all-pairs queries otherwise bleed
@@ -34,10 +44,18 @@ object Bench {
       Thread.sleep(200)
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v < 0) "null" else v.toString)
+    }.mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -8,8 +8,20 @@ import org.apache.spark.sql.SparkSession
   * Catalyst plans SQL and DataFrame identically, so every oracle-checked
   * operator is equally available to SQL users. */
 object Views {
-  def register(spark: SparkSession, dir: String): Unit =
+  /** Views go through the per-table loaders, NOT raw Tables.load, so SQL
+    * users see the same semantics as every DataFrame query — in particular
+    * events.ts arrives as a proper timestamp (Tables.events converts the
+    * INT64-nanos parquet column), not a raw Long. */
+  def register(spark: SparkSession, dir: String): Unit = {
+    val loaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map(
+        "region" -> Tables.region, "nation" -> Tables.nation,
+        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+        "part" -> Tables.part, "orders" -> Tables.orders,
+        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
     Tables.names.foreach { n =>
-      Tables.load(spark, dir, n).createOrReplaceTempView(n)
+      loaders(n)(spark, dir).createOrReplaceTempView(n)
     }
+  }
 }

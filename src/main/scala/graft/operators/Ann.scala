@@ -91,9 +91,14 @@ object Ann {
       col(vecCol).cast("array<double>").as("qv"))
     // infer dim from the data unless pinned: a plane/vector dim mismatch
     // null-pads zip_with, every dot falls to the otherwise(0) branch, and
-    // ALL rows silently land in one bucket (an all-pairs join)
+    // ALL rows silently land in one bucket (an all-pairs join). head(1)
+    // guards the empty-candidate case (head() would throw); pass dim > 0
+    // to skip this extra job when the dimension is known.
     val d = if (dim > 0) dim
-            else c0.select(size(col("cv"))).head().getInt(0)
+            else c0.select(size(col("cv"))).head(1) match {
+              case Array(r) => r.getInt(0)
+              case _ => 1 // no candidates: any dim yields the empty result
+            }
     val tablePlanes = (0 until tables).map(t => planes(bits, d, seed + t))
     def index(df: DataFrame, idName: String, vecName: String,
               probe: Boolean): DataFrame = {

@@ -57,18 +57,26 @@ object EventTimeOps {
 
   final case class SessionState(start: Long, end: Long, n: Long)
 
+  final case class PendingSessions(sessions: List[SessionState])
+
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long)
 
   /** Event-time sessionization with a gap timeout, via
     * flatMapGroupsWithState (the reference has no analogue; this is the
-    * `KeyValueGroupedDataset` custom-state path). A session closes when
-    * the watermark passes its end + gap; closed sessions are emitted in
-    * append mode, so downstream sinks see each session exactly once.
+    * `KeyValueGroupedDataset` custom-state path).
     *
-    * State per key is O(open sessions) = O(1): only the current session's
-    * (start, end, count) is held, never the events — the 100 TB-friendly
-    * shape.
+    * A session is emitted ONLY once the watermark passes its end + gap —
+    * never merely because a later in-batch event exceeded the gap. An
+    * out-of-order event still inside the lateness horizon can therefore
+    * always merge into (or bridge) pending sessions, and the append-mode
+    * sink sees each final session exactly once, with correct extents, for
+    * any arrival order the watermark admits.
+    *
+    * State per key is the list of pending (start, end, count) intervals —
+    * never the events. Pending sessions older than watermark - gap are
+    * flushed every invocation, so the list is bounded by the lateness
+    * horizon divided by the gap: O(lateness/gap) per key.
     */
   def sessionize(events: Dataset[Ev], gapMs: Long, lateness: String)
                 (implicit spark: SparkSession): Dataset[Session] = {
@@ -82,33 +90,36 @@ object EventTimeOps {
 
   private def sessionFn(gapMs: Long)(
       userId: Long, evs: Iterator[Ev],
-      state: GroupState[SessionState]): Iterator[Session] = {
+      state: GroupState[PendingSessions]): Iterator[Session] = {
     def emit(s: SessionState) =
       Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
 
-    if (evs.isEmpty) {
-      // watermark passed the registered timeout: close the open session
-      val out = state.getOption.map(emit).iterator
-      state.remove()
-      out
-    } else {
-      val sorted = evs.map(_.ts.getTime).toArray.sorted
-      var closed = List.empty[Session]
-      var cur = state.getOption.getOrElse {
-        SessionState(sorted.head, sorted.head, 0)
-      }
-      for (t <- sorted) {
-        if (t - cur.end > gapMs) { // gap exceeded: close, start fresh
-          closed ::= emit(cur)
-          cur = SessionState(t, t, 1)
-        } else {
-          cur = SessionState(math.min(cur.start, t), math.max(cur.end, t),
-            cur.n + 1)
+    val wm = state.getCurrentWatermarkMs()
+    val pending = state.getOption.map(_.sessions).getOrElse(Nil)
+    // each event is a singleton interval; an interval sweep then merges
+    // everything within the gap, letting one late event bridge two
+    // previously-separate pending sessions
+    val singles = evs.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L))
+    val merged = (pending ++ singles)
+      .sortBy(s => (s.start, s.end))
+      .foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start - h.end <= gapMs =>
+            SessionState(h.start, math.max(h.end, s.end), h.n + s.n) :: t
+          case _ => s :: acc
         }
       }
-      state.update(cur)
-      state.setTimeoutTimestamp(cur.end + gapMs)
-      closed.reverseIterator
+      .reverse
+    // finality = the watermark has passed end + gap: no admissible event
+    // can extend these anymore
+    val (closed, open) = merged.partition(_.end + gapMs < wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(PendingSessions(open))
+      // wake when the earliest pending session becomes final (timeout
+      // timestamps must sit strictly beyond the current watermark)
+      state.setTimeoutTimestamp(math.max(open.map(_.end).min + gapMs, wm + 1))
     }
+    closed.map(emit).iterator
   }
 }

@@ -75,6 +75,38 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges an out-of-order event into pending sessions") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val in = MemoryStream[EventTimeOps.Ev]
+    val q = EventTimeOps.sessionize(in.toDS(), gapMs = 30 * 60000L,
+        lateness = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions3").start()
+    try {
+      // gaps 105->140 exceed 30m, so these look like two sessions...
+      in.addData(EventTimeOps.Ev(1L, ts(100)), EventTimeOps.Ev(1L, ts(105)),
+        EventTimeOps.Ev(1L, ts(140)))
+      q.processAllAvailable()
+      // ...until a late event at 132 (admissible: watermark is 130)
+      // bridges them: gaps 105->132->140 are all within 30m
+      in.addData(EventTimeOps.Ev(1L, ts(132)))
+      q.processAllAvailable()
+      // advance the watermark past 140+30, then trigger the timeout batch
+      in.addData(EventTimeOps.Ev(2L, ts(300)))
+      q.processAllAvailable()
+      in.addData(EventTimeOps.Ev(2L, ts(301)))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions3").as[EventTimeOps.Session].collect()
+        .filter(_.user_id == 1L)
+      s1.length shouldBe 1 // ONE session, not a split with wrong extents
+      s1.head.n_events shouldBe 4L
+      s1.head.session_start shouldBe ts(100)
+      s1.head.session_end shouldBe ts(140)
+    } finally q.stop()
+  }
+
   test("streamDedup drops duplicate keys arriving within the watermark") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -128,13 +160,21 @@ class EventTimeSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("sessions2").start()
     try {
-      // two bursts 2h apart in one batch: first session closes immediately
+      // two bursts 2h apart in one batch -> two pending sessions in state;
+      // the first emits only when the batch's watermark update (to
+      // 225 - 10 lateness = 215 > 105+30) triggers the engine's no-data
+      // batch — finality comes from the watermark, not from the in-batch
+      // gap. The second burst (ends 225) stays open.
       in.addData(EventTimeOps.Ev(1L, ts(100)), EventTimeOps.Ev(1L, ts(105)),
         EventTimeOps.Ev(1L, ts(225)))
       q.processAllAvailable()
+      in.addData(EventTimeOps.Ev(2L, ts(226)))
+      q.processAllAvailable()
       val sessions = spark.table("sessions2").as[EventTimeOps.Session].collect()
-      sessions.length shouldBe 1 // second session still open
+      sessions.length shouldBe 1
       sessions.head.n_events shouldBe 2L
+      sessions.head.session_start shouldBe ts(100)
+      sessions.head.session_end shouldBe ts(105)
     } finally q.stop()
   }
 }
