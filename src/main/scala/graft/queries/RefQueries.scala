@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.TextOps
+import graft.sources.LogFiles
 
 /** Reference-app parity queries (SURVEY.md §2.2-2.4): the three Crane apps
   * plus distributed grep and the global top-K snapshot, expressed over the
@@ -49,6 +50,20 @@ object RefQueries extends Registry {
           .groupBy("token").agg(count(lit(1)).as("cnt")),
         5, "cnt", "token")),
 
+    // T4/A3 with FULL provenance (server/querier.go:28-49): grep over a
+    // directory of per-VM log files, every match tagged file + 1-based
+    // line number — the reference's `vmN.log:<line>: <text>` output. The
+    // fixture is a checked-in deterministic corpus (data/logs, generated
+    // by tools/gen_log_fixture.py); the sf dir is irrelevant by design.
+    "grep_per_file" -> ((s, _) =>
+      LogFiles.grep(s, logsDir, "(ERROR|WARN) (connection reset|slow query)")
+        .orderBy("file", "line_no")),
+
+    // A3: per-file (per-VM) match counts, client/client.go:83-89
+    "grep_per_file_count" -> ((s, _) =>
+      LogFiles.grepCounts(s, logsDir, "http (GET|POST) .* 500 ")
+        .orderBy("file")),
+
     // O1: server/wordCount.go:99-123 — global sort desc + limit K
     // (plans as TakeOrderedAndProject: no full sort at scale)
     "topk_global" -> ((s, d) =>
@@ -59,7 +74,33 @@ object RefQueries extends Registry {
         .limit(5)),
   )
 
+  private val logsDir =
+    sys.env.getOrElse("GRAFT_LOGS_DIR", "/root/repo/data/logs")
+
+  /** DuckDB mirror of LogFiles.lines: read_text + positionally-zipped
+    * unnest reproduces (file, line_no, line) with the same 1-based
+    * numbering and the same trailing-empty-line behavior. */
+  private val logLinesCte =
+    s"""f AS (SELECT regexp_extract(filename, '[^/]+$$') AS file,
+                     string_split(content, chr(10)) AS lines
+              FROM read_text('$logsDir/*.log')),
+        l AS (SELECT file, unnest(range(1, len(lines) + 1)) AS line_no,
+                     unnest(lines) AS line
+              FROM f)"""
+
   val oracles: Map[String, String] = Map(
+    "grep_per_file" ->
+      s"""WITH $logLinesCte
+          SELECT file, line_no, line FROM l
+          WHERE regexp_matches(line, '(ERROR|WARN) (connection reset|slow query)')
+          ORDER BY file, line_no""",
+
+    "grep_per_file_count" ->
+      s"""WITH $logLinesCte
+          SELECT file, count(*) AS cnt FROM l
+          WHERE regexp_matches(line, 'http (GET|POST) .* 500 ')
+          GROUP BY file ORDER BY file""",
+
     "wordcount_top5" ->
       """SELECT word, count(*) AS cnt
          FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
