@@ -43,6 +43,25 @@ object RelationalQueries extends Registry {
           .as("revenue"))
         .orderBy("r_name")),
 
+    // The same 5-way join through the SQL surface: Views.register + a
+    // spark.sql(...) text plan. Catalyst plans SQL and DataFrame
+    // identically (same optimized plan, same broadcast decisions via AQE),
+    // so this single entry proves the whole oracle-checked operator
+    // surface is reachable by SQL users — the query language the
+    // reference never had (SURVEY.md §2.9).
+    "sql_multiway_revenue" -> ((s, d) => {
+      graft.core.Views.register(s, d)
+      s.sql(
+        """SELECT r_name,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           GROUP BY r_name ORDER BY r_name""")
+    }),
+
     // Left-semi join (EXISTS): customers that have orders, count per nation.
     "semi_join_count" -> ((s, d) =>
       Tables.customer(s, d)
@@ -241,6 +260,16 @@ object RelationalQueries extends Registry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "join_multiway_revenue" ->
+      """SELECT r_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "sql_multiway_revenue" ->
       """SELECT r_name,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem

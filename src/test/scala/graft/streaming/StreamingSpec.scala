@@ -67,6 +67,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("socketLines streams lines from a TCP socket (S5)") {
+    import spark.implicits._
+    val lines = Seq("to be or not to be", "or not", "to be")
+    // batch computation on the same lines is the oracle (the reference's
+    // dual-implementation methodology)
+    val expected = StreamApps.wordCount(lines.toDF("value")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var sock: java.net.Socket = null
+    val writer = new Thread(() => {
+      sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val df = CraneStream.socketLines(spark,
+      server.getInetAddress.getHostAddress, server.getLocalPort)
+    val q = StreamApps.wordCount(df).writeStream
+      .outputMode("complete").format("memory").queryName("sock_wc").start()
+    try {
+      // the socket source delivers asynchronously: poll until the running
+      // counts equal the batch result (or time out loudly)
+      val deadline = System.currentTimeMillis() + 30000
+      def got() = spark.table("sock_wc").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      var m = got()
+      while (m != expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250); m = got()
+      }
+      m shouldBe expected
+    } finally {
+      q.stop()
+      if (sock != null) sock.close()
+      server.close()
+    }
+  }
+
   test("topK is deterministic: count desc then key asc") {
     import spark.implicits._
     val counts = Seq(("b", 2L), ("a", 2L), ("c", 3L), ("d", 1L))
