@@ -27,6 +27,7 @@ object SparkEntry {
     AnnQueries,
     MultimodalQueries,
     EventQueries,
+    TemporalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no built-in operator for: backward as-of join
+  * and interval (range) containment join. Both are re-expressed as plans
+  * Catalyst already executes well — a single partition-sort pass for as-of,
+  * a hash equi-join for range — instead of the inequality theta-joins a
+  * naive formulation produces (which Spark can only run as a broadcast
+  * nested-loop or cartesian product, the classic 100 TB scale-killer).
+  */
+object Joins {
+
+  /** Backward as-of join: every left row picks the single right row with
+    * the greatest right timestamp <= its own timestamp, among rows with
+    * equal `keys` (left-outer: left rows with no prior right row keep
+    * nulls). The standard time-series primitive — trade enrichment with
+    * latest quote, event attribution to latest preceding touchpoint.
+    *
+    * Execution shape: union both sides tagged, then one window pass per
+    * key ordered by (ts, side) carrying the last non-null right payload
+    * forward — right rows sort before left rows at equal timestamps, so
+    * an exactly-simultaneous right row is matched (>=, not >). That is
+    * ONE shuffle on `keys` + ONE sort, the same cost as a sort-merge
+    * join, with no range-condition blowup: the naive
+    * `right.ts <= left.ts` theta-join materializes every prior right row
+    * per left row before taking the max. At 100 TB a hot key serializes
+    * into one sorted partition — mitigate upstream by splitting the key
+    * range into coarse time chunks and as-of joining chunk-by-chunk with
+    * the previous chunk's tail carried over.
+    *
+    * Ties among right rows with identical (keys, ts) are broken by the
+    * largest payload struct (deterministic); keep (keys, rightTs) unique
+    * on the right side if the choice must be meaningful.
+    *
+    * @param rightCols right columns to attach (must not collide with left
+    *                  column names); the matched right timestamp is always
+    *                  attached as `matched_<rightTs>`
+    * @param toleranceSec match only if left.ts - right.ts <= tolerance
+    *                     (in whole seconds); older matches become nulls
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           toleranceSec: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOf needs at least one equality key")
+    val leftCols = left.columns.toSeq
+    val outTs = s"matched_$rightTs"
+    require(!(rightCols :+ outTs).exists(leftCols.contains),
+      s"right payload/$outTs collide with left columns")
+
+    val rStruct = struct(
+      col(rightTs).as(outTs) +: rightCols.map(col): _*)
+    val lStruct = struct(leftCols.map(col): _*)
+    val rStructType = right.select(rStruct.as("s")).schema("s").dataType
+    val lStructType = left.select(lStruct.as("s")).schema("s").dataType
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__t"), lit(0).as("__side"),
+        rStruct.as("__r"), lit(null).cast(lStructType).as("__l")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rStructType).as("__r"), lStruct.as("__l")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.union(lTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = toleranceSec match {
+      case Some(tol) => carried.withColumn("__m",
+        when(unix_timestamp(col("__t")) -
+          unix_timestamp(col(s"__m.$outTs")) <= tol, col("__m")))
+      case None => carried
+    }
+    bounded.select(
+      leftCols.map(c => col(s"__l.`$c`").as(c)) ++
+        ((outTs +: rightCols).map(c => col(s"__m.`$c`").as(c))): _*)
+  }
+
+  /** Interval containment join: each point row joined to every interval
+    * row whose [start, end] (inclusive) contains its timestamp, with
+    * optional extra equality keys.
+    *
+    * Execution shape: both sides are mapped to fixed-width time buckets —
+    * an interval explodes into every bucket it overlaps, a point into the
+    * one bucket holding it — and the join becomes a plain hash equi-join
+    * on (bucket, keys...) with a residual containment filter. A naive
+    * `t BETWEEN start AND end` join has no equi-condition, so Spark plans
+    * a broadcast nested-loop over the full cross space; here shuffle
+    * volume is |points| + |intervals| x avg-buckets-per-interval, and
+    * every executor gets a bounded hash-join task. Pick `bucketSec` near
+    * the typical interval length: much smaller multiplies interval
+    * replication, much larger multiplies false candidates for the
+    * residual filter to discard.
+    *
+    * Point and interval column names must be disjoint (rename upstream).
+    */
+  def rangeJoin(points: DataFrame, pointTs: String,
+                intervals: DataFrame, startCol: String, endCol: String,
+                keys: Seq[String] = Nil, bucketSec: Long = 86400L): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val dup = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(dup.isEmpty, s"overlapping non-key columns: ${dup.mkString(",")}")
+    val pb = points.withColumn("__b",
+      expr(s"unix_timestamp(`$pointTs`) DIV $bucketSec"))
+    val ib = intervals.withColumn("__b", explode(sequence(
+      expr(s"unix_timestamp(`$startCol`) DIV $bucketSec"),
+      expr(s"unix_timestamp(`$endCol`) DIV $bucketSec"))))
+    pb.join(ib, "__b" +: keys)
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__b")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Joins
+
+/** Temporal-join queries (operators.Joins): backward as-of attribution and
+  * bucketed interval containment, each replayed exactly in DuckDB (ASOF
+  * JOIN / inequality join — DuckDB executes the naive form, Spark the
+  * scale-shaped one, and the results must hash-match).
+  *
+  * Output columns avoid raw timestamps: engines serialize timestamp
+  * precision differently (ns vs us), so results carry ids and whole-second
+  * gaps, both BIGINT on both sides.
+  */
+object TemporalQueries extends Registry {
+
+  val defs: Map[String, QueryFn] = Map(
+    // Purchase attribution: each purchase picks the user's latest click
+    // at-or-before it (left-outer: first-touch purchases keep nulls).
+    "join_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("matched_ts")))
+            .as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
+    // Same attribution but only clicks within the last hour count — the
+    // tolerance path (stale matches null out, rows are kept).
+    "join_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), toleranceSec = Some(3600L))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("matched_ts")))
+            .as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
+    // Repeat-purchase detection: per customer, how many order pairs fall
+    // within a 7-day window of each other (point = later order, interval
+    // = [order date, +7 days] of the earlier one).
+    "join_range" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val windows = o.select(col("o_custkey").as("k"),
+        col("o_orderkey").as("base_order"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+      val pts = o.select(col("o_custkey").as("k"),
+        col("o_orderkey").as("next_order"),
+        col("o_orderdate").as("next_date"))
+      Joins.rangeJoin(pts, "next_date", windows, "w_start", "w_end",
+          keys = Seq("k"), bucketSec = 7 * 86400L)
+        .filter(col("next_order") =!= col("base_order"))
+        .groupBy(col("k").as("o_custkey"))
+        .agg(count(lit(1)).as("n_repeat"),
+          countDistinct(col("base_order")).as("n_with_repeat"))
+        .orderBy("o_custkey")
+    }),
+  )
+
+  private val asofFrom =
+    """FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      s"""SELECT p.event_id, p.user_id, c.event_id AS click_id,
+                 date_diff('second', c.ts, p.ts) AS gap_sec
+          $asofFrom
+          ORDER BY p.event_id""",
+
+    "join_asof_tolerance" ->
+      s"""SELECT p.event_id, p.user_id,
+                 CASE WHEN date_diff('second', c.ts, p.ts) <= 3600
+                      THEN c.event_id END AS click_id,
+                 CASE WHEN date_diff('second', c.ts, p.ts) <= 3600
+                      THEN date_diff('second', c.ts, p.ts) END AS gap_sec
+          $asofFrom
+          ORDER BY p.event_id""",
+
+    "join_range" ->
+      """SELECT a.o_custkey, count(*) AS n_repeat,
+                count(DISTINCT a.o_orderkey) AS n_with_repeat
+         FROM orders a JOIN orders b
+           ON a.o_custkey = b.o_custkey
+          AND b.o_orderkey <> a.o_orderkey
+          AND b.o_orderdate BETWEEN a.o_orderdate
+                                AND a.o_orderdate + INTERVAL 7 DAY
+         GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Joins.asOf / Joins.rangeJoin: results must equal the naive
+  * theta-join formulations, and the plans must NOT be the naive
+  * theta-join plans (no nested-loop / cartesian over the full space). */
+class JoinsSpec extends SparkSpec {
+
+  private lazy val ev = Tables.events(spark, sfDir)
+  private lazy val purchases = ev.filter(col("event_type") === "purchase")
+    .select("event_id", "user_id", "ts")
+  private lazy val clicks = ev.filter(col("event_type") === "click")
+    .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+
+  /** Naive backward as-of: expand all prior clicks, keep the latest. */
+  private def naiveAsOf() = {
+    val matches = purchases.as("p")
+      .join(clicks.as("c"),
+        col("p.user_id") === col("c.user_id") && col("p.ts") >= col("c.ts"),
+        "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p.event_id")
+          .orderBy(col("c.ts").desc_nulls_last, col("c.click_id").desc)))
+      .filter(col("rn") === 1)
+    matches.select(col("p.event_id"), col("c.click_id"))
+  }
+
+  test("asOf equals the naive latest-prior-match join") {
+    val got = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"))
+      .select("event_id", "click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val want = naiveAsOf().collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    got.size shouldBe purchases.count()
+    got shouldBe want
+  }
+
+  test("asOf tolerance nulls out stale matches but keeps every left row") {
+    val tol = 3600L
+    val df = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_id"), toleranceSec = Some(tol))
+    df.count() shouldBe purchases.count()
+    // every surviving match is within tolerance...
+    df.filter(col("click_id").isNotNull)
+      .filter(unix_timestamp(col("ts")) -
+        unix_timestamp(col("matched_ts")) > tol)
+      .count() shouldBe 0L
+    // ...and tolerance only ever *removes* matches relative to unbounded
+    val unbounded = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id"))
+      .filter(col("click_id").isNotNull).count()
+    df.filter(col("click_id").isNotNull).count() should be <= unbounded
+  }
+
+  test("asOf with an empty right side keeps all left rows unmatched") {
+    val none = clicks.filter(lit(false))
+    val df = Joins.asOf(purchases, none, Seq("user_id"), "ts", "ts",
+      Seq("click_id"))
+    df.count() shouldBe purchases.count()
+    df.filter(col("click_id").isNotNull).count() shouldBe 0L
+  }
+
+  test("asOf matches an exactly-simultaneous right row (>=, not >)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (2L, 50L)).toDF("id", "sec")
+      .select(col("id"), lit("k").as("key"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val r = Seq((10L, 100L), (20L, 60L)).toDF("rid", "sec")
+      .select(col("rid"), lit("k").as("key"),
+        timestamp_seconds(col("sec")).as("rts"))
+    val got = Joins.asOf(l, r, Seq("key"), "ts", "rts", Seq("rid"))
+      .select("id", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    got shouldBe Map(1L -> 10L, 2L -> -1L)
+  }
+
+  test("asOf plans one shuffle and no nested-loop join") {
+    val plan = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+      Seq("click_id")).queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // the only exchange is the window's partition-by-key shuffle
+    "Exchange".r.findAllIn(plan).size shouldBe 1
+  }
+
+  private lazy val orders = Tables.orders(spark, sfDir)
+  private lazy val windows = orders.select(col("o_custkey").as("k"),
+    col("o_orderkey").as("base_order"), col("o_orderdate").as("w_start"),
+    (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+  private lazy val pts = orders.select(col("o_custkey").as("k"),
+    col("o_orderkey").as("next_order"), col("o_orderdate").as("next_date"))
+
+  test("rangeJoin equals the naive BETWEEN join") {
+    val got = Joins.rangeJoin(pts, "next_date", windows,
+        "w_start", "w_end", keys = Seq("k"), bucketSec = 7 * 86400L)
+      .select("base_order", "next_order")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = windows.join(pts, Seq("k"))
+      .filter(col("next_date") >= col("w_start") &&
+        col("next_date") <= col("w_end"))
+      .select("base_order", "next_order")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe want
+    got.size should be > 0
+  }
+
+  test("keyless rangeJoin still plans an equi-join on buckets") {
+    // without extra keys the naive form is a pure inequality join —
+    // Spark would pick BroadcastNestedLoopJoin; bucketing must not
+    val df = Joins.rangeJoin(
+      pts.drop("k"), "next_date",
+      windows.drop("k"), "w_start", "w_end",
+      keys = Nil, bucketSec = 7 * 86400L)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    // and it computes containment correctly
+    val want = windows.drop("k").crossJoin(pts.drop("k"))
+      .filter(col("next_date") >= col("w_start") &&
+        col("next_date") <= col("w_end")).count()
+    df.count() shouldBe want
+  }
+
+  test("rangeJoin rejects colliding non-key columns") {
+    an[IllegalArgumentException] should be thrownBy
+      Joins.rangeJoin(pts, "next_date",
+        pts.withColumnRenamed("next_order", "w_end"), "next_date", "w_end")
+  }
+}
