@@ -186,6 +186,23 @@ object Ann {
   }
 
   /** Plain Lloyd's k-means, deterministic: first-k init after sorting. */
+  /** Per-group centroids of an embedding column, in long form
+    * (group, dim, c): the distributed reduction that builds an IVF coarse
+    * quantizer (or audits cluster drift) over the full corpus, not a
+    * driver-side sample. posexplode + partial-aggregated avg means only
+    * (group, dim, sum, count) tuples cross the shuffle — never whole
+    * vectors — and the map-side combine caps shuffle volume at
+    * groups x dims rows per task regardless of corpus size. Long form is
+    * deliberate: no array re-assembly, trivially hashable/joinable. */
+  def centroids(embs: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    spread(embs)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(groupCol, "dim")
+      // + 0.0 collapses IEEE -0.0 (a rounded tiny negative mean) to 0.0,
+      // keeping the hash engine-independent
+      .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("c"))
+      .orderBy(groupCol, "dim")
+
   private[operators] def kmeans(points: Array[Array[Double]], k: Int,
                                 iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)

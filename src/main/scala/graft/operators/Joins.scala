@@ -82,6 +82,29 @@ object Joins {
         ((outTs +: rightCols).map(c => col(s"__m.`$c`").as(c))): _*)
   }
 
+  /** Skew-resistant equi-join: the big (skewed) side gets a deterministic
+    * salt derived from its own row content, the small side is replicated
+    * across all `salts` values, and the join key becomes (keys..., salt).
+    * A key owning 30% of the big side — which would pin one reducer at
+    * 100 TB — now spreads over `salts` reducers; the result is row-for-row
+    * identical to the unsalted join because each big row carries exactly
+    * one salt and every (key, salt) slot holds the full small-side payload
+    * for that key. Cost: the small side shuffles `salts` times over — keep
+    * it the dimension side. (AQE's skew-join split handles sort-merge
+    * skew at runtime; explicit salting is the portable form that also
+    * covers aggregations and bucketed layouts.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val dup = big.columns.toSet.intersect(small.columns.toSet) -- keys
+    require(dup.isEmpty, s"overlapping non-key columns: ${dup.mkString(",")}")
+    val b = big.withColumn("__salt",
+      pmod(hash(struct(big.columns.map(col): _*)), lit(salts)))
+    val sm = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, keys :+ "__salt").drop("__salt")
+  }
+
   /** Interval containment join: each point row joined to every interval
     * row whose [start, end] (inclusive) contains its timestamp, with
     * optional extra equality keys.

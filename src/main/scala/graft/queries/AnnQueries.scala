@@ -29,6 +29,11 @@ object AnnQueries extends Registry {
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
+
+    // Full-corpus per-label centroids (the distributed IVF-build /
+    // cluster-audit reduction): long form (label, dim, c).
+    "ann_centroids" -> ((s, d) =>
+      Ann.centroids(Tables.embeddings(s, d), "label", "embedding")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,5 +55,14 @@ object AnnQueries extends Registry {
 
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.
+
+    // DuckDB lateral range drives the 1-based element index; Spark's
+    // posexplode is 0-based, hence i - 1. Both engines widen FLOAT
+    // elements to DOUBLE before averaging.
+    "ann_centroids" ->
+      """SELECT label, i - 1 AS dim,
+                round(avg(embedding[i]::DOUBLE), 4) + 0 AS c
+         FROM embeddings, range(1, 65) t(i)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -44,6 +44,23 @@ object DedupQueries extends Registry {
           n = 3, threshold = 0.8),
         "doc_a", "doc_b")),
 
+    // Fuzzy-match verification: character-level edit distance over the
+    // candidate pairs the shingle index surfaced. The candidate generator
+    // bounds the quadratic levenshtein work to near-dup pairs — the only
+    // shape in which edit distance is computable at corpus scale.
+    "dedup_edit_distance" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+        .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+          "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
@@ -132,6 +149,19 @@ object DedupQueries extends Registry {
           WHERE doc_id NOT IN
             (SELECT doc_id FROM cc WHERE doc_id <> component)
           ORDER BY doc_id""",
+
+    "dedup_edit_distance" ->
+      s"""WITH $shingleCtes,
+          pairs AS (SELECT doc_a, doc_b
+                    FROM inter
+                    JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+                    WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i))
+          SELECT doc_a, doc_b, levenshtein(da.text, db.text) AS edit_dist
+          FROM pairs
+          JOIN documents da ON doc_a = da.doc_id
+          JOIN documents db ON doc_b = db.doc_id
+          ORDER BY doc_a, doc_b""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

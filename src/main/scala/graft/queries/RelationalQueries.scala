@@ -62,6 +62,21 @@ object RelationalQueries extends Registry {
            GROUP BY r_name ORDER BY r_name""")
     }),
 
+    // Salted skew join (operators.Joins.saltedJoin): the events fact side
+    // carries 150 hot user keys; salting spreads each over 8 reducers.
+    // The oracle is the PLAIN join — salting must be invisible in the
+    // result, which is exactly what the hash compare proves.
+    "join_skew_salted" -> ((s, d) => {
+      val facts = Tables.events(s, d)
+        .select(col("user_id"), col("value"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Joins.saltedJoin(facts, dim, Seq("user_id"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Left-semi join (EXISTS): customers that have orders, count per nation.
     "semi_join_count" -> ((s, d) =>
       Tables.customer(s, d)
@@ -116,6 +131,22 @@ object RelationalQueries extends Registry {
         .select(col("o_custkey"), col("o_orderkey"),
           datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Distribution windows: balance quartile + cumulative distribution per
+    // market segment. PARTITIONED window (segments sort in parallel — an
+    // unpartitioned ntile would serialize the whole table into one sorted
+    // partition at scale); total order (acctbal, custkey) inside each
+    // partition so tile edges are engine-stable, and cume_dist over the
+    // distinct composite key is an exact rational of row counts.
+    "window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select(col("c_custkey"), col("c_mktsegment"), col("quartile"), col("cd"))
+        .orderBy("c_custkey")
     }),
 
     // Rollup over two grouping columns (NULL groups coalesced to 'ALL' so
@@ -278,6 +309,20 @@ object RelationalQueries extends Registry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum("value"), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+                ntile(4) OVER w AS quartile,
+                round(cume_dist() OVER w, 6) AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_custkey""",
 
     "semi_join_count" ->
       """SELECT c_nationkey, count(*) AS cnt FROM customer

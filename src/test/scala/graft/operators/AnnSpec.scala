@@ -59,6 +59,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("centroids computes exact per-group dimension means") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(10.0f, 0.0f))).toDF("label", "embedding")
+    val got = Ann.centroids(tiny, "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    got shouldBe Map((0, 0) -> 2.0, (0, 1) -> 4.0,
+      (1, 0) -> 10.0, (1, 1) -> 0.0)
+  }
+
+  test("centroids plans a partial aggregation before the shuffle") {
+    val plan = Ann.centroids(embs, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    // two HashAggregates around the exchange = map-side combine
+    "HashAggregate".r.findAllIn(plan).size should be >= 2
+  }
+
   test("kmeans is deterministic for a fixed seed") {
     val pts = Array.tabulate(50)(i => Array(i.toDouble, (i * 7 % 13).toDouble))
     val a = Ann.kmeans(pts, 4, 5, 42L).map(_.toSeq).toSeq

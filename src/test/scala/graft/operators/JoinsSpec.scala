@@ -129,6 +129,28 @@ class JoinsSpec extends SparkSpec {
     df.count() shouldBe want
   }
 
+  test("saltedJoin is row-identical to the plain join") {
+    val facts = ev.select(col("user_id"), col("event_id"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val salted = Joins.saltedJoin(facts, dim, Seq("user_id"), salts = 8)
+      .collect().map(r => (r.getLong(1), r.getString(2))).sorted
+    val plain = facts.join(dim, "user_id")
+      .collect().map(r => (r.getLong(1), r.getString(2))).sorted
+    salted shouldBe plain
+    salted.length should be > 0
+  }
+
+  test("saltedJoin plans an equi-join that includes the salt key") {
+    val facts = ev.select(col("user_id"), col("event_id"))
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plan = Joins.saltedJoin(facts, dim, Seq("user_id"), salts = 8)
+      .queryExecution.executedPlan.toString
+    plan should include("__salt")
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("rangeJoin rejects colliding non-key columns") {
     an[IllegalArgumentException] should be thrownBy
       Joins.rangeJoin(pts, "next_date",
