@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-preparation operators for the training-data pipeline: fixed-size
+  * token chunking (the step that turns documents into model-ready windows)
+  * and TF-IDF term scoring (the classic quality/relevance signal).
+  *
+  * Both are pure Column-function plans — tokenization happens once per
+  * row inside whole-stage codegen, rows fan out via explode, and every
+  * aggregation is map-side partial. Nothing here holds per-document state
+  * outside the row, so the operators scale with partition count.
+  */
+object Corpus {
+
+  /** Split each document into overlapping windows of `chunkTokens`
+    * whitespace tokens, stepping by `chunkTokens - overlap` (the standard
+    * sliding-window chunker for LLM context preparation). Every document
+    * produces at least one chunk (the tail chunk may be short); documents
+    * with no tokens produce none.
+    *
+    * Output: (id, chunk_id, chunk_text, n_tokens), totally ordered.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("toks"))
+      .withColumn("ntok", size(col("toks")).cast("long"))
+      .filter(col("ntok") > 0)
+      // ceil((ntok - overlap) / stride) starts, minimum 1 — integer
+      // arithmetic so engines can't disagree on the boundary
+      .withColumn("n_chunks", greatest(lit(1L),
+        expr(s"(ntok - $overlap + ${stride - 1}) DIV $stride")))
+      .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("ntok") - col("chunk_id") * stride)
+          .as("n_tokens"))
+      .orderBy(col(idCol), col("chunk_id"))
+  }
+
+  /** TF-IDF term scores: term frequency per document, document frequency
+    * per term, score = tf * ln(N / df), rounded to 6 places.
+    *
+    * The corpus size N reaches every row via a broadcast of the 1-row
+    * count aggregate (no driver-side action); df comes from a second
+    * partial-aggregated pass over the distinct (doc, term) pairs. Shuffle
+    * volume is bounded by distinct pairs, never raw token instances.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    pairs.join(docFreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .orderBy("doc_id", "term")
+  }
+}

@@ -233,6 +233,22 @@ object RelationalQueries extends Registry {
         .orderBy("l_returnflag")
     }),
 
+    // The 100 TB form of the percentile query: a mergeable quantile
+    // sketch (approx_percentile) — bounded memory per group, one partial
+    // agg pass, no per-group sort. No SQL oracle (sketch internals are
+    // engine-specific); RelationalQueriesSpec bounds it against the
+    // exact discrete percentiles.
+    "stats_percentiles_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p90"),
+          element_at(col("pcts"), 3).as("p99"))
+        .orderBy("l_returnflag")),
+
     // HAVING: order-priority buckets above a count threshold.
     "having_filter" -> ((s, d) =>
       Tables.orders(s, d)

@@ -69,6 +69,15 @@ object TextQueries extends Registry {
           round(col("n_chars").cast("double") /
             greatest(col("n_bpe"), lit(1)).cast("double"), 4))
         .orderBy("doc_id")),
+    // Sliding-window token chunking (operators.Corpus.chunk): 64-token
+    // windows, 16-token overlap — documents become model-ready contexts.
+    "text_chunk" -> ((s, d) =>
+      graft.operators.Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)),
+
+    // TF-IDF term scores (operators.Corpus.tfidf).
+    "text_tfidf" -> ((s, d) =>
+      graft.operators.Corpus.tfidf(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private val toks =
@@ -93,6 +102,34 @@ object TextQueries extends Registry {
                   greatest(len(regexp_extract_all(lower(text),
                     '[a-z]+|[0-9]|[^a-z0-9\s]')), 1), 4) AS chars_per_tok
          FROM documents ORDER BY doc_id""",
+
+    // chunk windows: 64 tokens, stride 48 (= 64 - 16 overlap); DuckDB
+    // slices are 1-based inclusive, ceil via integer arithmetic as in
+    // the Spark plan.
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks)::BIGINT AS ntok FROM t
+                WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks, ntok,
+                       unnest(range(0, greatest(1, (ntok - 16 + 47) // 48)))
+                         AS chunk_id
+                FROM n)
+          SELECT doc_id, chunk_id,
+                 array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                                 ' ') AS chunk_text,
+                 least(64, ntok - chunk_id * 48) AS n_tokens
+          FROM c ORDER BY doc_id, chunk_id""",
+
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT doc_id, term, tf, df,
+                 round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+          FROM tf JOIN dfr USING (term), n
+          ORDER BY doc_id, term""",
 
     "text_fingerprint" ->
       """SELECT doc_id,

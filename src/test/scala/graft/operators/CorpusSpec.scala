@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus.chunk / Corpus.tfidf invariants on sf0.001 documents. */
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("chunk: stride-aligned windows reconstruct the token stream") {
+    val chunked = Corpus.chunk(docs, "doc_id", "text",
+      chunkTokens = 8, overlap = 2)
+    // taking the first `stride` tokens of every chunk (all of the last)
+    // and concatenating in chunk order must equal the original tokens
+    val stride = 6
+    val rebuilt = chunked
+      .withColumn("toks", split(col("chunk_text"), " "))
+      .withColumn("maxc", max("chunk_id")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("kept", when(col("chunk_id") === col("maxc"), col("toks"))
+        .otherwise(slice(col("toks"), 1, stride)))
+      .groupBy("doc_id")
+      .agg(flatten(array_sort(collect_list(struct(col("chunk_id"),
+        col("kept"))))("kept")).as("rebuilt"))
+    val orig = docs.select(col("doc_id"), TF.tokens(col("text")).as("orig"))
+      .filter(org.apache.spark.sql.functions.size(col("orig")) > 0)
+    val joined = rebuilt.join(orig, "doc_id")
+    joined.count() shouldBe orig.count()
+    joined.filter(col("rebuilt") =!= col("orig")).count() shouldBe 0L
+  }
+
+  test("chunk: sizes and overlap behave as declared") {
+    val chunked = Corpus.chunk(docs, "doc_id", "text",
+      chunkTokens = 8, overlap = 2).cache()
+    try {
+      // every chunk's reported n_tokens matches its text
+      chunked.filter(org.apache.spark.sql.functions
+          .size(split(col("chunk_text"), " ")) =!= col("n_tokens"))
+        .count() shouldBe 0L
+      // only the last chunk of a doc may be shorter than chunkTokens
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      chunked.withColumn("maxc", max("chunk_id").over(w))
+        .filter(col("chunk_id") < col("maxc") && col("n_tokens") =!= 8)
+        .count() shouldBe 0L
+      // a doc with fewer tokens than a chunk yields exactly one chunk
+      val short = Corpus.chunk(
+        docs.limit(1).select(col("doc_id"), lit("a b c").as("text")),
+        "doc_id", "text", chunkTokens = 8, overlap = 2)
+      short.count() shouldBe 1L
+      short.head().getAs[Long]("n_tokens") shouldBe 3L
+    } finally chunked.unpersist()
+  }
+
+  test("tfidf: df counts docs containing the term; df=N zeroes the score") {
+    val scored = Corpus.tfidf(docs, "doc_id", "text").cache()
+    try {
+      val n = docs.count()
+      // recompute df independently per term and compare
+      val indep = docs
+        .select(col("doc_id"), explode(array_distinct(
+          TF.tokens(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df2"))
+      scored.select("term", "df").distinct()
+        .join(indep, "term")
+        .filter(col("df") =!= col("df2")).count() shouldBe 0L
+      // ubiquitous terms score exactly zero
+      scored.filter(col("df") === n && col("tfidf") =!= 0.0)
+        .count() shouldBe 0L
+      // and no score is negative (df <= N always)
+      scored.filter(col("tfidf") < 0.0).count() shouldBe 0L
+    } finally scored.unpersist()
+  }
+}
