@@ -47,6 +47,29 @@ object Corpus {
       .orderBy(col(idCol), col("chunk_id"))
   }
 
+  /** Concat-and-cut sequence packing: rows (documents or chunks) are laid
+    * end-to-end in a deterministic order within each `groupCol` partition
+    * and cut into bins of `contextTokens` — each row lands in the bin
+    * holding its first token. This is the packing pretraining pipelines
+    * actually use (concatenate, then split at the context length), and
+    * unlike greedy first-fit it is a pure window cumsum: parallel across
+    * groups, one sort per group, no sequential bin state.
+    *
+    * Returns the input with a `bin` column appended. */
+  def pack(rows: DataFrame, groupCol: String, orderCols: Seq[String],
+           tokenCol: String, contextTokens: Int): DataFrame = {
+    require(contextTokens > 0, "contextTokens must be positive")
+    require(orderCols.nonEmpty, "need a deterministic order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Long.MinValue, -1)
+    rows
+      .withColumn("__cum_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__cum_before DIV $contextTokens"))
+      .drop("__cum_before")
+  }
+
   /** TF-IDF term scores: term frequency per document, document frequency
     * per term, score = tf * ln(N / df), rounded to 6 places.
     *

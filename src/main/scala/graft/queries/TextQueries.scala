@@ -78,6 +78,19 @@ object TextQueries extends Registry {
     // TF-IDF term scores (operators.Corpus.tfidf).
     "text_tfidf" -> ((s, d) =>
       graft.operators.Corpus.tfidf(Tables.documents(s, d), "doc_id", "text")),
+
+    // Concat-and-cut packing into 2048-token bins per source
+    // (operators.Corpus.pack), summarized per bin.
+    "text_pack_bins" -> ((s, d) => {
+      val withTok = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("ntok"))
+      graft.operators.Corpus.pack(withTok, "source", Seq("doc_id"),
+          "ntok", contextTokens = 2048)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        .orderBy("source", "bin")
+    }),
   )
 
   private val toks =
@@ -130,6 +143,20 @@ object TextQueries extends Registry {
                  round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
           FROM tf JOIN dfr USING (term), n
           ORDER BY doc_id, term""",
+
+    "text_pack_bins" ->
+      s"""WITH t AS (SELECT source, doc_id, len($toks)::BIGINT AS ntok
+                     FROM documents),
+          c AS (SELECT source, ntok,
+                       coalesce(sum(ntok) OVER (PARTITION BY source
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                FROM t)
+          SELECT source, CAST(cum_before // 2048 AS BIGINT) AS bin,
+                 count(*) AS n_docs,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "text_fingerprint" ->
       """SELECT doc_id,

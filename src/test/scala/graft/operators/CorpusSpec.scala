@@ -55,6 +55,24 @@ class CorpusSpec extends SparkSpec {
     } finally chunked.unpersist()
   }
 
+  test("pack: bin assignment equals a sequential concat-and-cut walk") {
+    val ctx = 500
+    val withTok = docs.select(col("source"), col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("ntok"))
+    val got = Corpus.pack(withTok, "source", Seq("doc_id"), "ntok", ctx)
+      .select("source", "doc_id", "ntok", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential reference walk per source in doc order
+    val want = got.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).toSeq.map { case (s, id, ntok, _) =>
+        val bin = cum / ctx; cum += ntok; (s, id, bin)
+      }
+    }.toSet
+    got.map(r => (r._1, r._2, r._4)).toSet shouldBe want
+    got.map(_._4).max should be > 0L // multiple bins actually exercised
+  }
+
   test("tfidf: df counts docs containing the term; df=N zeroes the score") {
     val scored = Corpus.tfidf(docs, "doc_id", "text").cache()
     try {
