@@ -13,9 +13,6 @@ import org.apache.spark.sql.types.LongType
   * to push filters/projections into the parquet scan.
   */
 object Tables {
-  val names: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -44,4 +41,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The single name -> loader registry (semantics-aware: `events` goes
+    * through its nanos conversion). Anything that enumerates tables —
+    * Views.register, tests — derives from this, so a new table cannot be
+    * added to one list and missed in another. */
+  val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "region" -> region, "nation" -> nation, "customer" -> customer,
+    "supplier" -> supplier, "part" -> part, "orders" -> orders,
+    "lineitem" -> lineitem, "events" -> events,
+    "documents" -> documents, "embeddings" -> embeddings)
+
+  val names: Seq[String] = loaders.map(_._1)
 }

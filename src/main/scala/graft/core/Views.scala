@@ -12,16 +12,8 @@ object Views {
     * users see the same semantics as every DataFrame query — in particular
     * events.ts arrives as a proper timestamp (Tables.events converts the
     * INT64-nanos parquet column), not a raw Long. */
-  def register(spark: SparkSession, dir: String): Unit = {
-    val loaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map(
-        "region" -> Tables.region, "nation" -> Tables.nation,
-        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
-        "part" -> Tables.part, "orders" -> Tables.orders,
-        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
-        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
-    Tables.names.foreach { n =>
-      loaders(n)(spark, dir).createOrReplaceTempView(n)
+  def register(spark: SparkSession, dir: String): Unit =
+    Tables.loaders.foreach { case (n, load) =>
+      load(spark, dir).createOrReplaceTempView(n)
     }
-  }
 }

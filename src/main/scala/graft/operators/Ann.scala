@@ -185,7 +185,6 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
-  /** Plain Lloyd's k-means, deterministic: first-k init after sorting. */
   /** Per-group centroids of an embedding column, in long form
     * (group, dim, c): the distributed reduction that builds an IVF coarse
     * quantizer (or audits cluster drift) over the full corpus, not a
@@ -203,6 +202,7 @@ object Ann {
       .agg((round(avg(col("x").cast("double")), 4) + lit(0.0)).as("c"))
       .orderBy(groupCol, "dim")
 
+  /** Plain Lloyd's k-means, deterministic: first-k init after sorting. */
   private[operators] def kmeans(points: Array[Array[Double]], k: Int,
                                 iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)

@@ -56,7 +56,15 @@ object Joins {
     val rStructType = right.select(rStruct.as("s")).schema("s").dataType
     val lStructType = left.select(lStruct.as("s")).schema("s").dataType
 
-    val rTagged = right.select(
+    // SQL join semantics for nulls: a right row with a null timestamp or
+    // null key can never be "the latest prior match" (it would otherwise
+    // sort first and leak its payload into unmatched left rows), so it is
+    // dropped up front; left rows with null keys/timestamps are kept and
+    // simply match nothing.
+    val rClean = right.filter(
+      (col(rightTs).isNotNull +: keys.map(col(_).isNotNull))
+        .reduce(_ && _))
+    val rTagged = rClean.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__t"), lit(0).as("__side"),
         rStruct.as("__r"), lit(null).cast(lStructType).as("__l")): _*)

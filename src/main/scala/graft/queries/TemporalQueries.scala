@@ -70,26 +70,36 @@ object TemporalQueries extends Registry {
     }),
   )
 
-  private val asofFrom =
-    """FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-         ON p.user_id = c.user_id AND p.ts >= c.ts"""
+  /** Deterministic naive as-of: expand all prior clicks per purchase with
+    * a LEFT JOIN and keep rank 1 under (ts DESC, click_id DESC) — the
+    * same total tie order as the Spark operator's max-payload-struct rule
+    * (DuckDB's ASOF JOIN leaves equal-timestamp ties unspecified, so it
+    * is not used as an oracle). Unmatched purchases survive as the LEFT
+    * JOIN's single all-null match at rank 1. */
+  private val asofRanked =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'),
+        m AS (SELECT p.event_id, p.user_id, c.click_id,
+                     date_diff('second', c.ts, p.ts) AS gap_sec,
+                     row_number() OVER (PARTITION BY p.event_id
+                       ORDER BY c.ts DESC, c.click_id DESC) AS rn
+              FROM p LEFT JOIN c
+                ON p.user_id = c.user_id AND c.ts <= p.ts)"""
 
   val oracles: Map[String, String] = Map(
     "join_asof" ->
-      s"""SELECT p.event_id, p.user_id, c.event_id AS click_id,
-                 date_diff('second', c.ts, p.ts) AS gap_sec
-          $asofFrom
-          ORDER BY p.event_id""",
+      s"""$asofRanked
+          SELECT event_id, user_id, click_id, gap_sec
+          FROM m WHERE rn = 1 ORDER BY event_id""",
 
     "join_asof_tolerance" ->
-      s"""SELECT p.event_id, p.user_id,
-                 CASE WHEN date_diff('second', c.ts, p.ts) <= 3600
-                      THEN c.event_id END AS click_id,
-                 CASE WHEN date_diff('second', c.ts, p.ts) <= 3600
-                      THEN date_diff('second', c.ts, p.ts) END AS gap_sec
-          $asofFrom
-          ORDER BY p.event_id""",
+      s"""$asofRanked
+          SELECT event_id, user_id,
+                 CASE WHEN gap_sec <= 3600 THEN click_id END AS click_id,
+                 CASE WHEN gap_sec <= 3600 THEN gap_sec END AS gap_sec
+          FROM m WHERE rn = 1 ORDER BY event_id""",
 
     "join_range" ->
       """SELECT a.o_custkey, count(*) AS n_repeat,

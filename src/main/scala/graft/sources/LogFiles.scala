@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object LogFiles {
 
-  /** All lines of every file under `dir`: (file, line_no, line). */
-  def lines(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("wholetext", "true").text(dir)
+  /** All lines of every `glob`-matching file under `dir`:
+    * (file, line_no, line). The default glob keeps the scan pinned to
+    * log files — a stray non-log file (editor backup, README) must not
+    * silently join the corpus. */
+  def lines(spark: SparkSession, dir: String,
+            glob: String = "*.log"): DataFrame =
+    spark.read.option("wholetext", "true").text(s"$dir/$glob")
       .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
         col("value"))
       .select(col("file"), posexplode(split(col("value"), "\n")))

@@ -82,6 +82,21 @@ class JoinsSpec extends SparkSpec {
     got shouldBe Map(1L -> 10L, 2L -> -1L)
   }
 
+  test("asOf ignores right rows with null timestamps or null keys") {
+    import spark.implicits._
+    val l = Seq((1L, "k", 100L)).toDF("id", "key", "sec")
+      .select(col("id"), col("key"), timestamp_seconds(col("sec")).as("ts"))
+    // a null-ts and a null-key right row: SQL comparison semantics say
+    // neither can ever be a prior match
+    val r = Seq((10L, Some("k"), None: Option[Long]),
+        (20L, None, Some(50L)))
+      .toDF("rid", "key", "sec")
+      .select(col("rid"), col("key"), timestamp_seconds(col("sec")).as("rts"))
+    val got = Joins.asOf(l, r, Seq("key"), "ts", "rts", Seq("rid"))
+    got.count() shouldBe 1L
+    got.filter(col("rid").isNotNull).count() shouldBe 0L
+  }
+
   test("asOf plans one shuffle and no nested-loop join") {
     val plan = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
       Seq("click_id")).queryExecution.executedPlan.toString
