@@ -90,14 +90,25 @@ object TextFunctions {
     }
 
   /** Composite quality score in [0,1]:
-    * 0.4·alphaRatio + 0.3·typeTokenRatio + 0.3·min(tokens,200)/200. */
+    * 0.4·alphaRatio + 0.3·typeTokenRatio + 0.3·min(tokens,200)/200,
+    * rounded half-up to 4 places — via EXACT integer arithmetic:
+    * score·10⁴ = (4000a + 3000d + 15mn) / n with a = alpha tokens,
+    * d = distinct tokens, n = tokens, m = min(n, 200). The naive double
+    * formulation rounds a value sitting on a .00005 boundary differently
+    * per engine (observed at sf0.1: one doc at 0.6033 vs 0.6032); the
+    * integer quotient has one correct answer everywhere. */
   def qualityScore(text: Column): Column =
     bind(tokens(text)) { toks =>
-      round(
-        lit(0.4) * alphaRatioOf(toks) +
-          lit(0.3) * typeTokenRatioOf(toks) +
-          lit(0.3) * (least(size(toks), lit(200)).cast("double") / 200.0),
-        4)
+      val n = size(toks).cast("long")
+      val a = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+      val d = size(array_distinct(toks)).cast("long")
+      val m = least(n, lit(200L))
+      val num = lit(4000L) * a + lit(3000L) * d + lit(15L) * m * n
+      // half-up rounding of num/n as integers: (2·num + n) div (2·n).
+      // The double division is exact here (operands far below 2^53 and
+      // the quotient's denominator 2n bounds any non-integer result away
+      // from the floor boundary), so floor() cannot be off by one.
+      floor((lit(2L) * num + n) / (lit(2L) * n)) / lit(10000.0)
     }
 
   /** Polynomial rolling hash of the normalized text (base 31, modulo the

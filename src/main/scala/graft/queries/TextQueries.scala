@@ -189,14 +189,18 @@ object TextQueries extends Registry {
               ELSE 'fr' END AS lang_pred
             FROM sc) GROUP BY lang_pred ORDER BY lang_pred""",
 
+    // same exact-integer form as TextFunctions.qualityScore:
+    // score·10⁴ = (4000a + 3000d + 15mn) / n, rounded half-up
     "text_quality" ->
       s"""SELECT doc_id,
-                 round(0.4 * (CAST(len(list_filter(toks,
-                          x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(toks))
-                     + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-                     + 0.3 * (CAST(least(len(toks), 200) AS DOUBLE) / 200.0), 4)
-                   AS quality
-          FROM (SELECT doc_id, $toks AS toks FROM documents) t
+                 ((2 * (4000 * a + 3000 * d + 15 * m * n) + n) // (2 * n))
+                   / 10000.0 AS quality
+          FROM (SELECT doc_id, len(toks)::BIGINT AS n,
+                       len(list_filter(toks,
+                         x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS a,
+                       len(list_distinct(toks))::BIGINT AS d,
+                       least(len(toks), 200)::BIGINT AS m
+                FROM (SELECT doc_id, $toks AS toks FROM documents) t) s
           ORDER BY doc_id""",
 
     "text_token_volume" ->
