@@ -233,6 +233,31 @@ object RelationalQueries extends Registry {
         .orderBy("l_returnflag")
     }),
 
+    // Bivariate statistics: correlation, sample covariance, regression
+    // slope — single-pass co-moment aggregates (mergeable partials, the
+    // same shape HLL/avg use; no per-group materialization).
+    "stats_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qp"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2)
+            .as("slope_pq"))
+        .orderBy("l_returnflag")),
+
+    // Equal-width histogram via integer bucket arithmetic (width_bucket
+    // is not portable to the oracle engine; floor division of the same
+    // IEEE operands is).
+    "stats_histogram" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          least(lit(9L), floor(col("o_totalprice") / 50000)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bucket")),
+
     // The 100 TB form of the percentile query: a mergeable quantile
     // sketch (approx_percentile) — bounded memory per group, one partial
     // agg pass, no per-group sort. No SQL oracle (sketch internals are
@@ -325,6 +350,18 @@ object RelationalQueries extends Registry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "stats_corr" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+                round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_pq
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "stats_histogram" ->
+      """SELECT least(9, floor(o_totalprice / 50000))::BIGINT AS bucket,
+                count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "join_skew_salted" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum("value"), 2) AS sum_value

@@ -84,6 +84,15 @@ class ScaleMechanicsSpec extends SparkSpec {
       plan)
   }
 
+  test("asof query pushes its event_type filter into both parquet scans") {
+    val df = graft.queries.TemporalQueries.defs("join_asof")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // both union legs scan events with their type filter pushed down, so
+    // a 100 TB events table reads only the two relevant row groups
+    assert(plan.contains("EqualTo(event_type,purchase)"), plan)
+    assert(plan.contains("EqualTo(event_type,click)"), plan)
+  }
+
   test("embedding cosine pairs plan has no cartesian / nested-loop join") {
     val q = graft.operators.Dedup.embeddingCosinePairs(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", threshold = 0.2)
