@@ -85,6 +85,22 @@ object EventQueries extends Registry {
         .count().na.fill(0L)
         .orderBy("day")),
 
+    // Unpivot (wide -> long reshape, the inverse of events_pivot_daily):
+    // stack() re-melts the per-type columns; zero-filled combinations
+    // survive the round trip, so the output is the dense day x type grid.
+    "events_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+      wide.select(col("day"), expr(
+        """stack(5, 'click', click, 'error', error, 'purchase', purchase,
+                    'signup', signup, 'view', view) AS (event_type, cnt)"""))
+        .orderBy("day", "event_type")
+    }),
+
     "events_salted_agg" -> ((s, d) =>
       // two-phase skew-resistant aggregation: pre-aggregate on
       // (key, salt) so one hot key spreads over 8 reducers, then merge.
@@ -152,6 +168,19 @@ object EventQueries extends Registry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS "view"
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "events_unpivot" ->
+      """WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+                    FROM events),
+          ty AS (SELECT unnest(['click','error','purchase','signup','view'])
+                   AS event_type),
+          c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*) AS cnt
+                FROM events GROUP BY 1, 2)
+          SELECT d.day, ty.event_type, coalesce(c.cnt, 0) AS cnt
+          FROM d CROSS JOIN ty
+          LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
+          ORDER BY 1, 2""",
 
     "events_salted_agg" ->
       """SELECT event_type, count(*) AS n,

@@ -77,6 +77,20 @@ object RelationalQueries extends Registry {
         .orderBy("c_mktsegment")
     }),
 
+    // GROUPING SETS through the SQL surface (the DataFrame API exposes
+    // only cube/rollup; arbitrary set lists are SQL-only). NULL groups
+    // coalesced so the compare is total-order-stable.
+    "sql_grouping_sets" -> ((s, d) => {
+      graft.core.Views.register(s, d)
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                  coalesce(l_linestatus, 'ALL') AS status,
+                  count(*) AS cnt
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           ORDER BY 1, 2""")
+    }),
+
     // Left-semi join (EXISTS): customers that have orders, count per nation.
     "semi_join_count" -> ((s, d) =>
       Tables.customer(s, d)
@@ -350,6 +364,14 @@ object RelationalQueries extends Registry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "sql_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY 1, 2""",
 
     "stats_corr" ->
       """SELECT l_returnflag,
