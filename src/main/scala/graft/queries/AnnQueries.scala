@@ -56,13 +56,16 @@ object AnnQueries extends Registry {
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.
 
-    // DuckDB lateral range drives the 1-based element index; Spark's
-    // posexplode is 0-based, hence i - 1. Both engines widen FLOAT
-    // elements to DOUBLE before averaging.
+    // Correlated unnest(range(...)) drives the 1-based element index per
+    // row (dimension-generic, not pinned to 64); Spark's posexplode is
+    // 0-based, hence i - 1. Both engines widen FLOAT to DOUBLE before
+    // averaging.
     "ann_centroids" ->
       """SELECT label, i - 1 AS dim,
                 round(avg(embedding[i]::DOUBLE), 4) + 0 AS c
-         FROM embeddings, range(1, 65) t(i)
+         FROM (SELECT label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS i
+               FROM embeddings) t
          GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -85,6 +85,39 @@ object EventQueries extends Registry {
         .count().na.fill(0L)
         .orderBy("day")),
 
+    // Dense hourly resample: every hour between the corpus bounds (gap
+    // hours filled with 0) — the time-series densification a dashboard
+    // needs before charting. The hour spine is generated from the 1-row
+    // bounds aggregate (sequence + explode), not collected to the driver.
+    "events_hourly_dense" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      val spine = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      spine.join(ev.groupBy("hour").agg(count(lit(1)).as("cnt")),
+          Seq("hour"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+          col("cnt"))
+        .orderBy("hour")
+    }),
+
+    // Time-based rolling window: events per user in the trailing hour.
+    // The frame is anchored on FLOORED epoch seconds on both engines —
+    // a raw-timestamp RANGE INTERVAL frame would disagree across engines
+    // wherever a sub-second difference pushes a pair across the exact
+    // one-hour boundary (ns vs us precision).
+    "events_rolling_1h" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("sec"))
+        .rangeBetween(-3600, 0)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("cnt_1h", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("cnt_1h"))
+        .orderBy("event_id")
+    }),
+
     // Unpivot (wide -> long reshape, the inverse of events_pivot_daily):
     // stack() re-melts the per-type columns; zero-filled combinations
     // survive the round trip, so the output is the dense day x type grid.
@@ -168,6 +201,27 @@ object EventQueries extends Registry {
                 count(*) FILTER (event_type = 'signup') AS signup,
                 count(*) FILTER (event_type = 'view') AS "view"
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "events_hourly_dense" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                           date_trunc('hour', max(ts)) AS hi FROM events),
+          h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                  AS hour FROM b),
+          c AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt
+                FROM events GROUP BY 1)
+          SELECT strftime(h.hour, '%Y-%m-%d %H') AS hour,
+                 coalesce(c.cnt, 0) AS cnt
+          FROM h LEFT JOIN c ON h.hour = c.hour
+          ORDER BY 1""",
+
+    "events_rolling_1h" ->
+      """SELECT event_id, user_id, cnt_1h FROM (
+           SELECT event_id, user_id,
+                  count(*) OVER (PARTITION BY user_id
+                    ORDER BY epoch(date_trunc('second', ts))
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h
+           FROM events) t
+         ORDER BY event_id""",
 
     "events_unpivot" ->
       """WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
