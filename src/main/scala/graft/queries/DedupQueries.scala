@@ -44,6 +44,18 @@ object DedupQueries extends Registry {
           n = 3, threshold = 0.8),
         "doc_a", "doc_b")),
 
+    // Benchmark decontamination (8-gram overlap rule): every 10th doc
+    // plays the eval set; training docs sharing any 8-gram with it are
+    // flagged with their overlap count.
+    "dedup_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+    }),
+
     // Fuzzy-match verification: character-level edit distance over the
     // candidate pairs the shingle index surfaced. The candidate generator
     // bounds the quadratic levenshtein work to near-dup pairs — the only
@@ -149,6 +161,20 @@ object DedupQueries extends Registry {
           WHERE doc_id NOT IN
             (SELECT doc_id FROM cc WHERE doc_id <> component)
           ORDER BY doc_id""",
+
+    // DISTINCT grams per doc on both sides, mirroring TF.shingles'
+    // distinct-shingle semantics.
+    "dedup_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          g AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+                    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM t),
+          ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+          SELECT doc_id, count(*) AS n_overlap
+          FROM g JOIN ev USING (gram)
+          WHERE doc_id % 10 <> 0
+          GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_edit_distance" ->
       s"""WITH $shingleCtes,

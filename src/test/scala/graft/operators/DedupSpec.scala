@@ -49,6 +49,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminatedDocs flags exactly the docs sharing an 8-gram with eval") {
+    import graft.functions.{TextFunctions => TF}
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val cand = docs.filter(col("doc_id") % 10 =!= 0)
+    val got = Dedup.contaminatedDocs(cand, eval, "doc_id", "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // brute force: materialize gram sets and intersect locally
+    val evalGrams = eval
+      .select(explode(TF.shingles(col("text"), 8)).as("g"))
+      .collect().map(_.getString(0)).toSet
+    val want = cand
+      .select(col("doc_id"), TF.shingles(col("text"), 8).as("g"))
+      .collect()
+      .filter(_.getSeq[String](1).exists(evalGrams.contains))
+      .map(_.getLong(0)).toSet
+    got shouldBe want
+    got should not be empty
+    // eval ids never leak into the flagged set
+    got.exists(_ % 10 == 0) shouldBe false
+  }
+
   test("embedding cosine pairs are symmetric-free and above threshold") {
     val embs = Tables.embeddings(spark, sfDir)
     val pairs = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.5)
