@@ -79,6 +79,39 @@ object TextQueries extends Registry {
     "text_tfidf" -> ((s, d) =>
       graft.operators.Corpus.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // Intra-document repetition (RefinedWeb-style quality signal): the
+    // most-repeated bigram's share of all bigrams. Non-distinct bigrams
+    // via transform over positions (shingles() dedups, so not usable).
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", TF.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+                       i -> concat(element_at(toks, i), ' ',
+                                   element_at(toks, i + 1)))""")).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("max_bigram"))
+        .withColumn("rep_ratio",
+          round(col("max_bigram").cast("double") / col("n_bigrams"), 4))
+        .orderBy("doc_id")),
+
+    // The filter pipeline's end product: per source, how many docs
+    // survive the composed quality gates (score, language, length) — the
+    // clean-corpus selection a training run would actually consume.
+    "text_clean_corpus" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.langId(col("text")).as("lang"),
+          TF.tokenCount(col("text")).as("nt"))
+        .filter(col("q") >= 0.63 && col("lang") === "en" &&
+          col("nt").between(20, 90))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     // Concat-and-cut packing into 2048-token bins per source
     // (operators.Corpus.pack), summarized per bin.
     "text_pack_bins" -> ((s, d) => {
@@ -188,6 +221,43 @@ object TextQueries extends Registry {
               WHEN s_de >= s_fr THEN 'de'
               ELSE 'fr' END AS lang_pred
             FROM sc) GROUP BY lang_pred ORDER BY lang_pred""",
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM t WHERE len(toks) >= 2),
+          c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                 CAST(max(c) AS BIGINT) AS max_bigram,
+                 round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS rep_ratio
+          FROM c GROUP BY doc_id ORDER BY doc_id""",
+
+    // composed gates: integer quality form + stopword-argmax lang +
+    // token-count bounds — one pass, same CTE bases as the per-signal
+    // oracles above
+    "text_clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sig AS (SELECT doc_id, len(toks)::BIGINT AS n,
+                   len(list_filter(toks,
+                     x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS a,
+                   len(list_distinct(toks))::BIGINT AS d,
+                   least(len(toks), 200)::BIGINT AS m,
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','que','y','en'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('le','les','des','et','est','dans','une'))) AS s_fr
+                  FROM t),
+          keep AS (SELECT doc_id FROM sig
+                   WHERE ((2 * (4000 * a + 3000 * d + 15 * m * n) + n)
+                            // (2 * n)) / 10000.0 >= 0.63
+                     AND NOT (s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0)
+                     AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                     AND n BETWEEN 20 AND 90)
+          SELECT source, count(*) AS n_kept
+          FROM documents JOIN keep USING (doc_id)
+          GROUP BY source ORDER BY source""",
 
     // same exact-integer form as TextFunctions.qualityScore:
     // score·10⁴ = (4000a + 3000d + 15mn) / n, rounded half-up
