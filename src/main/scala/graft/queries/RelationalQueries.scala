@@ -247,6 +247,19 @@ object RelationalQueries extends Registry {
         .orderBy("l_returnflag")
     }),
 
+    // Custom typed Aggregator through the udaf() surface (SURVEY §2.7:
+    // the reference's App join/mergeCache pair): quantity-weighted mean
+    // price. The oracle is the plain SQL ratio — the custom accumulator
+    // must be indistinguishable from the composed built-ins.
+    "udaf_weighted_mean" -> ((s, d) => {
+      val wm = udaf(graft.functions.CraneAggregators.WeightedMean)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 2)
+          .as("wmean_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Bivariate statistics: correlation, sample covariance, regression
     // slope — single-pass co-moment aggregates (mergeable partials, the
     // same shape HLL/avg use; no per-group materialization).
@@ -372,6 +385,12 @@ object RelationalQueries extends Registry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY 1, 2""",
+
+    "udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+                  AS wmean_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "stats_corr" ->
       """SELECT l_returnflag,

@@ -6,6 +6,25 @@ import graft.SparkSpec
   * oracle (driver checks rows only). */
 class RelationalQueriesSpec extends SparkSpec {
 
+  test("WeightedMean udaf registers for SQL and matches composed built-ins") {
+    import org.apache.spark.sql.functions._
+    spark.udf.register("weighted_mean",
+      udaf(graft.functions.CraneAggregators.WeightedMean))
+    graft.core.Views.register(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag,
+                weighted_mean(l_extendedprice, l_quantity) AS w
+         FROM lineitem GROUP BY 1 ORDER BY 1""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val composed = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg((sum(col("l_extendedprice") * col("l_quantity")) /
+        sum(col("l_quantity"))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    viaSql.keySet shouldBe composed.keySet
+    viaSql.foreach { case (k, v) => v shouldBe composed(k) +- 1e-6 }
+  }
+
   test("approx percentiles land within 1% of the exact discrete ones") {
     val exact = RelationalQueries.defs("stats_percentiles")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
