@@ -24,7 +24,15 @@ object Corpus {
     * Output: (id, chunk_id, chunk_text, n_tokens), totally ordered.
     */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-            chunkTokens: Int, overlap: Int): DataFrame = {
+            chunkTokens: Int, overlap: Int): DataFrame =
+    chunkUnordered(docs, idCol, textCol, chunkTokens, overlap)
+      .orderBy(col(idCol), col("chunk_id"))
+
+  /** `chunk` without the final total order — for consumers that reshuffle
+    * anyway (e.g. passage dedup keys by fingerprint next), where the sort's
+    * range-partition exchange would be pure wasted shuffle. */
+  def chunkUnordered(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     require(overlap >= 0 && overlap < chunkTokens,
       "overlap must be in [0, chunkTokens)")
@@ -44,7 +52,6 @@ object Corpus {
           .as("chunk_text"),
         least(lit(chunkTokens.toLong), col("ntok") - col("chunk_id") * stride)
           .as("n_tokens"))
-      .orderBy(col(idCol), col("chunk_id"))
   }
 
   /** Concat-and-cut sequence packing: rows (documents or chunks) are laid
@@ -68,6 +75,21 @@ object Corpus {
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("bin", expr(s"__cum_before DIV $contextTokens"))
       .drop("__cum_before")
+  }
+
+  /** Deterministic shard assignment for training-data export: shard =
+    * (first 16 bits of md5(key || salt)) mod nShards. Stateless and
+    * layout-independent — no global sort or row_number barrier, so a
+    * write partitioned by this column produces identical shards on any
+    * cluster size, and re-runs are reproducible (the property a training
+    * job needs to resume mid-corpus). Balanced in expectation like any
+    * hash partitioner; 16 bits of entropy caps nShards at 65536.
+    */
+  def shardExpr(key: org.apache.spark.sql.Column, nShards: Int,
+                salt: String = "graft"): org.apache.spark.sql.Column = {
+    require(nShards > 0 && nShards <= 65536, s"nShards out of range: $nShards")
+    (conv(substring(md5(concat(key.cast("string"), lit(salt))
+      .cast("binary")), 1, 4), 16, 10).cast("long") % nShards).cast("int")
   }
 
   /** TF-IDF term scores: term frequency per document, document frequency

@@ -55,4 +55,41 @@ object Sampling {
     }
     df.filter(hashPrefix(col(keyCol), salt) < threshold)
   }
+
+  /** Domain-mix sampling: down-sample each stratum so the kept corpus
+    * approaches target mix weights (basis points) under a document budget
+    * expressed as a fraction of the corpus (budget = total * budgetNum
+    * DIV budgetDen, so one definition holds at every scale factor).
+    *
+    * Per-stratum keep rate, all integer arithmetic so engines agree
+    * exactly: frac256_s = min(256, (256 * budget * w_s) DIV (10000 * n_s)).
+    * Membership then follows the same content-hash rule as `bernoulli`.
+    *
+    * Two jobs: per-stratum counts + the corpus total (a few rows,
+    * broadcast back onto the data), then a stateless map-only filter —
+    * the shape that survives 100 TB. Strata absent from `weightsBp` get
+    * weight 0 (dropped).
+    */
+  def weightedMix(df: DataFrame, keyCol: String, strataCol: String,
+                  weightsBp: Map[String, Int], budgetNum: Long,
+                  budgetDen: Long, salt: String = "graft"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "bad budget fraction")
+    require(weightsBp.values.forall(w => w >= 0 && w <= 10000),
+      "weights are basis points in [0, 10000]")
+    val rates = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("__total"))))
+      .withColumn("__w", weightsBp.foldLeft(lit(0L)) {
+        case (acc, (s, bp)) =>
+          when(col(strataCol) === s, lit(bp.toLong)).otherwise(acc)
+      })
+      .withColumn("__frac256", least(lit(256L), expr(
+        s"(256 * ((__total * $budgetNum) DIV $budgetDen) * __w) " +
+          "DIV (10000 * __n)")))
+      .withColumn("__thr", when(col("__frac256") >= 256, lit("g"))
+        .otherwise(format_string("%02x", col("__frac256"))))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(hashPrefix(col(keyCol), salt) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -73,6 +73,13 @@ object DedupQueries extends Registry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Passage-level exact dedup (Dedup.passageRetention): 32-token
+    // windows, keep-first per fingerprint, per-doc retention — the
+    // C4-style line-dedup pass.
+    "dedup_passage" -> ((s, d) =>
+      Dedup.passageRetention(Tables.documents(s, d), "doc_id", "text",
+        passageTokens = 32)),
+
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
@@ -161,6 +168,31 @@ object DedupQueries extends Registry {
           WHERE doc_id NOT IN
             (SELECT doc_id FROM cc WHERE doc_id <> component)
           ORDER BY doc_id""",
+
+    // Same chunk arithmetic as text_chunk (size 32, stride 32), then
+    // keep-first per passage fingerprint via row_number.
+    "dedup_passage" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks)::BIGINT AS ntok FROM t
+                WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks,
+                       unnest(range(0, greatest(1, (ntok + 31) // 32)))
+                         AS chunk_id
+                FROM n),
+          p AS (SELECT doc_id, chunk_id,
+                       md5(array_to_string(
+                         toks[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' '))
+                         AS fp
+                FROM c),
+          r AS (SELECT doc_id,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM p)
+          SELECT doc_id, count(*) AS n_passages,
+                 CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                 round(CAST(count(*) FILTER (rn = 1) AS DOUBLE) / count(*), 4)
+                   AS retention
+          FROM r GROUP BY doc_id ORDER BY doc_id""",
 
     // DISTINCT grams per doc on both sides, mirroring TF.shingles'
     // distinct-shingle semantics.

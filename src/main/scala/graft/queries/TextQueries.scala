@@ -112,6 +112,37 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("source")),
 
+    // Domain-mix sampling (operators.Sampling.weightedMix): down-sample
+    // each language toward target mix weights under a 40%-of-corpus
+    // budget — the data-mixture step before a training run. The oracle
+    // replays the integer rate arithmetic and the md5 membership rule.
+    "sample_weighted_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = graft.operators.Sampling.weightedMix(docs, "doc_id", "lang",
+        weightsBp = Map("en" -> 4000, "es" -> 2500, "de" -> 2000,
+          "fr" -> 1000, "zh" -> 500),
+        budgetNum = 4, budgetDen = 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TF.tokenCount(col("text"))).cast("long").as("kept_tokens"))
+      docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept", "kept_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Deterministic content-hash shard assignment (Corpus.shardExpr):
+    // 16 shards summarized — the training-export layout query.
+    "corpus_shards" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard",
+          graft.operators.Corpus.shardExpr(col("doc_id"), 16))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")),
+
     // Concat-and-cut packing into 2048-token bins per source
     // (operators.Corpus.pack), summarized per bin.
     "text_pack_bins" -> ((s, d) => {
@@ -190,6 +221,37 @@ object TextQueries extends Registry {
                  count(*) AS n_docs,
                  CAST(sum(ntok) AS BIGINT) AS n_tokens
           FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sample_weighted_mix" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+          t AS (SELECT count(*) AS total FROM documents),
+          r AS (SELECT lang, n,
+                  least(256, (256 * ((total * 4) // 10) *
+                    CASE lang WHEN 'en' THEN 4000 WHEN 'es' THEN 2500
+                              WHEN 'de' THEN 2000 WHEN 'fr' THEN 1000
+                              WHEN 'zh' THEN 500 ELSE 0 END)
+                    // (10000 * n)) AS frac256
+                FROM n, t),
+          k AS (SELECT d.lang, len($toks) AS nt
+                FROM documents d JOIN r USING (lang)
+                WHERE substring(md5(d.doc_id::VARCHAR || 'graft'), 1, 2) <
+                  CASE WHEN r.frac256 >= 256 THEN 'g'
+                       ELSE printf('%02x', r.frac256) END),
+          kk AS (SELECT lang, count(*) AS n_kept,
+                        CAST(sum(nt) AS BIGINT) AS kept_tokens
+                 FROM k GROUP BY 1)
+          SELECT r.lang, r.n AS n_total,
+                 coalesce(kk.n_kept, 0) AS n_kept,
+                 coalesce(kk.kept_tokens, 0) AS kept_tokens
+          FROM r LEFT JOIN kk USING (lang) ORDER BY lang""",
+
+    "corpus_shards" ->
+      s"""SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'),
+                                         1, 4))::BIGINT % 16 AS INT) AS shard,
+                 count(*) AS n_docs,
+                 CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "text_fingerprint" ->
       """SELECT doc_id,

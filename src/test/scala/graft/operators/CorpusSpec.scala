@@ -33,6 +33,21 @@ class CorpusSpec extends SparkSpec {
     joined.filter(col("rebuilt") =!= col("orig")).count() shouldBe 0L
   }
 
+  test("shardExpr is layout-independent, in range, and balanced") {
+    val n = 16
+    val assign = docs.select(col("doc_id"),
+      Corpus.shardExpr(col("doc_id"), n).as("shard"))
+    val reassign = docs.repartition(11).select(col("doc_id"),
+      Corpus.shardExpr(col("doc_id"), n).as("shard"))
+    assign.except(reassign).count() shouldBe 0L
+    val byShard = assign.groupBy("shard").count().collect()
+    byShard.map(_.getInt(0)).foreach(s => assert(s >= 0 && s < n))
+    byShard.length shouldBe n // no empty shard at 500 docs / 16 shards
+    val mean = docs.count().toDouble / n
+    assert(byShard.map(_.getLong(1)).max <= 3 * mean,
+      "hash sharding should not skew 3x beyond the mean")
+  }
+
   test("chunk: sizes and overlap behave as declared") {
     val chunked = Corpus.chunk(docs, "doc_id", "text",
       chunkTokens = 8, overlap = 2).cache()

@@ -27,6 +27,23 @@ class DedupSpec extends SparkSpec {
     stats.getLong(1) shouldBe nGroups
   }
 
+  test("passageRetention keeps only the first occurrence of each window") {
+    import spark.implicits._
+    val w32a = (1 to 32).map(i => s"a$i").mkString(" ")
+    val w32b = (1 to 32).map(i => s"b$i").mkString(" ")
+    val crafted = Seq(
+      (1L, s"$w32a $w32b"), // two unique passages
+      (2L, w32a),           // exact copy of doc 1's first passage
+      (3L, "unique words only")
+    ).toDF("doc_id", "text")
+    val r = Dedup.passageRetention(crafted, "doc_id", "text", 32)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    r(1L) shouldBe ((2L, 2L))
+    r(2L) shouldBe ((1L, 0L)) // its only passage already seen in doc 1
+    r(3L) shouldBe ((1L, 1L))
+  }
+
   test("minhash-LSH pairs are a subset of exact Jaccard pairs, recall >= 0.8") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

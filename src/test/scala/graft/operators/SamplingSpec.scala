@@ -45,6 +45,30 @@ class SamplingSpec extends SparkSpec {
     sampled.count() shouldBe expectedRows
   }
 
+  test("weightedMix applies integer per-stratum rates; weight-0 dropped") {
+    val docs = Tables.documents(spark, sfDir)
+    val weights = Map("en" -> 4000, "es" -> 2500, "de" -> 2000, "fr" -> 1000)
+    val kept = Sampling.weightedMix(docs, "doc_id", "lang", weights,
+      budgetNum = 4, budgetDen = 10)
+    // zh has no weight entry -> weight 0 -> dropped entirely
+    kept.filter(col("lang") === "zh").count() shouldBe 0L
+    // layout-independent membership
+    val keptShuffled = Sampling.weightedMix(docs.repartition(7), "doc_id",
+      "lang", weights, budgetNum = 4, budgetDen = 10)
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      keptShuffled.select("doc_id").collect().map(_.getLong(0)).toSet
+    // replay the documented rate formula through the bernoulli primitive
+    val budget = docs.count() * 4 / 10
+    docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).foreach { case (lang, n) =>
+        val f = math.min(256L,
+          256L * budget * weights.getOrElse(lang, 0) / (10000L * n)).toInt
+        kept.filter(col("lang") === lang).count() shouldBe
+          Sampling.bernoulli(docs.filter(col("lang") === lang), "doc_id", f)
+            .count()
+      }
+  }
+
   test("stratified honors per-stratum fractions") {
     val s = Sampling.stratified(events, "event_id", "event_type",
       fractions = Map("click" -> 0, "view" -> 256), default256 = 64)
