@@ -81,6 +81,21 @@ object Ann {
     * longer loses the pair. The candidate index is untouched (no extra
     * index space); only the tiny broadcast query side fans out ×(bits+1),
     * buying the recall of many more tables at a fraction of the cost. */
+  /** Bits per hash table that keep the EXPECTED bucket size near
+    * `targetBucket` for a corpus of `n` vectors: each bit halves a
+    * table's bucket population, so bits = ceil(log2(n / targetBucket)),
+    * clamped to [1, 30]. This is how `bits` should scale with corpus
+    * size — pass an approximate count (table stats / countApprox) at real
+    * scale rather than running an exact count job. Probe cost per query
+    * then stays O(tables × targetBucket) as the corpus grows; recall lost
+    * to the extra bits is bought back with `tables` or `multiProbe`. */
+  def autoBits(n: Long, targetBucket: Int = 256): Int = {
+    require(n > 0 && targetBucket > 0, "need positive counts")
+    val b = math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(30, math.max(1, b))
+  }
+
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, bits: Int = 4, tables: Int = 16,
               dim: Int = -1, seed: Long = 42L,

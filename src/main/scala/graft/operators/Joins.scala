@@ -38,12 +38,17 @@ object Joins {
     * @param rightCols right columns to attach (must not collide with left
     *                  column names); the matched right timestamp is always
     *                  attached as `matched_<rightTs>`
-    * @param toleranceSec match only if left.ts - right.ts <= tolerance
-    *                     (in whole seconds); older matches become nulls
+    * @param toleranceSec match only if the time gap (left.ts - right.ts
+    *                     backward, right.ts - left.ts forward) <= tolerance
+    *                     (in whole seconds); farther matches become nulls
+    * @param forward      match the EARLIEST right row with ts >= left.ts
+    *                     instead (next-event attribution); same one-shuffle
+    *                     plan, window order reversed
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
-           toleranceSec: Option[Long] = None): DataFrame = {
+           toleranceSec: Option[Long] = None,
+           forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asOf needs at least one equality key")
     val leftCols = left.columns.toSeq
     val outTs = s"matched_$rightTs"
@@ -73,16 +78,24 @@ object Joins {
         col(leftTs).as("__t"), lit(1).as("__side"),
         lit(null).cast(rStructType).as("__r"), lStruct.as("__l")): _*)
 
+    // forward = walk time in reverse: right rows still sort before left
+    // rows at equal timestamps (__side asc), so ts == left.ts matches in
+    // both directions
+    val tOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .orderBy(tOrder, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rTagged.union(lTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val bounded = toleranceSec match {
-      case Some(tol) => carried.withColumn("__m",
-        when(unix_timestamp(col("__t")) -
-          unix_timestamp(col(s"__m.$outTs")) <= tol, col("__m")))
+      case Some(tol) =>
+        val gap =
+          if (forward) unix_timestamp(col(s"__m.$outTs")) -
+            unix_timestamp(col("__t"))
+          else unix_timestamp(col("__t")) -
+            unix_timestamp(col(s"__m.$outTs"))
+        carried.withColumn("__m", when(gap <= tol, col("__m")))
       case None => carried
     }
     bounded.select(

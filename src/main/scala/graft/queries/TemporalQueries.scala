@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.Joins
 
-/** Temporal-join queries (operators.Joins): backward as-of attribution and
-  * bucketed interval containment, each replayed exactly in DuckDB (ASOF
+/** Temporal-join queries (operators.Joins): as-of attribution (backward
+  * and forward) and bucketed interval containment, each replayed in DuckDB
+  * (ASOF
   * JOIN / inequality join — DuckDB executes the naive form, Spark the
   * scale-shaped one, and the results must hash-match).
   *
@@ -45,6 +46,22 @@ object TemporalQueries extends Registry {
         .select(col("event_id"), col("user_id"), col("click_id"),
           (unix_timestamp(col("ts")) - unix_timestamp(col("matched_ts")))
             .as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
+    // Conversion lag: each click picks the user's EARLIEST purchase
+    // at-or-after it (forward as-of — next-event attribution).
+    "join_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      Joins.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id"), forward = true)
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (unix_timestamp(col("matched_ts")) - unix_timestamp(col("ts")))
+            .as("lag_sec"))
         .orderBy("event_id")
     }),
 
@@ -99,6 +116,22 @@ object TemporalQueries extends Registry {
           SELECT event_id, user_id,
                  CASE WHEN gap_sec <= 3600 THEN click_id END AS click_id,
                  CASE WHEN gap_sec <= 3600 THEN gap_sec END AS gap_sec
+          FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    // Forward mirror of asofRanked: earliest following purchase, ties by
+    // largest purchase_id (the operator's max-payload-struct rule).
+    "join_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+          p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+                WHERE event_type = 'purchase'),
+          m AS (SELECT c.event_id, c.user_id, p.purchase_id,
+                       date_diff('second', c.ts, p.ts) AS lag_sec,
+                       row_number() OVER (PARTITION BY c.event_id
+                         ORDER BY p.ts ASC, p.purchase_id DESC) AS rn
+                FROM c LEFT JOIN p
+                  ON c.user_id = p.user_id AND p.ts >= c.ts)
+          SELECT event_id, user_id, purchase_id, lag_sec
           FROM m WHERE rn = 1 ORDER BY event_id""",
 
     "join_range" ->

@@ -38,6 +38,17 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall")
   }
 
+  test("autoBits tracks corpus growth and stays clamped") {
+    Ann.autoBits(256, targetBucket = 256) shouldBe 1 // clamp floor
+    Ann.autoBits(65536, targetBucket = 256) shouldBe 8
+    Ann.autoBits(100L * 65536, targetBucket = 256) shouldBe 15
+    // 100x the corpus adds ~log2(100) ≈ 7 bits, bucket size unchanged
+    val small = Ann.autoBits(1000000)
+    val big = Ann.autoBits(100000000)
+    (big - small) shouldBe 7
+    Ann.autoBits(Long.MaxValue) shouldBe 30 // clamp ceiling
+  }
+
   test("multi-probe with HALF the tables beats the full standard config") {
     // deterministic seeds/data: measured 16-table standard = 0.94 recall,
     // 8-table multi-probe = 1.00 — the feature's point is recall-per-cost

@@ -59,6 +59,28 @@ class JoinsSpec extends SparkSpec {
     df.filter(col("click_id").isNotNull).count() should be <= unbounded
   }
 
+  test("asOf forward picks the earliest following row; tolerance bounds it") {
+    import spark.implicits._
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05")))
+      .toDF("id", "ts")
+    val right = Seq(3, 7, 9).map(s =>
+        (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:0$s"), s.toLong))
+      .toDF("id", "ts", "payload")
+    val fwd = Joins.asOf(left, right, Seq("id"), "ts", "ts", Seq("payload"),
+      forward = true)
+    fwd.head().getAs[Long]("payload") shouldBe 7L // earliest at-or-after 5
+    val tol = Joins.asOf(left, right, Seq("id"), "ts", "ts", Seq("payload"),
+      toleranceSec = Some(1L), forward = true)
+    tol.count() shouldBe 1L // left row kept...
+    assert(tol.head().isNullAt(tol.head().fieldIndex("payload")),
+      "gap 2s > tolerance 1s must null the match")
+    val sim = Joins.asOf(left, right.withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:05"))),
+      Seq("id"), "ts", "ts", Seq("payload"), forward = true)
+    sim.head().getAs[Long]("payload") shouldBe 9L // >= includes equal ts;
+    // equal-ts ties resolve to the largest payload struct, as documented
+  }
+
   test("asOf with an empty right side keeps all left rows unmatched") {
     val none = clicks.filter(lit(false))
     val df = Joins.asOf(purchases, none, Seq("user_id"), "ts", "ts",
