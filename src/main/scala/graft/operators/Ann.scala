@@ -200,6 +200,30 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * compression step before shipping vectors to an index or a training
+    * job (4x smaller than float32, 8x than float64). Per vector:
+    * scale = max |x_i|, q_i = floor(x_i * 127 / scale + 0.5) ∈ [-127,127]
+    * (floor(+0.5) instead of round(): identical half-up behavior in every
+    * engine, no HALF_EVEN ambiguity). Zero vectors quantize to zeros.
+    *
+    * Pure per-row Column work inside whole-stage codegen — no shuffle at
+    * all; `scale` is bound once per row (TF.bind), not re-evaluated per
+    * element (Catalyst has no CSE across lambda references). */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    spread(embs)
+      .select(col(idCol),
+        TF.bind(col(vecCol).cast("array<double>")) { v =>
+          TF.bind(aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))) {
+            s =>
+              struct(s.as("scale"),
+                transform(v, x => when(s === 0.0, lit(0L))
+                  .otherwise(floor(x * lit(127.0) / s + lit(0.5))
+                    .cast("long"))).as("q"))
+          }
+        }.as("sq"))
+      .select(col(idCol), col("sq.scale").as("scale"), col("sq.q").as("q"))
+
   /** Per-group centroids of an embedding column, in long form
     * (group, dim, c): the distributed reduction that builds an IVF coarse
     * quantizer (or audits cluster drift) over the full corpus, not a

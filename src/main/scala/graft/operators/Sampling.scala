@@ -56,6 +56,27 @@ object Sampling {
     df.filter(hashPrefix(col(keyCol), salt) < threshold)
   }
 
+  /** Exactly-n-per-stratum deterministic sample: rank rows inside each
+    * stratum by content hash (then key, for a total order) and keep the
+    * first n. Same cross-engine reproducibility as `bernoulli`, but with
+    * a GUARANTEED sample size — the "give me exactly 10k eval docs per
+    * domain" ask that a fraction can only approximate. One shuffle keyed
+    * by the stratum; the rank is a window sort, so a stratum sorts within
+    * one reducer — fine up to tens of millions of rows per stratum; past
+    * that, pre-filter with `bernoulli` at a few times the target rate
+    * first so the window only ranks a small superset. */
+  def exactPerStratum(df: DataFrame, keyCol: String, strataCol: String,
+                      n: Int, salt: String = "graft"): DataFrame = {
+    require(n >= 0, "sample size must be non-negative")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))
+        .cast("binary")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Domain-mix sampling: down-sample each stratum so the kept corpus
     * approaches target mix weights (basis points) under a document budget
     * expressed as a fraction of the corpus (budget = total * budgetNum

@@ -34,6 +34,18 @@ object AnnQueries extends Registry {
     // cluster-audit reduction): long form (label, dim, c).
     "ann_centroids" -> ((s, d) =>
       Ann.centroids(Tables.embeddings(s, d), "label", "embedding")),
+
+    // Int8 quantization summarized per vector in integers (scale in
+    // micro-units, sum/min/max of the quantized codes) — the oracle
+    // replays the exact floor(+0.5) arithmetic.
+    "embed_quantize_int8" -> ((s, d) =>
+      Ann.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          floor(col("scale") * 1000000.0 + 0.5).cast("long").as("scale_e6"),
+          aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max"))
+        .orderBy("vec_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -55,6 +67,21 @@ object AnnQueries extends Registry {
 
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.
+
+    "embed_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          s AS (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS s FROM v),
+          q AS (SELECT vec_id, s,
+                       list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                         ELSE CAST(floor(x * 127 / s + 0.5) AS BIGINT) END)
+                         AS q
+                FROM s)
+          SELECT vec_id, CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+                 CAST(list_sum(q) AS BIGINT) AS q_sum,
+                 CAST(list_min(q) AS BIGINT) AS q_min,
+                 CAST(list_max(q) AS BIGINT) AS q_max
+          FROM q ORDER BY vec_id""",
 
     // Correlated unnest(range(...)) drives the 1-based element index per
     // row (dimension-generic, not pinned to 64); Spark's posexplode is

@@ -131,6 +131,16 @@ object TextQueries extends Registry {
         .orderBy("lang")
     }),
 
+    // Exactly-30-docs-per-language sample (Sampling.exactPerStratum):
+    // guaranteed sample size via hash-rank — id_sum is a membership
+    // checksum the oracle must reproduce exactly.
+    "sample_exact_stratified" -> ((s, d) =>
+      graft.operators.Sampling.exactPerStratum(Tables.documents(s, d),
+          "doc_id", "lang", n = 30)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")),
+
     // Deterministic content-hash shard assignment (Corpus.shardExpr):
     // 16 shards summarized — the training-export layout query.
     "corpus_shards" -> ((s, d) =>
@@ -244,6 +254,15 @@ object TextQueries extends Registry {
                  coalesce(kk.n_kept, 0) AS n_kept,
                  coalesce(kk.kept_tokens, 0) AS kept_tokens
           FROM r LEFT JOIN kk USING (lang) ORDER BY lang""",
+
+    "sample_exact_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY md5(doc_id::VARCHAR || 'graft') ASC,
+                                 doc_id ASC) AS rn
+                    FROM documents)
+         SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM r WHERE rn <= 30 GROUP BY lang ORDER BY lang""",
 
     "corpus_shards" ->
       s"""SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'),

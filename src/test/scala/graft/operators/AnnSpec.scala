@@ -38,6 +38,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall")
   }
 
+  test("quantizeInt8 codes bound to [-127,127]; dequantization error small") {
+    val q = Ann.quantizeInt8(embs, "vec_id", "embedding")
+    val checked = q.join(
+        embs.select(col("vec_id"), col("embedding").cast("array<double>")
+          .as("v")), "vec_id")
+      .select(
+        aggregate(col("q"), lit(true),
+          (a, x) => a && x.between(-127L, 127L)).as("in_range"),
+        // |x - q*scale/127| <= half a quantization step everywhere
+        aggregate(zip_with(col("v"), col("q"),
+            (x, c) => abs(x - c * col("scale") / 127.0)), lit(0.0),
+          (a, e) => greatest(a, e)).as("max_err"),
+        (col("scale") / 254.0 + 1e-12).as("half_step"))
+    checked.filter(!col("in_range")).count() shouldBe 0L
+    checked.filter(col("max_err") > col("half_step")).count() shouldBe 0L
+    import spark.implicits._
+    val zero = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zq = Ann.quantizeInt8(zero, "vec_id", "embedding").head()
+    zq.getDouble(1) shouldBe 0.0
+    zq.getSeq[Long](2) shouldBe Seq(0L, 0L)
+  }
+
   test("autoBits tracks corpus growth and stays clamped") {
     Ann.autoBits(256, targetBucket = 256) shouldBe 1 // clamp floor
     Ann.autoBits(65536, targetBucket = 256) shouldBe 8

@@ -45,6 +45,23 @@ class SamplingSpec extends SparkSpec {
     sampled.count() shouldBe expectedRows
   }
 
+  test("exactPerStratum returns exactly n per stratum, layout-independent") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = 30
+    val kept = Sampling.exactPerStratum(docs, "doc_id", "lang", n)
+    val perLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (lang, t) =>
+      perLang(lang) shouldBe math.min(n.toLong, t) }
+    val again = Sampling.exactPerStratum(docs.repartition(7), "doc_id",
+      "lang", n)
+    kept.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      again.select("doc_id").collect().map(_.getLong(0)).toSet
+    Sampling.exactPerStratum(docs, "doc_id", "lang", 0).count() shouldBe 0L
+  }
+
   test("weightedMix applies integer per-stratum rates; weight-0 dropped") {
     val docs = Tables.documents(spark, sfDir)
     val weights = Map("en" -> 4000, "es" -> 2500, "de" -> 2000, "fr" -> 1000)
