@@ -25,6 +25,31 @@ object EventTimeOps {
       .count()
       .select(col("w.start").as("window_start"), col(keyCol), col("count"))
 
+  /** Sliding-window counts: like tumbling, but each event lands in every
+    * window of length `windowLen` that starts on a `slide` boundary and
+    * covers it (windowLen/slide overlapping windows per event — the
+    * trailing-rate view a monitor wants). State per key is bounded the
+    * same way: windows evict once the watermark passes their end. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String,
+                    lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col(keyCol))
+      .count()
+      .select(col("w.start").as("window_start"), col(keyCol), col("count"))
+
+  /** Stream-static enrichment: attach dimension columns to a stream by a
+    * broadcast equi-join against a static (batch) table. The static side
+    * is re-broadcast per micro-batch by Structured Streaming, never
+    * shuffled with the stream, and requires no state or watermark — the
+    * right way to stamp reference data (user → segment, host → region)
+    * onto an unbounded feed. Left-outer so unmatched stream rows pass
+    * through with nulls rather than vanishing. */
+  def enrich(stream: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Watermarked stream-stream interval join: each left row matches right
     * rows for the same key whose timestamp falls in [left.ts, left.ts +
     * horizon]. Both sides carry watermarks so the join state is evicted

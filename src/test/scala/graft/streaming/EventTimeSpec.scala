@@ -46,6 +46,44 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts lands each event in windowLen/slide windows") {
+    import spark.implicits._
+    val df = Seq((ts(65), "a")).toDF("ts", "k")
+    val got = EventTimeOps.slidingCounts(df, "ts", "k",
+        "1 hour", "30 minutes", "10 minutes")
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2)))
+    // minute 65 is covered by windows starting at 30 and 60
+    got.toSeq shouldBe Seq((30L, 1L), (60L, 1L))
+  }
+
+  test("enrich stamps static dimension columns onto a stream, broadcast") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "segment")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventTimeOps.enrich(in.toDF()
+          .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "k"),
+        dim, Seq("k"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "z")) // z has no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getAs[String]("k"), Option(r.getAs[String]("segment"))))
+        .toSet
+      rows shouldBe Set(("a", Some("alpha")), ("z", None))
+    } finally q.stop()
+    // the static side must join as a broadcast, not a shuffle
+
+    val batchPlan = EventTimeOps.enrich(
+      Seq((ts(1), "a")).toDF("ts", "k"), dim, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(batchPlan.contains("BroadcastHashJoin"),
+      s"expected broadcast enrichment, got:\n$batchPlan")
+  }
+
   test("sessionize emits a session once the watermark passes its gap") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val sp: org.apache.spark.sql.SparkSession = spark
