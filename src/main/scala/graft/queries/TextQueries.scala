@@ -131,6 +131,32 @@ object TextQueries extends Registry {
         .orderBy("lang")
     }),
 
+    // Unigram-surprisal quality score (the CCNet-perplexity-filter idea
+    // with an exact-arithmetic twist): each token costs
+    // floor(log2(N / ctf)) bits under the corpus unigram model —
+    // computed as bit_length(N DIV ctf) - 1, pure integer ops, so both
+    // engines agree bit-for-bit where a float ln() would risk rounding
+    // flips. High avg bits/token = rare-word-heavy (or garbage) doc; low
+    // = common-word doc. Shuffle volume bounded by distinct (doc, term)
+    // pairs, the tfidf shape; corpus totals broadcast from a 1-row agg.
+    "text_unigram_surprisal" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val vocab = pairs.groupBy("term").agg(sum("tf").as("ctf"))
+      val total = vocab.agg(sum("ctf").as("n_total"))
+      pairs.join(vocab, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("bits",
+          (length(bin(expr("n_total DIV ctf"))) - 1).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("bits")).as("sum_bits"),
+          sum("tf").as("ntok"))
+        .withColumn("avg_bits",
+          round(col("sum_bits").cast("double") / col("ntok"), 4))
+        .orderBy("doc_id")
+    }),
+
     // Exactly-30-docs-per-language sample (Sampling.exactPerStratum):
     // guaranteed sample size via hash-rank — id_sum is a membership
     // checksum the oracle must reproduce exactly.
@@ -254,6 +280,22 @@ object TextQueries extends Registry {
                  coalesce(kk.n_kept, 0) AS n_kept,
                  coalesce(kk.kept_tokens, 0) AS kept_tokens
           FROM r LEFT JOIN kk USING (lang) ORDER BY lang""",
+
+    "text_unigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+                FROM tf GROUP BY 1),
+          n AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM v)
+          SELECT doc_id,
+                 CAST(sum(tf * (length(printf('%b', n_total // ctf)) - 1))
+                   AS BIGINT) AS sum_bits,
+                 CAST(sum(tf) AS BIGINT) AS ntok,
+                 round(CAST(sum(tf * (length(printf('%b', n_total // ctf))
+                   - 1)) AS DOUBLE) / sum(tf), 4) AS avg_bits
+          FROM tf JOIN v USING (term), n
+          GROUP BY doc_id ORDER BY doc_id""",
 
     "sample_exact_stratified" ->
       """WITH r AS (SELECT lang, doc_id,
