@@ -122,6 +122,47 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("quantizeInt8 plans zero shuffles (pure per-row map)") {
+    val q = graft.operators.Ann.quantizeInt8(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // spread() may repartition the single input file; beyond that the
+    // quantization itself must add no exchange keyed on data columns
+    assert(exchanges.forall(
+      _.outputPartitioning.toString.contains("RoundRobin")),
+      s"quantization introduced a keyed shuffle:\n${q.queryExecution}")
+  }
+
+  test("weightedMix broadcasts the per-stratum rates onto the corpus") {
+    val q = graft.operators.Sampling.weightedMix(
+      Tables.documents(spark, sfDir), "doc_id", "lang",
+      Map("en" -> 5000, "es" -> 5000), budgetNum = 1, budgetDen = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    // the corpus-side join against the tiny rate table must be broadcast:
+    // no shuffle of the documents on lang
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"rates joined by shuffle instead of broadcast:\n$plan")
+  }
+
+  test("passage dedup shuffles digests, never passage text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Dedup.passageRetention(
+        Tables.documents(spark, sfDir), "doc_id", "text", 32)
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "chunk_text"),
+          s"passage text crosses a shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SQL surface: registered views answer the flagship query") {
     Views.register(spark, sfDir)
     val rows = spark.sql(
