@@ -80,6 +80,36 @@ object DedupQueries extends Registry {
       Dedup.passageRetention(Tables.documents(s, d), "doc_id", "text",
         passageTokens = 32)),
 
+    // Flagship composition — the whole corpus-prep pipeline as ONE
+    // declarative plan: quality/language/length gates, near-dup cluster
+    // collapse on the clean subset, content-hash shard assignment, and
+    // the per-shard export manifest. Every stage is an operator proven
+    // above; the oracle replays all of it (recursive closure included)
+    // with an id_sum membership checksum per shard.
+    "pipeline_corpus_prep" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val clean = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.langId(col("text")).as("lang_pred"),
+          TF.tokenCount(col("text")).cast("long").as("nt"))
+        .filter(col("q") >= 0.63 && col("lang_pred") === "en" &&
+          col("nt").between(20, 90))
+      val comps = Dedup.components(
+        Dedup.ngramJaccardPairs(clean, "doc_id", "text",
+          n = 3, threshold = 0.8), "doc_a", "doc_b")
+      clean
+        .join(comps.filter(col("doc_id") =!= col("component")),
+          Seq("doc_id"), "left_anti")
+        .withColumn("shard",
+          graft.operators.Corpus.shardExpr(col("doc_id"), 8))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("shard")
+    }),
+
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
@@ -168,6 +198,58 @@ object DedupQueries extends Registry {
           WHERE doc_id NOT IN
             (SELECT doc_id FROM cc WHERE doc_id <> component)
           ORDER BY doc_id""",
+
+    // The composed pipeline: quality gates (text_clean_corpus form) →
+    // shingle closure over the CLEAN subset only → representative keep →
+    // md5 shard buckets with an id_sum membership checksum.
+    "pipeline_corpus_prep" ->
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+          sig AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                   len(list_filter(toks,
+                     x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS a,
+                   len(list_distinct(toks))::BIGINT AS d,
+                   least(len(toks), 200)::BIGINT AS m,
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','que','y','en'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('le','les','des','et','est','dans','une'))) AS s_fr
+                  FROM t0),
+          clean AS (SELECT doc_id, toks, n FROM sig
+                    WHERE ((2 * (4000 * a + 3000 * d + 15 * m * n) + n)
+                             // (2 * n)) / 10000.0 >= 0.63
+                      AND NOT (s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0)
+                      AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                      AND n BETWEEN 20 AND 90),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+                 FROM clean),
+          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+          inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          pairs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sizes sa ON doc_a = sa.doc_id
+                    JOIN sizes sb ON doc_b = sb.doc_id
+                    WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)),
+          und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+          reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION SELECT DISTINCT a, a FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          cc AS (SELECT a AS doc_id, min(b) AS component
+                 FROM reach GROUP BY a),
+          kept AS (SELECT doc_id, n FROM clean
+                   WHERE doc_id NOT IN
+                     (SELECT doc_id FROM cc WHERE doc_id <> component))
+          SELECT CAST(('0x' || substring(md5(doc_id::VARCHAR || 'graft'),
+                                         1, 4))::BIGINT % 8 AS INT) AS shard,
+                 count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM kept GROUP BY 1 ORDER BY 1""",
 
     // Same chunk arithmetic as text_chunk (size 32, stride 32), then
     // keep-first per passage fingerprint via row_number.
