@@ -21,6 +21,17 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
+    // warm the generated shingle/minhash kernels on a tiny subset: their
+    // first execution pays ~2x in JIT/codegen compilation, which would
+    // otherwise be billed to whichever Jaccard-family query sorts first
+    // (measured: 8.4 s first vs 3.9 s steady at sf0.1)
+    try {
+      val tiny = graft.core.Tables.documents(spark, sfDir).limit(200)
+      graft.operators.Dedup.ngramJaccardPairs(tiny, "doc_id", "text",
+        n = 3, threshold = 0.8).count()
+      graft.operators.Dedup.minhashLshPairs(tiny, "doc_id", "text",
+        n = 3, numPerms = 32, bands = 8, threshold = 0.8).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must FAIL the bench visibly (stack to stderr, null
