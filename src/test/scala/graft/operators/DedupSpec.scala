@@ -44,6 +44,15 @@ class DedupSpec extends SparkSpec {
     r(3L) shouldBe ((1L, 1L))
   }
 
+  test("passageRetention: empty and whitespace-only docs produce no rows") {
+    import spark.implicits._
+    val crafted = Seq((1L, ""), (2L, "   "), (3L, "one real doc"))
+      .toDF("doc_id", "text")
+    val r = Dedup.passageRetention(crafted, "doc_id", "text", 32)
+    r.count() shouldBe 1L
+    r.head().getLong(0) shouldBe 3L
+  }
+
   test("minhash-LSH pairs are a subset of exact Jaccard pairs, recall >= 0.8") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -86,6 +86,18 @@ class SamplingSpec extends SparkSpec {
       }
   }
 
+  test("weightedMix caps rates at keep-everything when the budget allows") {
+    val docs = Tables.documents(spark, sfDir)
+    // budget = 10x the corpus with full weight on one stratum: that
+    // stratum's rate saturates at 256 (keep all), others drop to 0
+    val kept = Sampling.weightedMix(docs, "doc_id", "lang",
+      Map("fr" -> 10000), budgetNum = 10, budgetDen = 1)
+    kept.count() shouldBe docs.filter(col("lang") === "fr").count()
+    // empty input stays empty rather than erroring
+    Sampling.weightedMix(docs.limit(0), "doc_id", "lang",
+      Map("fr" -> 10000), budgetNum = 1, budgetDen = 2).count() shouldBe 0L
+  }
+
   test("stratified honors per-stratum fractions") {
     val s = Sampling.stratified(events, "event_id", "event_type",
       fractions = Map("click" -> 0, "view" -> 256), default256 = 64)
