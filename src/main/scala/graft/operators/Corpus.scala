@@ -92,6 +92,52 @@ object Corpus {
       .cast("binary")), 1, 4), 16, 10).cast("long") % nShards).cast("int")
   }
 
+  /** Frequency-ranked vocabulary: (token_id, term, ctf) with contiguous
+    * ids assigned by corpus term frequency (descending, term ascending on
+    * ties — a total, engine-portable order). Ids start at 1; 0 is reserved
+    * for out-of-vocabulary tokens in `encode`.
+    *
+    * The corpus-wide term count is a partial-aggregated groupBy (shuffle
+    * volume = distinct terms, not token instances). The id assignment is a
+    * global row_number — deliberately: contiguous ids REQUIRE a total
+    * order, and the sort runs over the post-min-count VOCABULARY (at most
+    * a few million rows for real corpora), never over the corpus. */
+  def vocab(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ctf").desc, col("term").asc)
+    docs
+      .select(explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+      .filter(col("ctf") >= minCount)
+      .withColumn("token_id", row_number().over(w).cast("long"))
+      .select("token_id", "term", "ctf")
+      .orderBy("token_id")
+  }
+
+  /** Encode each document as its token-id sequence under `vocabDf` (the
+    * output of `vocab`): (id, n_tokens, n_oov, ids) where `ids` is the
+    * space-joined id string in document order and OOV tokens map to 0.
+    *
+    * The vocabulary joins BROADCAST onto the exploded (doc, pos, term)
+    * stream — no shuffle of the corpus for the lookup; the only shuffle is
+    * the per-document reassembly, carrying (id, pos, token_id) triples
+    * (~16 bytes/token) rather than text. Documents with zero tokens
+    * produce no row, matching `chunk`. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocabDf: DataFrame): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
+      .join(broadcast(vocabDf.select("term", "token_id")), Seq("term"), "left")
+      .withColumn("tid", coalesce(col("token_id"), lit(0L)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          x => x.getField("tid").cast("string")), " ").as("ids"))
+      .orderBy(idCol)
+
   /** TF-IDF term scores: term frequency per document, document frequency
     * per term, score = tf * ln(N / df), rounded to 6 places.
     *

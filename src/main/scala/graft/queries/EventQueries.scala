@@ -145,6 +145,66 @@ object EventQueries extends Registry {
         .groupBy("event_type")
         .agg(sum("pn").as("n"), round(sum("pv"), 2).as("sum_value"))
         .orderBy("event_type")),
+
+    // Ordered funnel: how many users progressed view -> click -> purchase
+    // with strictly increasing timestamps, matched greedily on the
+    // earliest qualifying event (greedy-earliest is complete: if any
+    // increasing match exists, the earliest-first chain finds one). ONE
+    // shuffle: the per-user event sequence folds to a (stage, ts) struct
+    // inside a single aggregation — no join chain, no repeated scans;
+    // per-user state is bounded by that user's activity, the same bound
+    // sessionize already carries. The oracle proves identical counts from
+    // an independent formulation (a min-timestamp join chain).
+    "events_funnel" -> ((s, d) => {
+      val init = struct(lit(0).as("stage"),
+        lit(null).cast("timestamp").as("t"))
+      val staged = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_type").as("et")))).as("evs"))
+        .withColumn("st", aggregate(col("evs"), init, (a, x) => {
+          val stage = a.getField("stage")
+          val t = a.getField("t")
+          val ts = x.getField("ts")
+          val et = x.getField("et")
+          when(stage === 0 && et === lit("view"),
+              struct(lit(1).as("stage"), ts.as("t")))
+            .when(stage === 1 && et === lit("click") && ts > t,
+              struct(lit(2).as("stage"), ts.as("t")))
+            .when(stage === 2 && et === lit("purchase") && ts > t,
+              struct(lit(3).as("stage"), ts.as("t")))
+            .otherwise(a)
+        }).getField("stage"))
+      staged.agg(
+          sum(when(col("st") >= 1, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("st") >= 2, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("st") >= 3, 1L).otherwise(0L)).as("n_purchase"))
+        .select(expr(
+          """stack(3, 1, 'view', n_view, 2, 'click', n_click,
+                   3, 'purchase', n_purchase) AS (step, step_name, n_users)"""))
+        .select(col("step").cast("long").as("step"), col("step_name"),
+          col("n_users"))
+        .orderBy("step")
+    }),
+
+    // Cohort retention: users bucketed by first-activity day, distinct
+    // actives counted at each day offset from the cohort day. The join
+    // back onto events reuses the user_id hash partitioning from the
+    // min-aggregate shuffle, and the distinct count partial-aggregates on
+    // (cohort, offset, user) before the final merge.
+    "events_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(cohorts, "user_id")
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort")).cast("long"))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -240,5 +300,33 @@ object EventQueries extends Registry {
       """SELECT event_type, count(*) AS n,
                 round(sum("value"), 2) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // independent formulation of the funnel: greedy-earliest as a
+    // min-timestamp join chain (t1 = first view, t2 = first click after
+    // t1, t3 = first purchase after t2) — structurally unlike the Spark
+    // fold, so agreement is a real cross-check
+    "events_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+                 JOIN t1 ON e.user_id = t1.user_id
+                 WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+                 JOIN t2 ON e.user_id = t2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                (SELECT count(*) FROM t1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+         ORDER BY step""",
+
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+                    FROM events GROUP BY 1)
+         SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+                date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_offset,
+                count(DISTINCT e.user_id) AS n_users
+         FROM events e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

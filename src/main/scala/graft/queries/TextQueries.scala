@@ -179,6 +179,22 @@ object TextQueries extends Registry {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
 
+    // Frequency-ranked vocabulary (operators.Corpus.vocab): the
+    // token -> id table a tokenizer-training / encoding step consumes.
+    "text_vocab" -> ((s, d) =>
+      graft.operators.Corpus.vocab(Tables.documents(s, d), "text")),
+
+    // Corpus encoding under the top-20 vocabulary (operators.Corpus
+    // .encode): documents become id sequences, everything below the
+    // vocab cut maps to the OOV id 0. The top-20 cut is deliberate —
+    // it exercises the OOV path at every scale factor.
+    "text_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = graft.operators.Corpus.vocab(docs, "text")
+        .filter(col("token_id") <= 20)
+      graft.operators.Corpus.encode(docs, "doc_id", "text", v)
+    }),
+
     // Concat-and-cut packing into 2048-token bins per source
     // (operators.Corpus.pack), summarized per bin.
     "text_pack_bins" -> ((s, d) => {
@@ -296,6 +312,31 @@ object TextQueries extends Registry {
                    - 1)) AS DOUBLE) / sum(tf), 4) AS avg_bits
           FROM tf JOIN v USING (term), n
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_vocab" ->
+      s"""WITH e AS (SELECT unnest($toks) AS term FROM documents),
+          c AS (SELECT term, count(*) AS ctf FROM e GROUP BY 1)
+          SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
+                 term, ctf
+          FROM c ORDER BY token_id""",
+
+    "text_encode" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e0 AS (SELECT unnest(toks) AS term FROM t),
+          c AS (SELECT term, count(*) AS ctf FROM e0 GROUP BY 1),
+          v AS (SELECT row_number() OVER (ORDER BY ctf DESC, term ASC)
+                         AS token_id, term FROM c),
+          v20 AS (SELECT * FROM v WHERE token_id <= 20),
+          e AS (SELECT doc_id, unnest(toks) AS term,
+                       unnest(range(1, len(toks) + 1)) AS pos
+                FROM t WHERE len(toks) > 0),
+          j AS (SELECT e.doc_id, e.pos, coalesce(v20.token_id, 0) AS tid
+                FROM e LEFT JOIN v20 USING (term))
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+                 string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS ids
+          FROM j GROUP BY doc_id ORDER BY doc_id""",
 
     "sample_exact_stratified" ->
       """WITH r AS (SELECT lang, doc_id,

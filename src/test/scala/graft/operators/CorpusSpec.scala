@@ -33,6 +33,49 @@ class CorpusSpec extends SparkSpec {
     joined.filter(col("rebuilt") =!= col("orig")).count() shouldBe 0L
   }
 
+  test("vocab: contiguous ids, frequency-ordered, counts total the corpus") {
+    val v = Corpus.vocab(docs, "text").collect()
+    v.map(_.getLong(0)).toSeq shouldBe (1L to v.length)
+    // ids ascend as ctf descends (ties broken by term)
+    v.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) > b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getString(1) < b.getString(1)))
+    }
+    val totalToks = docs.select(sum(TF.tokenCount(col("text"))))
+      .head().getLong(0)
+    v.map(_.getLong(2)).sum shouldBe totalToks
+  }
+
+  test("encode: round-trips through the vocab; OOV maps to 0") {
+    val fullVocab = Corpus.vocab(docs, "text")
+    val full = Corpus.encode(docs, "doc_id", "text", fullVocab)
+    // full vocabulary -> zero OOV, token counts match the tokenizer
+    full.filter(col("n_oov") =!= 0L).count() shouldBe 0L
+    val id2term = fullVocab.collect()
+      .map(r => r.getLong(0).toString -> r.getString(1)).toMap
+    val decoded = full.collect().map { r =>
+      r.getLong(0) -> r.getString(3).split(" ").map(id2term).mkString(" ")
+    }.toMap
+    val orig = docs.select(col("doc_id"),
+        array_join(TF.tokens(col("text")), " ").as("t"))
+      .filter(col("t") =!= "")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded shouldBe orig
+    // truncated vocabulary: every dropped token becomes id 0, and
+    // n_tokens is unchanged
+    val cut = fullVocab.filter(col("token_id") <= 5)
+    val enc5 = Corpus.encode(docs, "doc_id", "text", cut)
+    enc5.filter(col("n_oov") === 0L).count() should be < full.count()
+    enc5.select(sum("n_tokens")).head().getLong(0) shouldBe
+      full.select(sum("n_tokens")).head().getLong(0)
+    val keptIds = (1 to 5).map(_.toString).toSet + "0"
+    enc5.collect().foreach { r =>
+      val ids = r.getString(3).split(" ")
+      assert(ids.forall(keptIds.contains), s"unexpected id in ${r}")
+      ids.count(_ == "0") shouldBe r.getLong(2)
+    }
+  }
+
   test("shardExpr is layout-independent, in range, and balanced") {
     val n = 16
     val assign = docs.select(col("doc_id"),

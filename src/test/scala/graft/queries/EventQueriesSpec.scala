@@ -20,6 +20,29 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("funnel: monotone stages; stage 1 equals distinct users with a view") {
+    val rows = EventQueries.defs("events_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.keySet shouldBe Set(1L, 2L, 3L)
+    assert(rows(1L) >= rows(2L) && rows(2L) >= rows(3L),
+      s"funnel not monotone: $rows")
+    val viewers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(countDistinct("user_id")).head().getLong(0)
+    rows(1L) shouldBe viewers
+    assert(rows(3L) > 0, "no user completed the funnel — data too thin?")
+  }
+
+  test("retention: offset-0 cohort sizes partition the distinct users") {
+    val ret = EventQueries.defs("events_retention")(spark, sfDir).collect()
+    val offset0Sum = ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val totalUsers = Tables.events(spark, sfDir)
+      .select(countDistinct("user_id")).head().getLong(0)
+    offset0Sum shouldBe totalUsers
+    // offsets are non-negative: nobody is active before their first day
+    all(ret.map(_.getLong(1))) should be >= 0L
+  }
+
   test("salted aggregation equals the direct group-by") {
     val salted = EventQueries.defs("events_salted_agg")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
