@@ -92,6 +92,37 @@ object Corpus {
       .cast("binary")), 1, 4), 16, 10).cast("long") % nShards).cast("int")
   }
 
+  /** Deterministic global training-order shuffle: every doc gets a
+    * position 1..N under the order md5(seed:id) — reproducible across
+    * engines, runs, and physical layouts (the property a training job
+    * needs to resume or re-shard mid-epoch), and changing the seed
+    * re-shuffles without touching the data.
+    *
+    * Global enumeration WITHOUT a global window: a single row_number over
+    * the full order would drag the corpus into one partition. Instead the
+    * hex key's first byte splits the order into 256 contiguous ranges;
+    * positions are per-range row_numbers plus broadcast range offsets (a
+    * 256-row aggregate — the only driver-scale state). The expensive part
+    * is one hash-partitioned window per range, exactly a distributed
+    * sort's shape. */
+  def shuffleOrder(docs: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val tiny = org.apache.spark.sql.expressions.Window
+      .orderBy("bkt").rowsBetween(Long.MinValue, -1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("skey"), col(idCol))
+    val keyed = docs.select(col(idCol),
+        md5(concat(lit(s"$seed:"), col(idCol).cast("string"))
+          .cast("binary")).as("skey"))
+      .withColumn("bkt", substring(col("skey"), 1, 2))
+    val offs = keyed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(tiny), lit(0L)))
+      .select("bkt", "off")
+    keyed.join(broadcast(offs), "bkt")
+      .withColumn("pos", (col("off") + row_number().over(w)).cast("long"))
+      .select("pos", idCol, "skey")
+      .orderBy("pos")
+  }
+
   /** Frequency-ranked vocabulary: (token_id, term, ctf) with contiguous
     * ids assigned by corpus term frequency (descending, term ascending on
     * ties — a total, engine-portable order). Ids start at 1; 0 is reserved

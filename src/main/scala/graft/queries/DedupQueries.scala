@@ -38,6 +38,20 @@ object DedupQueries extends Registry {
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.2)),
 
+    // SemDeDup flags (operators.Dedup.semdedupFlags): cluster-bucketed
+    // semantic dedup. No oracle (the k-means quantizer is
+    // engine-internal); SemDedupSpec re-derives every keep/drop decision
+    // from the emitted (cell, rnk) assignment and the raw vectors.
+    "dedup_semantic" -> ((s, d) =>
+      Dedup.semdedupFlags(Tables.embeddings(s, d), "vec_id", "embedding",
+        eps = 0.2)),
+
+    // Directed n-gram containment (passage-in-document): exact-oracled
+    // against an all-pairs DuckDB intersection.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
     "dedup_components" -> ((s, d) =>
       Dedup.components(
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -172,6 +186,18 @@ object DedupQueries extends Registry {
                 count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
                   AS n_distinct
          FROM documents""",
+
+    // directed containment from the same shared CTEs: intersections are
+    // symmetric, so both directions come from one triangular `inter`
+    "dedup_containment" ->
+      s"""WITH $shingleCtes,
+          dinter AS (SELECT doc_a, doc_b, i FROM inter
+                     UNION ALL SELECT doc_b, doc_a, i FROM inter)
+          SELECT doc_a, doc_b, (10000 * i) // sa.nsh AS cont_bp
+          FROM dinter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          WHERE 10000 * i >= 8000 * sa.nsh
+          ORDER BY doc_a, doc_b""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes

@@ -179,6 +179,13 @@ object TextQueries extends Registry {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
 
+    // Deterministic training-order shuffle (operators.Corpus
+    // .shuffleOrder): global positions under md5(seed:id), engine- and
+    // layout-independent.
+    "corpus_shuffle" -> ((s, d) =>
+      graft.operators.Corpus.shuffleOrder(Tables.documents(s, d),
+        "doc_id", seed = 42L)),
+
     // Frequency-ranked vocabulary (operators.Corpus.vocab): the
     // token -> id table a tokenizer-training / encoding step consumes.
     "text_vocab" -> ((s, d) =>
@@ -312,6 +319,12 @@ object TextQueries extends Registry {
                    - 1)) AS DOUBLE) / sum(tf), 4) AS avg_bits
           FROM tf JOIN v USING (term), n
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS pos,
+                doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS skey
+         FROM documents ORDER BY pos""",
 
     "text_vocab" ->
       s"""WITH e AS (SELECT unnest($toks) AS term FROM documents),

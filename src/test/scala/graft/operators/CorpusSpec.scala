@@ -33,6 +33,23 @@ class CorpusSpec extends SparkSpec {
     joined.filter(col("rebuilt") =!= col("orig")).count() shouldBe 0L
   }
 
+  test("shuffleOrder: a reproducible, layout-independent permutation") {
+    val a = Corpus.shuffleOrder(docs, "doc_id", seed = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // positions are exactly 1..N and follow the (skey, id) sort order
+    a.map(_._1).toSeq shouldBe (1L to a.length)
+    a.map(r => (r._3, r._2)).toSeq shouldBe
+      a.map(r => (r._3, r._2)).sorted.toSeq
+    // physical layout must not leak into positions
+    val b = Corpus.shuffleOrder(docs.repartition(7), "doc_id", 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    b.toSeq shouldBe a.toSeq
+    // a different seed produces a genuinely different order
+    val c = Corpus.shuffleOrder(docs, "doc_id", seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    c.toSeq should not be a.map(r => (r._1, r._2)).toSeq
+  }
+
   test("vocab: contiguous ids, frequency-ordered, counts total the corpus") {
     val v = Corpus.vocab(docs, "text").collect()
     v.map(_.getLong(0)).toSeq shouldBe (1L to v.length)

@@ -105,4 +105,74 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.5 - 1e-4)
     }
   }
+
+  test("semdedup: every keep/drop decision matches the upper-triangular rule") {
+    val eps = 0.2
+    val embs = Tables.embeddings(spark, sfDir)
+    val flags = Dedup.semdedupFlags(embs, "vec_id", "embedding", eps)
+    val rows = flags.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(4)))
+    // ranks are a contiguous 1..m permutation inside every cell
+    rows.groupBy(_._2).values.foreach { cell =>
+      cell.map(_._3).sorted.toSeq shouldBe (1L to cell.length)
+    }
+    // pairwise sims via the SAME codegen kernel the operator uses, so the
+    // spec's rule replay cannot drift from the operator by a float ulp
+    val withCell = embs.select(col("vec_id"), col("embedding"))
+      .join(flags.select(col("vec_id"), col("cell"), col("rnk")), "vec_id")
+    val sims = withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.rnk") < col("b.rnk"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.HashExprs.cosine_sim(
+          col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expectedDrops = sims.filter(_._3 >= eps).map(_._2).toSet
+    val gotDrops = rows.filter(!_._4).map(_._1).toSet
+    gotDrops shouldBe expectedDrops
+    // the operator actually prunes something on this corpus, and keeps
+    // the prototypical rank-1 member of every cell
+    gotDrops should not be empty
+    rows.filter(_._3 == 1L).foreach { r => assert(r._4, s"rank-1 dropped: $r") }
+  }
+
+  test("containment: full containment detected; relation matches brute force") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val crafted = Seq(
+      (1L, base),                                     // contained in 2
+      (2L, s"$base iota kappa " * 3),                 // the container
+      (3L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(crafted, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 1 ⊂ 2 fully (cont 10000); 2 ⊄ 1 (2 has many shingles 1 lacks)
+    got.map(p => (p._1, p._2)) should contain((1L, 2L))
+    got.find(p => p._1 == 1L && p._2 == 2L).get._3 shouldBe 10000L
+    got.map(p => (p._1, p._2)) should not contain ((2L, 1L))
+
+    // real corpus: exact equality with the all-pairs brute force
+    import graft.functions.{TextFunctions => TF}
+    val sets = docs
+      .select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib
+      inter = (sa & sb).size.toLong
+      if inter * 10000 >= sa.size.toLong * 8000
+    } yield (ia, ib, 10000L * inter / sa.size)).toSet
+    val real = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    real shouldBe brute
+    // and it strictly contains both directions of every Jaccard pair
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val realPairs = real.map(p => (p._1, p._2))
+    jac.foreach { case (a, b) =>
+      realPairs should contain(a -> b)
+      realPairs should contain(b -> a)
+    }
+  }
 }
