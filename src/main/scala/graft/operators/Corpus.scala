@@ -149,17 +149,23 @@ object Corpus {
     * output of `vocab`): (id, n_tokens, n_oov, ids) where `ids` is the
     * space-joined id string in document order and OOV tokens map to 0.
     *
-    * The vocabulary joins BROADCAST onto the exploded (doc, pos, term)
-    * stream — no shuffle of the corpus for the lookup; the only shuffle is
-    * the per-document reassembly, carrying (id, pos, token_id) triples
-    * (~16 bytes/token) rather than text. Documents with zero tokens
-    * produce no row, matching `chunk`. */
+    * With `broadcastVocab` (the default) the vocabulary joins BROADCAST
+    * onto the exploded (doc, pos, term) stream — no shuffle of the corpus
+    * for the lookup; the only shuffle is the per-document reassembly,
+    * carrying (id, pos, token_id) triples (~16 bytes/token) rather than
+    * text. `vocab()` can reach millions of rows on a real corpus, where a
+    * forced broadcast blows the driver/executor broadcast limit — pass
+    * broadcastVocab = false there and the lookup becomes a plain shuffle
+    * hash join on `term` (AQE still downgrades to broadcast at runtime if
+    * the vocabulary turns out small). Documents with zero tokens produce
+    * no row, matching `chunk`. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-             vocabDf: DataFrame): DataFrame =
+             vocabDf: DataFrame, broadcastVocab: Boolean = true): DataFrame = {
+    val v = vocabDf.select("term", "token_id")
     docs
       .select(col(idCol),
         posexplode(TF.tokens(col(textCol))).as(Seq("pos", "term")))
-      .join(broadcast(vocabDf.select("term", "token_id")), Seq("term"), "left")
+      .join(if (broadcastVocab) broadcast(v) else v, Seq("term"), "left")
       .withColumn("tid", coalesce(col("token_id"), lit(0L)))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
@@ -168,6 +174,7 @@ object Corpus {
           array_sort(collect_list(struct(col("pos"), col("tid")))),
           x => x.getField("tid").cast("string")), " ").as("ids"))
       .orderBy(idCol)
+  }
 
   /** TF-IDF term scores: term frequency per document, document frequency
     * per term, score = tf * ln(N / df), rounded to 6 places.

@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Orderable under SQL sort semantics: maps (and anything containing
+    * one) have no total order and fail in analysis if sorted on. */
+  private def isOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => isOrderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => isOrderable(a.elementType)
+      case _ => true
+    }
+
   /** Backward as-of join: every left row picks the single right row with
     * the greatest right timestamp <= its own timestamp, among rows with
     * equal `keys` (left-outer: left rows with no prior right row keep
@@ -31,9 +42,14 @@ object Joins {
     * range into coarse time chunks and as-of joining chunk-by-chunk with
     * the previous chunk's tail carried over.
     *
-    * Ties among right rows with identical (keys, ts) are broken by the
-    * largest payload struct (deterministic); keep (keys, rightTs) unique
-    * on the right side if the choice must be meaningful.
+    * Ties among right rows with identical (keys, ts): pass `tieBreak`
+    * (right column names) and the row with the LARGEST tie-break value
+    * wins, deterministically. Without `tieBreak` the full right payload
+    * struct is the tie-break (back-compat), which requires every rightCol
+    * to be an orderable type — a map-typed payload column is rejected up
+    * front with instructions, instead of failing in analysis. Keep
+    * (keys, rightTs[, tieBreak]) unique on the right side if the choice
+    * must be meaningful.
     *
     * @param rightCols right columns to attach (must not collide with left
     *                  column names); the matched right timestamp is always
@@ -44,12 +60,17 @@ object Joins {
     * @param forward      match the EARLIEST right row with ts >= left.ts
     *                     instead (next-event attribution); same one-shuffle
     *                     plan, window order reversed
+    * @param tieBreak     right columns breaking equal-timestamp ties
+    *                     (largest wins); must be a subset of rightCols
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
            toleranceSec: Option[Long] = None,
-           forward: Boolean = false): DataFrame = {
+           forward: Boolean = false,
+           tieBreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "asOf needs at least one equality key")
+    require(tieBreak.forall(rightCols.contains),
+      s"tieBreak ${tieBreak.mkString(",")} must be a subset of rightCols")
     val leftCols = left.columns.toSeq
     val outTs = s"matched_$rightTs"
     require(!(rightCols :+ outTs).exists(leftCols.contains),
@@ -82,8 +103,19 @@ object Joins {
     // rows at equal timestamps (__side asc), so ts == left.ts matches in
     // both directions
     val tOrder = if (forward) col("__t").desc else col("__t").asc
+    // equal-(keys, ts) right rows: order so the winner (last non-null in
+    // window order) is the largest tie-break — explicit columns if given,
+    // else the whole payload struct, which must then be orderable
+    val tieOrder =
+      if (tieBreak.nonEmpty) tieBreak.map(c => col("__r").getField(c).asc)
+      else {
+        require(isOrderable(rStructType),
+          "rightCols contain a non-orderable type (e.g. map); pass an " +
+            "explicit tieBreak column to asOf")
+        Seq(col("__r").asc)
+      }
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tOrder, col("__side").asc, col("__r").asc)
+      .orderBy((tOrder +: col("__side").asc +: tieOrder): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rTagged.union(lTagged)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -79,14 +79,19 @@ object RefQueries extends Registry {
 
   /** DuckDB mirror of LogFiles.lines: read_text + positionally-zipped
     * unnest reproduces (file, line_no, line) with the same 1-based
-    * numbering and the same trailing-empty-line behavior. */
+    * numbering, and the same phantom-trailing-empty-line drop (a
+    * newline-terminated file reports its true line count, grep/wc
+    * accounting). */
   private val logLinesCte =
     s"""f AS (SELECT regexp_extract(filename, '[^/]+$$') AS file,
                      string_split(content, chr(10)) AS lines
               FROM read_text('$logsDir/*.log')),
-        l AS (SELECT file, unnest(range(1, len(lines) + 1)) AS line_no,
-                     unnest(lines) AS line
-              FROM f)"""
+        l0 AS (SELECT file, len(lines) AS n,
+                      unnest(range(1, len(lines) + 1)) AS line_no,
+                      unnest(lines) AS line
+               FROM f),
+        l AS (SELECT file, line_no, line FROM l0
+              WHERE NOT (line_no = n AND line = ''))"""
 
   val oracles: Map[String, String] = Map(
     "grep_per_file" ->

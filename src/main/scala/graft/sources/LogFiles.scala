@@ -23,13 +23,20 @@ object LogFiles {
   /** All lines of every `glob`-matching file under `dir`:
     * (file, line_no, line). The default glob keeps the scan pinned to
     * log files — a stray non-log file (editor backup, README) must not
-    * silently join the corpus. */
+    * silently join the corpus.
+    *
+    * A newline-TERMINATED file (the normal POSIX shape) splits into a
+    * phantom empty final element; it is dropped so line accounting matches
+    * grep/wc — only a trailing empty element goes, so a file ending in a
+    * genuine blank line ("...\n\n") still reports it, and a wholly empty
+    * file yields zero lines. */
   def lines(spark: SparkSession, dir: String,
             glob: String = "*.log"): DataFrame =
     spark.read.option("wholetext", "true").text(s"$dir/$glob")
       .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"),
-        col("value"))
-      .select(col("file"), posexplode(split(col("value"), "\n")))
+        split(col("value"), "\n").as("ls"))
+      .select(col("file"), size(col("ls")).as("n"), posexplode(col("ls")))
+      .filter(!(col("pos") === col("n") - 1 && col("col") === ""))
       .select(col("file"), (col("pos") + 1).cast("long").as("line_no"),
         col("col").as("line"))
 

@@ -81,6 +81,41 @@ class JoinsSpec extends SparkSpec {
     // equal-ts ties resolve to the largest payload struct, as documented
   }
 
+  test("asOf tieBreak picks the largest tie-break among equal-ts rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("id", "sec")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"))
+    // three right rows at the SAME (key, ts); priority decides the winner
+    val right = Seq((10L, 3L), (20L, 9L), (30L, 5L)).map { case (p, pr) =>
+        (1L, 100L, p, pr)
+      }.toDF("id", "sec", "payload", "priority")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"),
+        col("payload"), col("priority"))
+    val got = Joins.asOf(left, right, Seq("id"), "ts", "ts",
+      Seq("payload", "priority"), tieBreak = Seq("priority"))
+    got.head().getAs[Long]("payload") shouldBe 20L // priority 9 wins
+    // tieBreak not in rightCols is rejected up front
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOf(left, right, Seq("id"), "ts", "ts", Seq("payload"),
+        tieBreak = Seq("priority"))
+  }
+
+  test("asOf rejects a map-typed payload unless a tieBreak is given") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("id", "sec")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"))
+    val right = Seq((1L, 90L, 7L)).toDF("id", "sec", "payload")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"),
+        map(lit("k"), col("payload")).as("m"), col("payload"))
+    // maps have no total order: default full-struct tie-break must refuse
+    an[IllegalArgumentException] should be thrownBy
+      Joins.asOf(left, right, Seq("id"), "ts", "ts", Seq("m", "payload"))
+    // with an explicit orderable tieBreak the same payload works
+    val got = Joins.asOf(left, right, Seq("id"), "ts", "ts",
+      Seq("m", "payload"), tieBreak = Seq("payload"))
+    got.head().getAs[Long]("payload") shouldBe 7L
+  }
+
   test("asOf with an empty right side keeps all left rows unmatched") {
     val none = clicks.filter(lit(false))
     val df = Joins.asOf(purchases, none, Seq("user_id"), "ts", "ts",

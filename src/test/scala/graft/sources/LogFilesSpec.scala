@@ -15,18 +15,35 @@ class LogFilesSpec extends SparkSpec {
   private val logsDir =
     sys.env.getOrElse("GRAFT_LOGS_DIR", "/root/repo/data/logs")
 
-  private def expectedMatches(pattern: String): Seq[(String, Long, String)] = {
-    val re = pattern.r
+  private def fileLines: Seq[(String, Seq[String])] =
     Files.list(Paths.get(logsDir)).iterator().asScala.toSeq
       .filter(_.toString.endsWith(".log")).sortBy(_.getFileName.toString)
-      .flatMap { p =>
-        // mirror split("\n"): a trailing newline yields a final empty line
-        val lines = new String(Files.readAllBytes(p), "UTF-8").split("\n", -1)
-        lines.zipWithIndex.collect {
-          case (l, i) if re.findFirstIn(l).isDefined =>
-            (p.getFileName.toString, (i + 1).toLong, l)
-        }
+      .map { p =>
+        // grep/wc accounting: a newline-terminated file has no phantom
+        // final empty line (drop exactly one trailing empty element)
+        val all = new String(Files.readAllBytes(p), "UTF-8").split("\n", -1)
+        val lines: Seq[String] =
+          if (all.nonEmpty && all.last.isEmpty) all.dropRight(1).toSeq
+          else all.toSeq
+        (p.getFileName.toString, lines)
       }
+
+  private def expectedMatches(pattern: String): Seq[(String, Long, String)] = {
+    val re = pattern.r
+    fileLines.flatMap { case (f, lines) =>
+      lines.zipWithIndex.collect {
+        case (l, i) if re.findFirstIn(l).isDefined => (f, (i + 1).toLong, l)
+      }
+    }
+  }
+
+  test("lines() reports wc-accurate per-file line counts (no phantom line)") {
+    val got = LogFiles.lines(spark, logsDir)
+      .groupBy("file").count().orderBy("file").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = fileLines.map { case (f, ls) => (f, ls.size.toLong) }
+    want should not be empty
+    got shouldBe want
   }
 
   test("grep reports exact file + line-number provenance") {
