@@ -19,11 +19,20 @@ object Graph {
 
   /** Per-node degree summary: (node, out_deg, in_deg), total order by
     * node. Two partial-aggregated counts merged with a full outer join —
-    * shuffle volume is one (node, count) pair per node per side. */
-  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val outD = edges.groupBy(col(srcCol).as("node"))
+    * shuffle volume is one (node, count) pair per node per side.
+    *
+    * Multi-edge semantics: by default every input row counts (a node
+    * with three parallel edges to the same neighbor has out_deg 3 —
+    * degree-as-edge-count, what a weighted edge list means); pass
+    * `distinctEdges = true` for neighbor-count degrees on the simple
+    * graph — the SAME edge relation [[pagerankInt]] always runs on. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String,
+              distinctEdges: Boolean = false): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (distinctEdges) e0.distinct() else e0
+    val outD = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"))
-    val inD = edges.groupBy(col(dstCol).as("node"))
+    val inD = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("in_deg"))
     outD.join(inD, Seq("node"), "full_outer")
       .na.fill(0L, Seq("out_deg", "in_deg"))
@@ -41,11 +50,21 @@ object Graph {
     * same trick as the jac_bp basis points in [[Dedup]]).
     *
     * Semantics: the simplified damped model (Page et al. 1998) on the
-    * distinct edge relation. Dangling nodes (out_deg 0) leak their damped
-    * mass, and DIV truncation sheds up to out_deg-1 micro-units per node
-    * per round — both deterministic, both standard for the
-    * centrality-RANKING use (relative order is what dedup/curation
-    * pipelines consume, not the stationary distribution).
+    * distinct edge relation — parallel edges collapse to one (the same
+    * simple graph as [[degrees]] with `distinctEdges = true`; use edge
+    * multiplicity only via [[degrees]]' default mode). Dangling nodes
+    * (out_deg 0) leak their damped mass, and DIV truncation sheds up to
+    * out_deg-1 micro-units per node per round — both deterministic, both
+    * standard for the centrality-RANKING use (relative order is what
+    * dedup/curation pipelines consume, not the stationary distribution).
+    *
+    * Overflow: the damping step reduces csum by 10000 BEFORE multiplying
+    * by dampBp (the two forms are bit-identical for non-negative csum:
+    * with csum = q*10000 + r, `dampBp*csum DIV 10000` = `dampBp*q +
+    * (dampBp*r) DIV 10000`), so the intermediate stays within ~csum
+    * instead of 10000x it — safe to ~9e12 total graph mass (~9e12 nodes)
+    * rather than ~9e8, and non-ANSI Long wrap cannot silently corrupt
+    * ranks at the scales this module advertises.
     *
     * Scale shape: the edge relation is materialized once
     * (localCheckpoint) and reused every round; each round shuffles only
@@ -79,10 +98,53 @@ object Graph {
       rank = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
-            expr(s"($dampBp * coalesce(csum, CAST(0 AS BIGINT))) DIV 10000"))
+            expr(s"(coalesce(csum, CAST(0 AS BIGINT)) DIV 10000) * $dampBp" +
+              s" + ((coalesce(csum, CAST(0 AS BIGINT)) % 10000) * $dampBp)" +
+              s" DIV 10000"))
             .as("rank"))
         .localCheckpoint(true) // truncate the iterative lineage each round
     }
     rank.orderBy("node")
+  }
+
+  /** Triangle enumeration on the undirected simple graph induced by the
+    * edge list (direction, parallel edges, and self-loops are dropped).
+    * Returns one row per triangle as (a, b, c) with a < b < c by node id,
+    * total order by (a, b, c).
+    *
+    * Scale shape: edges are oriented low→high by (degree, id) and wedges
+    * are built only at each triangle's unique (degree, id)-minimum apex —
+    * the standard degree-orientation bound (Schank & Wagner 2005): a
+    * vertex's oriented out-degree is O(√m) on any graph, so wedge count is
+    * O(m^1.5) worst case instead of Σdeg² (a single hub with degree 10⁶
+    * would otherwise generate 10¹² wedges on one reducer). The closing
+    * check is a hash equi-join of wedges against the canonical edge set —
+    * every shuffle carries (id, id) pairs only. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("w"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint; u < w already,
+    // so a degree tie keeps u as the tail
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("w"), col("deg").as("dw")), "w")
+      .select(
+        when(col("du") <= col("dw"), col("u")).otherwise(col("w")).as("lo"),
+        when(col("du") <= col("dw"), col("w")).otherwise(col("u")).as("hi"))
+    val wedges = oriented.select(col("lo").as("apex"), col("hi").as("b"))
+      .join(oriented.select(col("lo").as("apex"), col("hi").as("c")), "apex")
+      .filter(col("b") < col("c"))
+    wedges.join(und, wedges("b") === und("u") && wedges("c") === und("w"))
+      .select(array_sort(array(col("apex"), col("b"), col("c"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+      .orderBy("a", "b", "c")
   }
 }

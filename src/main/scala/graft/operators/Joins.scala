@@ -44,12 +44,17 @@ object Joins {
     *
     * Ties among right rows with identical (keys, ts): pass `tieBreak`
     * (right column names) and the row with the LARGEST tie-break value
-    * wins, deterministically. Without `tieBreak` the full right payload
-    * struct is the tie-break (back-compat), which requires every rightCol
-    * to be an orderable type — a map-typed payload column is rejected up
-    * front with instructions, instead of failing in analysis. Keep
-    * (keys, rightTs[, tieBreak]) unique on the right side if the choice
-    * must be meaningful.
+    * wins, deterministically. When the right payload struct is orderable,
+    * the full struct is always appended as the FINAL tie key — so rows
+    * still tying on (keys, ts, tieBreak...) resolve by total payload
+    * order instead of partition order, and determinism holds whenever it
+    * is achievable. Without `tieBreak` the struct is the only tie-break
+    * (back-compat), which then REQUIRES every rightCol to be an orderable
+    * type — a map-typed payload column is rejected up front with
+    * instructions, instead of failing in analysis; with an explicit
+    * `tieBreak` a non-orderable payload is accepted and ties beyond the
+    * given columns are the one remaining nondeterminism (keep
+    * (keys, rightTs, tieBreak...) unique on the right side then).
     *
     * @param rightCols right columns to attach (must not collide with left
     *                  column names); the matched right timestamp is always
@@ -107,8 +112,13 @@ object Joins {
     // window order) is the largest tie-break — explicit columns if given,
     // else the whole payload struct, which must then be orderable
     val tieOrder =
-      if (tieBreak.nonEmpty) tieBreak.map(c => col("__r").getField(c).asc)
-      else {
+      if (tieBreak.nonEmpty) {
+        val explicit = tieBreak.map(c => col("__r").getField(c).asc)
+        // full-struct backstop: rows tying on every explicit key still
+        // resolve deterministically whenever the payload has a total order
+        if (isOrderable(rStructType)) explicit :+ col("__r").asc
+        else explicit
+      } else {
         require(isOrderable(rStructType),
           "rightCols contain a non-orderable type (e.g. map); pass an " +
             "explicit tieBreak column to asOf")

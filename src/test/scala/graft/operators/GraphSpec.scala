@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph.degrees / Graph.pagerankInt / Graph.triangles on hand-computable
+  * graphs exercising the awkward shapes: a dangling node (in-edges only),
+  * a duplicate edge, a self-loop, and a reverse edge. PageRank is checked
+  * against an in-memory integer simulation implementing the documented
+  * fixed-point arithmetic — the operator's claim is bit-identical
+  * determinism, so the test demands exact equality, not tolerance.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 4 is dangling (no out-edges), 1->2 is duplicated, 5->5 is a self-loop
+  private lazy val edges = Seq(
+    (1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L)
+  ).toDF("src", "dst")
+
+  test("degrees counts parallel edges by default") {
+    val got = Graph.degrees(edges, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array(
+      (1L, 3L, 1L), (2L, 1L, 2L), (3L, 2L, 1L), (4L, 0L, 2L), (5L, 1L, 1L))
+  }
+
+  test("degrees with distinctEdges counts neighbors on the simple graph") {
+    val got = Graph.degrees(edges, "src", "dst", distinctEdges = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array(
+      (1L, 2L, 1L), (2L, 1L, 1L), (3L, 2L, 1L), (4L, 0L, 2L), (5L, 1L, 1L))
+  }
+
+  /** Reference simulation of the documented fixed-point PageRank: distinct
+    * edges, rank in micro-units, integer truncating division everywhere. */
+  private def simulate(es: Set[(Long, Long)], iters: Int,
+                       dampBp: Long): Map[Long, Long] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2))
+    val scale = 1000000L
+    val base = scale * (10000 - dampBp) / 10000
+    val outDeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d) <- es) contrib(d) += rank(s) / outDeg(s)
+      rank = nodes.map { n =>
+        val c = contrib(n)
+        n -> (base + (c / 10000) * dampBp + ((c % 10000) * dampBp) / 10000)
+      }.toMap
+    }
+    rank
+  }
+
+  test("pagerankInt matches the integer simulation exactly") {
+    val distinctEdges = Set(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L))
+    for (iters <- Seq(1, 4)) {
+      val want = simulate(distinctEdges, iters, 8500L)
+      val got = Graph.pagerankInt(edges, "src", "dst", iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe want
+    }
+  }
+
+  test("pagerankInt output is ordered by node and mass-plausible") {
+    val pr = Graph.pagerankInt(edges, "src", "dst", 4).collect()
+    pr.map(_.getLong(0)) shouldBe pr.map(_.getLong(0)).sorted
+    // total mass can only leak (dangling nodes + DIV truncation), never grow
+    pr.map(_.getLong(1)).sum should be <= 5L * 1000000L
+    all(pr.map(_.getLong(1))) should be >= 150000L // the undamped base
+  }
+
+  test("damping reduction is bit-identical to the naive product form") {
+    // the overflow-safe form (reduce csum by 10000 BEFORE multiplying)
+    // must equal dampBp*csum DIV 10000 computed without overflow
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000; dampBp <- Seq(0L, 1L, 8500L, 10000L)) {
+      val c = rnd.nextLong(Long.MaxValue)
+      val reduced = (c / 10000) * dampBp + ((c % 10000) * dampBp) / 10000
+      val exact = (BigInt(dampBp) * BigInt(c) / 10000).toLong
+      reduced shouldBe exact
+    }
+    // and it survives a csum that overflows the naive Long product
+    val big = 1000000000000000L // 1e15: 10000x it exceeds Long.MaxValue
+    val viaSpark = spark.range(1).select(
+      expr(s"(CAST($big AS BIGINT) DIV 10000) * 8500 + " +
+        s"((CAST($big AS BIGINT) % 10000) * 8500) DIV 10000").as("r"))
+      .head.getLong(0)
+    viaSpark shouldBe 850000000000000L
+  }
+
+  test("triangles enumerates each triangle once, id-sorted") {
+    // triangles {1,2,3} and {2,3,4}; 2->1 reverses an existing edge,
+    // 3->3 self-loops, 1->2 repeats, 4->5 closes nothing
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (3L, 3L), (1L, 2L),
+      (2L, 4L), (4L, 3L), (4L, 5L)
+    ).toDF("src", "dst")
+    val got = Graph.triangles(e, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array((1L, 2L, 3L), (2L, 3L, 4L))
+  }
+
+  test("triangles on a hubbed graph (degree orientation stays correct)") {
+    // star hub 0 -> 1..5 plus rim edge 1-2: exactly one triangle {0,1,2}
+    val e = ((1L to 5L).map(i => (0L, i)) :+ (2L, 1L)).toDF("src", "dst")
+    val got = Graph.triangles(e, "src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got shouldBe Array((0L, 1L, 2L))
+  }
+}

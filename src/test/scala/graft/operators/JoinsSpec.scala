@@ -100,6 +100,27 @@ class JoinsSpec extends SparkSpec {
         tieBreak = Seq("priority"))
   }
 
+  test("asOf ties beyond an explicit tieBreak resolve by payload order") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("id", "sec")
+      .select(col("id"), timestamp_seconds(col("sec")).as("ts"))
+    // all three right rows tie on (key, ts, priority): the full-struct
+    // backstop must deterministically pick the largest payload, however
+    // the rows are partitioned
+    val rows = Seq((10L, 5L), (30L, 5L), (20L, 5L)).map { case (p, pr) =>
+      (1L, 100L, p, pr)
+    }
+    for (parts <- Seq(1, 3)) {
+      val right = spark.createDataFrame(rows).repartition(parts)
+        .toDF("id", "sec", "payload", "priority")
+        .select(col("id"), timestamp_seconds(col("sec")).as("ts"),
+          col("payload"), col("priority"))
+      val got = Joins.asOf(left, right, Seq("id"), "ts", "ts",
+        Seq("payload", "priority"), tieBreak = Seq("priority"))
+      got.head().getAs[Long]("payload") shouldBe 30L
+    }
+  }
+
   test("asOf rejects a map-typed payload unless a tieBreak is given") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("id", "sec")
