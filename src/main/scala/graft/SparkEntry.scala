@@ -28,6 +28,7 @@ object SparkEntry {
     MultimodalQueries,
     EventQueries,
     TemporalQueries,
+    GraphQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Graph
+
+/** Graph queries over the nation-to-nation trade graph derived from the
+  * TPC-H-ish tables: one directed edge per lineitem, customer nation →
+  * supplier nation (the reference's twitter app treats its input as just
+  * such an edge list, reference `server/twitter.go:59-67`; cs425_mp4.pdf
+  * §3.3 "forms a directed graph").
+  *
+  * Two edge relations exercise both multi-edge semantics:
+  *  - the RAW relation (~|lineitem| parallel edges) feeds degrees, where
+  *    multiplicity IS the signal (trade volume);
+  *  - the STRONG-TRADE relation — distinct pairs whose weight exceeds
+  *    1.15x the mean pair weight — feeds PageRank and triangles. The
+  *    threshold is relative, so the graph stays sparse and irregular at
+  *    every scale factor, and the comparison is integer-exact
+  *    (w * npairs * 100 > 115 * total) so both engines agree bit-for-bit.
+  *
+  * The PageRank oracle replays the operator's fixed-point integer
+  * arithmetic in DuckDB as UNROLLED iteration CTEs (standard SQL forbids
+  * aggregation inside a recursive CTE term, and the iteration count is a
+  * fixed parameter anyway) — possible only because ranks are integers;
+  * float PageRank could never hash-match across engines.
+  */
+object GraphQueries extends Registry {
+
+  private val Iters = 5
+  private val DampBp = 8500L
+  private val Scale = 1000000L
+  private val Base = Scale * (10000 - DampBp) / 10000
+
+  /** Raw multi-edge relation: customer nation → supplier nation per
+    * lineitem. Star joins onto broadcast-size dims (customer/supplier
+    * project to two columns each; Catalyst broadcasts both). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+  }
+
+  /** Distinct pairs above 1.15x mean pair weight. The global stats are a
+    * one-row aggregate broadcast back onto the pair relation — no second
+    * shuffle, no window over a single partition. */
+  private def strongTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = tradeEdges(s, d).groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+    val stats = pairs.agg(sum("w").as("t"), count(lit(1)).as("np"))
+    pairs.crossJoin(broadcast(stats))
+      .filter(col("w") * col("np") * lit(100L) > lit(115L) * col("t"))
+      .select("src", "dst")
+  }
+
+  val defs: Map[String, QueryFn] = Map(
+    // degree-as-edge-count on the raw multi-edge relation: out_deg is the
+    // nation's purchase line count, in_deg its supply line count
+    "graph_degrees" -> ((s, d) =>
+      Graph.degrees(tradeEdges(s, d), "src", "dst")),
+
+    "graph_pagerank" -> ((s, d) =>
+      Graph.pagerankInt(strongTradeEdges(s, d), "src", "dst",
+        iters = Iters, dampBp = DampBp.toInt)),
+
+    "graph_triangles" -> ((s, d) =>
+      Graph.triangles(strongTradeEdges(s, d), "src", "dst")),
+  )
+
+  /** Raw trade edge list as a DuckDB CTE body. */
+  private val edgesSql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS src,
+              CAST(s_nationkey AS BIGINT) AS dst
+       FROM lineitem
+       JOIN orders   ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey  = c_custkey
+       JOIN supplier ON l_suppkey  = s_suppkey"""
+
+  /** Strong-trade CTE chain (expects `e0` = raw edges to exist). */
+  private val strongSql =
+    """pairs AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+                 FROM e0 GROUP BY src, dst),
+       stats AS (SELECT CAST(sum(w) AS BIGINT) AS t,
+                        CAST(count(*) AS BIGINT) AS np FROM pairs),
+       e AS (SELECT src, dst FROM pairs, stats
+             WHERE w * np * 100 > 115 * t)"""
+
+  /** Unrolled integer PageRank: c<i> sums truncated contributions into
+    * each node, r<i> applies the overflow-safe damping reduction — the
+    * exact arithmetic of Graph.pagerankInt (`//` is DuckDB integer
+    * division, as DIV is Spark's). */
+  private def pagerankSteps: String = (1 to Iters).map { i =>
+    s"""c$i AS (SELECT e.dst AS node,
+                CAST(sum(r${i - 1}.rank // outd.od) AS BIGINT) AS csum
+           FROM e
+           JOIN outd ON e.src = outd.src
+           JOIN r${i - 1} ON r${i - 1}.node = e.src
+           GROUP BY e.dst),
+       r$i AS (SELECT n.node,
+                CAST($Base + (coalesce(c.csum, 0) // 10000) * $DampBp
+                   + ((coalesce(c.csum, 0) % 10000) * $DampBp) // 10000
+                 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "graph_degrees" ->
+      s"""WITH e0 AS ($edgesSql),
+          o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg
+                FROM e0 GROUP BY src),
+          i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+                FROM e0 GROUP BY dst)
+          SELECT coalesce(o.node, i.node) AS node,
+                 CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+                 CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg
+          FROM o FULL OUTER JOIN i ON o.node = i.node
+          ORDER BY node""",
+
+    "graph_pagerank" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                   FROM e GROUP BY src),
+          nodes AS (SELECT src AS node FROM e
+                    UNION SELECT dst FROM e),
+          r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
+          $pagerankSteps
+          SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_triangles" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+                 FROM e WHERE src <> dst)
+          SELECT e1.u AS a, e1.w AS b, e2.w AS c
+          FROM ce e1
+          JOIN ce e2 ON e2.u = e1.w
+          JOIN ce e3 ON e3.u = e1.u AND e3.w = e2.w
+          ORDER BY a, b, c""",
+  )
+}

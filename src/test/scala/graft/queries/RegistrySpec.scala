@@ -12,7 +12,8 @@ class RegistrySpec extends AnyFunSuite with Matchers {
 
   private val registries = Seq(
     RefQueries, RelationalQueries, TextQueries, DedupQueries,
-    AnnQueries, MultimodalQueries, EventQueries, TemporalQueries)
+    AnnQueries, MultimodalQueries, EventQueries, TemporalQueries,
+    GraphQueries)
 
   test("no query name collides across registries") {
     val all = registries.flatMap(_.defs.keys)
