@@ -198,4 +198,79 @@ object Corpus {
       .select("doc_id", "term", "tf", "df", "tfidf")
       .orderBy("doc_id", "term")
   }
+
+  /** CDC compaction / upsert-latest: collapse a change stream to one row
+    * per key — the row with the largest `ordCols` tuple (lexicographic).
+    * The materialized-view step every ingestion pipeline runs between an
+    * append-only event log and a queryable current-state table.
+    *
+    * Execution shape: `max_by` over a struct, NOT a row_number window.
+    * The aggregate is partial-aggregable — each map task reduces its
+    * partition to ONE candidate row per key before the shuffle, so
+    * shuffle volume is bounded by (keys x partitions), not by the update
+    * count; a window formulation shuffles and sorts EVERY update. At
+    * 100 TB of events with a 100 M-key state that is the difference
+    * between a bounded merge and a full-log sort.
+    *
+    * `ordCols` must totally order each key's updates (e.g. (ts,
+    * unique_id)) and contain no nulls: ties or null ordering keys would
+    * make the winner partition-order-dependent — the caller owns
+    * providing a real version tuple.
+    *
+    * Output: keys, then ordCols, then payloadCols, one row per key. */
+  def latestSnapshot(updates: DataFrame, keys: Seq[String],
+                     ordCols: Seq[String],
+                     payloadCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && ordCols.nonEmpty,
+      "latestSnapshot needs keys and ordering columns")
+    val carried = ordCols ++ payloadCols
+    val ord = struct(ordCols.map(col): _*)
+    val payload = struct(carried.map(col): _*)
+    updates.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("__last"))
+      .select(keys.map(col) ++
+        carried.map(c => col(s"__last.`$c`").as(c)): _*)
+  }
+
+  /** Pointwise mutual information over adjacent token pairs — the classic
+    * collocation/phrase-mining signal (Church & Hanks 1990): bigrams
+    * whose observed rate beats the independence assumption. pmi =
+    * ln(p(xy) / (p(x)p(y))) with p(xy) = c_xy/n_bi and p(w) = c_w/n_uni,
+    * rounded to 6 places; `minCount` drops the unstable low-count tail
+    * (PMI's known bias toward hapax pairs).
+    *
+    * One tokenize pass feeds both count relations; bigrams fan out via a
+    * single bound transform (no O(L²) re-tokenization), all counts are
+    * map-side partial aggregates, and the two corpus totals reach rows as
+    * broadcast 1-row aggregates. The ratio is computed entirely in
+    * double (cast-first, left-associated identically in the oracle) —
+    * the integer product c_xy*n_uni² would overflow Long on a corpus of
+    * ~10⁹ tokens.
+    *
+    * Output: (w1, w2, c_xy, c1, c2, pmi), ordered by (w1, w2). */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(TF.tokens(col(textCol)).as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(TF.bind(col("t")) { t =>
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2")))
+      }).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val nBi = bi.agg(sum("c_xy").as("n_bi"))
+    bi.filter(col("c_xy") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("pmi", round(log(
+        (col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("c1") * col("c2"))), 6))
+      .select("w1", "w2", "c_xy", "c1", "c2", "pmi")
+      .orderBy("w1", "w2")
+  }
 }

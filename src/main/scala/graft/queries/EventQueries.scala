@@ -205,9 +205,31 @@ object EventQueries extends Registry {
           col("day_offset"), col("n_users"))
         .orderBy("cohort_day", "day_offset")
     }),
+
+    // CDC compaction (operators.Corpus.latestSnapshot): the event log
+    // collapsed to each user's latest state via a partial-aggregable
+    // max_by — one candidate per key leaves each map task, vs the
+    // full-log sort a row_number window would shuffle. (ts, event_id) is
+    // a unique version tuple, so the winner is total-order determined;
+    // the oracle replays it as the window formulation, proving the two
+    // are equivalent relations.
+    "cdc_latest_state" -> ((s, d) =>
+      graft.operators.Corpus.latestSnapshot(
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts"))).drop("ts"),
+        keys = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
+        payloadCols = Seq("event_type", "value"))
+        .orderBy("user_id")),
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_latest_state" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
                 CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,

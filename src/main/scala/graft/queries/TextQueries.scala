@@ -214,6 +214,14 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
         .orderBy("source", "bin")
     }),
+
+    // PMI collocations (operators.Corpus.pmiBigrams): adjacent-pair
+    // mutual information over the whole corpus, the phrase-mining
+    // signal. Same accepted float-parity class as text_tfidf (one ln,
+    // identical double expression order on both sides, rounded to 6).
+    "text_pmi_bigrams" -> ((s, d) =>
+      graft.operators.Corpus.pmiBigrams(
+        Tables.documents(s, d), "text", minCount = 5L)),
   )
 
   private val toks =
@@ -332,6 +340,25 @@ object TextQueries extends Registry {
           SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
                  term, ctf
           FROM c ORDER BY token_id""",
+
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+          bi AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+                 FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+                 FROM bi GROUP BY w1, w2),
+          uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+          btot AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bc)
+          SELECT bc.w1, bc.w2, c_xy, u1.c AS c1, u2.c AS c2,
+                 round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni) /
+                          (CAST(n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+          FROM bc
+          JOIN uc u1 ON bc.w1 = u1.w
+          JOIN uc u2 ON bc.w2 = u2.w, tot, btot
+          WHERE c_xy >= 5
+          ORDER BY w1, w2""",
 
     "text_encode" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -167,4 +167,52 @@ class CorpusSpec extends SparkSpec {
       scored.filter(col("tfidf") < 0.0).count() shouldBe 0L
     } finally scored.unpersist()
   }
+
+  test("latestSnapshot equals the window formulation, plans no window") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+    val got = Corpus.latestSnapshot(ev, Seq("user_id"),
+      Seq("ts_us", "event_id"), Seq("event_type", "value"))
+    val want = ev
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+    got.exceptAll(want).count() shouldBe 0L
+    want.exceptAll(got).count() shouldBe 0L
+    // one row per key, and the scale claim: an aggregate, not a sort
+    got.count() shouldBe ev.select("user_id").distinct().count()
+    val plan = got.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include regex "(?i)aggregate"
+  }
+
+  test("latestSnapshot keeps the max version even when rows arrive late") {
+    import spark.implicits._
+    // key 1: version (2, 1) beats (2, 0) and (1, 9); key 2: single row
+    val updates = Seq(
+      (1L, 2L, 0L, "a"), (1L, 1L, 9L, "b"), (1L, 2L, 1L, "c"),
+      (2L, 5L, 0L, "d")
+    ).toDF("k", "v1", "v2", "payload").repartition(3)
+    val got = Corpus.latestSnapshot(updates, Seq("k"), Seq("v1", "v2"),
+        Seq("payload")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    got shouldBe Array((1L, "c"), (2L, "d"))
+  }
+
+  test("pmiBigrams: hand-computed counts and independence scores") {
+    import spark.implicits._
+    // corpus "a b a b" + "b a": uni a:3 b:3 (n=6); bi ab:2 ba:2 (n=4)
+    // pmi(a,b) = ln(2*6*6 / (4*3*3)) = ln 2
+    val docs = Seq("a b a b", "b a").toDF("text")
+    val got = Corpus.pmiBigrams(docs, "text", minCount = 1L).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    got.keySet shouldBe Set(("a", "b"), ("b", "a"))
+    got(("a", "b")) shouldBe ((2L, 3L, 3L, 0.693147))
+    got(("b", "a")) shouldBe ((2L, 3L, 3L, 0.693147))
+    // minCount prunes the tail
+    Corpus.pmiBigrams(docs, "text", minCount = 3L).count() shouldBe 0L
+  }
 }
