@@ -70,6 +70,13 @@ object DedupQueries extends Registry {
         "doc_id", "text", n = 8)
     }),
 
+    // Cross-source contamination matrix (Dedup.overlapMatrix): distinct
+    // shared 5-grams per ordered source pair — the pre-mixing audit of
+    // how much each source duplicates the others. The diagonal is each
+    // source's own distinct-shingle count.
+    "dedup_overlap_matrix" -> ((s, d) =>
+      Dedup.overlapMatrix(Tables.documents(s, d), "text", "source", n = 5)),
+
     // Fuzzy-match verification: character-level edit distance over the
     // candidate pairs the shingle index surfaced. The candidate generator
     // bounds the quadratic levenshtein work to near-dup pairs — the only
@@ -315,6 +322,18 @@ object DedupQueries extends Registry {
           FROM g JOIN ev USING (gram)
           WHERE doc_id % 10 <> 0
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_overlap_matrix" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+          g AS (SELECT DISTINCT source,
+                  unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                FROM t)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM g a JOIN g b USING (gram)
+          GROUP BY src_a, src_b
+          ORDER BY src_a, src_b""",
 
     "dedup_edit_distance" ->
       s"""WITH $shingleCtes,

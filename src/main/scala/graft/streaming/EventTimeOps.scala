@@ -39,6 +39,25 @@ object EventTimeOps {
       .count()
       .select(col("w.start").as("window_start"), col(keyCol), col("count"))
 
+  /** Gap-based session aggregates via Spark's NATIVE session_window — the
+    * built-in counterpart to [[sessionize]]'s flatMapGroupsWithState
+    * formulation. The engine merges overlapping per-event windows into
+    * sessions and evicts state once the watermark passes a session's end
+    * + gap; state is per open session, never per event. Prefer this form
+    * when the output (session extent + count) needs no custom per-group
+    * logic — it stays whole-stage-planned and needs no Encoder plumbing;
+    * reach for [[sessionize]] only when the session payload does
+    * (first/last event attributes, custom merge rules). Works identically
+    * on batch frames, which is how the spec cross-checks the two. */
+  def sessionWindowCounts(events: DataFrame, tsCol: String, keyCol: String,
+                          gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .count()
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("count").as("n_events"))
+
   /** Stream-static enrichment: attach dimension columns to a stream by a
     * broadcast equi-join against a static (batch) table. The static side
     * is re-broadcast per micro-batch by Structured Streaming, never

@@ -175,4 +175,26 @@ class DedupSpec extends SparkSpec {
       realPairs should contain(b -> a)
     }
   }
+
+  test("overlapMatrix: symmetric, diagonal-dominant, brute-force exact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c d e f"),   // 5-grams: "a b c d e", "b c d e f"
+      ("s1", "a b c d e g"),   // adds "a b c d e" (dup) + "b c d e g"
+      ("s2", "a b c d e f"),   // shares both of doc 1's grams
+      ("s3", "x y z w v u")    // disjoint
+    ).toDF("source", "text")
+    val m = Dedup.overlapMatrix(docs, "text", "source", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val asMap = m.map { case (a, b, c) => (a, b) -> c }.toMap
+    // brute: s1 grams {abcde, bcdef, bcdeg}, s2 {abcde, bcdef}, s3 {xyzwv, yzwvu}
+    asMap shouldBe Map(
+      ("s1", "s1") -> 3L, ("s1", "s2") -> 2L, ("s2", "s1") -> 2L,
+      ("s2", "s2") -> 2L, ("s3", "s3") -> 2L)
+    // invariants that must hold on any input
+    asMap.foreach { case ((a, b), c) =>
+      asMap((b, a)) shouldBe c
+      c should be <= math.min(asMap((a, a)), asMap((b, b)))
+    }
+  }
 }

@@ -57,6 +57,75 @@ class EventTimeSpec extends SparkSpec {
     got.toSeq shouldBe Seq((30L, 1L), (60L, 1L))
   }
 
+  test("sessionWindowCounts merges overlapping gaps (batch parity)") {
+    import spark.implicits._
+    // user a: events at 1, 20, 90 with a 30-minute gap -> sessions
+    // [1, 20+30) (merged: 20-1 < 30) and [90, 120); user b: one session
+    val df = Seq(
+      (ts(1), "a"), (ts(20), "a"), (ts(90), "a"), (ts(5), "b")
+    ).toDF("ts", "k")
+    val got = EventTimeOps.sessionWindowCounts(df, "ts", "k",
+        "30 minutes", "10 minutes")
+      .orderBy("k", "session_start").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3)))
+    got.toSeq shouldBe Seq(
+      ("a", 1L, 50L, 2L), ("a", 90L, 120L, 1L), ("b", 5L, 35L, 1L))
+  }
+
+  test("sessionWindowCounts agrees with the lag/cumsum sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // microsecond-exact gap: session_window merges iff the next event is
+    // STRICTLY before prev + gap, at full timestamp precision (a
+    // seconds-truncating unix_timestamp comparison would disagree on
+    // sub-second boundary gaps)
+    val gapUs = 1800L * 1000000L
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val want = ev
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= gapUs,
+        1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+    val got = EventTimeOps.sessionWindowCounts(
+      ev, "ts", "user_id", "30 minutes", "10 minutes")
+      .select("user_id", "session_start", "n_events")
+    got.exceptAll(want).count() shouldBe 0L
+    want.exceptAll(got).count() shouldBe 0L
+  }
+
+  test("sessionWindowCounts streams and emits merged sessions") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventTimeOps.sessionWindowCounts(in.toDF()
+        .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "k"),
+      "ts", "k", "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("native_sessions").start()
+    try {
+      in.addData((ts(100), "u"), (ts(105), "u"))
+      q.processAllAvailable()
+      // append mode: nothing emits until the watermark passes end + gap
+      in.addData((ts(1000), "u"))
+      q.processAllAvailable()
+      in.addData((ts(2000), "u"))
+      q.processAllAvailable()
+      val rows = spark.table("native_sessions").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000, r.getLong(3)))
+        .toSet
+      rows should contain(("u", 100L, 135L, 2L))
+    } finally q.stop()
+  }
+
   test("enrich stamps static dimension columns onto a stream, broadcast") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
