@@ -220,7 +220,34 @@ object EventQueries extends Registry {
         keys = Seq("user_id"), ordCols = Seq("ts_us", "event_id"),
         payloadCols = Seq("event_type", "value"))
         .orderBy("user_id")),
+
+    // Z-order layout index (operators.Layout.zorderStats): events
+    // clustered on the (user_id, value-bucket) Morton curve into 64
+    // target files; the output is each file's row count and min/max
+    // envelope in BOTH dimensions — the data-skipping manifest. The
+    // oracle replays the bit-twiddling integer-exactly.
+    "layout_zorder_stats" -> ((s, d) =>
+      graft.operators.Layout.zorderStats(
+        Tables.events(s, d).select(col("user_id").as("u"),
+          floor(col("value")).cast("long").as("vbin")),
+        "u", "vbin", files = 64)),
+
+    // Key-skew audit (operators.Audit.keySkew): per-key count
+    // distribution of the prospective join key, percentiles via the
+    // bounded count-histogram (no global sort of keys).
+    "events_key_skew" -> ((s, d) =>
+      graft.operators.Audit.keySkew(Tables.events(s, d), Seq("user_id"))),
   )
+
+  /** SQL form of Layout.spread16's mask-spread chain (fully
+    * parenthesized; plain shifts and masks, identical in any engine). */
+  private def spreadSql(x: String): String = {
+    val x0 = s"($x & 65535)"
+    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+    s"(($x3 | ($x3 << 1)) & 1431655765)"
+  }
 
   val oracles: Map[String, String] = Map(
     "cdc_latest_state" ->
@@ -229,6 +256,41 @@ object EventQueries extends Registry {
                  ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1 ORDER BY user_id""",
+
+    "layout_zorder_stats" ->
+      s"""WITH r AS (SELECT user_id AS a, CAST(floor(value) AS BIGINT) AS b
+                     FROM events),
+          z AS (SELECT a, b,
+                  (${spreadSql("a")} | (${spreadSql("b")} << 1)) AS zk
+                FROM r),
+          tot AS (SELECT max(zk) AS zmax FROM z)
+          SELECT zk * 64 // (zmax + 1) AS file_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(a) AS min_a, max(a) AS max_a,
+                 min(b) AS min_b, max(b) AS max_b
+          FROM z, tot GROUP BY file_id ORDER BY file_id""",
+
+    "events_key_skew" ->
+      """WITH counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                         FROM events GROUP BY user_id),
+          hist AS (SELECT cnt, CAST(count(*) AS BIGINT) AS nk
+                   FROM counts GROUP BY cnt),
+          cum AS (SELECT cnt, sum(nk) OVER (ORDER BY cnt) AS ck FROM hist),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(cnt) AS BIGINT) AS n_rows,
+                         CAST(max(cnt) AS BIGINT) AS max_cnt FROM counts),
+          agg AS (SELECT max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+                    max(max_cnt) AS max_cnt,
+                    CAST(min(CASE WHEN ck >= ceil(n_keys * 0.5)
+                             THEN cnt END) AS BIGINT) AS p50_cnt,
+                    CAST(min(CASE WHEN ck >= ceil(n_keys * 0.9)
+                             THEN cnt END) AS BIGINT) AS p90_cnt,
+                    CAST(min(CASE WHEN ck >= ceil(n_keys * 0.99)
+                             THEN cnt END) AS BIGINT) AS p99_cnt
+                  FROM cum, tot)
+          SELECT n_keys, n_rows, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+                 max_cnt * 10000 // n_rows AS max_share_bp
+          FROM agg""",
 
     "events_json_extract" ->
       """SELECT event_type, count(*) AS n,
