@@ -1,0 +1,276 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeReference, AttributeSet, Expression,
+  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.TimestampType
+
+/** Backward as-of join as a first-class Catalyst operator: logical node,
+  * planner strategy, and a sort-merge physical exec.
+  *
+  * `operators.Joins.asOf` re-expresses as-of as union + window — one
+  * shuffle, one sort, but the window operator buffers a running frame and
+  * every row is widened to carry BOTH side's payload structs through the
+  * shuffle (left rows ship a null right-struct and vice versa). This node
+  * is the whole-operator form the preference ladder bottoms out at: each
+  * side shuffles only itself, clustered on the equality keys and sorted
+  * (keys, ts) within partitions, and a single streaming merge walks the
+  * two sorted iterators per partition holding exactly ONE candidate right
+  * row at a time — no frame buffering, no null-padding, no
+  * row-widening. Memory per task is O(1) beyond the sorters, so a 100 TB
+  * run is bounded by the same shuffle the equivalent sort-merge equi-join
+  * would pay and nothing else.
+  *
+  * Semantics (identical to `Joins.asOf` backward, which the spec
+  * cross-checks row-for-row): every left row picks the right row with the
+  * greatest right ts <= its own ts among rows with equal keys; left-outer
+  * (no prior right row -> nulls); equal-ts right rows sort before the left
+  * row so exact-simultaneous rows match; ties on (keys, ts) resolve to the
+  * largest right payload (the physical sort appends the payload columns to
+  * the right-side ordering, so the last-held row is the max); an optional
+  * tolerance nulls matches farther than `toleranceMicros` back.
+  *
+  * Contract (enforced by the `AsOfNative` builder, assumed by the exec):
+  * right rows with null keys or null ts are pre-filtered (a null-ts row
+  * would sort first within its key and stall the merge pointer); left and
+  * right key expressions are type-aligned; both ts columns are
+  * TimestampType (micros as long — the tolerance subtraction relies on
+  * it); right-side attributes carry fresh expr ids (self-join safe).
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    payload: Seq[Attribute],
+    matchedTs: AttributeReference,
+    toleranceMicros: Option[Long]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (matchedTs +: payload.map(_.withNullability(true)))
+
+  /** matchedTs is minted by this node, not read from a child. */
+  override def producedAttributes: AttributeSet = AttributeSet(matchedTs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]]. Injected either per-session via
+  * `spark.experimental.extraStrategies` (works on an already-built session
+  * — the path `AsOfNative.join` uses, since the driver hands us its own
+  * session) or at build time through [[GraftExtensions]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoin =>
+      AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.payload,
+        j.matchedTs, j.toleranceMicros, planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Build-time registration: `SparkSession.builder.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+/** Sort-merge as-of join.
+  *
+  * Distribution: both children clustered on their keys — EnsureRequirements
+  * co-partitions them exactly as it would a sort-merge equi-join (and AQE
+  * may coalesce both sides together, never one alone, or
+  * ValidateRequirements rejects the re-plan). Ordering: (keys, ts) per
+  * side, with the payload columns appended on the right so equal-(keys, ts)
+  * rows arrive in payload order and the merge's last-held row is the
+  * deterministic max — the same tie rule as `Joins.asOf`.
+  *
+  * The merge holds one projected (matchedTs, payload...) copy per key at a
+  * time; left rows stream through untouched.
+  */
+/** DataFrame-level entry point for the native as-of join. Mirrors the
+  * signature of `Joins.asOf` (backward direction) so the two forms are
+  * drop-in interchangeable; the spec asserts they return identical rows.
+  */
+object AsOfNative {
+
+  def join(left: org.apache.spark.sql.DataFrame,
+           right: org.apache.spark.sql.DataFrame,
+           keys: Seq[String], leftTs: String, rightTs: String,
+           rightCols: Seq[String],
+           toleranceSec: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.graft.shims
+    require(keys.nonEmpty, "asOf needs at least one equality key")
+    val outTs = s"matched_$rightTs"
+    val leftCols = left.columns.toSeq
+    require(!(rightCols :+ outTs).exists(leftCols.contains),
+      s"right payload/$outTs collide with left columns")
+    require(!(rightCols :+ rightTs).exists(keys.contains),
+      "rightTs/rightCols must be distinct from the keys")
+
+    // same null semantics as Joins.asOf: a right row with a null key or
+    // null ts can never be "the latest prior match" — and the merge
+    // contract requires it gone (null ts sorts first within its key and
+    // would stall the pointer)
+    val rClean = right.filter(
+      (col(rightTs).isNotNull +: keys.map(col(_).isNotNull))
+        .reduce(_ && _))
+    // fresh expr ids via aliases: makes self-joins (left and right carved
+    // from the same scan) unambiguous, the job Join's dedupRight does for
+    // the built-in operator
+    val rSel = rClean.select(
+      (keys ++ (rightTs +: rightCols)).map(c => col(c).as(c)): _*)
+
+    val lPlan = shims.analyzed(left)
+    val rPlan = shims.analyzed(rSel)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keys.map(attr(rPlan, _))
+    val lTs = attr(lPlan, leftTs)
+    val rTs = attr(rPlan, rightTs)
+    require(lTs.dataType == TimestampType && rTs.dataType == TimestampType,
+      "native as-of requires TimestampType timestamps on both sides")
+    lKeys.zip(rKeys).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name} ${a.dataType} vs ${b.dataType}") }
+    val payload = rightCols.map(attr(rPlan, _))
+    payload.foreach(a => require(RowOrdering.isOrderable(a.dataType),
+      s"payload column ${a.name} has non-orderable type ${a.dataType}; " +
+        "use Joins.asOf with an explicit tieBreak"))
+    val matchedTs =
+      AttributeReference(outTs, TimestampType, nullable = true)()
+
+    val spark = left.sparkSession
+    shims.addStrategy(spark, AsOfJoinStrategy)
+    shims.ofRows(spark, AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
+      payload, matchedTs, toleranceSec.map(_ * 1000000L)))
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTs: Expression,
+    rightTs: Expression,
+    payload: Seq[Attribute],
+    matchedTs: AttributeReference,
+    toleranceMicros: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (matchedTs +: payload.map(_.withNullability(true)))
+
+  override def producedAttributes: AttributeSet = AttributeSet(matchedTs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTs +: payload.toSeq)).map(SortOrder(_, Ascending)))
+
+  /** Left rows pass through unchanged, so the left child's clustering
+    * survives — a downstream groupBy on the same keys reuses the exchange. */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTsExpr = leftTs
+    val rTsExpr = rightTs
+    val rProjExprs = rTsExpr +: payload.toSeq
+    val outAttrs = output
+    val rightArity = 1 + payload.size
+    val tol = toleranceMicros
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val keyOrd = RowOrdering
+        .createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
+      val rOutProj = UnsafeProjection.create(rProjExprs, rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++
+        (matchedTs +: payload.map(_.withNullability(true))))
+      val nullRight = new GenericInternalRow(rightArity)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // head of the right iterator not yet consumed by the merge; its
+        // key is copied because the sorter reuses row buffers
+        private var rHead: InternalRow = _
+        private var rHeadKey: UnsafeRow = _
+        // latest right row holdable for the current key region: projected
+        // (matchedTs, payload...) copy + its key copy
+        private var held: UnsafeRow = _
+        private var heldKey: UnsafeRow = _
+
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyProj(rHead).copy()
+          } else { rHead = null; rHeadKey = null }
+
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lKey = lKeyProj(lRow)
+          val lTsRow = lTsProj(lRow)
+          val lTsNull = lTsRow.isNullAt(0)
+          val lTsVal = if (lTsNull) 0L else lTsRow.getLong(0)
+
+          // advance the right side past every row at-or-before this left
+          // position: rows of earlier keys are dead (left is key-sorted
+          // too), rows of this key with ts <= left ts become the held
+          // candidate — last one wins, which the sort makes the max
+          var advancing = true
+          while (advancing && rHead != null) {
+            val c = keyOrd.compare(rHeadKey, lKey)
+            if (c < 0) advanceRight()
+            else if (c == 0 && !lTsNull && {
+                val t = rTsProj(rHead); !t.isNullAt(0) && t.getLong(0) <= lTsVal
+              }) {
+              held = rOutProj(rHead).copy()
+              heldKey = rHeadKey
+              advanceRight()
+            } else advancing = false
+          }
+
+          val matched = !lTsNull && held != null &&
+            keyOrd.compare(heldKey, lKey) == 0 &&
+            tol.forall(t => lTsVal - held.getLong(0) <= t)
+          resultProj(joined(lRow, if (matched) held else nullRight))
+        }
+      }
+    }
+  }
+}

@@ -51,6 +51,24 @@ object TemporalQueries extends Registry {
 
     // Conversion lag: each click picks the user's EARLIEST purchase
     // at-or-after it (forward as-of — next-event attribution).
+    // Same attribution through the NATIVE sort-merge as-of operator
+    // (plans.AsOfJoin: custom logical node + strategy + exec) — must
+    // produce byte-identical results to the composed form above, so the
+    // two share one oracle.
+    "join_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.plans.AsOfNative.join(purchases, clicks, Seq("user_id"),
+          "ts", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("matched_ts")))
+            .as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
     "join_asof_forward" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -107,6 +125,11 @@ object TemporalQueries extends Registry {
 
   val oracles: Map[String, String] = Map(
     "join_asof" ->
+      s"""$asofRanked
+          SELECT event_id, user_id, click_id, gap_sec
+          FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    "join_asof_native" ->
       s"""$asofRanked
           SELECT event_id, user_id, click_id, gap_sec
           FROM m WHERE rn = 1 ORDER BY event_id""",

@@ -5,11 +5,32 @@
  * one place; everything else in graft stays on the public API. */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.SparkStrategy
 
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Lift a custom LogicalPlan into a DataFrame (Dataset.ofRows is
+    * private[sql]); the plan goes through full analysis/optimization. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Analyzed plan + its output attributes for an existing DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Idempotently register a planner strategy on a LIVE session — the path
+    * for sessions we did not build (the driver's). Sessions built by us
+    * can use `spark.sql.extensions=graft.plans.GraftExtensions` instead. */
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.exists(_ eq s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
