@@ -126,4 +126,29 @@ object TextFunctions {
       lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(100000000000000003L)))
   }
+
+  /** PII patterns for corpus scrubbing. Deliberately restricted to the
+    * regex subset Java and RE2 interpret identically (character classes,
+    * bounded repetition, ASCII \b) so the DuckDB oracle replays the exact
+    * same masking — no lookarounds, no backrefs. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val ssnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Mask emails, IPv4 addresses, and SSN-shaped ids. Email first: its
+    * replacement token contains no digits, so the later numeric patterns
+    * cannot re-match inside it; IP before SSN (disjoint shapes, order
+    * there is cosmetic). Pure codegen'd regexp_replace chain — at 100 TB
+    * this is a map-only pass, no shuffle, and the regexes are compiled
+    * once per task by codegen's pattern cache. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      ssnPattern, "<ID>")
+
+  /** Count of matches of `pattern` (full-match occurrences). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
 }

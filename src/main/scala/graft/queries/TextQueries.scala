@@ -219,6 +219,29 @@ object TextQueries extends Registry {
     // mutual information over the whole corpus, the phrase-mining
     // signal. Same accepted float-parity class as text_tfidf (one ln,
     // identical double expression order on both sides, rounded to 6).
+    // PII scrubbing: the synthetic corpus is PII-free, so deterministic
+    // fake PII (email, IPv4, SSN-shaped id, all derived from doc_id) is
+    // injected first — on BOTH sides — and the query proves the masking
+    // fires (counts = 1 each) and the masked text agrees byte-for-byte
+    // (md5). Map-only at 100 TB: no shuffle, regexes in the
+    // Java-RE2-common subset.
+    "text_pii_scrub" -> ((s, d) => {
+      val dirty = concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com via 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" id "), (lit(100) + col("doc_id") % 900).cast("string"),
+        lit("-"), (lit(10) + col("doc_id") % 90).cast("string"),
+        lit("-"), (lit(1000) + col("doc_id") % 9000).cast("string"))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(TF.scrubPii(dirty)).as("clean_fp"),
+          TF.matchCount(dirty, TF.emailPattern).cast("long").as("n_emails"),
+          TF.matchCount(dirty, TF.ipv4Pattern).cast("long").as("n_ips"),
+          TF.matchCount(dirty, TF.ssnPattern).cast("long").as("n_ids"))
+        .orderBy("doc_id")
+    }),
+
     "text_pmi_bigrams" -> ((s, d) =>
       graft.operators.Corpus.pmiBigrams(
         Tables.documents(s, d), "text", minCount = 5L)),
@@ -340,6 +363,30 @@ object TextQueries extends Registry {
           SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
                  term, ctf
           FROM c ORDER BY token_id""",
+
+    "text_pii_scrub" ->
+      """WITH dirty AS (
+           SELECT doc_id,
+                  text || ' reach user' || doc_id::VARCHAR ||
+                  '@example.com via 10.' || (doc_id % 256)::VARCHAR ||
+                  '.0.' || ((doc_id * 7) % 256)::VARCHAR ||
+                  ' id ' || (100 + doc_id % 900)::VARCHAR || '-' ||
+                  (10 + doc_id % 90)::VARCHAR || '-' ||
+                  (1000 + doc_id % 9000)::VARCHAR AS d
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(d,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS clean_fp,
+           len(regexp_extract_all(d,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(d,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           len(regexp_extract_all(d, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ids
+         FROM dirty ORDER BY doc_id""",
 
     "text_pmi_bigrams" ->
       s"""WITH t AS (SELECT $toks AS toks FROM documents),

@@ -55,4 +55,21 @@ class TextFunctionsSpec extends SparkSpec {
     val b = evalOne(rollingHash(col("t")), "hello world")
     a shouldBe b
   }
+
+  test("scrubPii masks emails, IPs, and SSN-shaped ids; text survives") {
+    val dirty = "mail a.b+c@ex-1.org or 192.168.0.1 ssn 123-45-6789 end"
+    evalOne(scrubPii(col("t")), dirty) shouldBe
+      "mail <EMAIL> or <IP> ssn <ID> end"
+    // clean text untouched; version strings (2 octets) and long digit
+    // runs are NOT IPs/SSNs
+    val clean = "release v1.2 build 1234-56-78900 at example.com"
+    evalOne(scrubPii(col("t")), clean) shouldBe clean
+  }
+
+  test("matchCount counts occurrences per pattern") {
+    val dirty = "a@b.co c@d.org 1.2.3.4 nothing"
+    evalOne(matchCount(col("t"), emailPattern), dirty) shouldBe 2
+    evalOne(matchCount(col("t"), ipv4Pattern), dirty) shouldBe 1
+    evalOne(matchCount(col("t"), ssnPattern), dirty) shouldBe 0
+  }
 }
