@@ -79,12 +79,47 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Column pruning THROUGH the custom node. Catalyst's ColumnPruning
+  * cannot drop an [[AsOfJoin]] payload column: every payload attribute is
+  * referenced by the node's own constructor, so to the generic rule they
+  * all look needed. This rule owns the node's semantics — a payload
+  * column no Project above reads can be removed from the node AND from
+  * the right child (via an inserted Project), which slims the right-side
+  * shuffle by exactly those columns. Dropping payload cannot change which
+  * row matches (the match is decided by keys + ts; payload only
+  * tie-breaks rows that already agree on the emitted matched_ts), so the
+  * rewrite is result-identical.
+  *
+  * Injected two ways, mirroring the strategy: build-time via
+  * [[GraftExtensions]] (lands in the operator-optimization fixed-point,
+  * so the inserted Project then flows into the parquet scan's ReadSchema)
+  * or on a live session via `experimental.extraOptimizations` (end-of-
+  * optimizer batch: the exchange still slims, the scan already happened
+  * to be planned wide). */
+object PruneAsOfPayload
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList, j: AsOfJoin)
+        if j.payload.exists(a =>
+          !projectList.exists(_.references.contains(a))) =>
+      val keep = j.payload.filter(a =>
+        projectList.exists(_.references.contains(a)))
+      val rKeep = (j.rightKeys ++ (j.rightTs +: keep)).distinct
+      p.copy(child = j.copy(
+        right = Project(rKeep, j.right), payload = keep))
+  }
+}
+
 /** Build-time registration: `SparkSession.builder.withExtensions(new
   * GraftExtensions)` or `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => PruneAsOfPayload)
+  }
 }
 
 /** Sort-merge as-of join.
@@ -158,6 +193,7 @@ object AsOfNative {
 
     val spark = left.sparkSession
     shims.addStrategy(spark, AsOfJoinStrategy)
+    shims.addOptimization(spark, PruneAsOfPayload)
     shims.ofRows(spark, AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
       payload, matchedTs, toleranceSec.map(_ * 1000000L)))
   }

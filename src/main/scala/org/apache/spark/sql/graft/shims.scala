@@ -33,4 +33,16 @@ object shims {
     if (!exp.extraStrategies.exists(_ eq s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotently register an optimizer rule on a LIVE session. Runs in
+    * the end-of-optimizer user batch — late enough that the plan is in
+    * its pruned shape, too late to re-trigger scan-level column pruning
+    * (build-time GraftExtensions injection gets that too). */
+  def addOptimization(
+      spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.exists(_ eq r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

@@ -133,6 +133,69 @@ class AsOfNativeSpec extends SparkSpec {
     got shouldBe Map("p1" -> Some("a"), "p2" -> Some("b"), "p3" -> None)
   }
 
+  test("PruneAsOfPayload drops unreferenced payload from the node") {
+    // only matched_ts is read downstream -> click_id must vanish from the
+    // node and from the right-side subtree feeding the shuffle
+    val q = AsOfNative.join(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"))
+      .select("event_id", "matched_ts")
+    val j = q.queryExecution.optimizedPlan
+      .collect { case x: AsOfJoin => x }.head
+    j.payload shouldBe empty
+    j.right.output.map(_.name) should not contain "click_id"
+    // and the result still equals the composed form's projection
+    val composed = Joins.asOf(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("click_id")).select("event_id", "matched_ts")
+    rows(q) shouldBe rows(composed)
+  }
+
+  test("payload stays when referenced; rule is a no-op") {
+    val q = AsOfNative.join(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_id"))
+      .select("event_id", "click_id")
+    val j = q.queryExecution.optimizedPlan
+      .collect { case x: AsOfJoin => x }.head
+    j.payload.map(_.name) shouldBe Seq("click_id")
+  }
+
+  test("build-time GraftExtensions installs strategy + pruning rule") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions, not config("spark.sql.extensions", ...): the config
+    // form is read off the SparkContext conf, which already exists in
+    // this JVM and cannot pick up new static confs
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val right = Seq((1L, 10L, "a")).toDF("k", "sec", "rid")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("rid"))
+      val left = Seq((1L, 15L, "p1"), (2L, 9L, "p2")).toDF("k", "sec", "lid")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("lid"))
+      val q = AsOfNative.join(left, right, Seq("k"), "ts", "ts", Seq("rid"))
+        .select("lid", "matched_ts")
+      val j = q.queryExecution.optimizedPlan
+        .collect { case x: AsOfJoin => x }.head
+      j.payload shouldBe empty
+      // in the operator-optimization fixed-point the inserted Project is
+      // itself pruned into the local relation: rid never materializes
+      j.right.collectLeaves().foreach(
+        _.output.map(_.name) should not contain "rid")
+      q.collect().map(_.getString(0)).toSet shouldBe Set("p1", "p2")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("self-join from one scan resolves unambiguously") {
     // purchases and clicks above already share a scan; this asserts the
     // fresh-alias dedup directly on a minimal frame
