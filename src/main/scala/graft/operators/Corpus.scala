@@ -273,4 +273,87 @@ object Corpus {
       .select("w1", "w2", "c_xy", "c1", "c2", "pmi")
       .orderBy("w1", "w2")
   }
+
+  /** Per-document bigram-LM surprisal — the perplexity-filter stage of a
+    * corpus pipeline (CCNet/Gopher score against a KenLM; this is the
+    * engine-exact equivalent: an add-one-smoothed bigram model trained on
+    * the corpus itself). Cost of one bigram occurrence is the INTEGER bit
+    * count bits = floor(log2((c1 + V) / (c12 + 1))), computed as
+    * length(bin((c1 + V) DIV (c12 + 1))) - 1 — pure integer arithmetic,
+    * so every engine agrees to the last bit; the only double op is the
+    * final round(sum_bits / n_bigrams, 4).
+    *
+    * Plan shape: bigram instances collapse to per-doc (w1, w2, tf) counts
+    * BEFORE joining the model tables, so join input is bounded by
+    * distinct-bigrams-per-doc, not token count; the model tables (c12,
+    * c1) build one row per key — Zipf-skewed keys cost partition
+    * imbalance (AQE's skew split handles it) but never row blowup; the
+    * 1-row vocabulary size broadcasts. */
+  def bigramSurprisal(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = docs.select(col(idCol), TF.tokens(col(textCol)).as("t"))
+    val inst = t.filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(TF.bind(col("t")) { tt =>
+        transform(sequence(lit(1), size(tt) - 1),
+          i => struct(element_at(tt, i).as("w1"),
+            element_at(tt, i + 1).as("w2")))
+      }).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    val dtf = inst.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bc = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cc = inst.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vs = t.select(explode(col("t")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    dtf.join(bc, Seq("w1", "w2")).join(cc, Seq("w1"))
+      .crossJoin(broadcast(vs))
+      .withColumn("bits",
+        (length(bin(expr("(c1 + v) DIV (c12 + 1)"))) - 1).cast("long"))
+      .groupBy(idCol)
+      .agg(sum("tf").cast("long").as("n_bigrams"),
+        sum(col("tf") * col("bits")).cast("long").as("sum_bits"))
+      .withColumn("avg_bits",
+        round(col("sum_bits").cast("double") / col("n_bigrams"), 4))
+      .orderBy(idCol)
+  }
+
+  /** Compression-ratio quality signal (the Gopher-family "too repetitive
+    * or too degenerate" filter): deflate each document body and report
+    * compressed vs raw byte sizes. Highly repetitive text compresses far
+    * below normal prose; binary junk or high-entropy noise barely
+    * compresses — both tails get filtered.
+    *
+    * No Catalyst expression computes zlib and a per-row UDF would pay
+    * native Deflater setup per call, so this is the legitimate
+    * `mapPartitions` case: ONE Deflater per partition, reset per row,
+    * released on task completion. Map-only at 100 TB — no shuffle; the
+    * final orderBy is presentational and belongs to the caller's sink.
+    * Engine-internal (no SQL oracle — deflate output is implementation-
+    * defined): the spec asserts structural properties instead. */
+  def deflateRatio(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }
+      .toDF(idCol, "raw_bytes", "deflate_bytes")
+      .withColumn("ratio", round(col("deflate_bytes").cast("double") /
+        greatest(col("raw_bytes"), lit(1L)), 4))
+      .orderBy(idCol)
+  }
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.{col, substring}
+
 import graft.core.Tables
 import graft.operators.Dedup
 
@@ -21,6 +23,24 @@ object DedupQueries extends Registry {
 
     "dedup_exact_stats" -> ((s, d) =>
       Dedup.exactStats(Tables.documents(s, d), "text")),
+
+    // Incremental ingest dedup (Dedup.incrementalExact): the standing
+    // corpus is sources 0-9; the "new batch" is sources 10-19 PLUS a
+    // re-keyed replay of the corpus (the synthetic tables have no
+    // natural duplicates, so the replay manufactures exactly one known
+    // duplicate per corpus doc — on both engines). Every replayed doc
+    // must flag is_dup=1 with one match; every genuinely-new doc 0.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val corpus = docs.filter(srcNum < 10)
+      val fresh = docs.filter(srcNum >= 10).select("doc_id", "text")
+      val replayed = corpus.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.incrementalExact(fresh.unionByName(replayed), corpus,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -193,6 +213,28 @@ object DedupQueries extends Registry {
                 count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
                   AS n_distinct
          FROM documents""",
+
+    "dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text,
+                              CAST(substr(source, 4) AS INT) AS s
+                       FROM documents),
+          cf AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                            'g')) AS fp,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM base WHERE s < 10 GROUP BY 1),
+          newb AS (SELECT doc_id, text FROM base WHERE s >= 10
+                   UNION ALL
+                   SELECT doc_id + 1000000, text FROM base WHERE s < 10),
+          nf AS (SELECT doc_id,
+                        md5(regexp_replace(lower(trim(text)), '\s+', ' ',
+                            'g')) AS fp
+                 FROM newb)
+         SELECT nf.doc_id,
+                CAST(CASE WHEN cf.fp IS NULL THEN 0 ELSE 1 END AS INT)
+                  AS is_dup,
+                coalesce(cf.n, 0) AS n_corpus_matches
+         FROM nf LEFT JOIN cf ON nf.fp = cf.fp
+         ORDER BY doc_id""",
 
     // directed containment from the same shared CTEs: intersections are
     // symmetric, so both directions come from one triangular `inter`

@@ -219,6 +219,20 @@ object TextQueries extends Registry {
     // mutual information over the whole corpus, the phrase-mining
     // signal. Same accepted float-parity class as text_tfidf (one ln,
     // identical double expression order on both sides, rounded to 6).
+    // Perplexity filtering (Corpus.bigramSurprisal): per-doc average bit
+    // cost under an add-one bigram LM trained on the corpus itself —
+    // integer bit costs, engine-exact.
+    "text_bigram_surprisal" -> ((s, d) =>
+      graft.operators.Corpus.bigramSurprisal(
+        Tables.documents(s, d), "doc_id", "text")),
+
+    // Compression-ratio quality filter (Corpus.deflateRatio). No SQL
+    // oracle — deflate output is implementation-defined — so the driver
+    // records rows-only; CorpusSpec asserts the structural properties.
+    "text_compression_ratio" -> ((s, d) =>
+      graft.operators.Corpus.deflateRatio(
+        Tables.documents(s, d), "doc_id", "text")),
+
     // PII scrubbing: the synthetic corpus is PII-free, so deterministic
     // fake PII (email, IPv4, SSN-shaped id, all derived from doc_id) is
     // injected first — on BOTH sides — and the query proves the masking
@@ -363,6 +377,29 @@ object TextQueries extends Registry {
           SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
                  term, ctf
           FROM c ORDER BY token_id""",
+
+    "text_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                       FROM t)),
+          dtf AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+                  FROM bi GROUP BY 1, 2, 3),
+          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM bi GROUP BY 1, 2),
+          cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM bi GROUP BY 1),
+          vs AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+                 FROM (SELECT unnest(toks) AS w FROM t)),
+          scored AS (SELECT dtf.doc_id, tf,
+                            CAST(length(bin((c1 + v) // (c12 + 1))) - 1
+                                 AS BIGINT) AS bits
+                     FROM dtf JOIN bc USING (w1, w2) JOIN cc USING (w1), vs)
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                 CAST(sum(tf * bits) AS BIGINT) AS sum_bits,
+                 round(CAST(sum(tf * bits) AS DOUBLE) /
+                       CAST(sum(tf) AS BIGINT), 4) AS avg_bits
+          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "text_pii_scrub" ->
       """WITH dirty AS (

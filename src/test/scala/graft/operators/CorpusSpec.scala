@@ -215,4 +215,47 @@ class CorpusSpec extends SparkSpec {
     // minCount prunes the tail
     Corpus.pmiBigrams(docs, "text", minCount = 3L).count() shouldBe 0L
   }
+
+  test("bigramSurprisal: hand-computed integer bit costs") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a c" -> V = 3 (a, b, c)
+    // bigram instances: ab, ba, ab, ac; c1(a)=3, c1(b)=1
+    // bits(ab) = floor(log2((3+3) / (2+1))) = floor(log2 2) = 1
+    // bits(ba) = floor(log2((1+3) / (1+1))) = 1
+    // bits(ac) = floor(log2((3+3) / (1+1))) = floor(log2 3) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("id", "text")
+    val got = Corpus.bigramSurprisal(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // doc 3 has no bigrams -> absent; doc 1: 3 instances (ab, ba, ab) =
+    // 3 bits; doc 2: 1 instance (ac) = 1 bit
+    got.keySet shouldBe Set(1L, 2L)
+    got(1L) shouldBe ((3L, 3L, 1.0))
+    got(2L) shouldBe ((1L, 1L, 1.0))
+  }
+
+  test("deflateRatio: repetitive text compresses, high-entropy doesn't") {
+    import spark.implicits._
+    val repetitive = "spark " * 400
+    // deterministic pseudo-noise: md5 hex chunks (high-entropy for zlib)
+    val noisy = (0 until 150).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString
+    val docs = Seq((1L, repetitive), (2L, noisy), (3L, ""))
+      .toDF("id", "text")
+    val got = Corpus.deflateRatio(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    got(1L)._1 shouldBe repetitive.length.toLong
+    assert(got(1L)._3 < 0.05, s"repetitive ratio ${got(1L)._3}")
+    assert(got(2L)._3 > 0.4, s"noisy ratio ${got(2L)._3}")
+    // empty doc: 0 raw bytes, ratio = deflate_bytes / max(raw,1) finite
+    got(3L)._1 shouldBe 0L
+    assert(got(3L)._3 >= 0.0)
+    // determinism across layouts
+    val again = Corpus.deflateRatio(docs.repartition(5), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    again shouldBe got.map { case (k, v) => (k, v._2) }
+  }
 }

@@ -27,6 +27,21 @@ class DedupSpec extends SparkSpec {
     stats.getLong(1) shouldBe nGroups
   }
 
+  test("incrementalExact flags exactly the docs already in the corpus") {
+    import spark.implicits._
+    // corpus holds "alpha beta" twice (ids 1, 3) and "gamma delta" once
+    val corpus = Seq((1L, "alpha beta"), (2L, "Gamma  delta"),
+      (3L, "alpha beta")).toDF("doc_id", "text")
+    // new batch: a normalization-equal dup (x2 in corpus), a fresh doc,
+    // and a case/whitespace variant of the single corpus doc
+    val newBatch = Seq((10L, "ALPHA   beta"), (11L, "fresh text"),
+      (12L, "gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(newBatch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    got shouldBe Array((10L, 1, 2L), (11L, 0, 0L), (12L, 1, 1L))
+  }
+
   test("passageRetention keeps only the first occurrence of each window") {
     import spark.implicits._
     val w32a = (1 to 32).map(i => s"a$i").mkString(" ")
