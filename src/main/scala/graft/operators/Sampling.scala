@@ -77,6 +77,34 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006): each row draws u in (0,1] from a content hash (so
+    * every engine and every run draws the SAME u) and is keyed by
+    * u^(1/w); the global top-k under that key is a weighted sample — a
+    * row with twice the weight has exactly twice the inclusion odds in
+    * the limit. The quality-weighted corpus subset selector.
+    *
+    * Scale shape: the key is a map-only expression; top-k is
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject — each
+    * partition keeps a k-row heap and only k rows per partition reach
+    * the driver-side merge. No full sort, no global shuffle. The key is
+    * ROUNDED to 6 decimals before ranking (ties broken by id) so the
+    * selection boundary never hangs on a last-ulp pow() difference
+    * between engines. */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: String,
+                   k: Int, salt: String = "wtk"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(salt)).cast("binary")), 1, 8), 16, 10).cast("double") + 1.0) /
+      4294967297.0
+    df.select(col(keyCol), col(weightCol),
+        round(pow(u, lit(1.0) /
+          greatest(col(weightCol).cast("double"), lit(1.0))), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Domain-mix sampling: down-sample each stratum so the kept corpus
     * approaches target mix weights (basis points) under a document budget
     * expressed as a fraction of the corpus (budget = total * budgetNum

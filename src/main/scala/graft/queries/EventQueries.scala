@@ -134,6 +134,27 @@ object EventQueries extends Registry {
         .orderBy("day", "event_type")
     }),
 
+    // Exponential time-decay activity score (1-hour e-folding anchored at
+    // the corpus max timestamp): the recency-weighted user feature an
+    // engagement model consumes. One broadcast 1-row anchor + one keyed
+    // aggregation — partial-aggregable, so each map task folds its own
+    // exp() terms before the shuffle. Same accepted float-parity class as
+    // text_tfidf (identical per-row double expression on both engines;
+    // sum order differs but the error is ~1e-13 against a 5e-5 rounding
+    // boundary).
+    "events_time_decay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max("ts").as("t_end"))
+      ev.crossJoin(broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(exp((unix_timestamp(col("ts")) -
+            unix_timestamp(col("t_end"))).cast("double") / 3600.0)), 4)
+            .as("decay_score"))
+        .orderBy("user_id")
+    }),
+
     "events_salted_agg" -> ((s, d) =>
       // two-phase skew-resistant aggregation: pre-aggregate on
       // (key, salt) so one hot key spreads over 8 reducers, then merge.
@@ -379,6 +400,13 @@ object EventQueries extends Registry {
           FROM d CROSS JOIN ty
           LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
           ORDER BY 1, 2""",
+
+    "events_time_decay" ->
+      """WITH anchor AS (SELECT max(ts) AS t_end FROM events)
+         SELECT user_id, count(*) AS n_events,
+                round(sum(exp(date_diff('second', t_end, ts) / 3600.0)), 4)
+                  AS decay_score
+         FROM events, anchor GROUP BY user_id ORDER BY user_id""",
 
     "events_salted_agg" ->
       """SELECT event_type, count(*) AS n,

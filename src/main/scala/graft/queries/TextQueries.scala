@@ -167,6 +167,14 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
         .orderBy("lang")),
 
+    // Length-weighted deterministic sample (Sampling.weightedTopK):
+    // inclusion odds proportional to n_chars, selection replayed exactly
+    // by the oracle through the shared md5-uniform recipe.
+    "sample_weighted_topk" -> ((s, d) =>
+      graft.operators.Sampling.weightedTopK(Tables.documents(s, d),
+          "doc_id", "n_chars", k = 50)
+        .orderBy(col("score").desc, col("doc_id"))),
+
     // Deterministic content-hash shard assignment (Corpus.shardExpr):
     // 16 shards summarized — the training-export layout query.
     "corpus_shards" -> ((s, d) =>
@@ -377,6 +385,16 @@ object TextQueries extends Registry {
           SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
                  term, ctf
           FROM c ORDER BY token_id""",
+
+    "sample_weighted_topk" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+              (CAST(('0x' || substring(md5(doc_id::VARCHAR || 'wtk'), 1, 8))
+                    AS BIGINT) + 1) / 4294967297.0 AS uu
+           FROM documents)
+         SELECT doc_id, n_chars,
+                round(pow(uu, 1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)),
+                      6) AS score
+         FROM u ORDER BY score DESC, doc_id LIMIT 50""",
 
     "text_bigram_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

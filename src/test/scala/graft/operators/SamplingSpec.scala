@@ -98,6 +98,22 @@ class SamplingSpec extends SparkSpec {
       Map("fr" -> 10000), budgetNum = 1, budgetDen = 2).count() shouldBe 0L
   }
 
+  test("weightedTopK: k rows, scores in (0,1], weight dominates, stable") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, 1L)) :+ (999L, 1000000L)
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedTopK(df, "id", "w", k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    got.length shouldBe 10
+    got.foreach { case (_, s) => assert(s > 0.0 && s <= 1.0) }
+    // u^(1/1e6) ~ 1 for any u: the heavy row must rank first
+    got.head._1 shouldBe 999L
+    // layout-independent selection
+    val again = Sampling.weightedTopK(df.repartition(7), "id", "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    again shouldBe got.map(_._1).toSet
+  }
+
   test("stratified honors per-stratum fractions") {
     val s = Sampling.stratified(events, "event_id", "event_type",
       fractions = Map("click" -> 0, "view" -> 256), default256 = 64)
