@@ -29,4 +29,33 @@ object CraneAggregators {
     override def bufferEncoder: Encoder[WSum] = Encoders.product
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Bounded top-k accumulator: BUF holds at most k (score, id) pairs,
+    * kept sorted by (score desc, id asc). The scale-right alternative to
+    * `row_number().over(Window...)` + filter for per-group top-k: the
+    * window form SORTS every row of every group (full shuffle + sort of
+    * the fact table), while this buffer crosses the shuffle with at most
+    * k rows per (group, map partition) — the same partial/merge shape as
+    * min/max, with k-bounded state. Integer scores keep every engine's
+    * comparison exact.
+    *
+    * k is a constructor parameter; instances must be wrapped with
+    * `functions.udaf(...)` per k. */
+  final case class TopKBuf(items: Seq[(Long, Long)])
+
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Long, Long), TopKBuf, Seq[(Long, Long)]] {
+    require(k > 0, "k must be positive")
+    private def trim(s: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      s.sortBy { case (score, id) => (-score, id) }.take(k)
+    override def zero: TopKBuf = TopKBuf(Seq.empty)
+    override def reduce(b: TopKBuf, in: (Long, Long)): TopKBuf =
+      TopKBuf(trim(b.items :+ in))
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(trim(a.items ++ b.items))
+    override def finish(b: TopKBuf): Seq[(Long, Long)] = trim(b.items)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
 }

@@ -155,6 +155,28 @@ object EventQueries extends Registry {
         .orderBy("user_id")
     }),
 
+    // Per-user top-3 events WITHOUT a window sort: the bounded TopK
+    // Aggregator crosses the shuffle with <= 3 rows per (user, map
+    // partition) instead of sorting the whole fact table per group — at
+    // 100 TB the window formulation (the oracle's) shuffles and sorts
+    // everything; this one is partial-aggregated like min/max. Integer
+    // cent scores (floor of the same IEEE double product both engines
+    // compute from identical parquet bits) keep comparisons exact; ties
+    // break by event_id ascending on both sides.
+    "events_topk_per_user" -> ((s, d) => {
+      val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(3))
+      Tables.events(s, d)
+        .select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("score"),
+          col("event_id"))
+        .groupBy("user_id")
+        .agg(topk(col("score"), col("event_id")).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("score_cents"), col("col._2").as("event_id"))
+        .orderBy("user_id", "rank")
+    }),
+
     "events_salted_agg" -> ((s, d) =>
       // two-phase skew-resistant aggregation: pre-aggregate on
       // (key, salt) so one hot key spreads over 8 reducers, then merge.
@@ -407,6 +429,19 @@ object EventQueries extends Registry {
                 round(sum(exp(date_diff('second', t_end, ts) / 3600.0)), 4)
                   AS decay_score
          FROM events, anchor GROUP BY user_id ORDER BY user_id""",
+
+    // the window formulation the Aggregator avoids — structurally
+    // different, so agreement is a real cross-check
+    "events_topk_per_user" ->
+      """WITH ranked AS (
+           SELECT user_id, event_id,
+                  CAST(floor("value" * 100) AS BIGINT) AS score_cents,
+                  CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(floor("value" * 100) AS BIGINT) DESC,
+                             event_id) AS BIGINT) AS rank
+           FROM events)
+         SELECT user_id, rank, score_cents, event_id
+         FROM ranked WHERE rank <= 3 ORDER BY user_id, rank""",
 
     "events_salted_agg" ->
       """SELECT event_type, count(*) AS n,

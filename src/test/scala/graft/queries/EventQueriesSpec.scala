@@ -20,6 +20,38 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("TopK aggregator equals the window formulation; bounded state") {
+    import spark.implicits._
+    // key 1: 5 scores incl. a tie at 30 (ids 7 < 9: 7 wins the tie slot);
+    // key 2: fewer rows than k
+    val rows = Seq((1L, 30L, 9L), (1L, 30L, 7L), (1L, 50L, 3L),
+      (1L, 10L, 1L), (1L, 40L, 2L), (2L, 5L, 4L)).toDF("k", "s", "id")
+      .repartition(4)
+    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(3))
+    val got = rows.groupBy("k").agg(topk(col("s"), col("id")).as("top"))
+      .select(col("k"), posexplode(col("top")))
+      .select(col("k"), col("pos"), col("col._1"), col("col._2"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    got shouldBe Set(
+      (1L, 0, 50L, 3L), (1L, 1, 40L, 2L), (1L, 2, 30L, 7L),
+      (2L, 0, 5L, 4L))
+    // registered query agrees with the window formulation on real events
+    val q = EventQueries.defs("events_topk_per_user")(spark, sfDir)
+      .collect().map(_.mkString("|")).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("score_cents").desc, col("event_id").asc)
+    val win = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("score_cents"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("user_id", "rank", "score_cents", "event_id")
+      .collect().map(_.mkString("|")).toSet
+    q shouldBe win
+  }
+
   test("funnel: monotone stages; stage 1 equals distinct users with a view") {
     val rows = EventQueries.defs("events_funnel")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
