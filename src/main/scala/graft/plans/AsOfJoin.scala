@@ -247,8 +247,14 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
-      val keyOrd = RowOrdering
-        .createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      // codegen'd ordering over the projected key rows (interpreted
+      // ordering costs a per-field type dispatch on every compare, and
+      // the merge compares keys ~twice per input row)
+      val keyOrd = RowOrdering.create(
+        lKeyExprs.zipWithIndex.map { case (e, i) =>
+          SortOrder(org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, e.dataType, e.nullable), Ascending)
+        }, Nil)
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
       val rOutProj = UnsafeProjection.create(rProjExprs, rOut)
@@ -258,19 +264,21 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
-        // head of the right iterator not yet consumed by the merge; its
-        // key is copied because the sorter reuses row buffers
+        // head of the right iterator not yet consumed by the merge.
+        // rHeadKey points at rKeyProj's reused buffer — valid until the
+        // next advance, which is the only place it is rewritten
         private var rHead: InternalRow = _
         private var rHeadKey: UnsafeRow = _
         // latest right row holdable for the current key region: projected
-        // (matchedTs, payload...) copy + its key copy
+        // (matchedTs, payload...) copy + its key copy (copies happen only
+        // when a row is actually held, not per advance)
         private var held: UnsafeRow = _
         private var heldKey: UnsafeRow = _
 
         private def advanceRight(): Unit =
           if (rIter.hasNext) {
             rHead = rIter.next()
-            rHeadKey = rKeyProj(rHead).copy()
+            rHeadKey = rKeyProj(rHead)
           } else { rHead = null; rHeadKey = null }
 
         advanceRight()
@@ -296,7 +304,7 @@ case class AsOfJoinExec(
                 val t = rTsProj(rHead); !t.isNullAt(0) && t.getLong(0) <= lTsVal
               }) {
               held = rOutProj(rHead).copy()
-              heldKey = rHeadKey
+              heldKey = rHeadKey.copy()
               advanceRight()
             } else advancing = false
           }
