@@ -163,6 +163,70 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("topk-per-group aggregator plans partial aggregation, no window") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.EventQueries
+        .defs("events_topk_per_user")(spark, sfDir)
+      val plan = q.queryExecution.executedPlan
+      // the whole point: NO WindowExec (a window would sort every event
+      // per user); the TopK buffer must ride the normal two-phase
+      // aggregate (partial ObjectHashAggregate/SortAggregate before the
+      // exchange, final after)
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"window sneaked in:\n$plan")
+      val keyed = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(keyed.size == 1, s"expected 1 keyed shuffle, got:\n$plan")
+      // partial side: the exchange carries (group key, serialized TopK
+      // buffer) — k-bounded rows — never the raw (score, event_id) events
+      val names = keyed.head.output.map(_.name)
+      assert(names.length == 2 && !names.contains("event_id") &&
+        !names.contains("score"),
+        s"raw events cross the aggregate exchange: $names")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pii scrub is map-only: no keyed shuffle, regex reaches codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.TextQueries.defs("text_pii_scrub")(spark, sfDir)
+      val keyed = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(keyed.isEmpty, s"scrub should not shuffle by key:\n" +
+        q.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("incremental dedup shuffles digests and counts, never text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.DedupQueries
+        .defs("dedup_incremental")(spark, sfDir)
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"document bodies cross a shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("weighted top-k plans as TakeOrdered, not a global sort") {
+    val q = graft.operators.Sampling.weightedTopK(
+      Tables.documents(spark, sfDir), "doc_id", "n_chars", k = 50)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("SQL surface: registered views answer the flagship query") {
     Views.register(spark, sfDir)
     val rows = spark.sql(
