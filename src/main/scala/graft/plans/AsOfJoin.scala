@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, AttributeReference, AttributeSet, Expression,
-  GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection,
-  UnsafeRow}
+  Ascending, Attribute, AttributeReference, AttributeSet, Descending,
+  Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
+  UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
@@ -28,14 +28,16 @@ import org.apache.spark.sql.types.TimestampType
   * run is bounded by the same shuffle the equivalent sort-merge equi-join
   * would pay and nothing else.
   *
-  * Semantics (identical to `Joins.asOf` backward, which the spec
-  * cross-checks row-for-row): every left row picks the right row with the
-  * greatest right ts <= its own ts among rows with equal keys; left-outer
-  * (no prior right row -> nulls); equal-ts right rows sort before the left
-  * row so exact-simultaneous rows match; ties on (keys, ts) resolve to the
-  * largest right payload (the physical sort appends the payload columns to
-  * the right-side ordering, so the last-held row is the max); an optional
-  * tolerance nulls matches farther than `toleranceMicros` back.
+  * Semantics (identical to `Joins.asOf`, which the spec cross-checks
+  * row-for-row): every left row picks the right row with the greatest
+  * right ts <= its own ts among rows with equal keys (backward), or the
+  * smallest right ts >= its own (forward — the merge walks time in
+  * reverse, same monotone pointer); left-outer (no matching right row ->
+  * nulls); exact-simultaneous rows match in both directions; ties on
+  * (keys, ts) resolve to the largest right payload (the physical sort
+  * appends the payload columns ascending to the right-side ordering, so
+  * the last-held row is the max); an optional tolerance nulls matches
+  * with a time gap beyond `toleranceMicros`.
   *
   * Contract (enforced by the `AsOfNative` builder, assumed by the exec):
   * right rows with null keys or null ts are pre-filtered (a null-ts row
@@ -53,7 +55,8 @@ case class AsOfJoin(
     rightTs: Attribute,
     payload: Seq[Attribute],
     matchedTs: AttributeReference,
-    toleranceMicros: Option[Long]) extends BinaryNode {
+    toleranceMicros: Option[Long],
+    forward: Boolean) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (matchedTs +: payload.map(_.withNullability(true)))
@@ -74,7 +77,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoin =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs, j.payload,
-        j.matchedTs, j.toleranceMicros, planLater(j.left), planLater(j.right)) :: Nil
+        j.matchedTs, j.toleranceMicros, j.forward,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -145,7 +149,8 @@ object AsOfNative {
            right: org.apache.spark.sql.DataFrame,
            keys: Seq[String], leftTs: String, rightTs: String,
            rightCols: Seq[String],
-           toleranceSec: Option[Long] = None)
+           toleranceSec: Option[Long] = None,
+           forward: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.shims
@@ -195,7 +200,7 @@ object AsOfNative {
     shims.addStrategy(spark, AsOfJoinStrategy)
     shims.addOptimization(spark, PruneAsOfPayload)
     shims.ofRows(spark, AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTs, rTs,
-      payload, matchedTs, toleranceSec.map(_ * 1000000L)))
+      payload, matchedTs, toleranceSec.map(_ * 1000000L), forward))
   }
 }
 
@@ -207,6 +212,7 @@ case class AsOfJoinExec(
     payload: Seq[Attribute],
     matchedTs: AttributeReference,
     toleranceMicros: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -218,9 +224,16 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys ++ (rightTs +: payload.toSeq)).map(SortOrder(_, Ascending)))
+  /** Both sides walk time in the match direction (descending for
+    * forward), keys ascending always; payload columns ascending within
+    * equal (keys, ts) so the merge's last-held row is the max payload. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    val tsDir = if (forward) Descending else Ascending
+    Seq(
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, tsDir),
+      (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, tsDir))
+        ++ payload.toSeq.map(SortOrder(_, Ascending)))
+  }
 
   /** Left rows pass through unchanged, so the left child's clustering
     * survives — a downstream groupBy on the same keys reuses the exchange. */
@@ -243,6 +256,7 @@ case class AsOfJoinExec(
     val outAttrs = output
     val rightArity = 1 + payload.size
     val tol = toleranceMicros
+    val fwd = forward
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -293,15 +307,19 @@ case class AsOfJoinExec(
           val lTsVal = if (lTsNull) 0L else lTsRow.getLong(0)
 
           // advance the right side past every row at-or-before this left
-          // position: rows of earlier keys are dead (left is key-sorted
-          // too), rows of this key with ts <= left ts become the held
-          // candidate — last one wins, which the sort makes the max
+          // position in walk order: rows of earlier keys are dead (left
+          // is key-sorted too), rows of this key on the match side of
+          // left ts (<= backward, >= forward) become the held candidate —
+          // the last one wins, which the sort makes the tightest ts /
+          // max payload
           var advancing = true
           while (advancing && rHead != null) {
             val c = keyOrd.compare(rHeadKey, lKey)
             if (c < 0) advanceRight()
             else if (c == 0 && !lTsNull && {
-                val t = rTsProj(rHead); !t.isNullAt(0) && t.getLong(0) <= lTsVal
+                val t = rTsProj(rHead)
+                !t.isNullAt(0) && (if (fwd) t.getLong(0) >= lTsVal
+                                   else t.getLong(0) <= lTsVal)
               }) {
               held = rOutProj(rHead).copy()
               heldKey = rHeadKey.copy()
@@ -311,7 +329,8 @@ case class AsOfJoinExec(
 
           val matched = !lTsNull && held != null &&
             keyOrd.compare(heldKey, lKey) == 0 &&
-            tol.forall(t => lTsVal - held.getLong(0) <= t)
+            tol.forall(t => (if (fwd) held.getLong(0) - lTsVal
+                             else lTsVal - held.getLong(0)) <= t)
           resultProj(joined(lRow, if (matched) held else nullRight))
         }
       }

@@ -69,6 +69,22 @@ object TemporalQueries extends Registry {
         .orderBy("event_id")
     }),
 
+    // Forward direction through the native operator — shares the
+    // composed forward form's oracle.
+    "join_asof_native_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      graft.plans.AsOfNative.join(clicks, purchases, Seq("user_id"),
+          "ts", "ts", Seq("purchase_id"), forward = true)
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (unix_timestamp(col("matched_ts")) - unix_timestamp(col("ts")))
+            .as("lag_sec"))
+        .orderBy("event_id")
+    }),
+
     "join_asof_forward" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val clicks = ev.filter(col("event_type") === "click")
@@ -123,6 +139,20 @@ object TemporalQueries extends Registry {
               FROM p LEFT JOIN c
                 ON p.user_id = c.user_id AND c.ts <= p.ts)"""
 
+  private val asofForwardSql =
+    """WITH c AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+              WHERE event_type = 'purchase'),
+        m AS (SELECT c.event_id, c.user_id, p.purchase_id,
+                     date_diff('second', c.ts, p.ts) AS lag_sec,
+                     row_number() OVER (PARTITION BY c.event_id
+                       ORDER BY p.ts ASC, p.purchase_id DESC) AS rn
+              FROM c LEFT JOIN p
+                ON c.user_id = p.user_id AND p.ts >= c.ts)
+        SELECT event_id, user_id, purchase_id, lag_sec
+        FROM m WHERE rn = 1 ORDER BY event_id"""
+
   val oracles: Map[String, String] = Map(
     "join_asof" ->
       s"""$asofRanked
@@ -143,19 +173,10 @@ object TemporalQueries extends Registry {
 
     // Forward mirror of asofRanked: earliest following purchase, ties by
     // largest purchase_id (the operator's max-payload-struct rule).
-    "join_asof_forward" ->
-      """WITH c AS (SELECT event_id, user_id, ts FROM events
-                    WHERE event_type = 'click'),
-          p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
-                WHERE event_type = 'purchase'),
-          m AS (SELECT c.event_id, c.user_id, p.purchase_id,
-                       date_diff('second', c.ts, p.ts) AS lag_sec,
-                       row_number() OVER (PARTITION BY c.event_id
-                         ORDER BY p.ts ASC, p.purchase_id DESC) AS rn
-                FROM c LEFT JOIN p
-                  ON c.user_id = p.user_id AND p.ts >= c.ts)
-          SELECT event_id, user_id, purchase_id, lag_sec
-          FROM m WHERE rn = 1 ORDER BY event_id""",
+    "join_asof_forward" -> asofForwardSql,
+
+    // same semantics via the native operator -> same oracle
+    "join_asof_native_fwd" -> asofForwardSql,
 
     "join_range" ->
       """SELECT a.o_custkey, count(*) AS n_repeat,

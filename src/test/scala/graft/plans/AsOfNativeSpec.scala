@@ -46,6 +46,37 @@ class AsOfNativeSpec extends SparkSpec {
     sameAsComposed(Some(3600L))
   }
 
+  test("native forward as-of equals composed forward on events") {
+    val native = AsOfNative.join(clicks.withColumnRenamed("click_id", "cid"),
+      purchases.select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id")),
+      Seq("user_id"), "ts", "ts", Seq("purchase_id"), forward = true)
+    val composed = Joins.asOf(clicks.withColumnRenamed("click_id", "cid"),
+      purchases.select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id")),
+      Seq("user_id"), "ts", "ts", Seq("purchase_id"), forward = true)
+    rows(native) shouldBe rows(composed)
+  }
+
+  test("hand data: forward matches earliest-at-or-after; ties to max id") {
+    val right = mkSide(Seq(
+      (1L, 20L, "a"), (1L, 20L, "b"), (1L, 40L, "c")), "rid")
+    val left = mkSide(Seq(
+      (1L, 20L, "p1"), (1L, 25L, "p2"), (1L, 50L, "p3")), "lid")
+    val got = AsOfNative.join(left, right, Seq("k"), "ts", "ts",
+        Seq("rid"), forward = true)
+      .select("lid", "rid").as[(String, Option[String])]
+      .collect().toMap
+    got shouldBe Map(
+      "p1" -> Some("b"), "p2" -> Some("c"), "p3" -> None)
+    // forward tolerance: match farther ahead than the bound nulls out
+    val tol = AsOfNative.join(left, right, Seq("k"), "ts", "ts",
+        Seq("rid"), toleranceSec = Some(10L), forward = true)
+      .select("lid", "rid").as[(String, Option[String])]
+      .collect().toMap
+    tol shouldBe Map("p1" -> Some("b"), "p2" -> None, "p3" -> None)
+  }
+
   test("the physical plan is AsOfJoinExec") {
     val native = AsOfNative.join(purchases, clicks, Seq("user_id"),
       "ts", "ts", Seq("click_id"))
