@@ -31,6 +31,14 @@ object Bench {
         n = 3, threshold = 0.8).count()
       graft.operators.Dedup.minhashLshPairs(tiny, "doc_id", "text",
         n = 3, numPerms = 32, bands = 8, threshold = 0.8).count()
+      // and the native as-of exec's generated projections/ordering
+      val ev = graft.core.Tables.events(spark, sfDir).limit(500)
+        .select("event_id", "user_id", "ts")
+      graft.plans.AsOfNative.join(ev,
+        ev.select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("event_id").as("rid")),
+        Seq("user_id"), "ts", "ts", Seq("rid")).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -73,6 +73,15 @@ object GraphQueries extends Registry {
 
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(strongTradeEdges(s, d), "src", "dst")),
+
+    // Weakly connected components of the strong-trade graph — trade
+    // blocs. Reuses the label-propagation operator the dedup pipeline
+    // uses (Dedup.components: min-reachable-id labels, (id, label)-only
+    // shuffles), against an independent recursive-closure oracle.
+    "graph_components" -> ((s, d) =>
+      graft.operators.Dedup.components(strongTradeEdges(s, d), "src", "dst")
+        .select(col("doc_id").as("node"), col("component"))
+        .orderBy("node")),
   )
 
   /** Raw trade edge list as a DuckDB CTE body. */
@@ -134,6 +143,19 @@ object GraphQueries extends Registry {
           r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           $pagerankSteps
           SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_components" ->
+      s"""WITH RECURSIVE e0 AS ($edgesSql),
+          $strongSql,
+          und AS (SELECT src AS a, dst AS b FROM e
+                  UNION SELECT dst, src FROM e),
+          reach AS (SELECT a, b FROM und
+                    UNION SELECT DISTINCT a, a FROM und
+                    UNION
+                    SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+          cc AS (SELECT a AS node, min(b) AS component
+                 FROM reach GROUP BY a)
+          SELECT node, component FROM cc ORDER BY node""",
 
     "graph_triangles" ->
       s"""WITH e0 AS ($edgesSql),
