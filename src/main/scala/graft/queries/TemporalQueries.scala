@@ -69,6 +69,25 @@ object TemporalQueries extends Registry {
         .orderBy("event_id")
     }),
 
+    // Same attribution a THIRD way: the broadcast version-array path
+    // (streaming.EventTimeOps.asOfEnrich — per-key sorted histories
+    // broadcast onto the probe side, per-row array search). Right for
+    // dimension-sized right sides; here it triple-checks the as-of
+    // semantics through a structurally different plan, same oracle.
+    "join_asof_broadcast" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.streaming.EventTimeOps.asOfEnrich(purchases, clicks,
+          Seq("user_id"), "ts", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("matched_ts")))
+            .as("gap_sec"))
+        .orderBy("event_id")
+    }),
+
     // Forward direction through the native operator — shares the
     // composed forward form's oracle.
     "join_asof_native_fwd" -> ((s, d) => {
@@ -160,6 +179,11 @@ object TemporalQueries extends Registry {
           FROM m WHERE rn = 1 ORDER BY event_id""",
 
     "join_asof_native" ->
+      s"""$asofRanked
+          SELECT event_id, user_id, click_id, gap_sec
+          FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    "join_asof_broadcast" ->
       s"""$asofRanked
           SELECT event_id, user_id, click_id, gap_sec
           FROM m WHERE rn = 1 ORDER BY event_id""",

@@ -69,6 +69,49 @@ object EventTimeOps {
              keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-static TEMPORAL enrichment: each streaming row picks the
+    * latest version row at-or-before its own event time (slowly-changing
+    * dimension stamping — price books, config rollouts, model versions).
+    * Structured Streaming cannot run a window/as-of against a static
+    * side inside the continuous plan, so the versioned dimension is
+    * collapsed to per-key ASCENDING (version_ts, payload) arrays ONCE at
+    * plan build (a batch aggregation, dimension-sized), broadcast-joined
+    * onto the stream, and each row binary-searches its version with
+    * codegen'd array functions — no state store, no watermark, O(log v)
+    * per row. Late/early rows resolve against the same frozen dimension,
+    * the semantics a reproducible pipeline wants; rebuild the plan to
+    * pick up dimension changes.
+    *
+    * `dimCols` must not collide with stream columns; the matched version
+    * timestamp is attached as `matched_<dimTs>` (null when the row
+    * precedes every version, matching `Joins.asOf`). */
+  def asOfEnrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                 streamTs: String, dimTs: String,
+                 dimCols: Seq[String]): DataFrame = {
+    val outTs = s"matched_$dimTs"
+    require(!(dimCols :+ outTs).exists(stream.columns.contains),
+      s"dim payload/$outTs collide with stream columns")
+    // per-key sorted version history: struct ordering is (ts, payload...)
+    // so array_sort gives version-ascending
+    val hist = dim
+      .filter((col(dimTs).isNotNull +: keys.map(col(_).isNotNull))
+        .reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(
+        struct(col(dimTs).as(outTs) +: dimCols.map(col): _*)))
+        .as("__versions"))
+    // filter(v.ts <= row.ts) then last element = latest at-or-before;
+    // element_at(arr, -1) is null-safe on empty arrays via the guard
+    val matched = filter(col("__versions"),
+      v => v.getField(outTs) <= col(streamTs))
+    val pick = element_at(matched, -1)
+    stream.join(broadcast(hist), keys, "left")
+      .withColumn("__m",
+        when(size(matched) > 0, pick).otherwise(lit(null)))
+      .select(stream.columns.map(col) ++
+        ((outTs +: dimCols).map(c => col(s"__m.`$c`").as(c))): _*)
+  }
+
   /** Watermarked stream-stream interval join: each left row matches right
     * rows for the same key whose timestamp falls in [left.ts, left.ts +
     * horizon]. Both sides carry watermarks so the join state is evicted

@@ -126,6 +126,48 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrich stamps the latest at-or-before version; batch parity") {
+    import spark.implicits._
+    // price book: key a changes at t=10 and t=30 (tie at 10: p=5 beats
+    // p=4 — max payload, same rule as Joins.asOf); key b never versioned
+    val dim = Seq(("a", ts(10), 4L), ("a", ts(10), 5L), ("a", ts(30), 9L))
+      .toDF("k", "vts", "price")
+    val stream = Seq(("a", ts(5), 1L), ("a", ts(10), 2L), ("a", ts(20), 3L),
+      ("a", ts(40), 4L), ("b", ts(20), 5L)).toDF("k", "ts", "row_id")
+    val got = EventTimeOps.asOfEnrich(stream, dim, Seq("k"), "ts", "vts",
+        Seq("price"))
+      .select("row_id", "price").as[(Long, Option[Long])].collect().toMap
+    got shouldBe Map(1L -> None, 2L -> Some(5L), 3L -> Some(5L),
+      4L -> Some(9L), 5L -> None)
+    // identical to the batch as-of operator on the same inputs
+    val viaAsOf = graft.operators.Joins.asOf(stream, dim, Seq("k"),
+        "ts", "vts", Seq("price"))
+      .select("row_id", "price").as[(Long, Option[Long])].collect().toMap
+    viaAsOf shouldBe got
+  }
+
+  test("asOfEnrich streams without a state store") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("a", ts(10), 5L)).toDF("k", "vts", "price")
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventTimeOps.asOfEnrich(in.toDF()
+          .withColumnRenamed("_1", "ts").withColumnRenamed("_2", "k"),
+        dim, Seq("k"), "ts", "vts", Seq("price"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_enriched").start()
+    try {
+      in.addData((ts(5), "a"), (ts(15), "a"), (ts(15), "z"))
+      q.processAllAvailable()
+      val rows = spark.table("asof_enriched").collect()
+        .map(r => (r.getAs[Timestamp]("ts").getTime / 60000L,
+          r.getAs[String]("k"),
+          Option(r.getAs[java.lang.Long]("price")).map(_.toLong))).toSet
+      rows shouldBe Set((5L, "a", None), (15L, "a", Some(5L)),
+        (15L, "z", None))
+    } finally q.stop()
+  }
+
   test("enrich stamps static dimension columns onto a stream, broadcast") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
