@@ -103,6 +103,53 @@ object EventQueries extends Registry {
         .orderBy("hour")
     }),
 
+    // Gap-filled hourly series with LINEAR interpolation: missing hours
+    // take the value interpolated between the nearest non-missing
+    // neighbors (leading/trailing gaps stay null) — the time-series
+    // repair step before feature extraction. The heavy work is the
+    // partial-aggregated hourly rollup; the spine and the interpolation
+    // windows run over (types x hours), a dimension-sized frame, never
+    // the fact table. Neighbor lookup = last/first ignoreNulls windows;
+    // hour indices are integers so the interpolation weights are exact.
+    "events_hourly_interp" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val base = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(sum("value").as("v"))
+      val hours = ev
+        .agg(date_trunc("hour", min("ts")).as("lo"),
+          date_trunc("hour", max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      val spine = base.select("event_type").distinct().crossJoin(hours)
+      val wPrev = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(base, Seq("event_type", "hour"), "left")
+        .withColumn("hi_idx", expr("unix_timestamp(hour) DIV 3600"))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hi_idx")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hi_idx")),
+          ignoreNulls = true).over(wNext))
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNull || col("nv").isNull, lit(null))
+              .otherwise((col("pv") * (col("nh") - col("hi_idx")) +
+                col("nv") * (col("hi_idx") - col("ph"))) /
+                (col("nh") - col("ph"))), 4).as("val"),
+          when(col("v").isNull && col("pv").isNotNull &&
+            col("nv").isNotNull, 1).otherwise(0).cast("int").as("filled"))
+        .orderBy("event_type", "hour")
+    }),
+
     // Time-based rolling window: events per user in the trailing hour.
     // The frame is anchored on FLOORED epoch seconds on both engines —
     // a raw-timestamp RANGE INTERVAL frame would disagree across engines
@@ -132,6 +179,27 @@ object EventQueries extends Registry {
         """stack(5, 'click', click, 'error', error, 'purchase', purchase,
                     'signup', signup, 'view', view) AS (event_type, cnt)"""))
         .orderBy("day", "event_type")
+    }),
+
+    // Top user journeys: most common 3-step event-type paths over
+    // time-ordered per-user sequences — the product-analytics sequence
+    // mining staple. Per-user state is bounded by that user's activity
+    // (the sessionize bound); path counting is a partial-aggregated
+    // groupBy; top-10 is TakeOrdered. Sequences order by (ts, event_id)
+    // — a total order both engines replay exactly.
+    "events_paths_top" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .select(expr("transform(seq, x -> x.event_type)").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 2),
+             i -> concat_ws('>', t[i - 1], t[i], t[i + 1]))"""))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path")).limit(10)
     }),
 
     // Exponential time-decay activity score (1-hour e-folding anchored at
@@ -401,6 +469,50 @@ object EventQueries extends Registry {
           FROM h LEFT JOIN c ON h.hour = c.hour
           ORDER BY 1""",
 
+    "events_hourly_interp" ->
+      """WITH base AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+                  sum("value") AS v
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1, 2),
+          b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi FROM events),
+          spine AS (SELECT t.event_type, h.hour
+                    FROM (SELECT DISTINCT event_type FROM base) t,
+                         (SELECT unnest(generate_series(lo, hi,
+                            INTERVAL 1 HOUR)) AS hour FROM b) h),
+          j AS (SELECT s.event_type, s.hour,
+                       CAST(epoch(s.hour) AS BIGINT) // 3600 AS hi_idx,
+                       base.v
+                FROM spine s LEFT JOIN base
+                  ON s.event_type = base.event_type
+                 AND s.hour = base.hour),
+          w AS (SELECT event_type, hour, hi_idx, v,
+                  last_value(v IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN hi_idx END
+                             IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+                  first_value(v IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN v IS NOT NULL THEN hi_idx END
+                              IGNORE NULLS) OVER (
+                    PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+                FROM j)
+         SELECT strftime(hour, '%Y-%m-%d %H') AS hour, event_type,
+                round(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NULL OR nv IS NULL THEN NULL
+                           ELSE (pv * (nh - hi_idx) + nv * (hi_idx - ph))
+                                / (nh - ph) END, 4) AS val,
+                CAST(CASE WHEN v IS NULL AND pv IS NOT NULL
+                           AND nv IS NOT NULL THEN 1 ELSE 0 END AS INT)
+                  AS filled
+         FROM w ORDER BY event_type, hour""",
+
     "events_rolling_1h" ->
       """SELECT event_id, user_id, cnt_1h FROM (
            SELECT event_id, user_id,
@@ -422,6 +534,17 @@ object EventQueries extends Registry {
           FROM d CROSS JOIN ty
           LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
           ORDER BY 1, 2""",
+
+    "events_paths_top" ->
+      """WITH s AS (SELECT user_id,
+                           list(event_type ORDER BY ts, event_id) AS t
+                    FROM events GROUP BY user_id),
+          p AS (SELECT unnest(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || '>' || t[i+1] || '>' || t[i+2]))
+                  AS path
+                FROM s WHERE len(t) >= 3)
+         SELECT path, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
 
     "events_time_decay" ->
       """WITH anchor AS (SELECT max(ts) AS t_end FROM events)
