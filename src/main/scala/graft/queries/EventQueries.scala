@@ -181,6 +181,25 @@ object EventQueries extends Registry {
         .orderBy("day", "event_type")
     }),
 
+    // Daily volume anomaly scores: z-score of each day's event count
+    // against its type's mean/stddev — the monitoring primitive for
+    // ingest-volume regressions. Two partial-aggregated rollups (daily
+    // counts, then per-type moments over ~days rows) + a broadcast-size
+    // join back; raw z-scores, not a thresholded flag, so a boundary day
+    // cannot flip the output between engines.
+    "events_daily_zscore" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(avg("n").as("mu"), stddev("n").as("sd"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"))
+        .orderBy("event_type", "day")
+    }),
+
     // Top user journeys: most common 3-step event-type paths over
     // time-ordered per-user sequences — the product-analytics sequence
     // mining staple. Per-user state is bounded by that user's activity
@@ -534,6 +553,17 @@ object EventQueries extends Registry {
           FROM d CROSS JOIN ty
           LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
           ORDER BY 1, 2""",
+
+    "events_daily_zscore" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               CAST(count(*) AS BIGINT) AS n
+                        FROM events GROUP BY 1, 2),
+          st AS (SELECT event_type, avg(n) AS mu, stddev(n) AS sd
+                 FROM daily GROUP BY 1)
+         SELECT daily.event_type, strftime(day, '%Y-%m-%d') AS day, n,
+                round((n - mu) / sd, 4) AS z
+         FROM daily JOIN st ON daily.event_type = st.event_type
+         ORDER BY daily.event_type, day""",
 
     "events_paths_top" ->
       """WITH s AS (SELECT user_id,
