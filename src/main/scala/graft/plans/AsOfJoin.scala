@@ -12,8 +12,9 @@ import org.apache.spark.sql.catalyst.plans.physical.{
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.TimestampType
 
-/** Backward as-of join as a first-class Catalyst operator: logical node,
-  * planner strategy, and a sort-merge physical exec.
+/** As-of join (backward and forward) as a first-class Catalyst operator:
+  * logical node, optimizer rule, planner strategy, and a sort-merge
+  * physical exec.
   *
   * `operators.Joins.asOf` re-expresses as-of as union + window — one
   * shuffle, one sort, but the window operator buffers a running frame and
@@ -126,22 +127,11 @@ class GraftExtensions
   }
 }
 
-/** Sort-merge as-of join.
-  *
-  * Distribution: both children clustered on their keys — EnsureRequirements
-  * co-partitions them exactly as it would a sort-merge equi-join (and AQE
-  * may coalesce both sides together, never one alone, or
-  * ValidateRequirements rejects the re-plan). Ordering: (keys, ts) per
-  * side, with the payload columns appended on the right so equal-(keys, ts)
-  * rows arrive in payload order and the merge's last-held row is the
-  * deterministic max — the same tie rule as `Joins.asOf`.
-  *
-  * The merge holds one projected (matchedTs, payload...) copy per key at a
-  * time; left rows stream through untouched.
-  */
 /** DataFrame-level entry point for the native as-of join. Mirrors the
-  * signature of `Joins.asOf` (backward direction) so the two forms are
-  * drop-in interchangeable; the spec asserts they return identical rows.
+  * signature of `Joins.asOf` (both directions, minus explicit tieBreak —
+  * the native form always uses the max-payload tie rule) so the two
+  * forms are drop-in interchangeable; the spec asserts they return
+  * identical rows.
   */
 object AsOfNative {
 
@@ -204,6 +194,19 @@ object AsOfNative {
   }
 }
 
+/** Sort-merge as-of join.
+  *
+  * Distribution: both children clustered on their keys — EnsureRequirements
+  * co-partitions them exactly as it would a sort-merge equi-join (and AQE
+  * may coalesce both sides together, never one alone, or
+  * ValidateRequirements rejects the re-plan). Ordering: (keys, ts) per
+  * side — ts descending when `forward` — with the payload columns
+  * appended ascending on the right so equal-(keys, ts) rows arrive in
+  * payload order and the merge's last-held row is the deterministic max.
+  *
+  * The merge holds one projected (matchedTs, payload...) copy per key at a
+  * time; left rows stream through untouched.
+  */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
