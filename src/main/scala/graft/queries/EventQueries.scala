@@ -109,15 +109,20 @@ object EventQueries extends Registry {
     // repair step before feature extraction. The heavy work is the
     // partial-aggregated hourly rollup; the spine and the interpolation
     // windows run over (types x hours), a dimension-sized frame, never
-    // the fact table. Neighbor lookup = last/first ignoreNulls windows;
-    // hour indices are integers so the interpolation weights are exact.
+    // the fact table. Neighbor lookup = last/first ignoreNulls windows.
+    // The interpolated metric is the hourly COUNT: every input to the
+    // interpolation quotient is an exact integer, so both engines divide
+    // the identical numerator/denominator and the rounded result cannot
+    // sit on differing sides of a half-up boundary (a sum-of-doubles
+    // metric flipped the 4th decimal at sf0.001 — ulp from summation
+    // order).
     "events_hourly_interp" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
       val base = ev.filter(col("event_type").isin("click", "purchase"))
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("hour"))
-        .agg(sum("value").as("v"))
+        .agg(count(lit(1)).as("v"))
       val hours = ev
         .agg(date_trunc("hour", min("ts")).as("lo"),
           date_trunc("hour", max("ts")).as("hi"))
@@ -491,7 +496,7 @@ object EventQueries extends Registry {
     "events_hourly_interp" ->
       """WITH base AS (
            SELECT event_type, date_trunc('hour', ts) AS hour,
-                  sum("value") AS v
+                  CAST(count(*) AS BIGINT) AS v
            FROM events WHERE event_type IN ('click', 'purchase')
            GROUP BY 1, 2),
           b AS (SELECT date_trunc('hour', min(ts)) AS lo,
