@@ -233,6 +233,33 @@ object RelationalQueries extends Registry {
     // math differs in the last ulp across engines and a round() at a
     // .xx5 boundary flips a cent. At 100 TB swap for approx_percentile —
     // same shape, sketch-based.
+    // Robust dispersion: median + median-absolute-deviation per group,
+    // both picked by exact rank (the stats_percentiles recipe twice) so
+    // the doubles compared are raw parquet values and identical
+    // subtractions — no estimator drift between engines. The outlier
+    // fence that survives the heavy tails stddev dies on.
+    "stats_mad" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+      val wX = Window.partitionBy("g").orderBy("x")
+      val med = base.withColumn("rn", row_number().over(wX))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("g")
+        .agg(max(when(col("rn") === ceil(col("n") * 0.5), col("x")))
+          .as("med"))
+      val wD = Window.partitionBy("g").orderBy("d")
+      base.join(broadcast(med), "g")
+        .withColumn("d", abs(col("x") - col("med")))
+        .withColumn("rn", row_number().over(wD))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+        .groupBy("g")
+        .agg(round(max(col("med")), 2).as("median"),
+          round(max(when(col("rn") === ceil(col("n") * 0.5), col("d"))), 2)
+            .as("mad"))
+        .select(col("g").as("l_returnflag"), col("median"), col("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     "stats_percentiles" -> ((s, d) => {
       val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
       val ranked = Tables.lineitem(s, d)
@@ -340,6 +367,27 @@ object RelationalQueries extends Registry {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_mad" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_extendedprice AS x
+                    FROM lineitem),
+          r AS (SELECT g, x,
+                       row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM b),
+          m AS (SELECT g, max(CASE WHEN rn = ceil(0.5 * n) THEN x END)
+                         AS med
+                FROM r GROUP BY g),
+          d AS (SELECT b.g, m.med, abs(b.x - m.med) AS d
+                FROM b JOIN m ON b.g = m.g),
+          r2 AS (SELECT g, med, d,
+                        row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+                        count(*) OVER (PARTITION BY g) AS n
+                 FROM d)
+         SELECT g AS l_returnflag, round(max(med), 2) AS median,
+                round(max(CASE WHEN rn = ceil(0.5 * n) THEN d END), 2)
+                  AS mad
+         FROM r2 GROUP BY g ORDER BY g""",
+
     "stats_percentiles" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice,
                 row_number() OVER (PARTITION BY l_returnflag

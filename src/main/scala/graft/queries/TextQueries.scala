@@ -234,6 +234,28 @@ object TextQueries extends Registry {
       graft.operators.Corpus.bigramSurprisal(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // Tokenizer vocabulary coverage: per-source token volume and OOV
+    // rate under the top-20 vocabulary — the coverage report a tokenizer
+    // rollout reads before switching vocabs. Vocab is dictionary-sized
+    // (broadcast); the token fan-out aggregates partially per source.
+    // Same deliberate top-20 cut as text_encode so the OOV path is
+    // exercised at every scale factor.
+    "text_oov_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val v = graft.operators.Corpus.vocab(docs, "text")
+        .filter(col("token_id") <= 20)
+        .select(col("term"), lit(1).as("iv"))
+      docs.select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+        .join(broadcast(v), Seq("term"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 4))
+        .orderBy("source")
+    }),
+
     // Compression-ratio quality filter (Corpus.deflateRatio). No SQL
     // oracle — deflate output is implementation-defined — so the driver
     // records rows-only; CorpusSpec asserts the structural properties.
@@ -418,6 +440,22 @@ object TextQueries extends Registry {
                  round(CAST(sum(tf * bits) AS DOUBLE) /
                        CAST(sum(tf) AS BIGINT), 4) AS avg_bits
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "text_oov_rate" ->
+      s"""WITH e AS (SELECT unnest($toks) AS term FROM documents),
+          c AS (SELECT term, count(*) AS ctf FROM e GROUP BY 1),
+          v AS (SELECT term FROM
+                  (SELECT term, row_number() OVER
+                     (ORDER BY ctf DESC, term ASC) AS token_id FROM c)
+                WHERE token_id <= 20),
+          t AS (SELECT source, unnest($toks) AS term FROM documents)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_oov,
+                 round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 4) AS oov_rate
+          FROM t LEFT JOIN v ON t.term = v.term
+          GROUP BY source ORDER BY source""",
 
     "text_pii_scrub" ->
       """WITH dirty AS (
