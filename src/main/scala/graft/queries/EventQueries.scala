@@ -186,6 +186,28 @@ object EventQueries extends Registry {
         .orderBy("day", "event_type")
     }),
 
+    // DAU / trailing-7-day WAU / stickiness — the engagement headline.
+    // Exact distinct over a sliding window WITHOUT re-scanning 7 days per
+    // day: (day, user) pairs dedup once (partial-aggregated), each pair
+    // fans out to the 7 window anchors it covers, and one distinct-count
+    // per anchor finishes it. Fan-out is x7 on the deduped pair relation,
+    // not the event stream.
+    "events_dau_wau" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day")
+        .agg(countDistinct("user_id").as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy("day")
+    }),
+
     // Daily volume anomaly scores: z-score of each day's event count
     // against its type's mean/stddev — the monitoring primitive for
     // ingest-volume regressions. Two partial-aggregated rollups (daily
@@ -558,6 +580,21 @@ object EventQueries extends Registry {
           FROM d CROSS JOIN ty
           LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
           ORDER BY 1, 2""",
+
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                     FROM events),
+          dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS dau
+                  FROM du GROUP BY 1),
+          cover AS (SELECT day + CAST(i AS INTEGER) AS wday, user_id
+                    FROM du, (SELECT unnest(range(0, 7)) AS i)),
+          wau AS (SELECT wday AS day,
+                         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+                  FROM cover GROUP BY 1)
+         SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, wau,
+                round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+         FROM dau JOIN wau ON dau.day = wau.day ORDER BY day""",
 
     "events_daily_zscore" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
