@@ -234,6 +234,27 @@ object TextQueries extends Registry {
       graft.operators.Corpus.bigramSurprisal(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // Mix planning: per-source token share and cumulative share in
+    // volume order — the table a data-mixture decision reads (which
+    // sources cover 90% of the corpus?). Integer token counts are exact;
+    // the shares divide identical integers on both engines. The window
+    // runs over the ~sources rows of the rollup, never the corpus.
+    "corpus_token_share" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
+      val total = per.agg(sum("n_tokens").as("t"))
+      val w = Window.orderBy(col("n_tokens").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.crossJoin(broadcast(total))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("t"), 4).as("share"),
+          round(col("cum").cast("double") / col("t"), 4).as("cum_share"))
+        .orderBy(col("n_tokens").desc, col("source"))
+    }),
+
     // Tokenizer vocabulary coverage: per-source token volume and OOV
     // rate under the top-20 vocabulary — the coverage report a tokenizer
     // rollout reads before switching vocabs. Vocab is dictionary-sized
@@ -440,6 +461,19 @@ object TextQueries extends Registry {
                  round(CAST(sum(tf * bits) AS DOUBLE) /
                        CAST(sum(tf) AS BIGINT), 4) AS avg_bits
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_token_share" ->
+      s"""WITH per AS (SELECT source, CAST(sum(len($toks)) AS BIGINT)
+                              AS n_tokens
+                       FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per)
+          SELECT source, n_tokens,
+                 round(CAST(n_tokens AS DOUBLE) / t, 4) AS share,
+                 round(CAST(sum(n_tokens) OVER (
+                         ORDER BY n_tokens DESC, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / t, 4) AS cum_share
+          FROM per, t ORDER BY n_tokens DESC, source""",
 
     "text_oov_rate" ->
       s"""WITH e AS (SELECT unnest($toks) AS term FROM documents),
