@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.functions.{col, substring}
+import org.apache.spark.sql.functions.{col, count, lit, substring}
 
 import graft.core.Tables
 import graft.operators.Dedup
@@ -77,6 +77,19 @@ object DedupQueries extends Registry {
         Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.8),
         "doc_a", "doc_b")),
+
+    // Cluster-size distribution of the near-dup components — the report
+    // that says whether dedup is removing scattered pairs or collapsing
+    // giant boilerplate clusters (each shape wants a different keep
+    // policy). Two cheap rollups on top of the component labels.
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.components(
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            n = 3, threshold = 0.8),
+          "doc_a", "doc_b")
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
 
     // Benchmark decontamination (8-gram overlap rule): every 10th doc
     // plays the eval set; training docs sharing any 8-gram with it are
@@ -264,6 +277,15 @@ object DedupQueries extends Registry {
       s"""WITH RECURSIVE $closureCtes
           SELECT a AS doc_id, min(b) AS component
           FROM reach GROUP BY a ORDER BY doc_id""",
+
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $closureCtes,
+          cc AS (SELECT a AS doc_id, min(b) AS component
+                 FROM reach GROUP BY a),
+          szs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                  FROM cc GROUP BY 1)
+          SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+          FROM szs GROUP BY sz ORDER BY sz""",
 
     "dedup_keep_representatives" ->
       s"""WITH RECURSIVE $closureCtes,

@@ -227,6 +227,31 @@ object EventQueries extends Registry {
         .orderBy("event_type", "day")
     }),
 
+    // Event-type transition matrix (first-order Markov): P(next | cur)
+    // over consecutive per-user events — the behavioral model behind
+    // next-action prediction and anomalous-session scoring. Same bounded
+    // per-user sequence fold as path mining; probabilities divide exact
+    // integer counts.
+    "events_markov_transitions" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val pairs = ev.groupBy("user_id")
+        .agg(array_sort(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .select(expr("transform(seq, x -> x.event_type)").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+             i -> struct(t[i - 1] AS cur, t[i] AS nxt))""")).as("p"))
+        .select(col("p.cur"), col("p.nxt"))
+      val counts = pairs.groupBy("cur", "nxt")
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("cur").agg(count(lit(1)).as("n_cur"))
+      counts.join(broadcast(totals), "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n").cast("double") / col("n_cur"), 4).as("p"))
+        .orderBy("cur", "nxt")
+    }),
+
     // Top user journeys: most common 3-step event-type paths over
     // time-ordered per-user sequences — the product-analytics sequence
     // mining staple. Per-user state is bounded by that user's activity
@@ -606,6 +631,24 @@ object EventQueries extends Registry {
                 round((n - mu) / sd, 4) AS z
          FROM daily JOIN st ON daily.event_type = st.event_type
          ORDER BY daily.event_type, day""",
+
+    "events_markov_transitions" ->
+      """WITH s AS (SELECT user_id,
+                           list(event_type ORDER BY ts, event_id) AS t
+                    FROM events GROUP BY user_id),
+          pr AS (SELECT unnest(list_transform(range(1, len(t)),
+                          i -> struct_pack(cur := t[i], nxt := t[i+1])))
+                   AS p
+                 FROM s WHERE len(t) >= 2),
+          pairs AS (SELECT p.cur AS cur, p.nxt AS nxt FROM pr),
+          c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+                FROM pairs GROUP BY 1, 2),
+          tot AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_cur
+                  FROM pairs GROUP BY 1)
+         SELECT c.cur, c.nxt, n,
+                round(CAST(n AS DOUBLE) / n_cur, 4) AS p
+         FROM c JOIN tot ON c.cur = tot.cur
+         ORDER BY c.cur, c.nxt""",
 
     "events_paths_top" ->
       """WITH s AS (SELECT user_id,

@@ -74,6 +74,21 @@ object GraphQueries extends Registry {
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(strongTradeEdges(s, d), "src", "dst")),
 
+    // Edge reciprocity of the strong-trade graph: the share of directed
+    // strong-trade edges whose reverse also qualifies (mutual trade
+    // blocs vs one-way supply). Left-semi self-join on the swapped key —
+    // ids only, no payload, broadcast-size relation.
+    "graph_reciprocity" -> ((s, d) => {
+      val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+      val rec = e.as("a").join(e.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(rec.agg(count(lit(1)).as("n_reciprocal")))
+        .withColumn("reciprocity",
+          round(col("n_reciprocal").cast("double") / col("n_edges"), 4))
+    }),
+
     // Weakly connected components of the strong-trade graph — trade
     // blocs. Reuses the label-propagation operator the dedup pipeline
     // uses (Dedup.components: min-reachable-id labels, (id, label)-only
@@ -143,6 +158,19 @@ object GraphQueries extends Registry {
           r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           $pagerankSteps
           SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_reciprocity" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ed AS (SELECT src, dst FROM e WHERE src <> dst),
+          st2 AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed),
+          rc AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+                 FROM ed a WHERE EXISTS (SELECT 1 FROM ed b
+                   WHERE b.src = a.dst AND b.dst = a.src))
+          SELECT n_edges, n_reciprocal,
+                 round(CAST(n_reciprocal AS DOUBLE) / n_edges, 4)
+                   AS reciprocity
+          FROM st2, rc ORDER BY n_edges""",
 
     "graph_components" ->
       s"""WITH RECURSIVE e0 AS ($edgesSql),
