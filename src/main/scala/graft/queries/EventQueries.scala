@@ -186,6 +186,31 @@ object EventQueries extends Registry {
         .orderBy("day", "event_type")
     }),
 
+    // Median inter-event gap per type (rank-picked exact integer
+    // seconds): the cadence baseline sessionization gap thresholds and
+    // rate-limit rules are tuned against. One keyed window for the lag,
+    // one rank pick per type over the gap relation.
+    "events_inter_event_gap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wLag = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(wLag))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+            .as("gap_sec"))
+      val wRank = Window.partitionBy("event_type").orderBy("gap_sec")
+      gaps.withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1))
+          .over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n_gaps"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("gap_sec")))
+            .as("median_gap_sec"))
+        .orderBy("event_type")
+    }),
+
     // DAU / trailing-7-day WAU / stickiness — the engagement headline.
     // Exact distinct over a sliding window WITHOUT re-scanning 7 days per
     // day: (day, user) pairs dedup once (partial-aggregated), each pair
@@ -605,6 +630,23 @@ object EventQueries extends Registry {
           FROM d CROSS JOIN ty
           LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
           ORDER BY 1, 2""",
+
+    "events_inter_event_gap" ->
+      """WITH g AS (SELECT event_type,
+                           date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts, event_id),
+                             ts) AS gap_sec
+                    FROM events),
+          gg AS (SELECT event_type, gap_sec,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY gap_sec) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS n
+                 FROM g WHERE gap_sec IS NOT NULL)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+                max(CASE WHEN rn = ceil(0.5 * n) THEN gap_sec END)
+                  AS median_gap_sec
+         FROM gg GROUP BY event_type ORDER BY event_type""",
 
     "events_dau_wau" ->
       """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id

@@ -234,6 +234,18 @@ object TextQueries extends Registry {
       graft.operators.Corpus.bigramSurprisal(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // Doc-length distribution in log2 buckets — the shape report behind
+    // chunk-size and packing decisions (and the quick tell for truncated
+    // or degenerate scrapes). floor(log2) via the integer bin-length
+    // trick, so buckets are engine-exact; one partial-aggregated rollup.
+    "corpus_length_histogram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select((length(bin(greatest(
+          TF.tokenCount(col("text")).cast("long"), lit(1L)))) - 1)
+          .cast("long").as("log2_tokens"))
+        .groupBy("log2_tokens").agg(count(lit(1)).as("n_docs"))
+        .orderBy("log2_tokens")),
+
     // Mix planning: per-source token share and cumulative share in
     // volume order — the table a data-mixture decision reads (which
     // sources cover 90% of the corpus?). Integer token counts are exact;
@@ -461,6 +473,12 @@ object TextQueries extends Registry {
                  round(CAST(sum(tf * bits) AS DOUBLE) /
                        CAST(sum(tf) AS BIGINT), 4) AS avg_bits
           FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_length_histogram" ->
+      s"""SELECT CAST(length(bin(greatest(CAST(len($toks) AS BIGINT), 1)))
+                 - 1 AS BIGINT) AS log2_tokens,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "corpus_token_share" ->
       s"""WITH per AS (SELECT source, CAST(sum(len($toks)) AS BIGINT)
