@@ -147,4 +147,45 @@ object Graph {
         element_at(col("t"), 3).as("c"))
       .orderBy("a", "b", "c")
   }
+
+  /** Single-source shortest hop distances over the UNDIRECTED distinct
+    * edge relation: (id, hops) for every node reachable from `source`
+    * (unreachable nodes are absent). Frontier BFS — each round joins only
+    * the NEW frontier against the edge list and anti-joins the visited
+    * set, so total work is O(edges × diameter-rounds) and every shuffle
+    * carries (id, hops) pairs; the visited set is node-sized, the same
+    * state bound label propagation carries. BFS frontier distances are
+    * final the first time a node is seen (hop counts are unit weights),
+    * so no relabeling round is needed — the loop ends when the frontier
+    * empties or `maxHops` is hit (loud failure, mirroring
+    * [[Dedup.components]]'s non-convergence guard). */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              source: Long, maxHops: Int = 20): DataFrame = {
+    val p = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val und = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = p.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = labels
+    var i = 0
+    while (i < maxHops && !frontier.isEmpty) {
+      val next = und
+        .join(frontier.select(col("id").as("src"), col("hops")), "src")
+        .select(col("dst").as("id"), (col("hops") + 1L).as("hops"))
+        .join(labels.select("id"), Seq("id"), "left_anti")
+        .groupBy("id").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+      frontier = next
+      labels = labels.union(next).localCheckpoint(true)
+      i += 1
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"bfsHops did not drain in $maxHops rounds — raise maxHops " +
+          "(graph diameter exceeds it)")
+    labels.orderBy("id")
+  }
 }

@@ -74,6 +74,15 @@ object GraphQueries extends Registry {
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(strongTradeEdges(s, d), "src", "dst")),
 
+    // Single-source hop distances from nation 0 over the undirected
+    // strong-trade graph (Graph.bfsHops frontier BFS). The oracle walks
+    // the same graph with a DEDUPED recursive CTE — UNION, not UNION ALL,
+    // so the recursion state is bounded by nodes x levels instead of
+    // path counts — and takes min(level) per node.
+    "graph_bfs_hops" -> ((s, d) =>
+      Graph.bfsHops(strongTradeEdges(s, d), "src", "dst", source = 0L)
+        .select(col("id").as("node"), col("hops"))),
+
     // Edge reciprocity of the strong-trade graph: the share of directed
     // strong-trade edges whose reverse also qualifies (mutual trade
     // blocs vs one-way supply). Left-semi self-join on the swapped key —
@@ -158,6 +167,20 @@ object GraphQueries extends Registry {
           r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           $pagerankSteps
           SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_bfs_hops" ->
+      s"""WITH RECURSIVE e0 AS ($edgesSql),
+          $strongSql,
+          und AS (SELECT src AS a, dst AS b FROM e
+                  UNION SELECT dst, src FROM e),
+          walk AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT)
+                            AS lvl
+                   UNION
+                   SELECT u.b, walk.lvl + 1
+                   FROM walk JOIN und u ON u.a = walk.node
+                   WHERE walk.lvl < 24)
+          SELECT node, CAST(min(lvl) AS BIGINT) AS hops
+          FROM walk GROUP BY node ORDER BY node""",
 
     "graph_reciprocity" ->
       s"""WITH e0 AS ($edgesSql),

@@ -112,4 +112,22 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     got shouldBe Array((0L, 1L, 2L))
   }
+
+  test("bfsHops: undirected shortest hops; unreachable nodes absent") {
+    // chain 0-1-2-3 plus shortcut 0-2 (directed 2->0: undirected walk
+    // must still use it), duplicate edge, and an isolated pair 8-9
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (2L, 0L), (0L, 1L),
+      (8L, 9L)).toDF("src", "dst")
+    val got = Graph.bfsHops(e, "src", "dst", source = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe Array((0L, 0L), (1L, 1L), (2L, 1L), (3L, 2L))
+    // source with no edges at all: just itself at hop 0
+    val lone = Graph.bfsHops(e, "src", "dst", source = 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    lone shouldBe Array((42L, 0L))
+    // diameter overflow fails loudly rather than truncating silently
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    an[IllegalStateException] should be thrownBy
+      Graph.bfsHops(chain, "src", "dst", source = 0L, maxHops = 2)
+  }
 }
