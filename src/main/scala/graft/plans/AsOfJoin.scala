@@ -90,27 +90,42 @@ object AsOfJoinStrategy extends SparkStrategy {
   * all look needed. This rule owns the node's semantics — a payload
   * column no Project above reads can be removed from the node AND from
   * the right child (via an inserted Project), which slims the right-side
-  * shuffle by exactly those columns. Dropping payload cannot change which
-  * row matches (the match is decided by keys + ts; payload only
-  * tie-breaks rows that already agree on the emitted matched_ts), so the
-  * rewrite is result-identical.
+  * shuffle by exactly those columns.
+  *
+  * The rewrite is result-identical ONLY when the dropped columns form a
+  * suffix of the payload: the payload participates in the right-side
+  * tie-break sort (equal-(keys, ts) rows resolve to the lexicographic
+  * max), so dropping a column that PRECEDES a kept one would change the
+  * sort — rows (a=1, b=9) vs (a=2, b=5) tied on (keys, ts) yield b=5
+  * under [a, b] order but b=9 under [b] alone. Kept-is-a-prefix keeps the
+  * sort on the surviving columns byte-identical (among rows tied on the
+  * kept prefix, which of the dropped-suffix orderings wins is
+  * unobservable — the dropped columns are exactly the ones nobody reads).
   *
   * Injected two ways, mirroring the strategy: build-time via
   * [[GraftExtensions]] (lands in the operator-optimization fixed-point,
-  * so the inserted Project then flows into the parquet scan's ReadSchema)
-  * or on a live session via `experimental.extraOptimizations` (end-of-
-  * optimizer batch: the exchange still slims, the scan already happened
-  * to be planned wide). */
+  * so the inserted Project is itself pruned into the source relation) or
+  * on a live session via `experimental.extraOptimizations` (end-of-
+  * optimizer batch — still ahead of physical planning, where V1
+  * FileSourceStrategy computes the scan's ReadSchema from the plan above
+  * the relation, so the inserted Project narrows the parquet scan on this
+  * path too; AsOfNativeSpec asserts the ReadSchema). */
 object PruneAsOfPayload
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.Project
 
+  private def prunablePrefix(
+      projectList: Seq[Expression], j: AsOfJoin): Option[Seq[Attribute]] = {
+    val keep = j.payload.filter(a =>
+      projectList.exists(_.references.contains(a)))
+    if (keep.length < j.payload.length &&
+        keep == j.payload.take(keep.length)) Some(keep) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList, j: AsOfJoin)
-        if j.payload.exists(a =>
-          !projectList.exists(_.references.contains(a))) =>
-      val keep = j.payload.filter(a =>
-        projectList.exists(_.references.contains(a)))
+        if prunablePrefix(projectList, j).isDefined =>
+      val keep = prunablePrefix(projectList, j).get
       val rKeep = (j.rightKeys ++ (j.rightTs +: keep)).distinct
       p.copy(child = j.copy(
         right = Project(rKeep, j.right), payload = keep))
@@ -151,6 +166,10 @@ object AsOfNative {
       s"right payload/$outTs collide with left columns")
     require(!(rightCols :+ rightTs).exists(keys.contains),
       "rightTs/rightCols must be distinct from the keys")
+    // a duplicate would make attr() silently resolve the payload column
+    // to the ts attribute and emit a duplicate-valued output column
+    require(!rightCols.contains(rightTs),
+      s"rightTs $rightTs must not also be listed in rightCols")
 
     // same null semantics as Joins.asOf: a right row with a null key or
     // null ts can never be "the latest prior match" — and the merge
@@ -275,8 +294,10 @@ case class AsOfJoinExec(
       val lTsProj = UnsafeProjection.create(Seq(lTsExpr), lOut)
       val rTsProj = UnsafeProjection.create(Seq(rTsExpr), rOut)
       val rOutProj = UnsafeProjection.create(rProjExprs, rOut)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++
-        (matchedTs +: payload.map(_.withNullability(true))))
+      // outAttrs is both the output and the JoinedRow's schema (left
+      // attrs ++ matched attrs) — and referencing the case-class fields
+      // here would drag the whole plan tree into the task closure
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
 

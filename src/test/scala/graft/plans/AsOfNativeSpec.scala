@@ -77,21 +77,26 @@ class AsOfNativeSpec extends SparkSpec {
     tol shouldBe Map("p1" -> Some("b"), "p2" -> None, "p3" -> None)
   }
 
+  /** Flatten an (possibly adaptive) executed plan, recursing through
+    * AdaptiveSparkPlanExec and materialized query stages, which `collect`
+    * alone would treat as leaves. */
+  private def flattenExec(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenExec)
+  }
+
   test("the physical plan is AsOfJoinExec") {
     val native = AsOfNative.join(purchases, clicks, Seq("user_id"),
       "ts", "ts", Seq("click_id"))
     native.count() // finalize any adaptive plan
-    def collectExec(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => collectExec(a.executedPlan)
-      case other => other.collect {
-        case e: AsOfJoinExec => e
-        case s if s.getClass.getSimpleName.contains("QueryStage") =>
-          s // leaf stage; as-of never hides inside one for this shape
-      }
-    }
     val plan = native.queryExecution.executedPlan
-    assert(plan.toString.contains("AsOfJoin"),
-      s"expected AsOfJoinExec in:\n$plan")
+    assert(flattenExec(plan).exists(_.isInstanceOf[AsOfJoinExec]),
+      s"expected an AsOfJoinExec node in:\n$plan")
   }
 
   private def mkSide(rows: Seq[(java.lang.Long, java.lang.Long, String)],
@@ -187,6 +192,87 @@ class AsOfNativeSpec extends SparkSpec {
     val j = q.queryExecution.optimizedPlan
       .collect { case x: AsOfJoin => x }.head
     j.payload.map(_.name) shouldBe Seq("click_id")
+  }
+
+  /** Two-column payload with rows TIED on (keys, ts): the tie resolves by
+    * lexicographic payload order, so pruning is only sound when the
+    * dropped columns are a suffix. Payload [a, b] with ties (a=1, b=9)
+    * vs (a=2, b=5): the [a, b] sort ends on (2, 5). */
+  private def tiedPayloadSides: (DataFrame, DataFrame) = {
+    val right = Seq((1L, 10L, 1L, 9L), (1L, 10L, 2L, 5L))
+      .toDF("k", "sec", "a", "b")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"),
+        col("a"), col("b"))
+    val left = Seq((1L, 15L, "p1")).toDF("k", "sec", "lid")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("lid"))
+    (left, right)
+  }
+
+  test("prune fires on a kept PREFIX of a 2-col payload; result identical") {
+    val (left, right) = tiedPayloadSides
+    val q = AsOfNative.join(left, right, Seq("k"), "ts", "ts",
+        Seq("a", "b"))
+      .select("lid", "a") // b unread -> dropped suffix, rule may fire
+    val j = q.queryExecution.optimizedPlan
+      .collect { case x: AsOfJoin => x }.head
+    j.payload.map(_.name) shouldBe Seq("a")
+    // tie winner under [a, b] order is (a=2, b=5); pruned to [a] the
+    // kept-column sort is unchanged, so a must still be 2
+    q.as[(String, Option[Long])].collect().toMap shouldBe
+      Map("p1" -> Some(2L))
+  }
+
+  test("prune does NOT fire when a kept column follows a dropped one") {
+    val (left, right) = tiedPayloadSides
+    val q = AsOfNative.join(left, right, Seq("k"), "ts", "ts",
+        Seq("a", "b"))
+      .select("lid", "b") // dropping a would change the tie-break sort
+    val j = q.queryExecution.optimizedPlan
+      .collect { case x: AsOfJoin => x }.head
+    j.payload.map(_.name) shouldBe Seq("a", "b")
+    // winner must stay the [a, b]-lexicographic max (a=2, b=5) -> b=5;
+    // a pruned-to-[b] sort would have returned b=9
+    q.as[(String, Option[Long])].collect().toMap shouldBe
+      Map("p1" -> Some(5L))
+  }
+
+  test("rightTs listed in rightCols is rejected") {
+    val (left, right) = tiedPayloadSides
+    an[IllegalArgumentException] should be thrownBy
+      AsOfNative.join(left, right, Seq("k"), "ts", "ts", Seq("ts", "a"))
+  }
+
+  test("live-session pruning narrows the parquet scan's ReadSchema") {
+    // the prune rule lands end-of-optimizer on the live-session path, but
+    // V1 FileSourceStrategy computes ReadSchema at PHYSICAL planning —
+    // after every optimizer batch — so the inserted Project must still
+    // narrow the scan: with payload [a, b] and only a read downstream,
+    // the right-side parquet scan must not read b (or the unused c)
+    val dir = java.nio.file.Files.createTempDirectory("asof_scan")
+    try {
+      val path = dir.resolve("right").toString
+      Seq((1L, 10L, 1L, 9L, "junk")).toDF("k", "sec", "a", "b", "c")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"),
+          col("a"), col("b"), col("c"))
+        .write.mode("overwrite").parquet(path)
+      val right = spark.read.parquet(path)
+      val left = Seq((1L, 15L, "p1")).toDF("k", "sec", "lid")
+        .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("lid"))
+      val q = AsOfNative.join(left, right, Seq("k"), "ts", "ts",
+          Seq("a", "b"))
+        .select("lid", "matched_ts", "a")
+      q.count()
+      val scans = flattenExec(q.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val rScan = scans.find(_.requiredSchema.fieldNames.contains("a"))
+        .getOrElse(fail(s"no parquet scan reading column a in:\n" +
+          q.queryExecution.executedPlan))
+      rScan.requiredSchema.fieldNames.toSet shouldBe Set("k", "ts", "a")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
   }
 
   test("build-time GraftExtensions installs strategy + pruning rule") {
