@@ -40,7 +40,14 @@ object Bench {
           org.apache.spark.sql.functions.col("event_id").as("rid")),
         Seq("user_id"), "ts", "ts", Seq("rid")).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset filter (comma-separated name prefixes) for targeted
+    // runs — e.g. SPARK_GRAFT_ONLY=dedup_,ann_ for the sf-scaling trends
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must FAIL the bench visibly (stack to stderr, null
       // in the JSON, excluded from the total) — a swallowed exception
@@ -69,7 +76,30 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout gets tail-truncated by capture harnesses once the registry is
+    // large, losing the alphabetically-early per-query timings — persist
+    // the complete record in-repo: latest run overwritten at a stable
+    // name, and every run appended to a history log for round-over-round
+    // diffs (skipped for SPARK_GRAFT_ONLY subset runs unless redirected
+    // via SPARK_GRAFT_BENCH_OUT)
+    try {
+      import java.nio.file.{Files, Paths, StandardOpenOption => O}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .orElse(if (only.isEmpty) Some("bench_full_latest.json") else None)
+      out.foreach { f =>
+        Files.write(Paths.get(f), (line + "\n").getBytes(UTF_8),
+          O.CREATE, O.TRUNCATE_EXISTING)
+        Files.write(Paths.get("bench_history.jsonl"),
+          (line + "\n").getBytes(UTF_8), O.CREATE, O.APPEND)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not persist bench JSON: $e")
+    }
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries FAILED: ${failed.mkString(", ")}")
       spark.stop()

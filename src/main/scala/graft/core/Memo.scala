@@ -1,0 +1,40 @@
+package graft.core
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped materialization memo for intermediate relations several
+  * registered queries share.
+  *
+  * The dedup family (`dedup_ngram_jaccard`, `dedup_components`,
+  * `dedup_cluster_sizes`, `dedup_keep_representatives`,
+  * `dedup_edit_distance`, `pipeline_corpus_prep`) all build on the same
+  * prefix-filter candidate pipeline — by far the most expensive plan in
+  * the registry. Re-deriving it per query is pure waste: the pair
+  * relation is tiny (one row per near-dup pair) while the pipeline that
+  * produces it scans and shuffles the whole shingle index. The memo
+  * materializes it once per (session, key) via `localCheckpoint` and
+  * hands every later query the truncated-lineage handle.
+  *
+  * Keys embed every parameter the relation depends on (table dir, n,
+  * threshold); entries are keyed by session identity so independent test
+  * sessions never see another session's RDD handles.
+  *
+  * 100 TB note: `localCheckpoint` stores blocks on the executors that
+  * computed them (lost on executor failure — Spark recomputes, which at
+  * that scale means re-running the pipeline). A production deployment
+  * would swap the storage call for a reliable checkpoint or a persisted
+  * intermediate table; the memo's structure — compute shared candidates
+  * once, fan out consumers — is exactly the shape that swap needs.
+  */
+object Memo {
+
+  private val cache = TrieMap.empty[(Int, String), DataFrame]
+
+  /** Materialize `build` once per (session, key) and reuse the handle. */
+  def dataFrame(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate(
+      (System.identityHashCode(s), key),
+      build.localCheckpoint(eager = false))
+}

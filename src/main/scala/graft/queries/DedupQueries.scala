@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, lit, substring}
 
-import graft.core.Tables
+import graft.core.{Memo, Tables}
 import graft.operators.Dedup
 
 /** Dedup queries over documents/embeddings (see operators.Dedup for the
@@ -15,6 +16,20 @@ import graft.operators.Dedup
   * ScalaTest suite asserts recall against the exact operators.
   */
 object DedupQueries extends Registry {
+
+  /** The >= 0.8-Jaccard near-dup pair relation over the full documents
+    * table — the shared upstream of six registered queries — memoized per
+    * (session, table dir) so the prefix-filter pipeline runs once, not
+    * once per consumer (see [[graft.core.Memo]]). A pair's Jaccard score
+    * depends only on the two documents, so consumers needing pairs over a
+    * SUBSET of the corpus (pipeline_corpus_prep's post-gate docs)
+    * restrict this relation by endpoint membership instead of recomputing
+    * the pipeline on the subset — same rows, zero extra shingle work. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"jaccard_pairs:$d:n=3:thr=0.8") {
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }
 
   val defs: Map[String, QueryFn] = Map(
     "dedup_exact" -> ((s, d) =>
@@ -42,9 +57,7 @@ object DedupQueries extends Registry {
         .orderBy("doc_id")
     }),
 
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.8)),
+    "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
@@ -73,20 +86,14 @@ object DedupQueries extends Registry {
         n = 3, threshold = 0.8)),
 
     "dedup_components" -> ((s, d) =>
-      Dedup.components(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8),
-        "doc_a", "doc_b")),
+      Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")),
 
     // Cluster-size distribution of the near-dup components — the report
     // that says whether dedup is removing scattered pairs or collapsing
     // giant boilerplate clusters (each shape wants a different keep
     // policy). Two cheap rollups on top of the component labels.
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.components(
-          Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-            n = 3, threshold = 0.8),
-          "doc_a", "doc_b")
+      Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")
         .groupBy("component").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")),
@@ -117,7 +124,7 @@ object DedupQueries extends Registry {
     "dedup_edit_distance" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(s, d)
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      jaccardPairs(s, d)
         .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")),
           "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")),
@@ -150,9 +157,17 @@ object DedupQueries extends Registry {
           TF.tokenCount(col("text")).cast("long").as("nt"))
         .filter(col("q") >= 0.63 && col("lang_pred") === "en" &&
           col("nt").between(20, 90))
+      // near-dup pairs over the post-gate subset = the full-corpus pair
+      // relation restricted to clean endpoints (Jaccard is pairwise) —
+      // reuses the shared materialization instead of re-shingling
+      val cleanIds = clean.select("doc_id")
       val comps = Dedup.components(
-        Dedup.ngramJaccardPairs(clean, "doc_id", "text",
-          n = 3, threshold = 0.8), "doc_a", "doc_b")
+        jaccardPairs(s, d)
+          .join(cleanIds.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_semi")
+          .join(cleanIds.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_semi"),
+        "doc_a", "doc_b")
       clean
         .join(comps.filter(col("doc_id") =!= col("component")),
           Seq("doc_id"), "left_anti")
@@ -167,10 +182,7 @@ object DedupQueries extends Registry {
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
-      val comps = Dedup.components(
-        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.8),
-        "doc_a", "doc_b")
+      val comps = Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")
       import org.apache.spark.sql.functions.col
       Tables.documents(s, d)
         .join(comps.filter(col("doc_id") =!= col("component")),

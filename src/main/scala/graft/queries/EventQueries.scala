@@ -188,8 +188,14 @@ object EventQueries extends Registry {
 
     // Median inter-event gap per type (rank-picked exact integer
     // seconds): the cadence baseline sessionization gap thresholds and
-    // rate-limit rules are tuned against. One keyed window for the lag,
-    // one rank pick per type over the gap relation.
+    // rate-limit rules are tuned against. One keyed window for the lag;
+    // the median is NOT a per-type sort of every gap (~5 types would pin
+    // n/5 rows on one reducer each at 100x) — gaps are integer seconds,
+    // so they reduce to a (gap_sec -> count) histogram first and the
+    // rank pick is a cumulative scan over that bounded histogram, the
+    // Audit.keySkew recipe. Same rank-ceil(n*0.5) value either way:
+    // the gap at rank r equals the smallest gap whose cumulative count
+    // reaches r.
     "events_inter_event_gap" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val wLag = Window.partitionBy("user_id", "event_type")
@@ -200,13 +206,16 @@ object EventQueries extends Registry {
         .select(col("event_type"),
           (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
             .as("gap_sec"))
-      val wRank = Window.partitionBy("event_type").orderBy("gap_sec")
-      gaps.withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1))
-          .over(Window.partitionBy("event_type")))
-        .groupBy("event_type")
+      val hist = gaps.groupBy("event_type", "gap_sec")
+        .agg(count(lit(1)).as("nk"))
+      val cum = hist
+        .withColumn("ck", sum("nk").over(
+          Window.partitionBy("event_type").orderBy("gap_sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("nk").over(Window.partitionBy("event_type")))
+      cum.groupBy("event_type")
         .agg(max(col("n")).cast("long").as("n_gaps"),
-          max(when(col("rn") === ceil(col("n") * 0.5), col("gap_sec")))
+          min(when(col("ck") >= ceil(col("n") * 0.5), col("gap_sec")))
             .as("median_gap_sec"))
         .orderBy("event_type")
     }),
