@@ -37,4 +37,11 @@ object Memo {
     cache.getOrElseUpdate(
       (System.identityHashCode(s), key),
       build.localCheckpoint(eager = false))
+
+  private val done = TrieMap.empty[(Int, String), Unit]
+
+  /** Run a side-effecting setup (e.g. writing a bucketed table copy) once
+    * per (session, key). */
+  def once(s: SparkSession, key: String)(body: => Unit): Unit =
+    done.getOrElseUpdate((System.identityHashCode(s), key), body)
 }

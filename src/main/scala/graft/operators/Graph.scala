@@ -72,9 +72,18 @@ object Graph {
     * dst), then a left join back onto the node set. Rounds are a fixed
     * `iters` (deterministic plan, replayable oracle), not
     * convergence-checked; 5-10 reaches stable ORDER on real graphs.
-    * Output: (node, rank) in micro-units, total order by node. */
+    * Output: (node, rank) in micro-units, total order by node.
+    *
+    * `redistributeDangling = true` switches to the mass-conserving
+    * variant: each round, the summed rank of dangling nodes is split
+    * evenly (dsum DIV n_nodes, still integer-exact — the DIV remainder
+    * < n_nodes micro-units is shed deterministically) and added to every
+    * node's incoming contribution before damping. The dangling sum and
+    * node count arrive as broadcast one-row aggregates, so the per-round
+    * shuffle shape is unchanged. */
   def pagerankInt(edges: DataFrame, srcCol: String, dstCol: String,
-                  iters: Int, dampBp: Int = 8500): DataFrame = {
+                  iters: Int, dampBp: Int = 8500,
+                  redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(dampBp >= 0 && dampBp <= 10000, s"dampBp out of range: $dampBp")
     val scale = 1000000L
@@ -88,6 +97,12 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
+    val nNodes = nodes.agg(count(lit(1)).as("nn"))
+    // the damping reduction, overflow-safe (see Overflow above), over an
+    // arbitrary non-negative integer column expression
+    def damped(csumTot: String) =
+      lit(base) + expr(s"(($csumTot) DIV 10000) * $dampBp" +
+        s" + ((($csumTot) % 10000) * $dampBp) DIV 10000")
     var rank = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
       val contrib = withDeg
@@ -95,14 +110,19 @@ object Graph {
         .select(col("dst").as("node"),
           expr("rank DIV out_deg").as("c"))
         .groupBy("node").agg(sum("c").as("csum"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"(coalesce(csum, CAST(0 AS BIGINT)) DIV 10000) * $dampBp" +
-              s" + ((coalesce(csum, CAST(0 AS BIGINT)) % 10000) * $dampBp)" +
-              s" DIV 10000"))
-            .as("rank"))
-        .localCheckpoint(true) // truncate the iterative lineage each round
+      val joined = nodes.join(contrib, Seq("node"), "left")
+      rank = (if (!redistributeDangling) {
+        joined.select(col("node"),
+          damped("coalesce(csum, CAST(0 AS BIGINT))").as("rank"))
+      } else {
+        val dang = rank
+          .join(outD.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
+        joined.crossJoin(broadcast(dang)).crossJoin(broadcast(nNodes))
+          .select(col("node"),
+            damped("coalesce(csum, CAST(0 AS BIGINT)) + dsum DIV nn")
+              .as("rank"))
+      }).localCheckpoint(true) // truncate the iterative lineage each round
     }
     rank.orderBy("node")
   }

@@ -71,6 +71,18 @@ object GraphQueries extends Registry {
       Graph.pagerankInt(strongTradeEdges(s, d), "src", "dst",
         iters = Iters, dampBp = DampBp.toInt)),
 
+    // Mass-conserving PageRank on the ACYCLIC strong-trade flow (edges
+    // oriented low → high nation id), which guarantees dangling nodes —
+    // the maximum node id never has out-edges — so the redistribution
+    // path is actually exercised. Integer-exact like graph_pagerank: the
+    // per-round dangling sum splits as dsum DIV n_nodes, replayed
+    // verbatim by the unrolled oracle.
+    "graph_pagerank_dangling" -> ((s, d) =>
+      Graph.pagerankInt(
+        strongTradeEdges(s, d).filter(col("src") < col("dst")),
+        "src", "dst", iters = Iters, dampBp = DampBp.toInt,
+        redistributeDangling = true)),
+
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(strongTradeEdges(s, d), "src", "dst")),
 
@@ -144,6 +156,29 @@ object GraphQueries extends Registry {
            FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
   }.mkString(",\n")
 
+  /** The mass-conserving variant's steps over edge relation `er`: d<i>
+    * totals the previous round's dangling rank (nodes with no
+    * out-edges), every node's incoming contribution gains dsum // nn
+    * before damping — replaying
+    * Graph.pagerankInt(redistributeDangling = true) bit-for-bit. */
+  private def pagerankDanglingSteps(er: String): String = (1 to Iters).map { i =>
+    val tot = s"coalesce(c.csum, 0) + d$i.dsum // nn.nn"
+    s"""d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dsum
+           FROM r${i - 1}
+           WHERE node NOT IN (SELECT src FROM $er)),
+       c$i AS (SELECT $er.dst AS node,
+                CAST(sum(r${i - 1}.rank // outd.od) AS BIGINT) AS csum
+           FROM $er
+           JOIN outd ON $er.src = outd.src
+           JOIN r${i - 1} ON r${i - 1}.node = $er.src
+           GROUP BY $er.dst),
+       r$i AS (SELECT n.node,
+                CAST($Base + (($tot) // 10000) * $DampBp
+                   + ((($tot) % 10000) * $DampBp) // 10000
+                 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c$i c ON n.node = c.node, d$i, nn)"""
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
     "graph_degrees" ->
       s"""WITH e0 AS ($edgesSql),
@@ -166,6 +201,21 @@ object GraphQueries extends Registry {
                     UNION SELECT dst FROM e),
           r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           $pagerankSteps
+          SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    // same strong-trade chain, edges restricted to src < dst (acyclic
+    // flow), then the dangling-redistribution fixed point
+    "graph_pagerank_dangling" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ed AS (SELECT src, dst FROM e WHERE src < dst),
+          outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+                   FROM ed GROUP BY src),
+          nodes AS (SELECT src AS node FROM ed
+                    UNION SELECT dst FROM ed),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+          r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
+          ${pagerankDanglingSteps("ed")}
           SELECT node, rank FROM r$Iters ORDER BY node""",
 
     "graph_bfs_hops" ->

@@ -43,6 +43,28 @@ object RelationalQueries extends Registry {
           .as("revenue"))
         .orderBy("r_name")),
 
+    // The same 5-way revenue join through BUCKETED fact copies
+    // (core.Bucketed): lineitem and orders co-bucketed + sorted on
+    // orderkey, so the sort-merge join needs neither an exchange nor a
+    // sort on either fact side — the 100 TB ingest layout, proven in the
+    // registered surface rather than only in ScaleMechanicsSpec. The
+    // merge hint pins the join shape (a broadcast at local SF would
+    // bypass the mechanics being demonstrated); dims stay broadcast.
+    // Same oracle as join_multiway_revenue — layout must not change
+    // results.
+    "join_multiway_revenue_bucketed" -> ((s, d) => {
+      val (l, o) = graft.core.Bucketed.lineitemOrders(s, d)
+      l.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("r_name")
+    }),
+
     // The same 5-way join through the SQL surface: Views.register + a
     // spark.sql(...) text plan. Catalyst plans SQL and DataFrame
     // identically (same optimized plan, same broadcast decisions via AQE),
@@ -407,6 +429,16 @@ object RelationalQueries extends Registry {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "join_multiway_revenue" ->
+      """SELECT r_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+
+    "join_multiway_revenue_bucketed" ->
       """SELECT r_name,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem

@@ -227,6 +227,27 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"expected TakeOrderedAndProject:\n$plan")
   }
 
+  test("registered bucketed revenue query joins facts without exchange") {
+    // the REGISTERED query surface, not a throwaway table: the 5-way
+    // revenue join through core.Bucketed's co-bucketed fact copies must
+    // plan the lineitem-orders sort-merge join with no shuffle and no
+    // sort on either fact side, and still match the flat-table twin
+    val q = graft.queries.RelationalQueries
+      .defs("join_multiway_revenue_bucketed")(spark, sfDir)
+    q.count() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed fact join still shuffles:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scan is not bucket-aware:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+    val flat = graft.queries.RelationalQueries
+      .defs("join_multiway_revenue")(spark, sfDir)
+    q.collect().map(_.toString).toSeq shouldBe
+      flat.collect().map(_.toString).toSeq
+  }
+
   test("SQL surface: registered views answer the flagship query") {
     Views.register(spark, sfDir)
     val rows = spark.sql(

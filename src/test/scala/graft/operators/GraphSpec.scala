@@ -66,6 +66,49 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** The mass-conserving variant's simulation: per round, the summed
+    * rank of out-degree-0 nodes splits as dsum / n_nodes (truncating)
+    * into every node's contribution before damping. */
+  private def simulateDangling(es: Set[(Long, Long)], iters: Int,
+                               dampBp: Long): Map[Long, Long] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2))
+    val scale = 1000000L
+    val base = scale * (10000 - dampBp) / 10000
+    val outDeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for ((s, d) <- es) contrib(d) += rank(s) / outDeg(s)
+      val dsum = nodes.toSeq.filterNot(outDeg.contains).map(rank).sum
+      val share = dsum / nodes.size
+      rank = nodes.map { n =>
+        val c = contrib(n) + share
+        n -> (base + (c / 10000) * dampBp + ((c % 10000) * dampBp) / 10000)
+      }.toMap
+    }
+    rank
+  }
+
+  test("pagerankInt with dangling redistribution matches the simulation") {
+    val distinctEdges = Set(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L))
+    for (iters <- Seq(1, 4)) {
+      val want = simulateDangling(distinctEdges, iters, 8500L)
+      val got = Graph.pagerankInt(edges, "src", "dst", iters,
+          redistributeDangling = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe want
+    }
+    // node 4 is dangling, so redistribution must actually move mass:
+    // the two variants may not agree
+    val plain = Graph.pagerankInt(edges, "src", "dst", 4).collect()
+      .map(r => r.getLong(1)).sum
+    val conserving = Graph.pagerankInt(edges, "src", "dst", 4,
+        redistributeDangling = true).collect().map(r => r.getLong(1)).sum
+    conserving should be > plain
+  }
+
   test("pagerankInt output is ordered by node and mass-plausible") {
     val pr = Graph.pagerankInt(edges, "src", "dst", 4).collect()
     pr.map(_.getLong(0)) shouldBe pr.map(_.getLong(0)).sorted
