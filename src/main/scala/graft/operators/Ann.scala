@@ -49,6 +49,47 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact k-nearest-neighbor GRAPH over the whole corpus — every vector's
+    * top-k cosine neighbors, the construction SemDeDup-style clustering,
+    * graph-based dedup, and kNN-classification pipelines start from.
+    *
+    * Execution shape: pair generation is [[Dedup.blockPairSims]] (each
+    * unordered pair computed in exactly one task, shuffle n·B rows), each
+    * pair fans out to its two directed ends in the SAME task, and the
+    * per-node reduction is the k-bounded [[graft.functions
+    * .CraneAggregators.TopKByScore]] partial aggregate — at most k
+    * entries per (node, map partition) cross the aggregation shuffle,
+    * never the n² similarity relation. Compute is inherently Ω(n²) (this
+    * is the exact baseline; the scale path is LSH/IVF candidates into
+    * the same top-k reduction), but memory and shuffle stay linear.
+    *
+    * Similarities rank in basis points (round(sim·10000), integer) so
+    * the ordering replays exactly in any engine; ties resolve to the
+    * smaller neighbor id. Output: (vec_id, rank 1..k, sim_bp,
+    * neighbor_id), total order. */
+  def knnGraph(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+               blocks: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pairs = Dedup.blockPairSims(embs, idCol, vecCol, blocks)
+      .select(col("id_a"), col("id_b"),
+        round(col("sim") * 10000).cast("long").as("sim_bp"))
+    // both directed ends in one pass — a union of two selects would run
+    // the quadratic block-pair join twice
+    val dir = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("sim_bp"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("sim_bp"), col("id_a").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.sim_bp").as("sim_bp"),
+        col("e.dst").as("dst"))
+    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
+    dir.groupBy("src").agg(topk(col("sim_bp"), col("dst")).as("nn"))
+      .select(col("src"), posexplode(col("nn")))
+      .select(col("src").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("sim_bp"), col("col._2").as("neighbor_id"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit-less hyperplanes (seeded; no RNG at
     * execution time — the plan is reproducible across runs/resumes). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -30,6 +30,12 @@ object AnnQueries extends Registry {
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
+    // Exact corpus-wide kNN graph (Ann.knnGraph): block-pair sims +
+    // k-bounded TopK partial aggregate; integer basis-point ranking so
+    // DuckDB replays the exact ordering.
+    "ann_knn_graph" -> ((s, d) =>
+      Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)),
+
     // Full-corpus per-label centroids (the distributed IVF-build /
     // cluster-audit reduction): long form (label, dim, c).
     "ann_centroids" -> ((s, d) =>
@@ -67,6 +73,20 @@ object AnnQueries extends Registry {
 
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.
+
+    "ann_knn_graph" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                       CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
+                         AS BIGINT) AS sim_bp
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+          r AS (SELECT src, dst, sim_bp,
+                       CAST(row_number() OVER (PARTITION BY src
+                         ORDER BY sim_bp DESC, dst ASC) AS BIGINT) AS rank
+                FROM p)
+          SELECT src AS vec_id, rank, sim_bp, dst AS neighbor_id
+          FROM r WHERE rank <= 5
+          ORDER BY vec_id, rank""",
 
     "embed_quantize_int8" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -32,6 +32,40 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph matches an in-memory exact ranking; plan is block-paired") {
+    val sub = embs.filter(col("vec_id") < 60)
+    val got = Ann.knnGraph(sub, "vec_id", "embedding", k = 3)
+    // no cartesian/nested-loop: the quadratic work must be block-paired
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference ranking computed locally with the same integer basis
+    // points and (sim desc, id asc) tie-break
+    val vecs = sub.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val want = vecs.flatMap { case (id, v) =>
+      vecs.filter(_._1 != id)
+        .map { case (oid, ov) =>
+          (math.round(cos(v, ov) * 10000), oid)
+        }
+        .sortBy { case (bp, oid) => (-bp, oid) }
+        .take(3).zipWithIndex
+        .map { case ((bp, oid), i) => (id, (i + 1).toLong, bp, oid) }
+    }.sortBy(t => (t._1, t._2))
+    rows.toSeq shouldBe want.toSeq
+    // every node appears with exactly k ranked neighbors
+    rows.groupBy(_._1).values.foreach(_.map(_._2).sorted shouldBe Seq(1L, 2L, 3L))
+  }
+
   test("LSH top-k recall >= 0.5 vs brute force") {
     val lsh = neighborSet(Ann.lshTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (lsh intersect exact).size.toDouble / exact.size
