@@ -134,6 +134,13 @@ object DedupQueries extends Registry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Position-aware shared-run pairs (Dedup.sharedRunPairs): longest
+    // shared consecutive token run per doc pair sharing an 8-gram —
+    // the exact-substring dedup diagnostic (quotes/boilerplate at
+    // arbitrary offsets, where aligned passage dedup can't see them).
+    "dedup_shared_runs" -> ((s, d) =>
+      Dedup.sharedRunPairs(Tables.documents(s, d), "doc_id", "text", n = 8)),
+
     // Passage-level exact dedup (Dedup.passageRetention): 32-token
     // windows, keep-first per fingerprint, per-doc retention — the
     // C4-style line-dedup pass.
@@ -384,6 +391,33 @@ object DedupQueries extends Registry {
                  round(CAST(count(*) FILTER (rn = 1) AS DOUBLE) / count(*), 4)
                    AS retention
           FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // positioned 8-grams (ALL occurrences), matched on gram, islands per
+    // (pair, diagonal): run of L tokens = L-7 consecutive diagonal hits
+    "dedup_shared_runs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          g AS (SELECT doc_id, i - 1 AS pos,
+                       array_to_string(toks[i:i+7], ' ') AS gram
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, greatest(len(toks) - 7, 0) + 1))
+                               AS i
+                      FROM t)),
+          m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.pos AS pa, b.pos AS pb
+                FROM g a JOIN g b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id),
+          isl AS (SELECT doc_a, doc_b, pa, pa - pb AS diag,
+                         pa - row_number() OVER (
+                           PARTITION BY doc_a, doc_b, pa - pb
+                           ORDER BY pa) AS grp
+                  FROM m),
+          runs AS (SELECT doc_a, doc_b,
+                          CAST(count(*) + 7 AS BIGINT) AS run_len
+                   FROM isl GROUP BY doc_a, doc_b, diag, grp)
+          SELECT doc_a, doc_b, max(run_len) AS max_run,
+                 CAST(count(*) AS BIGINT) AS n_runs
+          FROM runs GROUP BY doc_a, doc_b
+          ORDER BY doc_a, doc_b""",
 
     // DISTINCT grams per doc on both sides, mirroring TF.shingles'
     // distinct-shingle semantics.

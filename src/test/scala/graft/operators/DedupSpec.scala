@@ -27,6 +27,40 @@ class DedupSpec extends SparkSpec {
     stats.getLong(1) shouldBe nGroups
   }
 
+  test("sharedRunPairs finds offset runs with exact lengths and counts") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the 9-token run "a..i" at DIFFERENT offsets
+    // (0 vs 1) — an aligned fixed-window pass would miss it; doc 2 and
+    // doc 4 share two separate 8-token runs on different diagonals;
+    // doc 3 shares nothing 8 tokens long
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x a b c d e f g h i y"),
+      (3L, "a b c d e f g q r s t u v w"),
+      (4L, "a b c d e f g h z p q r s t u v w x1 x2 q w e")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedRunPairs(d, "doc_id", "text", n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 1-2: run a..i = 9 tokens, one island (diag -1)
+    // 1-4: run a..h = 8 tokens (doc 1 pos 0, doc 4 pos 0), one island
+    // 2-4: run a..h = 8 tokens (offset 1 vs 0), one island
+    got.toSeq shouldBe Seq(
+      (1L, 2L, 9L, 1L), (1L, 4L, 8L, 1L), (2L, 4L, 8L, 1L))
+  }
+
+  test("sharedRunPairs counts two disjoint runs separately") {
+    import spark.implicits._
+    // the pair shares runs r1 (8 tokens) and r2 (9 tokens) separated by
+    // different junk — two islands on two diagonals, max_run = 9
+    val d = Seq(
+      (1L, "a b c d e f g h JUNK1 m n o p q r s t u"),
+      (2L, "a b c d e f g h DIFFERENT m n o p q r s t u TAIL")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedRunPairs(d, "doc_id", "text", n = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.toSeq shouldBe Seq((1L, 2L, 9L, 2L))
+  }
+
   test("incrementalExact flags exactly the docs already in the corpus") {
     import spark.implicits._
     // corpus holds "alpha beta" twice (ids 1, 3) and "gamma delta" once
