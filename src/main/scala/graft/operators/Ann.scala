@@ -90,6 +90,64 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** Approximate kNN graph — [[knnGraph]]'s 100 TB path: candidate pairs
+    * come from sign-bit LSH bucket co-occurrence (any of `tables`
+    * independent bucketings) instead of the exact n² relation, then flow
+    * through the SAME mirrored top-k reduction. Compute drops from n² to
+    * Σ bucket², shuffle stays linear; recall is what the banding
+    * sacrifices (spec-bounded against the exact graph — rows-only for
+    * the driver, the hyperplanes are engine-internal).
+    *
+    * Shape notes: the bucket self-join carries only (id, tbl, bucket) —
+    * ids meet their co-bucketed partners, the pair list dedups across
+    * tables BEFORE any vector is touched, and vectors join back onto the
+    * deduped pairs by id (two hash joins shuffling n vectors once each,
+    * the verifyJaccard pattern — never vectors replicated per bucket
+    * collision). Output shape matches [[knnGraph]] exactly, except a
+    * node with no co-bucketed partner is absent (its candidate set is
+    * empty) and a node may carry fewer than k rows. */
+  def knnGraphLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
+                  bits: Int = 4, tables: Int = 16, dim: Int = -1,
+                  seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val d = if (dim > 0) dim
+            else v.select(size(col("v"))).head(1) match {
+              case Array(r) => r.getInt(0)
+              case _ => 1
+            }
+    val tablePlanes = (0 until tables).map(t => planes(bits, d, seed + t))
+    val idx = v.select(col("id"), explode(concat(
+        tablePlanes.zipWithIndex.map { case (ps, t) =>
+          array(struct(lit(t).as("tbl"), bucketExpr(col("v"), ps).as("bucket")))
+        }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
+          .cast("long").as("sim_bp"))
+    val dir = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("sim_bp"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("sim_bp"), col("id_a").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.sim_bp").as("sim_bp"),
+        col("e.dst").as("dst"))
+    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
+    dir.groupBy("src").agg(topk(col("sim_bp"), col("dst")).as("nn"))
+      .select(col("src"), posexplode(col("nn")))
+      .select(col("src").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("sim_bp"), col("col._2").as("neighbor_id"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Deterministic pseudo-random unit-less hyperplanes (seeded; no RNG at
     * execution time — the plan is reproducible across runs/resumes). */
   private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {

@@ -22,9 +22,15 @@ object AnnQueries extends Registry {
       Ann.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
-    "ann_lsh_topk" -> ((s, d) =>
-      Ann.lshTopK(Tables.embeddings(s, d), queriesOf(s, d),
-        "vec_id", "embedding", k = 5)),
+    // bits scale with the corpus (Ann.autoBits: ~log2(n/targetBucket)),
+    // so bucket size — and with it per-bucket compute and recall — stays
+    // constant as the table grows instead of buckets bloating linearly;
+    // the count is a parquet-metadata read, not a scan
+    "ann_lsh_topk" -> ((s, d) => {
+      val c = Tables.embeddings(s, d)
+      Ann.lshTopK(c, queriesOf(s, d), "vec_id", "embedding", k = 5,
+        bits = Ann.autoBits(c.count()))
+    }),
 
     "ann_ivf_topk" -> ((s, d) =>
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
@@ -35,6 +41,15 @@ object AnnQueries extends Registry {
     // DuckDB replays the exact ordering.
     "ann_knn_graph" -> ((s, d) =>
       Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)),
+
+    // The scale path for the same graph: LSH-bucketed candidate pairs
+    // into the identical top-k reduction. Engine-internal hyperplanes →
+    // rows-only driver check; AnnSpec bounds recall vs the exact graph.
+    "ann_knn_graph_lsh" -> ((s, d) => {
+      val c = Tables.embeddings(s, d)
+      Ann.knnGraphLsh(c, "vec_id", "embedding", k = 5,
+        bits = Ann.autoBits(c.count()))
+    }),
 
     // Full-corpus per-label centroids (the distributed IVF-build /
     // cluster-audit reduction): long form (label, dim, c).

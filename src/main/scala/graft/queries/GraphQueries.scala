@@ -160,19 +160,28 @@ object GraphQueries extends Registry {
     * totals the previous round's dangling rank (nodes with no
     * out-edges), every node's incoming contribution gains dsum // nn
     * before damping — replaying
-    * Graph.pagerankInt(redistributeDangling = true) bit-for-bit. */
+    * Graph.pagerankInt(redistributeDangling = true) bit-for-bit.
+    *
+    * Every step is AS MATERIALIZED: DuckDB inlines plain CTEs, and here
+    * each r<i> is referenced TWICE (by c<i+1> and d<i+1>), so inlining
+    * doubles the expanded plan per iteration — 2^iters copies of the
+    * whole edge-derivation chain, which OOMs at sf0.1. Materialization
+    * pins each round to one evaluation (the semantics are unchanged). */
   private def pagerankDanglingSteps(er: String): String = (1 to Iters).map { i =>
     val tot = s"coalesce(c.csum, 0) + d$i.dsum // nn.nn"
-    s"""d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dsum
+    s"""d$i AS MATERIALIZED (
+           SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dsum
            FROM r${i - 1}
            WHERE node NOT IN (SELECT src FROM $er)),
-       c$i AS (SELECT $er.dst AS node,
+       c$i AS MATERIALIZED (
+           SELECT $er.dst AS node,
                 CAST(sum(r${i - 1}.rank // outd.od) AS BIGINT) AS csum
            FROM $er
            JOIN outd ON $er.src = outd.src
            JOIN r${i - 1} ON r${i - 1}.node = $er.src
            GROUP BY $er.dst),
-       r$i AS (SELECT n.node,
+       r$i AS MATERIALIZED (
+           SELECT n.node,
                 CAST($Base + (($tot) // 10000) * $DampBp
                    + ((($tot) % 10000) * $DampBp) // 10000
                  AS BIGINT) AS rank
@@ -208,13 +217,17 @@ object GraphQueries extends Registry {
     "graph_pagerank_dangling" ->
       s"""WITH e0 AS ($edgesSql),
           $strongSql,
-          ed AS (SELECT src, dst FROM e WHERE src < dst),
-          outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od
-                   FROM ed GROUP BY src),
-          nodes AS (SELECT src AS node FROM ed
-                    UNION SELECT dst FROM ed),
-          nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
-          r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
+          ed AS MATERIALIZED (SELECT src, dst FROM e WHERE src < dst),
+          outd AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS od
+            FROM ed GROUP BY src),
+          nodes AS MATERIALIZED (
+            SELECT src AS node FROM ed
+            UNION SELECT dst FROM ed),
+          nn AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+          r0 AS MATERIALIZED (
+            SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           ${pagerankDanglingSteps("ed")}
           SELECT node, rank FROM r$Iters ORDER BY node""",
 

@@ -66,6 +66,24 @@ class AnnSpec extends SparkSpec {
     rows.groupBy(_._1).values.foreach(_.map(_._2).sorted shouldBe Seq(1L, 2L, 3L))
   }
 
+  test("knnGraphLsh edges are a subset of exact sims; recall >= 0.5") {
+    val exactG = Ann.knnGraph(embs, "vec_id", "embedding", k = 5)
+    val approxG = Ann.knnGraphLsh(embs, "vec_id", "embedding", k = 5)
+    def edges(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(2)).toMap
+    val ex = edges(exactG)
+    val ap = edges(approxG)
+    // every approximate edge carries the TRUE similarity (same sim_bp as
+    // any exact computation of that pair — candidates are pruned, sims
+    // are not approximated)
+    val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
+    ap.foreach { case (e, bp) => exactAll(e) shouldBe bp }
+    // and enough of the true top-5 edges survive the bucketing
+    val recall = ex.keySet.intersect(ap.keySet).size.toDouble / ex.size
+    assert(recall >= 0.5, s"kNN-graph LSH recall $recall")
+  }
+
   test("LSH top-k recall >= 0.5 vs brute force") {
     val lsh = neighborSet(Ann.lshTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (lsh intersect exact).size.toDouble / exact.size

@@ -17,10 +17,17 @@ import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+def fresh_con():
+    # one connection PER QUERY: a long-lived connection accumulates
+    # buffer-manager state across the O(n^2) oracles at sf0.1 until an
+    # unrelated later query dies with an out-of-memory allocation; fresh
+    # connections keep each oracle's footprint independent (view setup is
+    # lazy — negligible per-query cost)
+    c = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return c
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -55,7 +62,11 @@ for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         n_rowsonly += 1
         continue
     try:
-        duck_df = con.execute(oracles[name]).fetchdf()
+        con = fresh_con()
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        finally:
+            con.close()
     except Exception as e:
         print(f"FAIL  {name}: oracle SQL error: {e}")
         n_fail += 1
