@@ -17,6 +17,15 @@ import graft.operators.Dedup
   */
 object DedupQueries extends Registry {
 
+  /** The 3-gram shingle postings over the full documents table,
+    * memoized per (session, table dir): the shingling + explode scan the
+    * whole Jaccard family (pair relation below AND dedup_containment)
+    * derives from, run once per session. */
+  private def shingleIdx(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"shingle_idx:$d:n=3") {
+      Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", n = 3)
+    }
+
   /** The >= 0.8-Jaccard near-dup pair relation over the full documents
     * table — the shared upstream of six registered queries — memoized per
     * (session, table dir) so the prefix-filter pipeline runs once, not
@@ -25,10 +34,17 @@ object DedupQueries extends Registry {
     * SUBSET of the corpus (pipeline_corpus_prep's post-gate docs)
     * restrict this relation by endpoint membership instead of recomputing
     * the pipeline on the subset — same rows, zero extra shingle work. */
+  /** Shared rarest-first prefixes at threshold 0.8 (same bound for the
+    * Jaccard and containment pipelines), memoized like the index. */
+  private def prefix08(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"shingle_prefix:$d:n=3:thr=0.8") {
+      Dedup.shinglePrefix(shingleIdx(s, d), thresholdBp = 8000)
+    }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Memo.dataFrame(s, s"jaccard_pairs:$d:n=3:thr=0.8") {
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.8)
+      Dedup.ngramJaccardPairsIdx(shingleIdx(s, d), thresholdBp = 8000,
+        prebuiltPrefix = Some(prefix08(s, d)))
     }
 
   val defs: Map[String, QueryFn] = Map(
@@ -80,10 +96,12 @@ object DedupQueries extends Registry {
         eps = 0.2)),
 
     // Directed n-gram containment (passage-in-document): exact-oracled
-    // against an all-pairs DuckDB intersection.
+    // against an all-pairs DuckDB intersection. Runs off the shared
+    // memoized shingle index — only its one-sided prefix + verify are
+    // its own work.
     "dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.8)),
+      Dedup.containmentPairsIdx(shingleIdx(s, d), thresholdBp = 8000,
+        prebuiltPrefix = Some(prefix08(s, d)))),
 
     "dedup_components" -> ((s, d) =>
       Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")),
