@@ -64,6 +64,25 @@ object RefQueries extends Registry {
       LogFiles.grepCounts(s, logsDir, "http (GET|POST) .* 500 ")
         .orderBy("file")),
 
+    // Structured log parsing: the step after grep — regexp groups pull
+    // the http lines apart into typed columns (method, status, latency)
+    // and aggregate. Pure codegen'd per-row extraction + partial agg;
+    // nothing but the tiny group relation crosses the shuffle.
+    "log_http_stats" -> ((s, _) => {
+      val pat = "http (\\S+) (\\S+) (\\d+) (\\d+)ms"
+      LogFiles.lines(s, logsDir)
+        .filter(col("line").rlike(pat))
+        .select(
+          regexp_extract(col("line"), pat, 1).as("method"),
+          regexp_extract(col("line"), pat, 3).cast("long").as("status"),
+          regexp_extract(col("line"), pat, 4).cast("long").as("latency_ms"))
+        .groupBy("method", "status")
+        .agg(count(lit(1)).as("n"),
+          round(avg("latency_ms"), 2).as("avg_ms"),
+          max("latency_ms").as("max_ms"))
+        .orderBy("method", "status")
+    }),
+
     // O1: server/wordCount.go:99-123 — global sort desc + limit K
     // (plans as TakeOrderedAndProject: no full sort at scale)
     "topk_global" -> ((s, d) =>
@@ -94,6 +113,24 @@ object RefQueries extends Registry {
               WHERE NOT (line_no = n AND line = ''))"""
 
   val oracles: Map[String, String] = Map(
+    "log_http_stats" ->
+      s"""WITH $logLinesCte
+          SELECT regexp_extract(line, 'http (\\S+) (\\S+) (\\d+) (\\d+)ms', 1)
+                   AS method,
+                 CAST(regexp_extract(line, 'http (\\S+) (\\S+) (\\d+) (\\d+)ms', 3)
+                   AS BIGINT) AS status,
+                 CAST(count(*) AS BIGINT) AS n,
+                 round(avg(CAST(regexp_extract(line,
+                   'http (\\S+) (\\S+) (\\d+) (\\d+)ms', 4) AS BIGINT)), 2)
+                   AS avg_ms,
+                 CAST(max(CAST(regexp_extract(line,
+                   'http (\\S+) (\\S+) (\\d+) (\\d+)ms', 4) AS BIGINT))
+                   AS BIGINT) AS max_ms
+          FROM l
+          WHERE regexp_matches(line, 'http (\\S+) (\\S+) (\\d+) (\\d+)ms')
+          GROUP BY method, status
+          ORDER BY method, status""",
+
     "grep_per_file" ->
       s"""WITH $logLinesCte
           SELECT file, line_no, line FROM l

@@ -322,6 +322,46 @@ object RelationalQueries extends Registry {
             .as("slope_pq"))
         .orderBy("l_returnflag")),
 
+    // Interpolated percentiles (percentile_cont / type-7 quantile): the
+    // continuous twin of stats_percentiles' discrete rank pick — both
+    // engines use rank = p*(n-1) with linear interpolation, so rounded
+    // values hash-match. One partial-aggregated pass per group.
+    "stats_percentiles_cont" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_cont"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_cont"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_cont"))
+        .orderBy("l_returnflag")),
+
+    // Welch two-sample t-test (unequal variances): purchase vs click
+    // event values — the A/B-test significance primitive. One single-row
+    // conditional aggregate (partial, broadcast-free); t and the
+    // Welch-Satterthwaite df are derived scalar arithmetic on it.
+    "stats_welch_ttest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val p = col("event_type") === "purchase"
+      val c = col("event_type") === "click"
+      e.agg(
+          count(when(p, 1)).as("n_p"),
+          avg(when(p, col("value"))).as("m_p"),
+          var_samp(when(p, col("value"))).as("v_p"),
+          count(when(c, 1)).as("n_c"),
+          avg(when(c, col("value"))).as("m_c"),
+          var_samp(when(c, col("value"))).as("v_c"))
+        .select(col("n_p"), col("n_c"),
+          round(col("m_p") - col("m_c"), 4).as("mean_diff"),
+          round((col("m_p") - col("m_c")) /
+            sqrt(col("v_p") / col("n_p") + col("v_c") / col("n_c")), 4)
+            .as("t_stat"),
+          round(
+            pow(col("v_p") / col("n_p") + col("v_c") / col("n_c"), 2) /
+              (pow(col("v_p") / col("n_p"), 2) / (col("n_p") - 1) +
+               pow(col("v_c") / col("n_c"), 2) / (col("n_c") - 1)), 2)
+            .as("df_welch"))
+    }),
+
     // Equal-width histogram via integer bucket arithmetic (width_bucket
     // is not portable to the oracle engine; floor division of the same
     // IEEE operands is).
@@ -478,6 +518,31 @@ object RelationalQueries extends Registry {
                 round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
                 round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_pq
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "stats_percentiles_cont" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_cont,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_cont,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_cont
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "stats_welch_ttest" ->
+      """WITH a AS (
+           SELECT count(*) FILTER (event_type = 'purchase') AS n_p,
+                  avg("value") FILTER (event_type = 'purchase') AS m_p,
+                  var_samp("value") FILTER (event_type = 'purchase') AS v_p,
+                  count(*) FILTER (event_type = 'click') AS n_c,
+                  avg("value") FILTER (event_type = 'click') AS m_c,
+                  var_samp("value") FILTER (event_type = 'click') AS v_c
+           FROM events)
+         SELECT CAST(n_p AS BIGINT) AS n_p, CAST(n_c AS BIGINT) AS n_c,
+                round(m_p - m_c, 4) AS mean_diff,
+                round((m_p - m_c) / sqrt(v_p / n_p + v_c / n_c), 4)
+                  AS t_stat,
+                round(pow(v_p / n_p + v_c / n_c, 2) /
+                      (pow(v_p / n_p, 2) / (n_p - 1) +
+                       pow(v_c / n_c, 2) / (n_c - 1)), 2) AS df_welch
+         FROM a""",
 
     "stats_histogram" ->
       """SELECT least(9, floor(o_totalprice / 50000))::BIGINT AS bucket,
