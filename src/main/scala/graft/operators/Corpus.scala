@@ -145,6 +145,49 @@ object Corpus {
       .orderBy("token_id")
   }
 
+  /** Weighted log-log Zipf fit of the corpus token-frequency
+    * distribution: slope ≈ -1 is the Zipf signature; a flat slope flags
+    * synthetic/templated text, a steep one a degenerate vocabulary — the
+    * corpus-health summary statistic next to [[vocab]]'s full listing.
+    *
+    * Scale shape: NOT a regression over per-token ranks (a global sort
+    * of the vocabulary). Frequencies reduce to their (ctf, n_terms)
+    * histogram first — the Audit.keySkew recipe — every term in a
+    * frequency class shares the class's AVERAGE rank (the standard
+    * treatment of rank ties), and the weighted least squares runs over
+    * the bounded class relation: a cumulative window plus one single-row
+    * aggregate. Output: (n_vocab, n_classes, slope, intercept). */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ctf").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val classes = docs
+      .select(explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+      .groupBy("ctf").agg(count(lit(1)).as("nk"))
+    val pts = classes
+      .withColumn("cumk", sum("nk").over(w))
+      .select(col("nk").cast("double").as("wt"),
+        log(col("cumk") - col("nk") + (col("nk") + 1) / 2.0).as("x"),
+        log(col("ctf")).as("y"))
+    pts
+      .agg(sum("wt").as("sw"), count(lit(1)).as("n_classes"),
+        sum(col("wt") * col("x")).as("swx"),
+        sum(col("wt") * col("y")).as("swy"),
+        sum(col("wt") * col("x") * col("y")).as("swxy"),
+        sum(col("wt") * col("x") * col("x")).as("swxx"))
+      .select(
+        col("sw").cast("long").as("n_vocab"),
+        col("n_classes"),
+        round((col("swxy") - col("swx") * col("swy") / col("sw")) /
+          (col("swxx") - col("swx") * col("swx") / col("sw")), 4).as("slope"),
+        round(col("swy") / col("sw") -
+          (col("swxy") - col("swx") * col("swy") / col("sw")) /
+            (col("swxx") - col("swx") * col("swx") / col("sw")) *
+            col("swx") / col("sw"), 4).as("intercept"))
+  }
+
   /** Encode each document as its token-id sequence under `vocabDf` (the
     * output of `vocab`): (id, n_tokens, n_oov, ids) where `ids` is the
     * space-joined id string in document order and OOV tokens map to 0.

@@ -322,6 +322,27 @@ object RelationalQueries extends Registry {
             .as("slope_pq"))
         .orderBy("l_returnflag")),
 
+    // Full outer join on pre-aggregated sides: per-nation customer
+    // counts vs supplier counts over a FILTERED supplier subset (every
+    // third nation), so unmatched rows genuinely occur and the null-fill
+    // semantics are exercised. Both sides partial-aggregate before the
+    // join — the shuffle carries (nation, count) pairs.
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d)
+        .filter(col("s_nationkey") % 3 === 0)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).cast("long").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
     // Interpolated percentiles (percentile_cont / type-7 quantile): the
     // continuous twin of stats_percentiles' discrete rank pick — both
     // engines use rank = p*(n-1) with linear interpolation, so rounded
@@ -518,6 +539,19 @@ object RelationalQueries extends Registry {
                 round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
                 round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_pq
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT)
+                      AS n_cust
+                    FROM customer GROUP BY 1),
+          s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT)
+                  AS n_supp
+                FROM supplier WHERE s_nationkey % 3 = 0 GROUP BY 1)
+         SELECT CAST(coalesce(c.nk, s.nk) AS BIGINT) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust,
+                coalesce(n_supp, 0) AS n_supp
+         FROM c FULL OUTER JOIN s ON c.nk = s.nk
+         ORDER BY nationkey""",
 
     "stats_percentiles_cont" ->
       """SELECT l_returnflag,

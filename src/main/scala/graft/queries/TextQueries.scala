@@ -199,6 +199,12 @@ object TextQueries extends Registry {
     "text_vocab" -> ((s, d) =>
       graft.operators.Corpus.vocab(Tables.documents(s, d), "text")),
 
+    // Zipf-law fit (Corpus.zipfFit): weighted log-log regression over
+    // the frequency-class histogram with average ranks for ties — the
+    // corpus-health statistic, no vocabulary sort.
+    "text_zipf" -> ((s, d) =>
+      graft.operators.Corpus.zipfFit(Tables.documents(s, d), "text")),
+
     // Corpus encoding under the top-20 vocabulary (operators.Corpus
     // .encode): documents become id sequences, everything below the
     // vocab cut maps to the OOV id 0. The top-20 cut is deliberate —
@@ -440,6 +446,32 @@ object TextQueries extends Registry {
           SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
                  term, ctf
           FROM c ORDER BY token_id""",
+
+    // same average-rank-per-frequency-class weighted OLS as the Spark
+    // side, term by term
+    "text_zipf" ->
+      s"""WITH e AS (SELECT unnest($toks) AS term FROM documents),
+          c AS (SELECT term, count(*) AS ctf FROM e GROUP BY 1),
+          k AS (SELECT ctf, CAST(count(*) AS BIGINT) AS nk FROM c GROUP BY 1),
+          r AS (SELECT ctf, nk,
+                       sum(nk) OVER (ORDER BY ctf DESC
+                                     ROWS UNBOUNDED PRECEDING)
+                         - nk + (nk + 1) / 2.0 AS avg_rank
+                FROM k),
+          p AS (SELECT CAST(nk AS DOUBLE) AS w, ln(avg_rank) AS x,
+                       ln(ctf) AS y
+                FROM r),
+          a AS (SELECT sum(w) AS sw,
+                       CAST(count(*) AS BIGINT) AS n_classes,
+                       sum(w * x) AS swx, sum(w * y) AS swy,
+                       sum(w * x * y) AS swxy, sum(w * x * x) AS swxx
+                FROM p)
+          SELECT CAST(sw AS BIGINT) AS n_vocab, n_classes,
+                 round((swxy - swx * swy / sw)
+                       / (swxx - swx * swx / sw), 4) AS slope,
+                 round(swy / sw - (swxy - swx * swy / sw)
+                       / (swxx - swx * swx / sw) * swx / sw, 4) AS intercept
+          FROM a""",
 
     "sample_weighted_topk" ->
       """WITH u AS (SELECT doc_id, n_chars,
