@@ -33,6 +33,44 @@ object TemporalQueries extends Registry {
         .orderBy("event_id")
     }),
 
+    // The as-of join through the SQL SURFACE: the union + last_value
+    // IGNORE NULLS window formulation (exactly Joins.asOf's plan) in
+    // pure Spark SQL text, checked against DuckDB's ranked LEFT-JOIN
+    // formulation — three independent formulations of one semantics
+    // (window SQL here, composed DataFrame, native Catalyst node) must
+    // agree row-for-row.
+    "sql_asof_window" -> ((s, d) => {
+      graft.core.Views.register(s, d)
+      s.sql("""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                   FROM events WHERE event_type = 'click'),
+             u AS (SELECT user_id, cts AS t, 0 AS side, click_id,
+                          CAST(NULL AS BIGINT) AS event_id
+                   FROM c
+                   UNION ALL
+                   SELECT user_id, ts AS t, 1 AS side,
+                          CAST(NULL AS BIGINT) AS click_id, event_id
+                   FROM p),
+             m AS (SELECT user_id, t, side, event_id,
+                          last_value(click_id) IGNORE NULLS OVER (
+                            PARTITION BY user_id
+                            ORDER BY t, side, click_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS click_id_m,
+                          last_value(CASE WHEN side = 0 THEN t END)
+                            IGNORE NULLS OVER (
+                            PARTITION BY user_id
+                            ORDER BY t, side, click_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS matched_ts
+                   FROM u)
+        SELECT event_id, user_id, click_id_m AS click_id,
+               unix_timestamp(t) - unix_timestamp(matched_ts) AS gap_sec
+        FROM m WHERE side = 1 ORDER BY event_id""")
+    }),
+
     // Same attribution but only clicks within the last hour count — the
     // tolerance path (stale matches null out, rows are kept).
     "join_asof_tolerance" -> ((s, d) => {
@@ -179,6 +217,11 @@ object TemporalQueries extends Registry {
           FROM m WHERE rn = 1 ORDER BY event_id""",
 
     "join_asof_native" ->
+      s"""$asofRanked
+          SELECT event_id, user_id, click_id, gap_sec
+          FROM m WHERE rn = 1 ORDER BY event_id""",
+
+    "sql_asof_window" ->
       s"""$asofRanked
           SELECT event_id, user_id, click_id, gap_sec
           FROM m WHERE rn = 1 ORDER BY event_id""",
