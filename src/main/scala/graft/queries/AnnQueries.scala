@@ -51,6 +51,22 @@ object AnnQueries extends Registry {
         bits = Ann.autoBits(c.count()))
     }),
 
+    // Semantic clusters: weakly connected components over the kNN
+    // graph's >= 0.2-cosine edges — the composition SemDeDup-style
+    // pipelines run (kNN edges -> clusters -> keep policy), stitched
+    // from two already-verified operators (Ann.knnGraph +
+    // Dedup.components' label propagation). Oracle replays the kNN
+    // ranking and a recursive closure.
+    "ann_knn_components" -> ((s, d) => {
+      val edges = Ann
+        .knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+        .filter(col("sim_bp") >= 2000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Dedup.components(edges, "src", "dst")
+        .select(col("doc_id").as("node"), col("component"))
+        .orderBy("node")
+    }),
+
     // Full-corpus per-label centroids (the distributed IVF-build /
     // cluster-audit reduction): long form (label, dim, c).
     "ann_centroids" -> ((s, d) =>
@@ -88,6 +104,28 @@ object AnnQueries extends Registry {
 
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.
+
+    "ann_knn_components" ->
+      """WITH RECURSIVE
+          v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                       CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
+                         AS BIGINT) AS sim_bp
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+          r AS (SELECT src, dst, sim_bp,
+                       row_number() OVER (PARTITION BY src
+                         ORDER BY sim_bp DESC, dst ASC) AS rank
+                FROM p),
+          e AS (SELECT src AS a, dst AS b FROM r
+                WHERE rank <= 5 AND sim_bp >= 2000),
+          und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+          reach(a, b) AS (
+            SELECT a, b FROM und
+            UNION SELECT DISTINCT a, a FROM und
+            UNION
+            SELECT rr.a, u.b FROM reach rr JOIN und u ON rr.b = u.a)
+          SELECT a AS node, min(b) AS component
+          FROM reach GROUP BY a ORDER BY node""",
 
     "ann_knn_graph" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
