@@ -576,7 +576,7 @@ object RelationalQueries extends Registry {
                 round(pow(v_p / n_p + v_c / n_c, 2) /
                       (pow(v_p / n_p, 2) / (n_p - 1) +
                        pow(v_c / n_c, 2) / (n_c - 1)), 2) AS df_welch
-         FROM a""",
+         FROM a ORDER BY n_p""",
 
     "stats_histogram" ->
       """SELECT least(9, floor(o_totalprice / 50000))::BIGINT AS bucket,

@@ -205,6 +205,27 @@ object TextQueries extends Registry {
     "text_zipf" -> ((s, d) =>
       graft.operators.Corpus.zipfFit(Tables.documents(s, d), "text")),
 
+    // Per-source corpus report — the "which sources to keep" table a
+    // mixing decision reads: volume, mean quality, English share,
+    // token mass, exact-dup ratio, all from ONE pass over the corpus
+    // (codegen'd per-row metrics + partial aggregation per source).
+    "corpus_source_report" -> ((s, d) => {
+      val TF = graft.functions.TextFunctions
+      Tables.documents(s, d)
+        .select(col("source"),
+          TF.qualityScore(col("text")).as("q"),
+          (TF.langId(col("text")) === "en").cast("long").as("is_en"),
+          TF.tokenCount(col("text")).cast("long").as("nt"),
+          TF.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("q"), 4).as("avg_quality"),
+          expr("sum(is_en) * 10000 DIV count(1)").as("en_bp"),
+          sum("nt").as("n_tokens"),
+          countDistinct("fp").as("n_distinct"))
+        .orderBy("source")
+    }),
+
     // Corpus encoding under the top-20 vocabulary (operators.Corpus
     // .encode): documents become id sequences, everything below the
     // vocab cut maps to the OOV id 0. The top-20 cut is deliberate —
@@ -446,6 +467,38 @@ object TextQueries extends Registry {
           SELECT row_number() OVER (ORDER BY ctf DESC, term ASC) AS token_id,
                  term, ctf
           FROM c ORDER BY token_id""",
+
+    // the per-source rollup of the proven per-doc metric formulas (the
+    // quality/lang arithmetic is the pipeline_corpus_prep sig CTE)
+    "corpus_source_report" ->
+      s"""WITH t0 AS (SELECT source, text, $toks AS toks FROM documents),
+          sig AS (SELECT source, text, toks, len(toks)::BIGINT AS n,
+                   len(list_filter(toks,
+                     x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS a,
+                   len(list_distinct(toks))::BIGINT AS d,
+                   least(len(toks), 200)::BIGINT AS m,
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','que','y','en'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('le','les','des','et','est','dans','une'))) AS s_fr
+                  FROM t0),
+          q AS (SELECT source,
+                  ((2 * (4000 * a + 3000 * d + 15 * m * n) + n)
+                    // (2 * n)) / 10000.0 AS q,
+                  CASE WHEN NOT (s_en = 0 AND s_es = 0 AND s_de = 0
+                                 AND s_fr = 0)
+                        AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                       THEN 1 ELSE 0 END AS is_en,
+                  n AS nt,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    AS fp
+                FROM sig)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 round(avg(q), 4) AS avg_quality,
+                 CAST(sum(is_en) * 10000 // count(*) AS BIGINT) AS en_bp,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+          FROM q GROUP BY source ORDER BY source""",
 
     // same average-rank-per-frequency-class weighted OLS as the Spark
     // side, term by term
