@@ -248,6 +248,47 @@ class ScaleMechanicsSpec extends SparkSpec {
       flat.collect().map(_.toString).toSeq
   }
 
+  test("knnGraphLsh dedups candidates on bare ids; vectors cross at most " +
+      "the two join-back shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Ann.knnGraphLsh(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", k = 5)
+      val plan = q.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct") &&
+        !plan.toString.contains("BroadcastNestedLoopJoin"), plan.toString)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the candidate self-join + pair distinct must run on scalar
+      // columns only; vectors may be shuffled only to join back onto the
+      // DEDUPED pair list (once per side)
+      val withArrays = exchanges.filter(_.output.exists(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      assert(withArrays.size <= 2,
+        s"vectors cross ${withArrays.size} shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("shared-run detection shuffles positions, never document text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Dedup.sharedRunPairs(
+        Tables.documents(spark, sfDir), "doc_id", "text", n = 8)
+      // spread() may round-robin the single local input file (a no-op at
+      // real scale); every KEYED shuffle must carry positions/ids only
+      val keyed = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(keyed.nonEmpty)
+      keyed.foreach { e =>
+        assert(!e.output.exists(_.name == "text"),
+          s"document bodies cross a keyed shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SQL surface: registered views answer the flagship query") {
     Views.register(spark, sfDir)
     val rows = spark.sql(
