@@ -54,6 +54,21 @@ object MultimodalQueries extends Registry {
       Ann.bruteForceTopK(feats,
         feats.filter(col("media_id") % 100 === 0), "media_id", "embedding", 3)
     }),
+
+    // Perceptual near-dup detection across modalities: the image/audio
+    // dedup pass — feature-space cosine pairs over the extracted media
+    // features, the same block-pair relation the text pipeline uses for
+    // embeddings (Dedup.embeddingCosinePairs). Byte-identical payloads
+    // produce identical stub features (sim 1.0), near-identical ones
+    // cluster high — MultimodalSpec pins both. Rows-only (stub codec);
+    // the composition shows the dedup and multimodal families interlock.
+    "media_near_dup" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
+        .toDF().withColumnRenamed("feature", "embedding")
+      graft.operators.Dedup.embeddingCosinePairs(
+        feats, "media_id", "embedding", threshold = 0.95)
+    }),
   )
 
   /** DuckDB replay of mediaFromDocuments (metadata columns only). */
