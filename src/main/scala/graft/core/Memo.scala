@@ -30,13 +30,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Memo {
 
-  private val cache = TrieMap.empty[(Int, String), DataFrame]
+  /** Cap on live memo entries: a long-lived session touching many
+    * (table, parameter) combinations must not pin executor block-store
+    * memory without bound. Eviction drops the oldest-touched handle; the
+    * checkpointed blocks behind it are reclaimed asynchronously by
+    * Spark's ContextCleaner once the RDD is unreferenced (there is no
+    * synchronous free for localCheckpoint blocks). 64 entries is ~10x
+    * the registry's working set. */
+  private[core] val MaxEntries = 64
+
+  // access-ordered LinkedHashMap = LRU; all access under `cache`'s lock
+  // (build bodies are lazy plan construction, so holding it is cheap)
+  private val cache =
+    new java.util.LinkedHashMap[(Int, String), DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), DataFrame]): Boolean =
+        size() > MaxEntries
+    }
 
   /** Materialize `build` once per (session, key) and reuse the handle. */
   def dataFrame(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(s), key),
-      build.localCheckpoint(eager = false))
+    cache.synchronized {
+      val k = (System.identityHashCode(s), key)
+      val hit = cache.get(k)
+      if (hit != null) hit
+      else {
+        val df = build.localCheckpoint(eager = false)
+        cache.put(k, df)
+        df
+      }
+    }
+
+  private[core] def liveEntries: Int = cache.synchronized(cache.size())
 
   private val done = TrieMap.empty[(Int, String), Unit]
 

@@ -47,6 +47,18 @@ object DedupQueries extends Registry {
         prebuiltPrefix = Some(prefix08(s, d)))
     }
 
+  /** Connected-component labels over the full-corpus pair relation,
+    * memoized like the pairs: label propagation is iterative (several
+    * jobs to convergence) and three registered queries
+    * (dedup_components, dedup_cluster_sizes, dedup_keep_representatives)
+    * consume the identical labels. pipeline_corpus_prep is NOT a
+    * consumer — it runs components over the gate-restricted pair subset,
+    * a different relation. */
+  private def jaccardComps(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"jaccard_components:$d:n=3:thr=0.8") {
+      Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")
+    }
+
   val defs: Map[String, QueryFn] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -103,15 +115,14 @@ object DedupQueries extends Registry {
       Dedup.containmentPairsIdx(shingleIdx(s, d), thresholdBp = 8000,
         prebuiltPrefix = Some(prefix08(s, d)))),
 
-    "dedup_components" -> ((s, d) =>
-      Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")),
+    "dedup_components" -> ((s, d) => jaccardComps(s, d)),
 
     // Cluster-size distribution of the near-dup components — the report
     // that says whether dedup is removing scattered pairs or collapsing
     // giant boilerplate clusters (each shape wants a different keep
     // policy). Two cheap rollups on top of the component labels.
     "dedup_cluster_sizes" -> ((s, d) =>
-      Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")
+      jaccardComps(s, d)
         .groupBy("component").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .orderBy("sz")),
@@ -207,7 +218,7 @@ object DedupQueries extends Registry {
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
-      val comps = Dedup.components(jaccardPairs(s, d), "doc_a", "doc_b")
+      val comps = jaccardComps(s, d)
       import org.apache.spark.sql.functions.col
       Tables.documents(s, d)
         .join(comps.filter(col("doc_id") =!= col("component")),

@@ -55,6 +55,22 @@ class MemoSpec extends SparkSpec {
     runs.get() shouldBe 2
   }
 
+  test("LRU eviction bounds live entries and rebuilds after eviction") {
+    val builds = new AtomicInteger(0)
+    def make(i: Int) = Memo.dataFrame(spark, s"memospec:evict:$i") {
+      builds.incrementAndGet()
+      Tables.documents(spark, sfDir).select("doc_id").limit(1)
+    }
+    // overflow the cap: entry 0 must age out
+    (0 to Memo.MaxEntries).foreach(make)
+    Memo.liveEntries should be <= Memo.MaxEntries
+    val before = builds.get()
+    make(Memo.MaxEntries).count() // newest: still cached, no rebuild
+    builds.get() shouldBe before
+    make(0).count() // oldest: evicted, rebuilds and still answers
+    builds.get() shouldBe before + 1
+  }
+
   test("memoized dedup pair relation equals the un-memoized operator") {
     // the real consumer path: the registry's memoized Jaccard pairs must
     // be row-identical to a fresh end-to-end run of the operator
