@@ -453,6 +453,99 @@ object EventQueries extends Registry {
     // bounded count-histogram (no global sort of keys).
     "events_key_skew" -> ((s, d) =>
       graft.operators.Audit.keySkew(Tables.events(s, d), Seq("user_id"))),
+
+    // Heavy-hitter keys via a bounded sketch + exact recount: a
+    // Misra-Gries summary (199 counters, CraneAggregators.FreqItemsMG)
+    // finds every key that COULD exceed 0.5% of the stream in one
+    // partial-aggregated pass with O(k) state per partition — no
+    // per-key shuffle of the full table. The <=199 candidates broadcast
+    // back for an exact recount and the exact threshold test, so the
+    // output is identical to the exact GROUP BY/HAVING — which is the
+    // oracle. At 100 TB the recount's shuffle carries only candidate
+    // keys; the sketch guarantees no heavy key is missed.
+    "events_freq_items" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mg = udaf(new graft.functions.CraneAggregators.FreqItemsMG(199))
+      val cands = ev.agg(mg(col("user_id")).as("cand"))
+        .select(explode(col("cand")).as("user_id"))
+      val tot = ev.agg(count(lit(1)).as("n_total"))
+      ev.join(broadcast(cands), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 200 > col("n_total"))
+        .select("user_id", "cnt")
+        .orderBy("user_id")
+    }),
+
+    // Per-type linear trend of value over time: single-pass co-moment
+    // aggregates (regr_*), the same mergeable-partials shape as
+    // stats_corr. x is hours since 2024-01-01 from exact integer
+    // microseconds, so the moments stay well conditioned and both
+    // engines divide identical operands. Slope reported in micro-units
+    // per hour so the rounded value carries signal.
+    "events_linreg_trend" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("x_h",
+          (unix_micros(col("ts")) - lit(1704067200000000L)) / 3.6e9)
+        .groupBy("event_type")
+        .agg(
+          regr_count(col("value"), col("x_h")).as("n"),
+          round(regr_slope(col("value"), col("x_h")) * 1000000.0, 2)
+            .as("slope_e6_per_h"),
+          round(regr_intercept(col("value"), col("x_h")), 4).as("intercept"),
+          round(regr_r2(col("value"), col("x_h")), 6).as("r2"))
+        .orderBy("event_type")),
+
+    // Chi-squared independence test, event_type x ISO weekday: the
+    // category-drift significance primitive. Observed counts partial-
+    // aggregate once; marginals are two rollups of that tiny cell
+    // relation, broadcast back — nothing but (type, dow, count) ever
+    // shuffles. dow = weekday(ts)+1 == DuckDB's isodow (Monday=1).
+    "events_chi2_type_dow" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"))
+      val obs = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = obs.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = obs.agg(sum("o").as("n"))
+      obs.join(broadcast(rowT), "event_type").join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot))
+        .agg(
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("dow")).as("n_dows"),
+          round(sum(pow(col("o") - col("rt") * col("ct") / col("n"), 2) /
+            (col("rt") * col("ct") / col("n"))), 4).as("chi2"))
+        .select(col("chi2"),
+          ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"))
+    }),
+
+    // Data-profiling audit: per-column null counts + exact distinct
+    // cardinalities in one statement (Spark plans the multi-distinct
+    // aggregate as a single Expand — one shuffle). The 100 TB form
+    // swaps countDistinct for the HLL sketch (events_approx_distinct is
+    // that query); here exactness is the point because the oracle
+    // replays each column's profile.
+    "events_profile" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nu_user"),
+          countDistinct(col("user_id")).as("nd_user"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("nu_et"),
+          countDistinct(col("event_type")).as("nd_et"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("nu_val"),
+          countDistinct(col("value")).as("nd_val"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("nu_props"),
+          countDistinct(col("props")).as("nd_props"))
+        .select(expr(
+          """stack(4,
+               'event_type', nu_et, nd_et,
+               'props', nu_props, nd_props,
+               'user_id', nu_user, nd_user,
+               'value', nu_val, nd_val) AS (col_name, n_nulls, n_distinct)"""),
+          col("n_rows"))
+        .orderBy("col_name")),
   )
 
   /** SQL form of Layout.spread16's mask-spread chain (fully
@@ -764,5 +857,63 @@ object EventQueries extends Registry {
                 count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN f ON e.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the exact relation the sketch+recount pipeline must reproduce:
+    // keys above 0.5% of the stream, exact counts
+    "events_freq_items" ->
+      """SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+         HAVING count(*) * 200 > (SELECT count(*) FROM events)
+         ORDER BY user_id""",
+
+    "events_linreg_trend" ->
+      """WITH e AS (SELECT event_type, "value",
+                           (epoch_us(ts) - 1704067200000000) / 3.6e9 AS x_h
+                    FROM events)
+         SELECT event_type,
+                CAST(regr_count("value", x_h) AS BIGINT) AS n,
+                round(regr_slope("value", x_h) * 1000000, 2)
+                  AS slope_e6_per_h,
+                round(regr_intercept("value", x_h), 4) AS intercept,
+                round(regr_r2("value", x_h), 6) AS r2
+         FROM e GROUP BY event_type ORDER BY event_type""",
+
+    "events_chi2_type_dow" ->
+      """WITH obs AS (SELECT event_type, isodow(ts) AS dow,
+                             count(*) AS o
+                      FROM events GROUP BY 1, 2),
+          rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+          ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY 1),
+          n AS (SELECT sum(o) AS n FROM obs)
+         SELECT round(sum(pow(o - rt.rt * ct.ct / n.n, 2) /
+                          (rt.rt * ct.ct / n.n)), 4) AS chi2,
+                CAST((count(DISTINCT obs.event_type) - 1) *
+                     (count(DISTINCT obs.dow) - 1) AS BIGINT) AS df
+         FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
+         CROSS JOIN n""",
+
+    "events_profile" ->
+      """SELECT * FROM (
+           SELECT 'event_type' AS col_name,
+                  CAST(count(CASE WHEN event_type IS NULL THEN 1 END)
+                    AS BIGINT) AS n_nulls,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM events
+           UNION ALL
+           SELECT 'props',
+                  CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT),
+                  CAST(count(DISTINCT props) AS BIGINT),
+                  CAST(count(*) AS BIGINT) FROM events
+           UNION ALL
+           SELECT 'user_id',
+                  CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+                  CAST(count(DISTINCT user_id) AS BIGINT),
+                  CAST(count(*) AS BIGINT) FROM events
+           UNION ALL
+           SELECT 'value',
+                  CAST(count(CASE WHEN "value" IS NULL THEN 1 END) AS BIGINT),
+                  CAST(count(DISTINCT "value") AS BIGINT),
+                  CAST(count(*) AS BIGINT) FROM events)
+         ORDER BY col_name""",
   )
 }

@@ -349,6 +349,61 @@ object TextQueries extends Registry {
     "text_pmi_bigrams" -> ((s, d) =>
       graft.operators.Corpus.pmiBigrams(
         Tables.documents(s, d), "text", minCount = 5L)),
+
+    // Heavy-hitter vocabulary via Misra-Gries + exact recount (the
+    // token-frequency twin of events_freq_items, where zipfian token
+    // mass guarantees a non-trivial answer at every scale). The sketch
+    // runs over xxhash64(term) so its state is fixed-width longs; hash
+    // collisions cannot corrupt the answer because the recount groups
+    // by the TERM and applies the exact threshold — a colliding light
+    // term is recounted exactly and filtered out, while a heavy term's
+    // hash count only overcounts, so its candidacy always survives.
+    // k=999 counters makes the n/(k+1) guarantee exactly the 0.1%
+    // output threshold.
+    "corpus_heavy_tokens" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("term"))
+      val mg = udaf(new graft.functions.CraneAggregators.FreqItemsMG(999))
+      val cands = terms.agg(mg(xxhash64(col("term"))).as("cand"))
+        .select(explode(col("cand")).as("h"))
+      val tot = terms.agg(count(lit(1)).as("n_total"))
+      terms.join(broadcast(cands),
+          xxhash64(col("term")) === col("h"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 1000 > col("n_total"))
+        .select("term", "cnt")
+        .orderBy("term")
+    }),
+
+    // Corpus drift audit: total-variation distance between the unigram
+    // token distributions of two corpus halves (sources 0-9 vs 10-19)
+    // — the pre-mixing check that a new crawl snapshot hasn't shifted
+    // the token mix. Integer basis points end-to-end (10000*cnt DIV
+    // total), so TV = (Σ|p_bp - q_bp|) DIV 2 over the union vocabulary
+    // is hash-exact in any engine. Shuffles carry (token, count) pairs
+    // only; the two totals broadcast as 1-row aggregates.
+    "corpus_drift_tv" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val srcNum = substring(col("source"), 4, 10).cast("int")
+      val terms = docs
+        .select((srcNum < 10).as("old_half"),
+          explode(TF.tokens(col("text"))).as("term"))
+      val freq = terms.groupBy("term").agg(
+        sum(when(col("old_half"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("old_half"), 1L).otherwise(0L)).as("cb"))
+      val tots = freq.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      freq.crossJoin(broadcast(tots))
+        .select(col("ta"), col("tb"),
+          expr("CAST(10000 * ca AS BIGINT) DIV ta").as("p_bp"),
+          expr("CAST(10000 * cb AS BIGINT) DIV tb").as("q_bp"))
+        .groupBy("ta", "tb")
+        .agg(
+          count(lit(1)).as("vocab"),
+          sum(abs(col("p_bp") - col("q_bp"))).as("l1_bp"))
+        .select(col("ta"), col("tb"), col("vocab"),
+          expr("l1_bp DIV 2").as("tv_bp"))
+    }),
   )
 
   private val toks =
@@ -759,5 +814,32 @@ object TextQueries extends Registry {
                  CAST(sum(length(text)) AS BIGINT) AS total_chars,
                  count(*) AS n_docs
           FROM documents GROUP BY source ORDER BY source""",
+
+    "corpus_heavy_tokens" ->
+      s"""WITH t AS (SELECT unnest($toks) AS term FROM documents)
+          SELECT term, count(*) AS cnt FROM t GROUP BY term
+          HAVING count(*) * 1000 > (SELECT count(*) FROM t)
+          ORDER BY term""",
+
+    "corpus_drift_tv" ->
+      s"""WITH t AS (SELECT CAST(substring(source, 4, 10) AS INT) < 10
+                       AS old_half,
+                     unnest($toks) AS term
+              FROM documents),
+          f AS (SELECT term,
+                       sum(CASE WHEN old_half THEN 1 ELSE 0 END) AS ca,
+                       sum(CASE WHEN old_half THEN 0 ELSE 1 END) AS cb
+                FROM t GROUP BY term),
+          tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM f),
+          bp AS (SELECT ta, tb,
+                        CAST(10000 * ca AS BIGINT) // CAST(ta AS BIGINT)
+                          AS p_bp,
+                        CAST(10000 * cb AS BIGINT) // CAST(tb AS BIGINT)
+                          AS q_bp
+                 FROM f CROSS JOIN tot)
+          SELECT CAST(ta AS BIGINT) AS ta, CAST(tb AS BIGINT) AS tb,
+                 count(*) AS vocab,
+                 CAST(sum(abs(p_bp - q_bp)) AS BIGINT) // 2 AS tv_bp
+          FROM bp GROUP BY ta, tb""",
   )
 }
