@@ -177,6 +177,16 @@ object DedupQueries extends Registry {
       Dedup.passageRetention(Tables.documents(s, d), "doc_id", "text",
         passageTokens = 32)),
 
+    // Content-defined chunk dedup (Dedup.cdcRetention): Rabin-style
+    // token-hash boundaries (divisor 8 -> ~8-token expected chunks),
+    // global keep-first per chunk fingerprint — the shift-robust twin
+    // of dedup_passage (an insertion re-chunks one chunk; fixed windows
+    // shift every window after the edit). The oracle replays the
+    // base-31 polynomial hash integer-exactly.
+    "dedup_cdc_chunks" -> ((s, d) =>
+      Dedup.cdcRetention(Tables.documents(s, d), "doc_id", "text",
+        divisor = 8)),
+
     // Flagship composition — the whole corpus-prep pipeline as ONE
     // declarative plan: quality/language/length gates, near-dup cluster
     // collapse on the clean subset, content-hash shard assignment, and
@@ -416,6 +426,37 @@ object DedupQueries extends Registry {
                                           ORDER BY doc_id, chunk_id) AS rn
                 FROM p)
           SELECT doc_id, count(*) AS n_passages,
+                 CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                 round(CAST(count(*) FILTER (rn = 1) AS DOUBLE) / count(*), 4)
+                   AS retention
+          FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          tk AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                        toks
+                 FROM t),
+          tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM tk),
+          hx AS (SELECT doc_id, pos, tok,
+                        list_reduce(list_prepend(0::BIGINT,
+                          list_transform(regexp_extract_all(tok, '.'),
+                            c -> unicode(c)::BIGINT)),
+                          (a, c) -> (a * 31 + c) % 1000000007) AS h
+                 FROM tok),
+          ch AS (SELECT doc_id, pos, tok,
+                        sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS chunk_id
+                 FROM hx),
+          agg AS (SELECT doc_id, chunk_id,
+                         md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+                  FROM ch GROUP BY 1, 2),
+          r AS (SELECT doc_id,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM agg)
+          SELECT doc_id, count(*) AS n_chunks,
                  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
                  round(CAST(count(*) FILTER (rn = 1) AS DOUBLE) / count(*), 4)
                    AS retention

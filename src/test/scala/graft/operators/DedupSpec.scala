@@ -246,4 +246,49 @@ class DedupSpec extends SparkSpec {
       c should be <= math.min(asMap((a, a)), asMap((b, b)))
     }
   }
+
+  test("CDC chunks: identical docs chunk identically; a prefix insertion " +
+      "perturbs only the leading chunk") {
+    import spark.implicits._
+    // 200 DISTINCT tokens: no chunk text can recur, so chunk-sequence
+    // comparisons are unambiguous
+    val body = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body),              // byte-identical
+      (3L, "inserted " + body) // one-token prefix edit
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text", divisor = 8)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val byDoc = chunks.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // identical content => identical chunk sequence
+    byDoc(1L) shouldBe byDoc(2L)
+    // sanity: chunking is non-trivial (several chunks, not one giant)
+    val base = byDoc(1L)
+    base.length should be > 5
+    // shift-robustness: the edit stays confined BEFORE doc 1's first
+    // boundary — everything from that boundary on is byte-identical
+    // (fixed windows would shift and rewrite every window instead).
+    // Depending on whether the first body token is itself a boundary,
+    // doc 3 has the same chunk count (edit merged into chunk 0) or one
+    // more (the inserted token forms its own leading chunk).
+    val shifted = byDoc(3L)
+    shifted.length should (be (base.length) or be (base.length + 1))
+    shifted.takeRight(base.length - 1) shouldBe base.tail
+    shifted.head should include ("inserted")
+  }
+
+  test("CDC retention: an exact duplicate doc keeps no chunk") {
+    import spark.implicits._
+    val body = (0 until 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq((10L, body), (20L, body)).toDF("doc_id", "text")
+    val r = Dedup.cdcRetention(docs, "doc_id", "text", divisor = 8)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val m = r.map { case (id, n, k) => id -> ((n, k)) }.toMap
+    // doc 10 is first everywhere (distinct tokens => no internal dups);
+    // doc 20's chunks are all corpus-level duplicates
+    m(10L)._1 shouldBe m(10L)._2
+    m(20L)._2 shouldBe 0L
+    m(10L)._1 shouldBe m(20L)._1 // same content => same chunk count
+  }
 }
