@@ -113,6 +113,32 @@ object RelationalQueries extends Registry {
            ORDER BY 1, 2""")
     }),
 
+    // Declarative recursion on the SQL surface (WITH RECURSIVE, new in
+    // Spark 4.x): hierarchical subtree rollup over the implicit binary
+    // user hierarchy (parent(u) = u DIV 2, root 1) — each ancestor
+    // accumulates its whole subtree's event volume, the org-chart
+    // aggregation pattern. The recursion walks a TREE, so every (user,
+    // ancestor) path is unique and UNION ALL state stays linear in
+    // users x depth (~log2(max_id) levels) — no dedup needed, safe at
+    // scale. Per-user totals partial-aggregate BEFORE the chain join,
+    // so the recursion shuffles (user, ancestor) ids, never raw events.
+    "sql_recursive_rollup" -> ((s, d) => {
+      graft.core.Views.register(s, d)
+      s.sql(
+        """WITH RECURSIVE chain AS (
+             SELECT user_id AS u, user_id AS anc
+             FROM (SELECT DISTINCT user_id FROM events WHERE user_id >= 1)
+             UNION ALL
+             SELECT u, anc DIV 2 FROM chain WHERE anc > 1),
+           t AS (SELECT user_id AS u, count(*) AS n_ev, sum(value) AS sv
+                 FROM events WHERE user_id >= 1 GROUP BY user_id)
+           SELECT c.anc AS node, count(*) AS n_desc,
+                  sum(t.n_ev) AS n_events,
+                  round(sum(t.sv), 2) AS subtree_value
+           FROM chain c JOIN t ON c.u = t.u
+           GROUP BY c.anc ORDER BY node""")
+    }),
+
     // Left-semi join (EXISTS): customers that have orders, count per nation.
     "semi_join_count" -> ((s, d) =>
       Tables.customer(s, d)
@@ -526,6 +552,20 @@ object RelationalQueries extends Registry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          ORDER BY 1, 2""",
+
+    "sql_recursive_rollup" ->
+      """WITH RECURSIVE chain AS (
+           SELECT user_id AS u, user_id AS anc
+           FROM (SELECT DISTINCT user_id FROM events WHERE user_id >= 1)
+           UNION ALL
+           SELECT u, anc // 2 FROM chain WHERE anc > 1),
+         t AS (SELECT user_id AS u, count(*) AS n_ev, sum("value") AS sv
+               FROM events WHERE user_id >= 1 GROUP BY user_id)
+         SELECT c.anc AS node, count(*) AS n_desc,
+                CAST(sum(t.n_ev) AS BIGINT) AS n_events,
+                round(sum(t.sv), 2) AS subtree_value
+         FROM chain c JOIN t ON c.u = t.u
+         GROUP BY c.anc ORDER BY node""",
 
     "udaf_weighted_mean" ->
       """SELECT l_returnflag,
