@@ -350,6 +350,28 @@ object TextQueries extends Registry {
       graft.operators.Corpus.pmiBigrams(
         Tables.documents(s, d), "text", minCount = 5L)),
 
+    // Mixture rebalancing: the per-source downsampling weight that
+    // equalizes token share across sources (the data-mixing step before
+    // training). target = total DIV n_sources; weight_bp =
+    // min(10000, 10000*target DIV source_tokens) — integer basis points
+    // end-to-end, so the plan is one token-count rollup (partial-
+    // aggregated) plus a broadcast 1-row total; the weights replay
+    // exactly in any engine.
+    "corpus_mix_weights" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
+        .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val tot = counts.agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n_sources"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          expr("least(10000L, (10000 * (total DIV n_sources)) DIV n_tokens)")
+            .as("weight_bp"))
+        .withColumn("kept_tokens",
+          expr("(n_tokens * weight_bp) DIV 10000"))
+        .orderBy("source")
+    }),
+
     // Heavy-hitter vocabulary via Misra-Gries + exact recount (the
     // token-frequency twin of events_freq_items, where zipfian token
     // mass guarantees a non-trivial answer at every scale). The sketch
@@ -820,6 +842,21 @@ object TextQueries extends Registry {
           SELECT term, count(*) AS cnt FROM t GROUP BY term
           HAVING count(*) * 1000 > (SELECT count(*) FROM t)
           ORDER BY term""",
+
+    "corpus_mix_weights" ->
+      s"""WITH c AS (SELECT source, CAST(sum(len($toks)) AS BIGINT)
+                       AS n_tokens
+                     FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                       count(*) AS n_sources
+                FROM c)
+          SELECT source, n_tokens,
+                 least(10000, (10000 * (total // n_sources)) // n_tokens)
+                   AS weight_bp,
+                 (n_tokens *
+                  least(10000, (10000 * (total // n_sources)) // n_tokens))
+                   // 10000 AS kept_tokens
+          FROM c CROSS JOIN t ORDER BY source""",
 
     "corpus_drift_tv" ->
       s"""WITH t AS (SELECT CAST(substring(source, 4, 10) AS INT) < 10

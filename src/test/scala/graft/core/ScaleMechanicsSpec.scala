@@ -289,6 +289,56 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at 100 TB a selective dimension filter should reach the fact scan
+    // as a runtime bloom filter even when the dim is too big to
+    // broadcast — Catalyst injects might_contain over a bloom_filter_agg
+    // of the dim keys. Local thresholds are tuned so the tiny test
+    // tables qualify; the mechanism is identical at scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, sfDir)
+      val dim = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") ||
+        plan.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("CDC chunk dedup shuffles tokens and digests, never assembled text") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.operators.Dedup.cdcRetention(
+        Tables.documents(spark, sfDir), "doc_id", "text", divisor = 8)
+      // spread() may round-robin the single local input file (a no-op at
+      // real scale); every KEYED shuffle must carry tokens/digests only
+      val exchanges = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning")
+              || e.outputPartitioning.toString.contains("rangepartitioning")
+          => e
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        assert(!e.output.exists(a =>
+            a.name == "text" || a.name == "chunk_text"),
+          s"document/chunk bodies cross a shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("SQL surface: registered views answer the flagship query") {
     Views.register(spark, sfDir)
     val rows = spark.sql(
