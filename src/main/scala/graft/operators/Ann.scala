@@ -112,24 +112,7 @@ object Ann {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val d = if (dim > 0) dim
-            else v.select(size(col("v"))).head(1) match {
-              case Array(r) => r.getInt(0)
-              case _ => 1
-            }
-    val tablePlanes = (0 until tables).map(t => planes(bits, d, seed + t))
-    val idx = v.select(col("id"), explode(concat(
-        tablePlanes.zipWithIndex.map { case (ps, t) =>
-          array(struct(lit(t).as("tbl"), bucketExpr(col("v"), ps).as("bucket")))
-        }: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val pairs = cand
-      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+    val pairs = lshCandidatePairs(v, bits, tables, dim, seed)
       .select(col("id_a"), col("id_b"),
         round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
           .cast("long").as("sim_bp"))
@@ -146,6 +129,52 @@ object Ann {
         (col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("sim_bp"), col("col._2").as("neighbor_id"))
       .orderBy("vec_id", "rank")
+  }
+
+  /** The shared LSH candidate mechanics (see [[knnGraphLsh]]'s shape
+    * notes): per-table sign-bit buckets on (id, tbl, bucket) only, pair
+    * dedup across tables BEFORE vectors are touched, vectors joined
+    * back by id. Returns (id_a, id_b, va, vb) with id_a < id_b. */
+  private def lshCandidatePairs(v: DataFrame, bits: Int, tables: Int,
+                                dim: Int, seed: Long): DataFrame = {
+    val d = if (dim > 0) dim
+            else v.select(size(col("v"))).head(1) match {
+              case Array(r) => r.getInt(0)
+              case _ => 1
+            }
+    val tablePlanes = (0 until tables).map(t => planes(bits, d, seed + t))
+    val idx = v.select(col("id"), explode(concat(
+        tablePlanes.zipWithIndex.map { case (ps, t) =>
+          array(struct(lit(t).as("tbl"), bucketExpr(col("v"), ps).as("bucket")))
+        }: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    idx.as("a").join(idx.as("b"), Seq("tbl", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+  }
+
+  /** LSH-bucketed >= threshold cosine pair relation —
+    * [[Dedup.embeddingCosinePairs]]' output shape from hyperplane-bucket
+    * candidates instead of all block pairs: the 100 TB near-dup path for
+    * dense feature vectors (the media dedup pass). Emitted sims are TRUE
+    * cosines (exact verify on candidates), so the relation is a SUBSET
+    * of the exact pair relation with per-pair recall
+    * ≈ 1-(1-p^bits)^tables; byte-identical vectors land in the same
+    * bucket of EVERY table, so exact duplicates are never missed. */
+  def cosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, bits: Int = 4, tables: Int = 16,
+                     seed: Long = 42L): DataFrame = {
+    val v = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    lshCandidatePairs(v, bits, tables, dim = -1, seed)
+      .select(col("id_a"), col("id_b"),
+        HashExprs.cosine_sim(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Deterministic pseudo-random unit-less hyperplanes (seeded; no RNG at

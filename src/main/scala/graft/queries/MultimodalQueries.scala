@@ -57,17 +57,25 @@ object MultimodalQueries extends Registry {
 
     // Perceptual near-dup detection across modalities: the image/audio
     // dedup pass — feature-space cosine pairs over the extracted media
-    // features, the same block-pair relation the text pipeline uses for
-    // embeddings (Dedup.embeddingCosinePairs). Byte-identical payloads
-    // produce identical stub features (sim 1.0), near-identical ones
-    // cluster high — MultimodalSpec pins both. Rows-only (stub codec);
-    // the composition shows the dedup and multimodal families interlock.
+    // features via LSH buckets (Ann.cosinePairsLsh), the scale path: at
+    // 100 TB you never run exact all-pairs over media features. Emitted
+    // sims are true cosines (subset of the exact relation), and
+    // byte-identical payloads produce identical stub features that land
+    // in the same bucket of every table — exact duplicates are never
+    // missed, which MultimodalSpec pins. Rows-only (stub codec); the
+    // composition shows the dedup and multimodal families interlock.
     "media_near_dup" -> ((s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
         .toDF().withColumnRenamed("feature", "embedding")
-      graft.operators.Dedup.embeddingCosinePairs(
-        feats, "media_id", "embedding", threshold = 0.95)
+      // bits scale with the corpus (targetBucket 16: at a 0.95 cosine
+      // threshold per-plane agreement is ~0.9, so even 12+ bits keep
+      // per-pair recall >= 0.99 over 16 tables) — bucket work stays
+      // constant as the table grows; the count is a metadata read
+      graft.operators.Ann.cosinePairsLsh(
+        feats, "media_id", "embedding", threshold = 0.95,
+        bits = graft.operators.Ann.autoBits(media(s, d).count(),
+          targetBucket = 16))
     }),
   )
 

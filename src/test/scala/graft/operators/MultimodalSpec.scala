@@ -35,8 +35,10 @@ class MultimodalSpec extends SparkSpec {
   test("media near-dup: identical payloads pair at sim 1.0, others below") {
     import spark.implicits._
     // two byte-identical payloads (ids 1, 2), one different (id 3):
-    // the feature-space cosine pairs must contain exactly (1, 2) at 1.0
-    // at a 0.95 threshold
+    // the LSH-bucketed cosine pairs must contain exactly (1, 2) at 1.0
+    // at a 0.95 threshold — identical features collide in every table
+    // (guaranteed recall for exact dups), and the exact cosine verify
+    // admits no false positives
     val rows = Seq(
       Multimodal.Media(1L, "image", "same content bytes".getBytes, 4, 4, 0, 0L),
       Multimodal.Media(2L, "image", "same content bytes".getBytes, 4, 4, 0, 0L),
@@ -44,10 +46,15 @@ class MultimodalSpec extends SparkSpec {
     ).toDS()
     val feats = Multimodal.extractFeatures(rows, dim = 16)
       .toDF().withColumnRenamed("feature", "embedding")
-    val pairs = Dedup.embeddingCosinePairs(
+    val pairs = graft.operators.Ann.cosinePairsLsh(
         feats, "media_id", "embedding", threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     pairs.toSeq shouldBe Seq((1L, 2L, 1.0))
+    // and the LSH relation is a subset of the exact block-pair relation
+    val exact = Dedup.embeddingCosinePairs(
+        feats, "media_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    pairs.toSet.subsetOf(exact.toSet) shouldBe true
   }
 
   test("features: fixed dim, deterministic, distinct content differs") {
