@@ -454,6 +454,44 @@ object EventQueries extends Registry {
     "events_key_skew" -> ((s, d) =>
       graft.operators.Audit.keySkew(Tables.events(s, d), Seq("user_id"))),
 
+    // Association rules over session baskets (support / confidence /
+    // lift, Agrawal-Srikant style with 1-item antecedents): which event
+    // types co-occur in a 30-minute session beyond chance. Baskets are
+    // per-session DISTINCT type sets; the co-occurrence self-join is
+    // keyed on the session, so its fan-out is bounded by basket size
+    // (<= |event types|), never corpus size; item counts and the
+    // session total broadcast back. All ratios in integer basis points.
+    "events_assoc_rules" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val items = Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+              > gapSec, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "session_id", "event_type").distinct()
+      val nSess = items.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("n_sessions"))
+      val ic = items.groupBy("event_type").agg(count(lit(1)).as("n_item"))
+      val co = items.as("a").join(items.as("b"), Seq("user_id", "session_id"))
+        .filter(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("ant"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("co"))
+      co.join(broadcast(ic.select(col("event_type").as("ant"),
+          col("n_item").as("n_ant"))), "ant")
+        .join(broadcast(ic.select(col("event_type").as("cons"),
+          col("n_item").as("n_cons"))), "cons")
+        .crossJoin(broadcast(nSess))
+        .select(col("ant"), col("cons"), col("co"),
+          expr("(10000 * co) DIV n_ant").as("conf_bp"),
+          expr("(10000 * co * n_sessions) DIV (n_ant * n_cons)")
+            .as("lift_bp"))
+        .orderBy("ant", "cons")
+    }),
+
     // Heavy-hitter keys via a bounded sketch + exact recount: a
     // Misra-Gries summary (199 counters, CraneAggregators.FreqItemsMG)
     // finds every key that COULD exceed 0.5% of the stream in one
@@ -857,6 +895,43 @@ object EventQueries extends Registry {
                 count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN f ON e.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_assoc_rules" ->
+      s"""WITH marked AS (
+            SELECT user_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                        OR date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             ts) > $gapSec
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+          sess AS (
+            SELECT user_id, event_type,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked),
+          items AS (SELECT DISTINCT user_id, session_id, event_type
+                    FROM sess),
+          n AS (SELECT count(*) AS n_sessions FROM
+                  (SELECT DISTINCT user_id, session_id FROM items)),
+          ic AS (SELECT event_type, count(*) AS n_item
+                 FROM items GROUP BY 1),
+          pr AS (SELECT a.event_type AS ant, b.event_type AS cons,
+                        count(*) AS co
+                 FROM items a JOIN items b
+                   USING (user_id, session_id)
+                 WHERE a.event_type <> b.event_type
+                 GROUP BY 1, 2)
+          SELECT ant, cons, CAST(co AS BIGINT) AS co,
+                 CAST((10000 * co) // ia.n_item AS BIGINT) AS conf_bp,
+                 CAST((10000 * co * n.n_sessions) //
+                      (ia.n_item * ib.n_item) AS BIGINT) AS lift_bp
+          FROM pr
+          JOIN ic ia ON pr.ant = ia.event_type
+          JOIN ic ib ON pr.cons = ib.event_type
+          CROSS JOIN n
+          ORDER BY ant, cons""",
 
     // the exact relation the sketch+recount pipeline must reproduce:
     // keys above 0.5% of the stream, exact counts
