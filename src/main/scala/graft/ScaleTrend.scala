@@ -124,13 +124,32 @@ object ScaleTrend {
     def asofNative(ev: DataFrame) =
       AsOfNative.join(purchases(ev), clicks(ev), Seq("user_id"), "ts", "ts",
         Seq("click_id"))
+    def cdc(d: DataFrame) =
+      Dedup.cdcRetention(d, "doc_id", "text", divisor = 8)
+    def heavyTokens(d: DataFrame) = {
+      val terms = d.select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      val mg = udaf(new graft.functions.CraneAggregators.FreqItemsMG(999))
+      val cands = terms.agg(mg(xxhash64(col("term"))).as("cand"))
+        .select(explode(col("cand")).as("h"))
+      val tot = terms.agg(count(lit(1)).as("n_total"))
+      terms.join(broadcast(cands),
+          xxhash64(col("term")) === col("h"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 1000 > col("n_total"))
+    }
+    def cosLsh(e: DataFrame) =
+      Ann.cosinePairsLsh(e, "vec_id", "embedding", threshold = 0.2,
+        bits = Ann.autoBits(e.count(), targetBucket = 64))
 
     // warmup: smallest input through every op once (codegen/JIT)
     val wd = docInputs.head._2.limit(200)
     val we = embInputs.head._2.limit(200)
     val wv = evInputs.head._2.limit(500)
     Seq(jaccard(wd), minhash(wd), simhash(wd), cosine(we), brute(we),
-      lsh(we), ivf(we), asofComposed(wv), asofNative(wv))
+      lsh(we), ivf(we), asofComposed(wv), asofNative(wv), cdc(wd),
+      heavyTokens(wd), cosLsh(we))
       .foreach(df => try df.count() catch { case _: Throwable => () })
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
@@ -143,7 +162,10 @@ object ScaleTrend {
         ("ann_lsh_topk", embInputs, lsh),
         ("ann_ivf_topk", embInputs, ivf),
         ("join_asof_composed", evInputs, asofComposed),
-        ("join_asof_native", evInputs, asofNative))
+        ("join_asof_native", evInputs, asofNative),
+        ("dedup_cdc_chunks", docInputs, cdc),
+        ("corpus_heavy_tokens", docInputs, heavyTokens),
+        ("dedup_cosine_lsh", embInputs, cosLsh))
 
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")
