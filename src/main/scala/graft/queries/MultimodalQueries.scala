@@ -55,6 +55,23 @@ object MultimodalQueries extends Registry {
         feats.filter(col("media_id") % 100 === 0), "media_id", "embedding", 3)
     }),
 
+    // Training-shard manifest for the media corpus: content-hash shard
+    // assignment (Corpus.shardExpr) audited per (kind, shard) — item
+    // count, payload bytes, total duration. The export step a
+    // multimodal training job reads to schedule shard fetches; at 100 TB
+    // payloads contribute only their octet length to the rollup (the
+    // binary column itself never joins or shuffles by key). Oracle
+    // replays the md5 shard arithmetic exactly.
+    "media_shard_manifest" -> ((s, d) =>
+      media(s, d)
+        .withColumn("shard",
+          graft.operators.Corpus.shardExpr(col("media_id"), 8))
+        .groupBy("kind", "shard")
+        .agg(count(lit(1)).as("n_items"),
+          sum(length(col("bytes"))).cast("long").as("total_bytes"),
+          sum("duration_ms").as("total_ms"))
+        .orderBy("kind", "shard")),
+
     // Perceptual near-dup detection across modalities: the image/audio
     // dedup pass — feature-space cosine pairs over the extracted media
     // features via LSH buckets (Ann.cosinePairsLsh), the scale path: at
@@ -119,7 +136,18 @@ object MultimodalQueries extends Registry {
           SELECT media_id, i AS frame_idx, i * duration_ms // k AS frame_ms
           FROM f ORDER BY media_id, frame_idx""",
 
-    // media_decode_stats / media_features_knn: stub-codec-derived — rows
-    // only; determinism and shape asserted in MultimodalSpec.
+    "media_shard_manifest" ->
+      s"""WITH $mediaCte
+          SELECT kind,
+                 CAST(('0x' || substring(md5(media_id::VARCHAR || 'graft'),
+                                         1, 4))::BIGINT % 8 AS INT) AS shard,
+                 count(*) AS n_items,
+                 CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+                 CAST(sum(duration_ms) AS BIGINT) AS total_ms
+          FROM media GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // media_decode_stats / media_features_knn / media_near_dup:
+    // stub-codec-derived — rows only; determinism, shape, and the
+    // LSH-subset property asserted in MultimodalSpec.
   )
 }
