@@ -208,9 +208,54 @@ object HashExprs {
       copy(left = l, right = r)
   }
 
+  /** Static kernel: sign-bit hyperplane bucket in ONE pass over the
+    * vector — bits x dim multiply-adds with no per-plane array
+    * allocation. Bit b is set when the (array-order) dot with plane b is
+    * >= 0: byte-identical to the higher-order-function formulation it
+    * replaces (aggregate over zip_with per plane), which re-materialized
+    * the zipped array and re-dispatched two lambdas per element PER
+    * PLANE — the hot kernel under every LSH family. */
+  def hyperplaneKernel(arr: ArrayData, planes: Array[Array[Double]]): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      val n = math.min(arr.numElements(), p.length)
+      var i = 0
+      while (i < n) { dot += arr.getDouble(i) * p(i); i += 1 }
+      if (dot >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** Sign-bit LSH bucket id over a fixed hyperplane set (embedded in the
+    * plan as a codegen reference object — the planes ride the serialized
+    * expression to executors, not a join). */
+  case class HyperplaneBucket(child: Expression,
+                              planes: Array[Array[Double]])
+      extends UnaryExpression {
+    require(planes.nonEmpty && planes.length <= 30,
+      s"1..30 planes required, got ${planes.length}")
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneKernel(input.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.hyperplaneKernel($c, $ref)")
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucket =
+      copy(child = c)
+  }
+
   // Column-level API. Spark 4 wraps Expressions via classic.ExpressionUtils,
   // reached through the single private-API shim in org.apache.spark.sql.graft.
   import org.apache.spark.sql.graft.shims.{column, expression}
+  def hyperplane_bucket(vec: Column, planes: Array[Array[Double]]): Column =
+    column(HyperplaneBucket(expression(vec), planes))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def ngram_shingles(tokens: Column, n: Int): Column =
     column(NgramShingles(expression(tokens), n))

@@ -184,17 +184,13 @@ object Ann {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH signature as an int bucket id per hash table. `vec` must
-    * already be a bound lambda variable (callers wrap with TF.bind so the
-    * vector is materialized once per row, not once per hyperplane). */
+  /** Sign-bit LSH signature as an int bucket id per hash table: one
+    * codegen'd kernel pass over the vector (HashExprs.HyperplaneBucket)
+    * — bit-identical to the former per-plane aggregate(zip_with(...))
+    * chain, at bits x fewer array traversals and zero lambda dispatch. */
   private def bucketExpr(vec: org.apache.spark.sql.Column,
                          ps: Array[Array[Double]]): org.apache.spark.sql.Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    HashExprs.hyperplane_bucket(vec, ps)
 
   /** Approximate top-k via L random-hyperplane hash tables of b bits each.
     * Recall ≈ 1-(1-p^bits)^tables with p = 1 - θ/π per hyperplane, so few
