@@ -140,6 +140,25 @@ object EventTimeOps {
     rows.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming corpus ingest: the batch corpus-prep gates in streaming
+    * form — quality/language filters as map-only codegen'd expressions
+    * (no state), then exactly-once content dedup with watermark-bounded
+    * state ([[streamDedup]] on the text fingerprint). Emits accepted,
+    * first-seen documents; the same composition as the batch
+    * `pipeline_corpus_prep` front half, so batch and stream answer the
+    * same question (asserted batch-vs-stream in StreamingSpec). At
+    * scale the dedup state store holds 16-byte digests for one lateness
+    * horizon, never document bodies. */
+  def corpusIngest(docs: DataFrame, tsCol: String, textCol: String,
+                   lateness: String): DataFrame = {
+    val TF = graft.functions.TextFunctions
+    val gated = docs.filter(
+      TF.qualityScore(col(textCol)) >= 0.63 &&
+        TF.langId(col(textCol)) === "en")
+      .withColumn("fp", TF.fingerprint(col(textCol)))
+    streamDedup(gated, Seq("fp"), tsCol, lateness)
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp)
 
   final case class SessionState(start: Long, end: Long, n: Long)

@@ -160,6 +160,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusIngest: stream gates + dedup equal the batch composition") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    val good1 = "the quick brown fox jumps over the lazy dog and runs home"
+    val good2 = "a cat sat on the mat and the dog sat on the log today"
+    val junk = "!!! ### 111 @@@ %%% ^^^ &&& *** ((( )))"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(id: Long, txt: String, s: Int) =
+      (id, new java.sql.Timestamp(t0.getTime + s * 1000L), txt)
+    val b1 = Seq(row(1, good1, 0), row(2, junk, 1), row(3, good2, 2))
+    val b2 = Seq(row(4, good1, 3), // duplicate content, later batch
+      row(5, good2, 4), // duplicate content
+      row(6, good1 + " again and again with more words here", 5))
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = EventTimeOps.corpusIngest(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "10 minutes")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ingest").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("ingest").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      // batch twin: same gates, keep-first per fingerprint in ts order
+      val TF = graft.functions.TextFunctions
+      val batch = (b1 ++ b2).toDF("doc_id", "ts", "text")
+      val expected = batch
+        .filter(TF.qualityScore(col("text")) >= 0.63 &&
+          TF.langId(col("text")) === "en")
+        .withColumn("fp", TF.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("fp").orderBy("ts", "doc_id")))
+        .filter(col("rn") === 1)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      got shouldBe expected
+      // and the duplicates/junk are demonstrably gone: 4 and 5 replayed
+      // already-seen content, 2 failed the gates
+      got should contain allOf (1L, 3L)
+      got should contain noneOf (2L, 4L, 5L)
+    } finally q.stop()
+  }
+
   test("CraneStream end-to-end: versioned top-K snapshot per trigger") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
