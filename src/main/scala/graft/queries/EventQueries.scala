@@ -454,6 +454,49 @@ object EventQueries extends Registry {
     "events_key_skew" -> ((s, d) =>
       graft.operators.Audit.keySkew(Tables.events(s, d), Seq("user_id"))),
 
+    // Conversion-window funnel: the greedy-earliest fold of
+    // events_funnel with a DEADLINE per step — each stage must fire
+    // within 1 hour of the previous one (the product-analytics form:
+    // "clicked within an hour of viewing"). Because per-user events are
+    // folded in timestamp order, "first qualifying click" and "minimum
+    // click ts inside (t, t+1h]" are the same event, which is exactly
+    // the min-ts chain the oracle replays. Same single grouped fold,
+    // no window functions, no self-joins on the Spark side.
+    "events_funnel_windowed" -> ((s, d) => {
+      val init = struct(lit(0).as("stage"),
+        lit(null).cast("timestamp").as("t"))
+      val hour = expr("INTERVAL 1 HOUR")
+      val staged = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_type").as("et")))).as("evs"))
+        .withColumn("st", aggregate(col("evs"), init, (a, x) => {
+          val stage = a.getField("stage")
+          val t = a.getField("t")
+          val ts = x.getField("ts")
+          val et = x.getField("et")
+          when(stage === 0 && et === lit("view"),
+              struct(lit(1).as("stage"), ts.as("t")))
+            .when(stage === 1 && et === lit("click") && ts > t &&
+                ts <= t + hour,
+              struct(lit(2).as("stage"), ts.as("t")))
+            .when(stage === 2 && et === lit("purchase") && ts > t &&
+                ts <= t + hour,
+              struct(lit(3).as("stage"), ts.as("t")))
+            .otherwise(a)
+        }).getField("stage"))
+      staged.agg(
+          sum(when(col("st") >= 1, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("st") >= 2, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("st") >= 3, 1L).otherwise(0L)).as("n_purchase"))
+        .select(expr(
+          """stack(3, 1, 'view', n_view, 2, 'click', n_click,
+                   3, 'purchase', n_purchase) AS (step, step_name, n_users)"""))
+        .select(col("step").cast("long").as("step"), col("step_name"),
+          col("n_users"))
+        .orderBy("step")
+    }),
+
     // Association rules over session baskets (support / confidence /
     // lift, Agrawal-Srikant style with 1-item antecedents): which event
     // types co-occur in a 30-minute session beyond chance. Baskets are
@@ -881,6 +924,25 @@ object EventQueries extends Registry {
           t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
                  JOIN t2 ON e.user_id = t2.user_id
                  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1)
+         SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                (SELECT count(*) FROM t1) AS n_users
+         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+         UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+         ORDER BY step""",
+
+    // the windowed chain: each min-ts step bounded to one hour after
+    // the previous step's timestamp
+    "events_funnel_windowed" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+          t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+                 JOIN t1 ON e.user_id = t1.user_id
+                 WHERE e.event_type = 'click' AND e.ts > t1.ts1
+                   AND e.ts <= t1.ts1 + INTERVAL 1 HOUR GROUP BY 1),
+          t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+                 JOIN t2 ON e.user_id = t2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+                   AND e.ts <= t2.ts2 + INTERVAL 1 HOUR GROUP BY 1)
          SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
                 (SELECT count(*) FROM t1) AS n_users
          UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
