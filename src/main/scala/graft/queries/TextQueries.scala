@@ -350,6 +350,28 @@ object TextQueries extends Registry {
       graft.operators.Corpus.pmiBigrams(
         Tables.documents(s, d), "text", minCount = 5L)),
 
+    // The distributed inner loop of BPE tokenizer TRAINING: corpus-wide
+    // counts of adjacent symbol pairs inside words, weighted by word
+    // frequency (Sennrich et al. 2016). The driver's merge loop
+    // consumes the argmax pair per iteration; this relation is the
+    // piece that must scale — word fan-out partial-aggregates to
+    // (word, freq) first, so the pair explosion runs over the DISTINCT
+    // vocabulary, not the raw token stream.
+    "text_bpe_pair_counts" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words
+        .withColumn("cs", filter(split(col("w"), ""), c => c =!= lit("")))
+        .withColumn("pair", explode(expr(
+          """CASE WHEN size(cs) >= 2 THEN
+               transform(sequence(1, size(cs) - 1),
+                 i -> concat(element_at(cs, i), element_at(cs, i + 1)))
+             ELSE array() END""")))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("pair")).limit(20)
+    }),
+
     // Mixture rebalancing: the per-source downsampling weight that
     // equalizes token share across sources (the data-mixing step before
     // training). target = total DIV n_sources; weight_bp =
@@ -842,6 +864,19 @@ object TextQueries extends Registry {
           SELECT term, count(*) AS cnt FROM t GROUP BY term
           HAVING count(*) * 1000 > (SELECT count(*) FROM t)
           ORDER BY term""",
+
+    "text_bpe_pair_counts" ->
+      s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
+          f AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+          cs AS (SELECT freq, regexp_extract_all(w, '.') AS c FROM f),
+          p AS (SELECT freq,
+                       unnest(CASE WHEN len(c) >= 2 THEN
+                         list_transform(range(1, len(c)),
+                           i -> c[i] || c[i+1])
+                         ELSE []::VARCHAR[] END) AS pair
+                FROM cs)
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+          GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20""",
 
     "corpus_mix_weights" ->
       s"""WITH c AS (SELECT source, CAST(sum(len($toks)) AS BIGINT)
