@@ -29,6 +29,7 @@ object SparkEntry {
     EventQueries,
     TemporalQueries,
     GraphQueries,
+    GovernanceQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -13,7 +13,7 @@ class RegistrySpec extends AnyFunSuite with Matchers {
   private val registries = Seq(
     RefQueries, RelationalQueries, TextQueries, DedupQueries,
     AnnQueries, MultimodalQueries, EventQueries, TemporalQueries,
-    GraphQueries)
+    GraphQueries, GovernanceQueries)
 
   test("no query name collides across registries") {
     val all = registries.flatMap(_.defs.keys)
