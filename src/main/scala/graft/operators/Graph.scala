@@ -208,4 +208,38 @@ object Graph {
           "(graph diameter exceeds it)")
     labels.orderBy("id")
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree >= k,
+    * found by iterative peeling — drop all nodes below k, recompute
+    * degrees on the survivor-induced subgraph, repeat. Runs a FIXED
+    * `rounds` count rather than testing convergence, so an oracle can
+    * replay the exact same unrolled iteration (peeling is monotone:
+    * once stable, extra rounds are no-ops, and both engines run the
+    * same count either way). Input is symmetrized + deduped here, so
+    * degree is a plain per-src count. Each round is two semi-joins on
+    * the shrinking edge relation — edges only ever leave, so per-round
+    * cost falls, and lineage is truncated per round like the other
+    * iterative operators. Returns (node, deg) for core members, deg
+    * being the within-core degree. */
+  def kcoreFixed(edges: DataFrame, srcCol: String, dstCol: String,
+                 k: Int, rounds: Int): DataFrame = {
+    val p = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+    var e = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      i += 1
+    }
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy("node")
+  }
 }

@@ -118,7 +118,33 @@ object GraphQueries extends Registry {
       graft.operators.Dedup.components(strongTradeEdges(s, d), "src", "dst")
         .select(col("doc_id").as("node"), col("component"))
         .orderBy("node")),
+
+    // 5-core of the undirected strong-trade graph: nations that keep at
+    // least 5 strong trade partners even after every weaker-connected
+    // nation is removed — the "dense bloc" membership test. Fixed
+    // 8-round peel (Graph.kcoreFixed); the oracle replays the identical
+    // unrolled peel, each round MATERIALIZED so DuckDB cannot inline
+    // the doubly-referenced previous round exponentially.
+    "graph_kcore" -> ((s, d) =>
+      Graph.kcoreFixed(strongTradeEdges(s, d), "src", "dst",
+        k = KcoreK, rounds = KcoreRounds)),
   )
+
+  private val KcoreK = 5
+  private val KcoreRounds = 8
+
+  /** Unrolled k-core peel: round i keeps nodes whose degree in the
+    * previous survivor graph is >= k, then induces the subgraph. Every
+    * step MATERIALIZED — u(i-1) is referenced twice per round. */
+  private def kcoreSteps: String = (1 to KcoreRounds).map { i =>
+    s"""keep$i AS MATERIALIZED (
+            SELECT src FROM u${i - 1} GROUP BY src
+            HAVING count(*) >= $KcoreK),
+       u$i AS MATERIALIZED (
+            SELECT u.src, u.dst FROM u${i - 1} u
+            JOIN keep$i a ON u.src = a.src
+            JOIN keep$i b ON u.dst = b.src)"""
+  }.mkString(",\n")
 
   /** Raw trade edge list as a DuckDB CTE body. */
   private val edgesSql =
@@ -230,6 +256,16 @@ object GraphQueries extends Registry {
             SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           ${pagerankDanglingSteps("ed")}
           SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_kcore" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          u0 AS MATERIALIZED (
+            SELECT DISTINCT * FROM (SELECT src, dst FROM e
+                                    UNION ALL SELECT dst, src FROM e)),
+          $kcoreSteps
+          SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM u$KcoreRounds GROUP BY src ORDER BY node""",
 
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS ($edgesSql),

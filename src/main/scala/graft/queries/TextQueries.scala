@@ -448,6 +448,30 @@ object TextQueries extends Registry {
         .select(col("ta"), col("tb"), col("vocab"),
           expr("l1_bp DIV 2").as("tv_bp"))
     }),
+
+    // Inverted-index build: term -> document frequency, total term
+    // frequency, and a bounded sample of the posting list (the 20
+    // smallest doc_ids, comma-joined). The sample goes through the
+    // k-bounded TopK aggregator (score = -doc_id), NOT a collect_list:
+    // a stop-word's full posting list is corpus-sized at 100 TB, but
+    // the min-k buffer crosses the shuffle with <= 20 entries per
+    // (term, map partition). df/tf aggregate from the same pre-grouped
+    // (term, doc) relation, so one shuffle on term serves all three.
+    "text_postings" -> ((s, d) => {
+      val mink = udaf(new graft.functions.CraneAggregators.TopKByScore(20))
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tfp"))
+      pairs.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tfp").as("tf"),
+          mink(-col("doc_id"), col("doc_id")).as("top"))
+        .select(col("term"), col("df"), col("tf"),
+          concat_ws(",",
+            transform(col("top"), x => x.getField("_2").cast("string")))
+            .as("postings_20"))
+        .orderBy("term")
+    }),
   )
 
   private val toks =
@@ -913,5 +937,15 @@ object TextQueries extends Registry {
                  count(*) AS vocab,
                  CAST(sum(abs(p_bp - q_bp)) AS BIGINT) // 2 AS tv_bp
           FROM bp GROUP BY ta, tb""",
+
+    "text_postings" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          p AS (SELECT term, doc_id, count(*) AS tfp FROM e GROUP BY 1, 2)
+          SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tfp) AS BIGINT) AS tf,
+                 array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',')
+                   AS postings_20
+          FROM p GROUP BY term ORDER BY term""",
   )
 }

@@ -173,4 +173,20 @@ class GraphSpec extends SparkSpec {
     an[IllegalStateException] should be thrownBy
       Graph.bfsHops(chain, "src", "dst", source = 0L, maxHops = 2)
   }
+
+  test("kcoreFixed peels transitively, not just one pass") {
+    // K4 on {0,1,2,3}; 4 hangs off 3, 5 hangs off 4: one pass drops 5,
+    // the NEXT pass drops 4 (its degree only falls below 2 after 5
+    // goes) — a single-round cut would keep node 4.
+    val e = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)).toDF("src", "dst")
+      .union(Seq((3L, 4L), (4L, 5L)).toDF("src", "dst"))
+    val got = Graph.kcoreFixed(e, "src", "dst", k = 2, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got shouldBe Array((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L))
+    // k above the max degree empties the graph entirely
+    Graph.kcoreFixed(e, "src", "dst", k = 10, rounds = 8)
+      .collect() shouldBe empty
+  }
 }
