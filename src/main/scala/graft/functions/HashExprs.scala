@@ -251,6 +251,71 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Static kernel: Unicode code points of a string, one INT per code
+    * point (surrogate pairs collapse to one element) — the exact value
+    * sequence DuckDB's `unicode(c)` yields per extracted character, so
+    * byte/char-level kernels on both engines fold identical integers. */
+  def codePointsKernel(s: UTF8String): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val out = new Array[Any](cps.length)
+    var i = 0
+    while (i < cps.length) { out(i) = cps(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class CodePoints(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      codePointsKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.codePointsKernel($c)")
+    override protected def withNewChildInternal(c: Expression): CodePoints =
+      copy(c)
+  }
+
+  /** Static kernel: content-defined chunk boundaries from a true O(n)
+    * ROLLING polynomial hash (Rabin-Karp update: push the new code
+    * point, pop the one leaving the window via its precomputed p^w
+    * term). Emits the 1-based END position of every window whose hash
+    * divides `d` — cut AFTER that position — skipping the final
+    * position (a trailing cut is a no-op). The naive per-position
+    * re-fold is O(n*w); this is the pass the oracle's slice-reduce
+    * formulation cannot afford at scale, which is exactly why it lives
+    * here as a codegen'd Expression instead of an exploded HOF. */
+  def rollingBoundsKernel(s: UTF8String, w: Int, p: Long, m: Long,
+                          d: Long): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    var pw = 1L
+    var k = 0
+    while (k < w) { pw = pw * p % m; k += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * p + cps(i)) % m
+      if (i >= w) h = ((h - cps(i - w) * pw % m) % m + m) % m
+      if (i >= w - 1 && i < n - 1 && h % d == 0L) out += (i + 1)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class RollingChunkBounds(child: Expression, w: Int, p: Long,
+                                m: Long, d: Long) extends UnaryExpression {
+    require(w >= 2 && p > 1 && m > 1 && d >= 2)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      rollingBoundsKernel(input.asInstanceOf[UTF8String], w, p, m, d)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.rollingBoundsKernel($c, $w, ${p}L, ${m}L, ${d}L)")
+    override protected def withNewChildInternal(c: Expression): RollingChunkBounds =
+      copy(child = c)
+  }
+
   // Column-level API. Spark 4 wraps Expressions via classic.ExpressionUtils,
   // reached through the single private-API shim in org.apache.spark.sql.graft.
   import org.apache.spark.sql.graft.shims.{column, expression}
@@ -263,4 +328,8 @@ object HashExprs {
     column(MinHashSignature(expression(shingles), numPerms))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def code_points(text: Column): Column = column(CodePoints(expression(text)))
+  def rolling_chunk_bounds(text: Column, w: Int, p: Long, m: Long,
+                           d: Long): Column =
+    column(RollingChunkBounds(expression(text), w, p, m, d))
 }

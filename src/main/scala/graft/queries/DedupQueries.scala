@@ -187,6 +187,16 @@ object DedupQueries extends Registry {
       Dedup.cdcRetention(Tables.documents(s, d), "doc_id", "text",
         divisor = 8)),
 
+    // Byte-level CDC twin of dedup_cdc_chunks: 16-code-point rolling
+    // Rabin window, divisor 64 (~64-cp expected chunks), tokenization-
+    // independent boundaries. The oracle re-derives every window hash
+    // with an O(n*w) per-position slice-reduce — affordable for DuckDB
+    // at oracle scale, and exactly the cost the O(n) rolling Expression
+    // exists to avoid.
+    "dedup_cdc_bytes" -> ((s, d) =>
+      Dedup.cdcBytesRetention(Tables.documents(s, d), "doc_id", "text",
+        w = 16, divisor = 64)),
+
     // Flagship composition — the whole corpus-prep pipeline as ONE
     // declarative plan: quality/language/length gates, near-dup cluster
     // collapse on the clean subset, content-hash shard assignment, and
@@ -460,6 +470,52 @@ object DedupQueries extends Registry {
                  CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
                  round(CAST(count(*) FILTER (rn = 1) AS DOUBLE) / count(*), 4)
                    AS retention
+          FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // byte-level CDC: window hash at position i re-folded from the
+    // 16-code slice (the naive O(n*w) form of the Spark side's O(n)
+    // rolling kernel); cut AFTER qualifying positions, chunks
+    // fingerprinted by md5 over comma-joined code points
+    "dedup_cdc_bytes" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($toks, ' ') AS canon
+                     FROM documents),
+          cs AS (SELECT doc_id,
+                        list_transform(regexp_extract_all(canon, '.'),
+                          c -> unicode(c)::BIGINT) AS codes
+                 FROM t),
+          c2 AS (SELECT doc_id, codes, len(codes) AS n FROM cs
+                 WHERE len(codes) > 0),
+          p AS (SELECT doc_id, codes, n,
+                       unnest(range(1, n + 1)) AS pos
+                FROM c2),
+          hx AS (SELECT doc_id, pos, codes[pos] AS code,
+                        CASE WHEN pos >= 16 AND pos < n THEN
+                          list_reduce(
+                            list_prepend(0::BIGINT, codes[pos-15:pos]),
+                            (a, c) -> (a * 257 + c) % 1000000007)
+                        END AS h
+                 FROM p),
+          ch AS (SELECT doc_id, pos, code,
+                        1 + coalesce(sum(CASE WHEN h % 64 = 0
+                                              THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS chunk_id
+                 FROM hx),
+          agg AS (SELECT doc_id, chunk_id,
+                         md5(array_to_string(list(code ORDER BY pos), ','))
+                           AS fp,
+                         count(*) AS clen
+                  FROM ch GROUP BY 1, 2),
+          r AS (SELECT doc_id, clen,
+                       row_number() OVER (PARTITION BY fp
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM agg)
+          SELECT doc_id, count(*) AS n_chunks,
+                 CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+                 round(CAST(count(*) FILTER (rn = 1) AS DOUBLE) / count(*), 4)
+                   AS retention,
+                 CAST(sum(clen) AS BIGINT) AS n_cp
           FROM r GROUP BY doc_id ORDER BY doc_id""",
 
     // positioned 8-grams (ALL occurrences), matched on gram, islands per

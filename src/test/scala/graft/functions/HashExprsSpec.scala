@@ -45,4 +45,61 @@ class HashExprsSpec extends SparkSpec {
     // row 3: (-1.0, 1.5) -> 2
     got shouldBe Map(1L -> 3, 2L -> 1, 3L -> 2)
   }
+
+  test("rolling chunk bounds equal the naive per-window re-fold") {
+    // independent reimplementation: fold each w-slice from scratch —
+    // the O(n*w) form the oracle uses; the kernel's Rabin pop/push
+    // must agree at every position, including multi-code-point chars
+    val w = 5; val p = 257L; val m = 1000000007L; val d = 4L
+    def naive(s: String): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      (w to cps.length).flatMap { end =>
+        val h = cps.slice(end - w, end)
+          .foldLeft(0L)((a, c) => (a * p + c) % m)
+        if (end < cps.length && h % d == 0L) Some(end) else None
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    // whole code points, not chars: indexing a String would split the
+    // emoji's surrogate pair and feed the kernel malformed UTF-16
+    val alphabet = Vector("a", "b", "c", " ", "d", "e", "f", "é", "中",
+      "😀", " ")
+    val samples = (0 until 50).map(_ =>
+      (0 until (w + rnd.nextInt(60))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString) :+
+      "" :+ "ab" // shorter than the window -> no boundaries
+    samples.foreach { s =>
+      val got = HashExprs
+        .rollingBoundsKernel(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          w, p, m, d)
+        .toIntArray().toSeq
+      got shouldBe naive(s)
+    }
+    // the fixture actually produced some boundaries somewhere
+    samples.map(naive(_).length).sum should be > 0
+  }
+
+  test("code points + rolling bounds: codegen matches interpreted") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "café au lait 中文 mix"), (3L, "")).toDF("id", "t")
+    val viaDf = df.select(col("id"),
+        HashExprs.code_points(col("t")).as("cp"),
+        HashExprs.rolling_chunk_bounds(col("t"), 5, 257L, 1000000007L, 4L)
+          .as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getSeq[Int](2))))
+      .toMap
+    df.collect().foreach { r =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(
+        r.getString(1))
+      val (cp, b) = (viaDf(r.getLong(0))._1, viaDf(r.getLong(0))._2)
+      cp shouldBe HashExprs.codePointsKernel(s).toIntArray().toSeq
+      b shouldBe HashExprs
+        .rollingBoundsKernel(s, 5, 257L, 1000000007L, 4L)
+        .toIntArray().toSeq
+    }
+    viaDf(2L)._1.take(4) shouldBe Seq('c'.toInt, 'a'.toInt, 'f'.toInt, 0xe9)
+  }
 }

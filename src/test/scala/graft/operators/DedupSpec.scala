@@ -291,4 +291,32 @@ class DedupSpec extends SparkSpec {
     m(20L)._2 shouldBe 0L
     m(10L)._1 shouldBe m(20L)._1 // same content => same chunk count
   }
+
+  test("byte-level CDC: duplicates keep nothing; a prefix edit costs at " +
+      "most the leading chunks; chunks partition the code points") {
+    import spark.implicits._
+    val body = (0 until 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body),
+      (2L, body),               // byte-identical duplicate
+      (3L, "zqxj " + body)      // prefix insertion shifts every byte
+    ).toDF("doc_id", "text")
+    val r = Dedup.cdcBytesRetention(docs, "doc_id", "text",
+        w = 16, divisor = 64)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(4)))).toMap
+    val (n1, k1, cp1) = r(1L)
+    n1 should be > 5L            // non-trivial chunking
+    k1 shouldBe n1               // doc 1 is globally first everywhere
+    r(2L)._2 shouldBe 0L         // exact duplicate: zero kept chunks
+    r(2L)._1 shouldBe n1
+    // the rolling window re-synchronizes w code points past the edit,
+    // so only chunks touching the insertion differ — a fixed-width
+    // chunker would rewrite every chunk after the shift instead
+    r(3L)._2 should be <= 2L
+    // chunks partition the canonical text exactly
+    cp1 shouldBe body.codePoints().count()
+    r(3L)._3 shouldBe ("zqxj " + body).codePoints().count()
+  }
 }
