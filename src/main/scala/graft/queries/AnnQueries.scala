@@ -90,6 +90,40 @@ object AnnQueries extends Registry {
           array_min(col("q")).as("q_min"),
           array_max(col("q")).as("q_max"))
         .orderBy("vec_id")),
+
+    // Cluster-to-cluster geometry: cosine similarity between every pair
+    // of label centroids. Centroids are snapped to integer micro-units
+    // FIRST (floor(avg*1e6+0.5), the PageRank-micro-units trick), so
+    // dot products and norms are exact integer arithmetic and the final
+    // ratio divides identical operands on both engines — no float
+    // accumulation order in the comparison path. Plan: one partial agg
+    // to a (labels x dims)-sized relation, then a broadcast-scale
+    // self-join; the fact table is read once.
+    "ann_label_similarity" -> ((s, d) => {
+      val cent = Tables.embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(avg(col("x").cast("double")).as("c"))
+        .select(col("label"), col("dim"),
+          floor(col("c") * 1000000.0 + 0.5).cast("long").as("ci"))
+      val norms = cent.groupBy("label")
+        .agg(sum(col("ci") * col("ci")).as("nn"))
+      val a = cent.select(col("label").as("la"), col("dim"),
+        col("ci").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("dim"),
+        col("ci").as("cb"))
+      a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+        .groupBy("la", "lb").agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(norms.select(col("label").as("la"),
+          col("nn").as("na"))), "la")
+        .join(broadcast(norms.select(col("label").as("lb"),
+          col("nn").as("nb"))), "lb")
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          floor(lit(10000.0) * col("dot") /
+            (sqrt(col("na")) * sqrt(col("nb")))).cast("long").as("sim_bp"))
+        .orderBy("label_a", "label_b")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,5 +208,27 @@ object AnnQueries extends Registry {
                       unnest(range(1, len(embedding) + 1)) AS i
                FROM embeddings) t
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ann_label_similarity" ->
+      """WITH c0 AS (SELECT label, embedding,
+                            unnest(range(1, len(embedding) + 1)) AS i
+                     FROM embeddings),
+          cent AS (SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+                          CAST(floor(avg(embedding[i]::DOUBLE) * 1000000
+                            + 0.5) AS BIGINT) AS ci
+                   FROM c0 GROUP BY 1, 2),
+          norms AS (SELECT label, sum(ci * ci) AS nn FROM cent GROUP BY 1),
+          dots AS (SELECT a.label AS la, b.label AS lb,
+                          sum(a.ci * b.ci) AS dot
+                   FROM cent a
+                   JOIN cent b ON a.dim = b.dim AND a.label < b.label
+                   GROUP BY 1, 2)
+          SELECT la AS label_a, lb AS label_b,
+                 CAST(floor(10000.0 * dot /
+                   (sqrt(na.nn) * sqrt(nb.nn))) AS BIGINT) AS sim_bp
+          FROM dots
+          JOIN norms na ON dots.la = na.label
+          JOIN norms nb ON dots.lb = nb.label
+          ORDER BY label_a, label_b""",
   )
 }
