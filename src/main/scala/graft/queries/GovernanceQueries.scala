@@ -100,6 +100,67 @@ object GovernanceQueries extends Registry {
         .orderBy("user_id", "version")
     }),
 
+    // Two-sample Kolmogorov-Smirnov distance between the value
+    // distributions of two event types, computed EXACTLY on the
+    // integer-cents histogram: D = max |ECDF_a - ECDF_b| over distinct
+    // cents, as the integer max of |ca*nb - cb*na| (no float division
+    // until the final basis-point report). The cumulative window runs
+    // over the HISTOGRAM (bounded by the value domain, ~33k cents),
+    // never over raw rows — the Audit.keySkew recipe — so the
+    // single-partition window stays constant-size at any corpus scale.
+    // Cross-products like ca*nb need 128-bit decimals once counts pass
+    // ~3e9; at this harness's scale longs are exact.
+    "stats_ks_test" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("event_type") === "click").as("is_a"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val h = e.groupBy("cents").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum("na").as("ta"), sum("nb").as("tb"))
+      val scored = h
+        .select(col("cents"), sum("na").over(w).as("ca"),
+          sum("nb").over(w).as("cb"))
+        .crossJoin(broadcast(tot))
+        .select(col("cents"), col("ta"), col("tb"),
+          abs(col("ca") * col("tb") - col("cb") * col("ta")).as("dnum"))
+      val dm = scored.agg(max("dnum").as("dmax"))
+      scored.crossJoin(broadcast(dm))
+        .filter(col("dnum") === col("dmax"))
+        .groupBy("ta", "tb", "dmax")
+        .agg(min("cents").as("d_at_cents"))
+        .select(col("ta").as("n_a"), col("tb").as("n_b"),
+          expr("(10000 * dmax) DIV (ta * tb)").as("d_bp"),
+          col("d_at_cents"))
+    }),
+
+    // Cohort lifetime value: users grouped by first-seen week, purchase
+    // revenue accumulated over cohort age in weeks. Both week floors
+    // are Monday-truncated on both engines, so the day difference is an
+    // exact multiple of 7. The cumulative window partitions by cohort
+    // and walks at most the observation span in weeks — bounded state.
+    "events_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstw = ev.groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cw"))
+      val w = Window.partitionBy("cohort_week").orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.filter(col("event_type") === "purchase")
+        .join(firstw, "user_id")
+        .groupBy(col("cw"),
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+            col("cw").cast("date")) / 7).cast("long").as("age_w"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"),
+          countDistinct(col("user_id")).as("buyers"))
+        .select(col("cw").cast("date").cast("string").as("cohort_week"),
+          col("age_w"), col("buyers"), col("rev_cents"))
+        .withColumn("cum_cents", sum("rev_cents").over(w))
+        .orderBy("cohort_week", "age_w")
+    }),
+
     // Within-group distribution position: each user's daily purchase
     // volume ranked against the same (event_type, day) cohort via
     // percent_rank / cume_dist. Ranking is on exact integer cents (an
@@ -186,6 +247,54 @@ object GovernanceQueries extends Registry {
                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
                   AS BIGINT) AS to_sec
          FROM changes ORDER BY user_id, version""",
+
+    "stats_ks_test" ->
+      """WITH e AS (SELECT event_type = 'click' AS is_a,
+                           CAST(round("value" * 100) AS BIGINT) AS cents
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')),
+          h AS (SELECT cents,
+                       sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+                FROM e GROUP BY cents),
+          t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                       CAST(sum(nb) AS BIGINT) AS tb FROM h),
+          c AS (SELECT cents,
+                       sum(na) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS ca,
+                       sum(nb) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cb
+                FROM h),
+          s AS (SELECT cents, abs(ca * tb - cb * ta) AS dnum
+                FROM c CROSS JOIN t),
+          d AS (SELECT CAST(max(dnum) AS BIGINT) AS dmax FROM s)
+          SELECT ta AS n_a, tb AS n_b,
+                 CAST((10000 * dmax) // (ta * tb) AS BIGINT) AS d_bp,
+                 CAST((SELECT min(cents) FROM s WHERE s.dnum = d.dmax)
+                   AS BIGINT) AS d_at_cents
+          FROM d CROSS JOIN t ORDER BY n_a""",
+
+    "events_cohort_ltv" ->
+      """WITH fw AS (SELECT user_id,
+                            CAST(min(date_trunc('week', ts)) AS DATE) AS cw
+                     FROM events GROUP BY user_id),
+          r AS (SELECT CAST(cw AS VARCHAR) AS cohort_week,
+                       date_diff('day', cw,
+                         CAST(date_trunc('week', ts) AS DATE)) // 7 AS age_w,
+                       CAST(count(DISTINCT e.user_id) AS BIGINT) AS buyers,
+                       CAST(sum(CAST(round("value" * 100) AS BIGINT))
+                         AS BIGINT) AS rev_cents
+                FROM events e JOIN fw ON e.user_id = fw.user_id
+                WHERE event_type = 'purchase'
+                GROUP BY 1, 2)
+          SELECT cohort_week, CAST(age_w AS BIGINT) AS age_w, buyers,
+                 rev_cents,
+                 CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+                   ORDER BY age_w ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum_cents
+          FROM r ORDER BY cohort_week, age_w""",
 
     "window_percent_rank" ->
       """WITH daily AS (
