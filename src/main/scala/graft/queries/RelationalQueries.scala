@@ -473,6 +473,57 @@ object RelationalQueries extends Registry {
         .agg(count(lit(1)).as("cnt"),
           round(sum("o_totalprice"), 2).as("total"))
         .orderBy("o_orderstatus")),
+
+    // Open-order backlog per month via the interval-sweep trick: each
+    // order contributes +1 at its order month and -1 the month after
+    // its last shipment, and the backlog is the running sum of deltas.
+    // That turns interval-overlap counting (O(orders x span) if each
+    // order exploded its months) into O(orders) delta rows plus a
+    // cumulative walk over the MONTH domain — bounded by the calendar,
+    // not the table.
+    "orders_open_backlog" -> ((s, d) => {
+      val last = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(to_date(max(date_trunc("month", col("l_shipdate"))))
+          .as("endm"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("startm"))
+      val iv = o.join(last, o("o_orderkey") === last("l_orderkey"))
+      val deltas = iv.select(col("startm").as("m"), lit(1L).as("dl"))
+        .unionAll(iv.select(add_months(col("endm"), 1).as("m"),
+          lit(-1L).as("dl")))
+        .groupBy("m").agg(sum("dl").as("delta"))
+      val w = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .select(col("m").cast("string").as("month"), col("delta"),
+          sum("delta").over(w).as("open_orders"))
+        .orderBy("month")
+    }),
+
+    // Revenue concentration (Pareto): the minimum number of parts whose
+    // descending cumulative revenue reaches 50/80/95% of the total.
+    // Revenue snaps to exact integer cents before any comparison, and
+    // the threshold test is the integer cross-product cum*10000 >=
+    // pct*total. The ranking window walks the PART dimension (bounded
+    // far below the fact table); the 100 TB swap is the same
+    // histogram-rank recipe as stats_ks_test over the revenue values.
+    "sales_pareto" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) -
+          col("l_discount")) * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = rev.agg(sum("cents").as("t"))
+      rev
+        .select(col("cents"), sum("cents").over(w).as("cum"),
+          row_number().over(w).cast("long").as("rk"))
+        .crossJoin(broadcast(tot))
+        .select(explode(typedLit(Seq(5000L, 8000L, 9500L))).as("pct_bp"),
+          col("cum"), col("rk"), col("t"))
+        .filter(col("cum") * 10000 >= col("pct_bp") * col("t"))
+        .groupBy("pct_bp").agg(min("rk").as("n_parts"))
+        .orderBy("pct_bp")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -748,5 +799,49 @@ object RelationalQueries extends Registry {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "orders_open_backlog" ->
+      """WITH last AS (SELECT l_orderkey,
+                              CAST(max(date_trunc('month', l_shipdate))
+                                AS DATE) AS endm
+                       FROM lineitem GROUP BY l_orderkey),
+          o AS (SELECT o_orderkey,
+                       CAST(date_trunc('month', o_orderdate) AS DATE)
+                         AS startm
+                FROM orders),
+          iv AS (SELECT startm, endm FROM o
+                 JOIN last ON o_orderkey = l_orderkey),
+          del AS (SELECT m, CAST(sum(dl) AS BIGINT) AS delta FROM (
+                    SELECT startm AS m, 1 AS dl FROM iv
+                    UNION ALL
+                    SELECT CAST(endm + INTERVAL 1 MONTH AS DATE), -1
+                    FROM iv) u
+                  GROUP BY m)
+          SELECT CAST(m AS VARCHAR) AS month, delta,
+                 CAST(sum(delta) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open_orders
+          FROM del ORDER BY month""",
+
+    "sales_pareto" ->
+      """WITH rev AS (SELECT l_partkey,
+                             CAST(sum(CAST(round(l_extendedprice *
+                               (1.0 - l_discount) * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                      FROM lineitem GROUP BY l_partkey),
+          t AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+          c AS (SELECT cents,
+                       CAST(sum(cents) OVER (ORDER BY cents DESC,
+                           l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum,
+                       CAST(row_number() OVER (ORDER BY cents DESC,
+                           l_partkey) AS BIGINT) AS rk
+                FROM rev),
+          p AS (SELECT unnest([5000, 8000, 9500]) AS pct_bp)
+          SELECT CAST(p.pct_bp AS BIGINT) AS pct_bp,
+                 CAST(min(rk) AS BIGINT) AS n_parts
+          FROM c CROSS JOIN t CROSS JOIN p
+          WHERE cum * 10000 >= p.pct_bp * t.t
+          GROUP BY p.pct_bp ORDER BY pct_bp""",
   )
 }
