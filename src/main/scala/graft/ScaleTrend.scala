@@ -142,6 +142,16 @@ object ScaleTrend {
     def cosLsh(e: DataFrame) =
       Ann.cosinePairsLsh(e, "vec_id", "embedding", threshold = 0.2,
         bits = Ann.autoBits(e.count(), targetBucket = 64))
+    def cdcBytes(d: DataFrame) =
+      Dedup.cdcBytesRetention(d, "doc_id", "text", w = 16, divisor = 64)
+    def postings(d: DataFrame) = {
+      val mink = udaf(new graft.functions.CraneAggregators.TopKByScore(20))
+      d.select(col("doc_id"), explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tfp"))
+        .groupBy("term").agg(count(lit(1)).as("df"), sum("tfp").as("tf"),
+          mink(-col("doc_id"), col("doc_id")).as("top"))
+    }
 
     // warmup: smallest input through every op once (codegen/JIT)
     val wd = docInputs.head._2.limit(200)
@@ -149,7 +159,7 @@ object ScaleTrend {
     val wv = evInputs.head._2.limit(500)
     Seq(jaccard(wd), minhash(wd), simhash(wd), cosine(we), brute(we),
       lsh(we), ivf(we), asofComposed(wv), asofNative(wv), cdc(wd),
-      heavyTokens(wd), cosLsh(we))
+      heavyTokens(wd), cosLsh(we), cdcBytes(wd), postings(wd))
       .foreach(df => try df.count() catch { case _: Throwable => () })
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
@@ -165,7 +175,9 @@ object ScaleTrend {
         ("join_asof_native", evInputs, asofNative),
         ("dedup_cdc_chunks", docInputs, cdc),
         ("corpus_heavy_tokens", docInputs, heavyTokens),
-        ("dedup_cosine_lsh", embInputs, cosLsh))
+        ("dedup_cosine_lsh", embInputs, cosLsh),
+        ("dedup_cdc_bytes", docInputs, cdcBytes),
+        ("text_postings", docInputs, postings))
 
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")

@@ -156,6 +156,45 @@ object TemporalQueries extends Registry {
         .orderBy("event_id")
     }),
 
+    // NEAREST-direction as-of (pandas merge_asof direction='nearest'):
+    // each purchase takes whichever click is closer in time, backward
+    // winning exact ties. Composes the backward and forward one-shuffle
+    // as-of passes and picks per row via an equi-join on the unique left
+    // id — two passes of the audited plan, no new shuffle shape. The
+    // oracle ranks the raw candidate join by (gap, side, click_id DESC),
+    // which is exactly the composed pick order.
+    "join_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val b = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("click_id").as("b_click"),
+          (unix_micros(col("ts")) - unix_micros(col("matched_ts")))
+            .as("b_gap"))
+      val f = Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), forward = true)
+        .select(col("event_id"),
+          col("click_id").as("f_click"),
+          (unix_micros(col("matched_ts")) - unix_micros(col("ts")))
+            .as("f_gap"))
+      b.join(f, "event_id")
+        .select(col("event_id"), col("user_id"),
+          when(col("b_gap").isNotNull &&
+              (col("f_gap").isNull || col("b_gap") <= col("f_gap")),
+            col("b_click")).otherwise(col("f_click")).as("click_id"),
+          when(col("b_gap").isNotNull &&
+              (col("f_gap").isNull || col("b_gap") <= col("f_gap")),
+            col("b_gap")).otherwise(col("f_gap")).as("gap_us"),
+          when(col("b_gap").isNotNull &&
+              (col("f_gap").isNull || col("b_gap") <= col("f_gap")), 0L)
+            .otherwise(when(col("f_gap").isNotNull, 1L)).as("fwd"))
+        .orderBy("event_id")
+    }),
+
     // Repeat-purchase detection: per customer, how many order pairs fall
     // within a 7-day window of each other (point = later order, interval
     // = [order date, +7 days] of the earlier one).
@@ -244,6 +283,28 @@ object TemporalQueries extends Registry {
 
     // same semantics via the native operator -> same oracle
     "join_asof_native_fwd" -> asofForwardSql,
+
+    // nearest-direction: rank the raw candidate join by exact
+    // microsecond gap, then backward-before-forward, then click_id DESC
+    // — the same pick order the composed two-pass form resolves to
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                FROM events WHERE event_type = 'click'),
+          cand AS (SELECT p.event_id, c.click_id,
+                          abs(epoch_us(p.ts) - epoch_us(c.cts)) AS gap_us,
+                          CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END AS side
+                   FROM p JOIN c ON p.user_id = c.user_id),
+          r AS (SELECT event_id, click_id, gap_us, side,
+                       row_number() OVER (PARTITION BY event_id
+                         ORDER BY gap_us, side, click_id DESC) AS rn
+                FROM cand)
+          SELECT p.event_id, p.user_id, r.click_id,
+                 CAST(r.gap_us AS BIGINT) AS gap_us,
+                 CAST(r.side AS BIGINT) AS fwd
+          FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
+          ORDER BY 1""",
 
     "join_range" ->
       """SELECT a.o_custkey, count(*) AS n_repeat,
