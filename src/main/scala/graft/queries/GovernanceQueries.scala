@@ -100,6 +100,45 @@ object GovernanceQueries extends Registry {
         .orderBy("user_id", "version")
     }),
 
+    // Weekly seasonality profile: activity share per (iso-weekday,
+    // hour) cell as an integer basis-point index against the uniform
+    // expectation (10000 = neutral). Two partial aggregations; the
+    // index divides integer cross-products, so both engines bucket and
+    // divide identically.
+    "events_seasonality" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select((expr("weekday(ts)") + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy("dow", "hr").agg(count(lit(1)).as("cnt"))
+      val tot = cells.agg(sum("cnt").as("total"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("cnt"),
+          expr("(cnt * n_cells * 10000) DIV total").as("index_bp"))
+        .orderBy("dow", "hr")
+    }),
+
+    // Change-point evidence: CUSUM of daily event counts against the
+    // period mean, kept in exact integers by scaling — the running
+    // deviation sum(cnt_d - T/N) over the first t days is
+    // (N*c_t - t*T)/N, so N*c_t - t*T is reported verbatim. Max |value|
+    // marks the most likely level-shift day. The cumulative window
+    // walks the DAY domain (calendar-bounded), not raw events.
+    "events_change_points" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.agg(sum("cnt").as("t"), count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(tot))
+        .select(col("day").cast("string").as("day"), col("cnt"),
+          (sum("cnt").over(w) * col("n") -
+            row_number().over(Window.orderBy("day")).cast("long") * col("t"))
+            .as("cusum_scaled"))
+        .orderBy("day")
+    }),
+
     // Two-sample Kolmogorov-Smirnov distance between the value
     // distributions of two event types, computed EXACTLY on the
     // integer-cents histogram: D = max |ECDF_a - ECDF_b| over distinct
@@ -247,6 +286,31 @@ object GovernanceQueries extends Registry {
                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
                   AS BIGINT) AS to_sec
          FROM changes ORDER BY user_id, version""",
+
+    "events_seasonality" ->
+      """WITH cells AS (SELECT isodow(ts) AS dow, hour(ts) AS hr,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+          SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+                 CAST(cnt AS BIGINT) AS cnt,
+                 CAST((cnt * n_cells * 10000) // total AS BIGINT)
+                   AS index_bp
+          FROM cells CROSS JOIN t ORDER BY dow, hr""",
+
+    "events_change_points" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+                        FROM events GROUP BY 1),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS n FROM daily)
+          SELECT CAST(day AS VARCHAR) AS day, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(sum(cnt) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   * t.n
+                   - row_number() OVER (ORDER BY day) * t.t AS BIGINT)
+                   AS cusum_scaled
+          FROM daily CROSS JOIN t ORDER BY day""",
 
     "stats_ks_test" ->
       """WITH e AS (SELECT event_type = 'click' AS is_a,

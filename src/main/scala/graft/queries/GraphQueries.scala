@@ -128,6 +128,36 @@ object GraphQueries extends Registry {
     "graph_kcore" -> ((s, d) =>
       Graph.kcoreFixed(strongTradeEdges(s, d), "src", "dst",
         k = KcoreK, rounds = KcoreRounds)),
+
+    // Link prediction: common-neighbor Jaccard for every 2-hop pair of
+    // the undirected strong-trade graph, in integer basis points, with
+    // an is_edge flag separating "explains existing edge" from
+    // "predicts missing one". The wedge join is the O(sum deg^2)
+    // candidate generator all neighborhood methods share (triangles
+    // bound the same relation); only (a, c, count) leaves the join, and
+    // degrees broadcast back onto the pair relation.
+    "graph_jaccard_neighbors" -> ((s, d) => {
+      val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+      val und = e
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      val inter = und.select(col("src").as("a"), col("dst").as("b"))
+        .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+        .filter(col("a") < col("c"))
+        .groupBy("a", "c").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(deg.select(col("src").as("a"),
+          col("deg").as("da"))), "a")
+        .join(broadcast(deg.select(col("src").as("c"),
+          col("deg").as("dc"))), "c")
+        .join(und.select(col("src").as("a"), col("dst").as("c"),
+          lit(1L).as("is_edge")), Seq("a", "c"), "left")
+        .select(col("a"), col("c"), col("inter"),
+          expr("(inter * 10000) DIV (da + dc - inter)").as("jac_bp"),
+          coalesce(col("is_edge"), lit(0L)).as("is_edge"))
+        .orderBy("a", "c")
+    }),
   )
 
   private val KcoreK = 5
@@ -266,6 +296,30 @@ object GraphQueries extends Registry {
           $kcoreSteps
           SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
           FROM u$KcoreRounds GROUP BY src ORDER BY node""",
+
+    "graph_jaccard_neighbors" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ed AS (SELECT src, dst FROM e WHERE src <> dst),
+          und AS (SELECT DISTINCT * FROM (SELECT src, dst FROM ed
+                                          UNION ALL SELECT dst, src
+                                          FROM ed)),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM und GROUP BY src),
+          inter AS (SELECT x.src AS a, y.dst AS c,
+                           CAST(count(*) AS BIGINT) AS inter
+                    FROM und x JOIN und y ON x.dst = y.src
+                    WHERE x.src < y.dst GROUP BY 1, 2)
+          SELECT a, c, inter,
+                 CAST((inter * 10000) // (da.deg + dc.deg - inter)
+                   AS BIGINT) AS jac_bp,
+                 CAST(CASE WHEN u.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_edge
+          FROM inter
+          JOIN deg da ON inter.a = da.src
+          JOIN deg dc ON inter.c = dc.src
+          LEFT JOIN und u ON u.src = inter.a AND u.dst = inter.c
+          ORDER BY a, c""",
 
     "graph_bfs_hops" ->
       s"""WITH RECURSIVE e0 AS ($edgesSql),

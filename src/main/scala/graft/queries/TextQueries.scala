@@ -457,6 +457,22 @@ object TextQueries extends Registry {
     // the min-k buffer crosses the shuffle with <= 20 entries per
     // (term, map partition). df/tf aggregate from the same pre-grouped
     // (term, doc) relation, so one shuffle on term serves all three.
+    // Per-document keyword extraction: top-3 terms by in-doc frequency
+    // (ties to the lexicographically first term). The ranking window
+    // partitions by doc_id, so its state is one document's vocabulary —
+    // per-key bounded like events_sessionize, never corpus-shaped.
+    "text_top_terms" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+      tf.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf")
+        .orderBy("doc_id", "rank")
+    }),
+
     "text_postings" -> ((s, d) => {
       val mink = udaf(new graft.functions.CraneAggregators.TopKByScore(20))
       val pairs = Tables.documents(s, d)
@@ -937,6 +953,17 @@ object TextQueries extends Registry {
                  count(*) AS vocab,
                  CAST(sum(abs(p_bp - q_bp)) AS BIGINT) // 2 AS tv_bp
           FROM bp GROUP BY ta, tb""",
+
+    "text_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          r AS (SELECT doc_id, term, tf,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY tf DESC, term) AS BIGINT) AS rank
+                FROM tf)
+          SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf
+          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "text_postings" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
