@@ -347,4 +347,52 @@ class ScaleMechanicsSpec extends SparkSpec {
       .collect()
     rows.length should be > 0
   }
+
+  test("postings build: no collect_list; posting samples stay k-bounded " +
+      "through the term shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.TextQueries.defs("text_postings")(spark, sfDir)
+      val plan = q.queryExecution.executedPlan
+      // an unbounded collect would make a stop-word's full posting list
+      // one aggregation buffer; the min-k TopK buffer is the point
+      assert(!plan.toString.contains("collect_list"),
+        s"unbounded collect in the postings plan:\n$plan")
+      // the PAIR exchange (term, doc_id) is the index build itself and
+      // is bounded by distinct pairs; the claim is about the TERM-only
+      // exchange: it must carry partial buffers (term, counts, TopK
+      // buf), never a doc_id fanned out per posting
+      val termOnly = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") &&
+              e.outputPartitioning.toString.contains("term") &&
+              !e.outputPartitioning.toString.contains("doc_id") => e
+      }
+      assert(termOnly.nonEmpty, s"expected a term-only exchange:\n$plan")
+      termOnly.foreach { e =>
+        assert(!e.output.exists(_.name == "doc_id"),
+          s"raw postings cross the term shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("byte-CDC: chunk bodies never exist; only doc ids, fps and " +
+      "counts cross shuffles") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = graft.queries.DedupQueries.defs("dedup_cdc_bytes")(spark, sfDir)
+      // spread()'s round-robin repartition of the raw docs is the local
+      // parallelism shim (no-op at real scale) and legitimately carries
+      // text; every KEYED exchange must carry only ids, fps and counts
+      val keyed = q.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(keyed.nonEmpty)
+      keyed.foreach { e =>
+        assert(!e.output.exists(a => a.name == "text" || a.name == "codes"),
+          s"document bodies / code arrays cross a keyed shuffle: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
