@@ -59,6 +59,27 @@ object EventQueries extends Registry {
           .as("approx_users"))
         .orderBy("event_type")),
 
+    // MERGEABLE sketch rollup — the pre-aggregated distinct-count
+    // pattern at 100 TB: build one DataSketches HLL per day ONCE
+    // (hll_sketch_agg), then answer any date range by UNIONING the
+    // day sketches (hll_union_agg) without touching raw events again.
+    // approx_count_distinct above answers one grouping; this relation
+    // is reusable across all groupings that compose from days. Sketch
+    // binaries are engine-internal -> rows-only; EventQueriesSpec
+    // bounds each weekly estimate within 5% of exact.
+    "events_hll_weekly_rollup" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("week"),
+          to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      daily.groupBy("week")
+        .agg(count(lit(1)).as("n_days"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+        .select(col("week").cast("string").as("week"), col("n_days"),
+          col("est_users"))
+        .orderBy("week")
+    }),
+
     // Deterministic hash sampling (operators.Sampling): the sample itself
     // is reproduced by the oracle — same md5-threshold rule in SQL.
     "events_sample_bernoulli" -> ((s, d) =>

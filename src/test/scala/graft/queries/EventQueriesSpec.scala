@@ -20,6 +20,20 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("HLL weekly rollup: unioned day sketches within 5% of exact") {
+    val got = EventQueries.defs("events_hll_weekly_rollup")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    exact.keySet shouldBe got.keySet
+    exact.foreach { case (wk, n) =>
+      assert(math.abs(got(wk) - n).toDouble / n <= 0.05,
+        s"week $wk: est ${got(wk)} vs exact $n")
+    }
+  }
+
   test("TopK aggregator equals the window formulation; bounded state") {
     import spark.implicits._
     // key 1: 5 scores incl. a tie at 30 (ids 7 < 9: 7 wins the tie slot);
