@@ -100,6 +100,58 @@ object GovernanceQueries extends Registry {
         .orderBy("user_id", "version")
     }),
 
+    // Distribution-free confidence interval for the mean price by
+    // DETERMINISTIC subsampling (the distributed cousin of the
+    // bootstrap): 32 half-sample replicas defined by the same portable
+    // md5-threshold rule the samplers use, each replica's mean kept in
+    // integer centi-cents, CI = the 2nd and 31st order statistics of
+    // the replica means. The replica fan-out is map-side only (explode
+    // then partial-aggregate into 32 groups); no raw row crosses a
+    // shuffle more than once.
+    "stats_subsample_ci" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val reps = li
+        .select(col("k"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .filter(substring(md5(concat_ws("-", col("k"), col("b"))
+          .cast("binary")), 1, 2) < "80")
+        .groupBy("b")
+        .agg(expr("(100 * sum(cents)) DIV count(1)").as("mean_cc"))
+      val wr = Window.orderBy("mean_cc", "b")
+      val ranked = reps.select(col("mean_cc"),
+        row_number().over(wr).as("rn"))
+      val lo = ranked.filter(col("rn") === 2)
+        .select(col("mean_cc").as("ci_lo_cc"))
+      val hi = ranked.filter(col("rn") === 31)
+        .select(col("mean_cc").as("ci_hi_cc"))
+      li.agg(count(lit(1)).as("n"),
+          expr("(100 * sum(cents)) DIV count(1)").as("mean_cc"))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    }),
+
+    // Seasonal-naive forecast backtest: predict each day's event count
+    // with the value 7 rows earlier in the per-type day series and
+    // report integer MAE x100 and WAPE basis points. The lag window is
+    // per-type over the calendar-bounded day relation.
+    "events_forecast_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("pred", lag("cnt", 7).over(w))
+        .filter(col("pred").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("cnt") - col("pred"))).as("sum_abs_err"),
+          sum("cnt").as("sum_actual"))
+        .select(col("event_type"), col("n_days"),
+          expr("(100 * sum_abs_err) DIV n_days").as("mae_x100"),
+          expr("(10000 * sum_abs_err) DIV sum_actual").as("wape_bp"))
+        .orderBy("event_type")
+    }),
+
     // Weekly seasonality profile: activity share per (iso-weekday,
     // hour) cell as an integer basis-point index against the uniform
     // expectation (10000 = neutral). Two partial aggregations; the
@@ -286,6 +338,51 @@ object GovernanceQueries extends Registry {
                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
                   AS BIGINT) AS to_sec
          FROM changes ORDER BY user_id, version""",
+
+    "stats_subsample_ci" ->
+      """WITH li AS (SELECT l_orderkey::VARCHAR || '-' ||
+                            l_linenumber::VARCHAR AS k,
+                            CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                     FROM lineitem),
+          reps AS (SELECT b,
+                          CAST((100 * sum(cents)) // count(*) AS BIGINT)
+                            AS mean_cc
+                   FROM li CROSS JOIN
+                        (SELECT unnest(range(0, 32)) AS b) bs
+                   WHERE substring(md5(k || '-' || b::VARCHAR), 1, 2)
+                         < '80'
+                   GROUP BY b),
+          r AS (SELECT mean_cc,
+                       row_number() OVER (ORDER BY mean_cc, b) AS rn
+                FROM reps),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST((100 * sum(cents)) // count(*) AS BIGINT)
+                         AS mean_cc
+                FROM li)
+          SELECT t.n, t.mean_cc,
+                 (SELECT mean_cc FROM r WHERE rn = 2) AS ci_lo_cc,
+                 (SELECT mean_cc FROM r WHERE rn = 31) AS ci_hi_cc
+          FROM t ORDER BY 1""",
+
+    "events_forecast_naive" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+          p AS (SELECT event_type, cnt,
+                       lag(cnt, 7) OVER (PARTITION BY event_type
+                                         ORDER BY day) AS pred
+                FROM daily),
+          f AS (SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(abs(cnt - pred)) AS BIGINT) AS sum_abs_err,
+                       CAST(sum(cnt) AS BIGINT) AS sum_actual
+                FROM p WHERE pred IS NOT NULL GROUP BY event_type)
+          SELECT event_type, n_days,
+                 CAST((100 * sum_abs_err) // n_days AS BIGINT) AS mae_x100,
+                 CAST((10000 * sum_abs_err) // sum_actual AS BIGINT)
+                   AS wape_bp
+          FROM f ORDER BY event_type""",
 
     "events_seasonality" ->
       """WITH cells AS (SELECT isodow(ts) AS dow, hour(ts) AS hr,
