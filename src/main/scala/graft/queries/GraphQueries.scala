@@ -158,6 +158,72 @@ object GraphQueries extends Registry {
           coalesce(col("is_edge"), lit(0L)).as("is_edge"))
         .orderBy("a", "c")
     }),
+
+    // Modularity of the REGION partition of the undirected strong-trade
+    // graph — "do trade blocs follow geography?". Kept integer-exact by
+    // reporting each region's modularity contribution scaled by 4m^2:
+    //   Q * 4m^2 = sum_r (4*m*e_r - d_r^2)
+    // (e_r = within-region edges, d_r = total degree of the region's
+    // nodes, m = undirected edge count), so no division ever happens and
+    // both engines agree bit-for-bit even on negative contributions.
+    // Plan: the edge relation collapses to per-region counters via two
+    // broadcast joins onto the 25-row nation dim; only (region, count)
+    // crosses a shuffle.
+    "graph_modularity" -> ((s, d) => {
+      val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+      val und = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w")).distinct()
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("node"),
+          col("n_regionkey").cast("long").as("region"))
+      val m = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("u").as("node"))
+        .union(und.select(col("w").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val dr = deg.join(broadcast(nat), "node")
+        .groupBy("region").agg(sum("deg").as("d_r"))
+      val wr = und
+        .join(broadcast(nat.select(col("node").as("u"),
+          col("region").as("ru"))), "u")
+        .join(broadcast(nat.select(col("node").as("w"),
+          col("region").as("rw"))), "w")
+        .filter(col("ru") === col("rw"))
+        .groupBy(col("ru")).agg(count(lit(1)).as("e_r"))
+        .select(col("ru").as("region"), col("e_r"))
+      dr.join(wr, Seq("region"), "left").crossJoin(broadcast(m))
+        .select(col("region"), col("m"),
+          coalesce(col("e_r"), lit(0L)).as("e_r"), col("d_r"),
+          (lit(4L) * col("m") * coalesce(col("e_r"), lit(0L)) -
+            col("d_r") * col("d_r")).as("contrib_scaled"))
+        .orderBy("region")
+    }),
+
+    // Local clustering coefficient per nation on the undirected
+    // strong-trade graph: how close each nation's trade partners are to
+    // a clique, cc_bp = (2 * triangles(v) * 10000) DIV (deg*(deg-1)) in
+    // integer basis points (numerator and denominator both nonnegative,
+    // so Spark DIV and DuckDB // agree). Triangle membership unpivots
+    // the already-verified Graph.triangles relation; degrees come from
+    // the distinct-neighbor relation. Everything past the edge
+    // derivation is dimension-sized.
+    "graph_clustering_coeff" -> ((s, d) => {
+      val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+      val und = e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("w")).distinct()
+      val deg = und.select(col("u").as("node"))
+        .union(und.select(col("w").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tcnt = Graph.triangles(e, "src", "dst")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri"))
+      deg.join(tcnt, Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("cc_bp",
+          expr("(2 * tri * 10000) DIV (deg * (deg - 1))"))
+        .orderBy("node")
+    }),
   )
 
   private val KcoreK = 5
@@ -371,5 +437,58 @@ object GraphQueries extends Registry {
           JOIN ce e2 ON e2.u = e1.w
           JOIN ce e3 ON e3.u = e1.u AND e3.w = e2.w
           ORDER BY a, b, c""",
+
+    "graph_modularity" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          und AS (SELECT DISTINCT least(src, dst) AS u,
+                         greatest(src, dst) AS w
+                  FROM e WHERE src <> dst),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                  FROM (SELECT u AS node FROM und
+                        UNION ALL SELECT w FROM und)
+                  GROUP BY node),
+          nr AS (SELECT CAST(n_nationkey AS BIGINT) AS node,
+                        CAST(n_regionkey AS BIGINT) AS region
+                 FROM nation),
+          dr AS (SELECT region, CAST(sum(deg) AS BIGINT) AS d_r
+                 FROM deg JOIN nr USING (node) GROUP BY region),
+          wr AS (SELECT a.region, CAST(count(*) AS BIGINT) AS e_r
+                 FROM und JOIN nr a ON und.u = a.node
+                          JOIN nr b ON und.w = b.node
+                 WHERE a.region = b.region GROUP BY a.region)
+          SELECT dr.region, m.m,
+                 CAST(coalesce(wr.e_r, 0) AS BIGINT) AS e_r, dr.d_r,
+                 CAST(4 * m.m * coalesce(wr.e_r, 0) - dr.d_r * dr.d_r
+                   AS BIGINT) AS contrib_scaled
+          FROM dr LEFT JOIN wr ON dr.region = wr.region, m
+          ORDER BY dr.region""",
+
+    "graph_clustering_coeff" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w
+                 FROM e WHERE src <> dst),
+          deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                  FROM (SELECT u AS node FROM ce
+                        UNION ALL SELECT w FROM ce)
+                  GROUP BY node),
+          tr AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+                 FROM ce e1
+                 JOIN ce e2 ON e2.u = e1.w
+                 JOIN ce e3 ON e3.u = e1.u AND e3.w = e2.w),
+          tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+                 FROM (SELECT a AS node FROM tr
+                       UNION ALL SELECT b FROM tr
+                       UNION ALL SELECT c FROM tr)
+                 GROUP BY node)
+          SELECT deg.node, deg.deg,
+                 CAST(coalesce(tc.tri, 0) AS BIGINT) AS tri,
+                 CAST((2 * coalesce(tc.tri, 0) * 10000)
+                   // (deg.deg * (deg.deg - 1)) AS BIGINT) AS cc_bp
+          FROM deg LEFT JOIN tc ON deg.node = tc.node
+          WHERE deg.deg >= 2
+          ORDER BY deg.node""",
   )
 }
