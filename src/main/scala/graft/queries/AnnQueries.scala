@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.HashExprs
 import graft.operators.Ann
 
 /** Similarity-search queries over the embeddings table (operators.Ann).
@@ -79,6 +80,28 @@ object AnnQueries extends Registry {
     "ann_centroids" -> ((s, d) =>
       Ann.centroids(Tables.embeddings(s, d), "label", "embedding")),
 
+    // Cosine RANGE search (radius query): every candidate within the
+    // similarity threshold of each probe, not just the top-k — the
+    // "find everything similar enough" primitive retrieval-filtering
+    // and duplicate-radius audits need. Similarity compares in integer
+    // basis points (round(sim*10000)) so the threshold predicate is the
+    // same integer test on both engines. The probe side broadcasts
+    // (every 50th vector); this brute pass is the exact baseline, and
+    // the LSH/IVF bucketed paths (ann_lsh_topk / ann_ivf_topk) are the
+    // 100 TB candidate generators for the identical predicate.
+    "ann_range_cosine" -> ((s, d) => {
+      val c = Tables.embeddings(s, d).select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      val q = queriesOf(s, d).select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+            .cast("long").as("sim_bp"))
+        .filter(col("sim_bp") >= 1500)
+        .orderBy("query_id", "cand_id")
+    }),
+
     // Int8 quantization summarized per vector in integers (scale in
     // micro-units, sum/min/max of the quantized codes) — the oracle
     // replays the exact floor(+0.5) arithmetic.
@@ -142,6 +165,20 @@ object AnnQueries extends Registry {
           SELECT query_id, rank, cand_id, round(s, 4) AS sim
           FROM r WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    "ann_range_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id % 50 = 0),
+          c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+                FROM embeddings),
+          r AS (SELECT query_id, cand_id,
+                       CAST(round(list_cosine_similarity(qv, cv) * 10000)
+                         AS BIGINT) AS sim_bp
+                FROM q CROSS JOIN c
+                WHERE query_id <> cand_id)
+          SELECT query_id, cand_id, sim_bp
+          FROM r WHERE sim_bp >= 1500
+          ORDER BY query_id, cand_id""",
 
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.

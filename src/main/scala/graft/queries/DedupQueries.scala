@@ -146,6 +146,36 @@ object DedupQueries extends Registry {
     "dedup_overlap_matrix" -> ((s, d) =>
       Dedup.overlapMatrix(Tables.documents(s, d), "text", "source", n = 5)),
 
+    // Contamination ATTRIBUTION: for every (train doc, eval doc) pair
+    // sharing a discriminative 5-gram, the count of shared distinct
+    // 5-grams and the share of the train doc's grams they cover (bp) —
+    // dedup_decontaminate says WHETHER a train doc is contaminated; this
+    // says BY WHICH eval doc and how badly. Shingles with document
+    // frequency > 256 are dropped on BOTH sides before the join: hot
+    // boilerplate grams carry no attribution signal, and the cap bounds
+    // the per-shingle join fan-out (df_train x df_eval) at any corpus
+    // scale — the inverted-index join stays linear in postings.
+    "dedup_contamination_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{coalesce, expr, max}
+      val inv = Memo.dataFrame(s, s"shingle_idx:$d:n=5") {
+        Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text", n = 5)
+      }
+      val keep = inv.join(
+        inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 256).select("shingle"),
+        "shingle")
+      val ev = keep.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("shingle"))
+      val tr = keep.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("train_id"), col("nsh"), col("shingle"))
+      tr.join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("shared"), max("nsh").as("nsh"))
+        .select(col("train_id"), col("eval_id"), col("shared"),
+          expr("(10000 * shared) DIV nsh").as("ov_bp"))
+        .orderBy("train_id", "eval_id")
+    }),
+
     // Fuzzy-match verification: character-level edit distance over the
     // candidate pairs the shingle index surfaced. The candidate generator
     // bounds the quadratic levenshtein work to near-dup pairs — the only
@@ -570,6 +600,27 @@ object DedupQueries extends Registry {
           FROM g a JOIN g b USING (gram)
           GROUP BY src_a, src_b
           ORDER BY src_a, src_b""",
+
+    "dedup_contamination_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          g AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                    i -> array_to_string(toks[i:i+4], ' '))) AS gram
+                FROM t),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+                    FROM g GROUP BY doc_id),
+          keep AS (SELECT doc_id, gram FROM g
+                   WHERE gram IN (SELECT gram FROM g GROUP BY gram
+                                  HAVING count(*) <= 256)),
+          p AS (SELECT b.doc_id AS train_id, a.doc_id AS eval_id,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM keep a JOIN keep b ON a.gram = b.gram
+                WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+                GROUP BY 1, 2)
+          SELECT train_id, eval_id, shared,
+                 CAST((10000 * shared) // s.nsh AS BIGINT) AS ov_bp
+          FROM p JOIN sizes s ON p.train_id = s.doc_id
+          ORDER BY train_id, eval_id""",
 
     "dedup_edit_distance" ->
       s"""WITH $shingleCtes,
