@@ -443,6 +443,37 @@ object EventQueries extends Registry {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // Growth accounting: each day's active users decomposed into
+    // new (first day ever), retained (also active yesterday) and
+    // resurrected (active before, but not yesterday), plus churned =
+    // yesterday's actives who didn't return (actives(d-1) - retained(d)).
+    // The classification is a single lag window PER USER (bounded state),
+    // the per-day rollup a partial aggregation, and churn attribution a
+    // self-join on the DAY domain — no global sort anywhere. The
+    // identity actives = new + retained + resurrected is spec-pinned.
+    "events_growth_accounting" -> ((s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val cls = ud.withColumn("prev", lag("day", 1).over(w))
+        .groupBy("day").agg(
+          count(lit(1)).as("actives"),
+          sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+          sum(when(datediff(col("day"), col("prev")) === 1, 1L)
+            .otherwise(0L)).as("retained"),
+          sum(when(col("prev").isNotNull &&
+            datediff(col("day"), col("prev")) > 1, 1L).otherwise(0L))
+            .as("resurrected"))
+      val prevA = cls.select(date_add(col("day"), 1).as("day"),
+        col("actives").as("prev_actives"))
+      cls.join(prevA, Seq("day"), "left")
+        .select(col("day").cast("string").as("day"), col("actives"),
+          col("new_users"), col("retained"), col("resurrected"),
+          (coalesce(col("prev_actives"), lit(0L)) - col("retained"))
+            .as("churned"))
+        .orderBy("day")
+    }),
+
     // CDC compaction (operators.Corpus.latestSnapshot): the event log
     // collapsed to each user's latest state via a partial-aggregable
     // max_by — one candidate per key leaves each map task, vs the
@@ -978,6 +1009,30 @@ object EventQueries extends Registry {
                 count(DISTINCT e.user_id) AS n_users
          FROM events e JOIN f ON e.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_growth_accounting" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events),
+          m AS (SELECT user_id, day,
+                       lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                         AS prev
+                FROM ud),
+          cls AS (SELECT day,
+                         CAST(count(*) AS BIGINT) AS actives,
+                         CAST(count(CASE WHEN prev IS NULL THEN 1 END)
+                           AS BIGINT) AS new_users,
+                         CAST(count(CASE WHEN date_diff('day', prev, day)
+                             = 1 THEN 1 END) AS BIGINT) AS retained,
+                         CAST(count(CASE WHEN prev IS NOT NULL AND
+                             date_diff('day', prev, day) > 1 THEN 1 END)
+                           AS BIGINT) AS resurrected
+                  FROM m GROUP BY day)
+          SELECT CAST(c.day AS VARCHAR) AS day, c.actives, c.new_users,
+                 c.retained, c.resurrected,
+                 CAST(coalesce(p.actives, 0) - c.retained AS BIGINT)
+                   AS churned
+          FROM cls c LEFT JOIN cls p ON p.day = c.day - 1
+          ORDER BY day""",
 
     "events_assoc_rules" ->
       s"""WITH marked AS (

@@ -252,6 +252,27 @@ object GovernanceQueries extends Registry {
         .orderBy("cohort_week", "age_w")
     }),
 
+    // Gini coefficient of daily event volume — "how unequally is
+    // traffic spread across days?" — via the exact rank formula on the
+    // ascending-sorted daily counts: gini_bp = 10000*(2S - (n+1)T) /
+    // (n*T) with S = sum(i * cnt_i), all integer (ties contribute the
+    // same S under any tie order, and the numerator is provably
+    // nonnegative, so DIV and // agree). The rank window walks the DAY
+    // domain (calendar-bounded), never raw events; counts above ~1e12/
+    // day would need the decimal widening documented at stats_ks_test.
+    "stats_gini" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt"), col("day"))
+      daily.select(col("cnt"), row_number().over(w).cast("long").as("i"))
+        .agg(count(lit(1)).as("n_days"), sum("cnt").as("total"),
+          sum(col("i") * col("cnt")).as("s"))
+        .select(col("n_days"), col("total"),
+          expr("(10000 * (2*s - (n_days+1)*total)) DIV (n_days * total)")
+            .as("gini_bp"))
+    }),
+
     // Within-group distribution position: each user's daily purchase
     // volume ranked against the same (event_type, day) cohort via
     // percent_rank / cume_dist. Ranking is on exact integer cents (an
@@ -456,6 +477,23 @@ object GovernanceQueries extends Registry {
                    ORDER BY age_w ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW) AS BIGINT) AS cum_cents
           FROM r ORDER BY cohort_week, age_w""",
+
+    "stats_gini" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                               CAST(count(*) AS BIGINT) AS cnt
+                        FROM events GROUP BY 1),
+          r AS (SELECT cnt,
+                       CAST(row_number() OVER (ORDER BY cnt, day)
+                         AS BIGINT) AS i
+                FROM daily),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(sum(cnt) AS BIGINT) AS total,
+                       CAST(sum(i * cnt) AS BIGINT) AS s
+                FROM r)
+          SELECT n_days, total,
+                 CAST((10000 * (2*s - (n_days+1)*total))
+                   // (n_days * total) AS BIGINT) AS gini_bp
+          FROM a ORDER BY n_days""",
 
     "window_percent_rank" ->
       """WITH daily AS (

@@ -524,6 +524,40 @@ object RelationalQueries extends Registry {
         .groupBy("pct_bp").agg(min("rk").as("n_parts"))
         .orderBy("pct_bp")
     }),
+
+    // Order-to-ship lag distribution per order priority, exact
+    // percentiles by the histogram-walk recipe (Audit.keySkew /
+    // stats_ks_test): lag days collapse to a (priority, lag_day, count)
+    // histogram first, the cumulative window then walks the DAY-lag
+    // domain (calendar-bounded, ~5k distinct values per priority — never
+    // the fact rows), and p50/p90 are the smallest lag whose cumulative
+    // count clears the integer cross-product threshold (2*cum >= n,
+    // 10*cum >= 9*n). Comparisons only — no division, so negative lags
+    // (this synthetic calendar has them) cannot hit floor-vs-truncate
+    // divergence.
+    "orders_ship_lag" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val h = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("lag_d"))
+        .groupBy("priority", "lag_d").agg(count(lit(1)).as("cnt"))
+      val tot = h.groupBy("priority").agg(sum("cnt").as("n"),
+        min("lag_d").as("min_lag"), max("lag_d").as("max_lag"))
+      val w = Window.partitionBy("priority").orderBy("lag_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.select(col("priority"), col("lag_d"),
+        sum("cnt").over(w).as("cum")).join(tot, "priority")
+      val p50 = cum.filter(col("cum") * 2 >= col("n"))
+        .groupBy("priority").agg(min("lag_d").as("p50_d"))
+      val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
+        .groupBy("priority").agg(min("lag_d").as("p90_d"))
+      tot.join(p50, "priority").join(p90, "priority")
+        .select("priority", "n", "min_lag", "p50_d", "p90_d", "max_lag")
+        .orderBy("priority")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -843,5 +877,33 @@ object RelationalQueries extends Registry {
           FROM c CROSS JOIN t CROSS JOIN p
           WHERE cum * 10000 >= p.pct_bp * t.t
           GROUP BY p.pct_bp ORDER BY pct_bp""",
+
+    "orders_ship_lag" ->
+      """WITH h AS (SELECT o_orderpriority AS priority,
+                           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) AS BIGINT) AS lag_d,
+                           count(*) AS cnt
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+          tot AS (SELECT priority, CAST(sum(cnt) AS BIGINT) AS n,
+                         CAST(min(lag_d) AS BIGINT) AS min_lag,
+                         CAST(max(lag_d) AS BIGINT) AS max_lag
+                  FROM h GROUP BY priority),
+          c AS (SELECT priority, lag_d,
+                       CAST(sum(cnt) OVER (PARTITION BY priority
+                         ORDER BY lag_d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS cum
+                FROM h),
+          j AS (SELECT c.priority, c.lag_d, c.cum, tot.n
+                FROM c JOIN tot ON c.priority = tot.priority),
+          p50 AS (SELECT priority, CAST(min(lag_d) AS BIGINT) AS p50_d
+                  FROM j WHERE cum * 2 >= n GROUP BY priority),
+          p90 AS (SELECT priority, CAST(min(lag_d) AS BIGINT) AS p90_d
+                  FROM j WHERE cum * 10 >= n * 9 GROUP BY priority)
+          SELECT tot.priority, tot.n, tot.min_lag, p50.p50_d, p90.p90_d,
+                 tot.max_lag
+          FROM tot JOIN p50 ON tot.priority = p50.priority
+                   JOIN p90 ON tot.priority = p90.priority
+          ORDER BY tot.priority""",
   )
 }

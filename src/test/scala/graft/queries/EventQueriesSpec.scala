@@ -34,6 +34,28 @@ class EventQueriesSpec extends SparkSpec {
     }
   }
 
+  test("growth accounting: actives decompose; churn ties to prior day") {
+    val rows = EventQueries.defs("events_growth_accounting")(spark, sfDir)
+      .collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (actives, nu, ret, res) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(actives == nu + ret + res,
+        s"day ${r.getString(0)}: $actives != $nu+$ret+$res")
+    }
+    // churned(d) = actives(d-1) - retained(d); day 1 has no prior day,
+    // so its churned is -retained(day1) only when day0 is absent
+    val byDay = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(3), r.getLong(5))).toMap
+    byDay.foreach { case (day, (_, ret, churned)) =>
+      val prev = java.time.LocalDate.parse(day).minusDays(1).toString
+      val prevActives = byDay.get(prev).map(_._1).getOrElse(0L)
+      assert(churned == prevActives - ret,
+        s"$day: churned $churned != $prevActives - $ret")
+    }
+  }
+
   test("TopK aggregator equals the window formulation; bounded state") {
     import spark.implicits._
     // key 1: 5 scores incl. a tie at 30 (ids 7 < 9: 7 wins the tie slot);
