@@ -265,6 +265,33 @@ object DedupQueries extends Registry {
         .orderBy("shard")
     }),
 
+    // The eval-guard composition: quality-gated TRAIN docs (eval split
+    // excluded) minus every doc the 8-gram decontamination rule flags,
+    // rolled up per source — the "what actually ships to training after
+    // the guard" manifest. Stitches two already-verified relations
+    // (TextFunctions quality gate + Dedup.contaminatedDocs) with an
+    // anti-join on doc_id; per-source totals are a partial aggregation.
+    "pipeline_decontaminated" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+      val clean = docs
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), col("source"),
+          TF.qualityScore(col("text")).as("q"),
+          TF.tokenCount(col("text")).cast("long").as("nt"))
+        .filter(col("q") >= 0.63 && col("nt").between(20, 90))
+      val contaminated = Dedup.contaminatedDocs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+        .select("doc_id")
+      clean.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
@@ -600,6 +627,31 @@ object DedupQueries extends Registry {
           FROM g a JOIN g b USING (gram)
           GROUP BY src_a, src_b
           ORDER BY src_a, src_b""",
+
+    "pipeline_decontaminated" ->
+      s"""WITH t0 AS (SELECT doc_id, source, $toks AS toks FROM documents),
+          sig AS (SELECT doc_id, source, len(toks)::BIGINT AS n,
+                   len(list_filter(toks,
+                     x -> regexp_full_match(x, '[a-z]+')))::BIGINT AS a,
+                   len(list_distinct(toks))::BIGINT AS d,
+                   least(len(toks), 200)::BIGINT AS m
+                  FROM t0),
+          clean AS (SELECT doc_id, source, n FROM sig
+                    WHERE ((2 * (4000 * a + 3000 * d + 15 * m * n) + n)
+                             // (2 * n)) / 10000.0 >= 0.63
+                      AND n BETWEEN 20 AND 90
+                      AND doc_id % 10 <> 0),
+          g AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+                    i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM t0),
+          ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+          cont AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gram)
+                   WHERE doc_id % 10 <> 0)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n) AS BIGINT) AS n_tokens
+          FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+          GROUP BY source ORDER BY source""",
 
     "dedup_contamination_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -84,6 +84,28 @@ object RelationalQueries extends Registry {
            GROUP BY r_name ORDER BY r_name""")
     }),
 
+    // SQL-surface PIVOT: the same day x event_type crosstab as
+    // events_pivot_daily, but through Spark SQL's PIVOT clause — proving
+    // the declarative SQL path plans the identical partial-aggregated
+    // shape as the DataFrame .pivot() API (explicit IN list, so no
+    // distinct-values pre-scan). Missing cells coalesce to 0 on both
+    // engines.
+    "sql_pivot" -> ((s, d) => {
+      graft.core.Views.register(s, d)
+      s.sql(
+        """SELECT day,
+                  coalesce(click, 0L)    AS click,
+                  coalesce(error, 0L)    AS error,
+                  coalesce(purchase, 0L) AS purchase,
+                  coalesce(signup, 0L)   AS signup,
+                  coalesce(`view`, 0L)   AS `view`
+           FROM (SELECT date_format(ts, 'yyyy-MM-dd') AS day, event_type
+                 FROM events)
+           PIVOT (count(1) FOR event_type
+                  IN ('click', 'error', 'purchase', 'signup', 'view'))
+           ORDER BY day""")
+    }),
+
     // Salted skew join (operators.Joins.saltedJoin): the events fact side
     // carries 150 hot user keys; salting spreads each over 8 reducers.
     // The oracle is the PLAIN join — salting must be invisible in the
@@ -877,6 +899,15 @@ object RelationalQueries extends Registry {
           FROM c CROSS JOIN t CROSS JOIN p
           WHERE cum * 10000 >= p.pct_bp * t.t
           GROUP BY p.pct_bp ORDER BY pct_bp""",
+
+    "sql_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS "view"
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "orders_ship_lag" ->
       """WITH h AS (SELECT o_orderpriority AS priority,
