@@ -152,6 +152,27 @@ object ScaleTrend {
         .groupBy("term").agg(count(lit(1)).as("df"), sum("tfp").as("tf"),
           mink(-col("doc_id"), col("doc_id")).as("top"))
     }
+    // the dedup_contamination_pairs shape: df-capped 5-gram inverted-
+    // index join between the 5% eval split and the train side
+    def contamination(d: DataFrame) = {
+      val inv = Dedup.shingleIndex(d, "doc_id", "text", n = 5)
+      val keep = inv.join(
+        inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 256).select("shingle"), "shingle")
+      keep.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id").as("train_id"), col("shingle"))
+        .join(keep.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("eval_id"), col("shingle")), "shingle")
+        .groupBy("train_id", "eval_id").agg(count(lit(1)).as("shared"))
+    }
+    def rangeCosine(e: DataFrame) =
+      e.select(col("vec_id").as("cand_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .join(broadcast(annQ(e).select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))),
+          col("query_id") =!= col("cand_id"))
+        .filter(round(graft.functions.HashExprs.cosine_sim(col("qv"),
+          col("cv")) * 10000) >= 1500)
 
     // warmup: smallest input through every op once (codegen/JIT)
     val wd = docInputs.head._2.limit(200)
@@ -159,7 +180,8 @@ object ScaleTrend {
     val wv = evInputs.head._2.limit(500)
     Seq(jaccard(wd), minhash(wd), simhash(wd), cosine(we), brute(we),
       lsh(we), ivf(we), asofComposed(wv), asofNative(wv), cdc(wd),
-      heavyTokens(wd), cosLsh(we), cdcBytes(wd), postings(wd))
+      heavyTokens(wd), cosLsh(we), cdcBytes(wd), postings(wd),
+      contamination(wd), rangeCosine(we))
       .foreach(df => try df.count() catch { case _: Throwable => () })
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
@@ -177,7 +199,9 @@ object ScaleTrend {
         ("corpus_heavy_tokens", docInputs, heavyTokens),
         ("dedup_cosine_lsh", embInputs, cosLsh),
         ("dedup_cdc_bytes", docInputs, cdcBytes),
-        ("text_postings", docInputs, postings))
+        ("text_postings", docInputs, postings),
+        ("dedup_contamination", docInputs, contamination),
+        ("ann_range_cosine", embInputs, rangeCosine))
 
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")

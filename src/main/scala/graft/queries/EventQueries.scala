@@ -506,6 +506,36 @@ object EventQueries extends Registry {
     "events_key_skew" -> ((s, d) =>
       graft.operators.Audit.keySkew(Tables.events(s, d), Seq("user_id"))),
 
+    // Data-skipping effectiveness of the Z-order manifest: for the five
+    // smallest (user, value-bucket) point probes, how many of the 64
+    // Morton-clustered files does the min/max envelope admit, how many
+    // rows would be scanned, and what share of files is SKIPPED (bp).
+    // This is the query that justifies layout_zorder_stats: the audit
+    // runs entirely on the FILES-bounded manifest (64 rows) crossed with
+    // a 5-row probe set — the fact table is read once to build the
+    // manifest and never again.
+    "layout_skipping_audit" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(col("user_id").as("u"),
+        floor(col("value")).cast("long").as("vbin"))
+      val man = graft.operators.Layout.zorderStats(pts, "u", "vbin",
+        files = 64)
+      val probes = pts.distinct().orderBy("u", "vbin").limit(5)
+        .select(col("u").as("pu"), col("vbin").as("pv"))
+      val tot = man.agg(count(lit(1)).as("n_files"))
+      man.crossJoin(broadcast(probes))
+        .filter(col("min_a") <= col("pu") && col("pu") <= col("max_a") &&
+          col("min_b") <= col("pv") && col("pv") <= col("max_b"))
+        .groupBy("pu", "pv")
+        .agg(count(lit(1)).as("files_touched"),
+          sum("n_rows").as("rows_scanned"))
+        .crossJoin(broadcast(tot))
+        .select(col("pu"), col("pv"), col("files_touched"),
+          col("rows_scanned"),
+          expr("((n_files - files_touched) * 10000) DIV n_files")
+            .as("skip_bp"))
+        .orderBy("pu", "pv")
+    }),
+
     // Conversion-window funnel: the greedy-earliest fold of
     // events_funnel with a DEADLINE per step — each stage must fire
     // within 1 hour of the previous one (the product-analytics form:
@@ -711,6 +741,33 @@ object EventQueries extends Registry {
                  min(a) AS min_a, max(a) AS max_a,
                  min(b) AS min_b, max(b) AS max_b
           FROM z, tot GROUP BY file_id ORDER BY file_id""",
+
+    "layout_skipping_audit" ->
+      s"""WITH r AS (SELECT user_id AS a, CAST(floor(value) AS BIGINT) AS b
+                     FROM events),
+          z AS (SELECT a, b,
+                  (${spreadSql("a")} | (${spreadSql("b")} << 1)) AS zk
+                FROM r),
+          tot0 AS (SELECT max(zk) AS zmax FROM z),
+          man AS (SELECT zk * 64 // (zmax + 1) AS file_id,
+                         CAST(count(*) AS BIGINT) AS n_rows,
+                         min(a) AS min_a, max(a) AS max_a,
+                         min(b) AS min_b, max(b) AS max_b
+                  FROM z, tot0 GROUP BY file_id),
+          probes AS (SELECT DISTINCT a AS pu, b AS pv FROM r
+                     ORDER BY pu, pv LIMIT 5),
+          nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM man),
+          hit AS (SELECT pu, pv,
+                         CAST(count(*) AS BIGINT) AS files_touched,
+                         CAST(sum(n_rows) AS BIGINT) AS rows_scanned
+                  FROM man CROSS JOIN probes
+                  WHERE min_a <= pu AND pu <= max_a
+                    AND min_b <= pv AND pv <= max_b
+                  GROUP BY pu, pv)
+          SELECT pu, pv, files_touched, rows_scanned,
+                 CAST(((n_files - files_touched) * 10000) // n_files
+                   AS BIGINT) AS skip_bp
+          FROM hit CROSS JOIN nf ORDER BY pu, pv""",
 
     "events_key_skew" ->
       """WITH counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

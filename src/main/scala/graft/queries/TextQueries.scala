@@ -33,6 +33,17 @@ object TextQueries extends Registry {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang_pred")),
 
+    // Language-ID confusion matrix: predicted language crossed with the
+    // labeled lang column — the classifier-evaluation rollup that turns
+    // text_lang_id's marginal counts into per-class precision/recall
+    // inputs. Same stopword-argmax predictor, one partial aggregation.
+    "text_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "lang_pred")),
+
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
@@ -841,6 +852,23 @@ object TextQueries extends Registry {
               WHEN s_de >= s_fr THEN 'de'
               ELSE 'fr' END AS lang_pred
             FROM sc) GROUP BY lang_pred ORDER BY lang_pred""",
+
+    "text_lang_confusion" ->
+      s"""WITH t AS (SELECT lang, $toks AS toks FROM documents),
+          sc AS (SELECT lang,
+                   len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+                   len(list_filter(toks, x -> x IN ('el','la','de','los','que','y','en'))) AS s_es,
+                   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit'))) AS s_de,
+                   len(list_filter(toks, x -> x IN ('le','les','des','et','est','dans','une'))) AS s_fr
+                 FROM t)
+          SELECT lang, lang_pred, count(*) AS cnt FROM (
+            SELECT lang, CASE
+              WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+            FROM sc) GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
