@@ -292,6 +292,30 @@ object DedupQueries extends Registry {
         .orderBy("source")
     }),
 
+    // Leakage-safe cross-validation folds: every doc is assigned a fold
+    // by hashing its near-dup CLUSTER representative, not its own id —
+    // near-duplicates can never straddle train/validation, the split
+    // property naive per-doc hashing silently violates. Docs outside
+    // any >= 0.8-Jaccard pair are their own representative
+    // (coalesce(component, doc_id)); the fold hash is the portable
+    // md5-prefix rule every sampler here uses. Shuffle shape: the memoized
+    // component labels left-join the doc relation on doc_id, then one
+    // partial aggregation to 5 fold rows.
+    "corpus_fold_split" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val TF = graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast("long")
+          .as("nt"))
+      docs.join(jaccardComps(s, d), Seq("doc_id"), "left")
+        .select(col("nt"),
+          graft.operators.Corpus.shardExpr(
+            coalesce(col("component"), col("doc_id")), 5).as("fold"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .orderBy("fold")
+    }),
+
     // The pipeline's end product: the corpus with near-dup clusters
     // collapsed to their representative (anti-join against non-rep ids).
     "dedup_keep_representatives" -> ((s, d) => {
@@ -402,6 +426,19 @@ object DedupQueries extends Registry {
       s"""WITH RECURSIVE $closureCtes
           SELECT a AS doc_id, min(b) AS component
           FROM reach GROUP BY a ORDER BY doc_id""",
+
+    "corpus_fold_split" ->
+      s"""WITH RECURSIVE $closureCtes,
+          cc AS (SELECT a AS doc_id, min(b) AS component
+                 FROM reach GROUP BY a),
+          f AS (SELECT len(t.toks)::BIGINT AS nt,
+                       CAST(('0x' || substring(md5(
+                           coalesce(cc.component, t.doc_id)::VARCHAR
+                           || 'graft'), 1, 4))::BIGINT % 5 AS INT) AS fold
+                FROM t LEFT JOIN cc ON t.doc_id = cc.doc_id)
+          SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens
+          FROM f GROUP BY fold ORDER BY fold""",
 
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $closureCtes,
