@@ -102,21 +102,23 @@ object GovernanceQueries extends Registry {
 
     // Distribution-free confidence interval for the mean price by
     // DETERMINISTIC subsampling (the distributed cousin of the
-    // bootstrap): 32 half-sample replicas defined by the same portable
-    // md5-threshold rule the samplers use, each replica's mean kept in
+    // bootstrap): 32 half-sample replicas, each replica's mean kept in
     // integer centi-cents, CI = the 2nd and 31st order statistics of
-    // the replica means. The replica fan-out is map-side only (explode
-    // then partial-aggregate into 32 groups); no raw row crosses a
-    // shuffle more than once.
+    // the replica means. ONE md5 digest per row supplies all 32
+    // half-sample membership bits (hex digit b of md5(key) < '8' = the
+    // digit's top bit), so the per-row cost is a single hash plus 32
+    // character tests, and the fan-out explodes only the ~16 replicas
+    // that actually contain the row — map-side, partial-aggregated
+    // into 32 groups; no raw row crosses a shuffle more than once.
     "stats_subsample_ci" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("k"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
       val reps = li
-        .select(col("k"), col("cents"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-        .filter(substring(md5(concat_ws("-", col("k"), col("b"))
-          .cast("binary")), 1, 2) < "80")
+        .withColumn("h", md5(col("k").cast("binary")))
+        .select(col("cents"), explode(expr(
+          "filter(sequence(0, 31), b -> substring(h, b+1, 1) < '8')"))
+          .as("b"))
         .groupBy("b")
         .agg(expr("(100 * sum(cents)) DIV count(1)").as("mean_cc"))
       val wr = Window.orderBy("mean_cc", "b")
@@ -369,10 +371,11 @@ object GovernanceQueries extends Registry {
           reps AS (SELECT b,
                           CAST((100 * sum(cents)) // count(*) AS BIGINT)
                             AS mean_cc
-                   FROM li CROSS JOIN
-                        (SELECT unnest(range(0, 32)) AS b) bs
-                   WHERE substring(md5(k || '-' || b::VARCHAR), 1, 2)
-                         < '80'
+                   FROM (SELECT cents,
+                                unnest(list_filter(range(0, 32),
+                                  b -> substring(md5(k), b + 1, 1) < '8'))
+                                  AS b
+                         FROM li)
                    GROUP BY b),
           r AS (SELECT mean_cc,
                        row_number() OVER (ORDER BY mean_cc, b) AS rn
