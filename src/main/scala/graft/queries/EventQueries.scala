@@ -536,6 +536,32 @@ object EventQueries extends Registry {
         .orderBy("pu", "pv")
     }),
 
+    // Small-file compaction plan: the events table written one file per
+    // (day, hour) partition — the classic streaming-ingest small-file
+    // pathology — packed into ~2000-row output files WITHOUT breaking
+    // time order (so time-range pruning survives compaction). A file's
+    // bin is its cumulative starting offset DIV target: pure integer,
+    // engine-portable, and the greedy sequential pack every table
+    // compactor (Delta OPTIMIZE, Iceberg rewrite) performs. The plan is
+    // computed on the FILE MANIFEST (calendar-bounded: days x 24 rows),
+    // never on raw events after the first partial aggregation; the
+    // manifest walk is one bounded-domain cumulative window.
+    "layout_compaction_plan" -> ((s, d) => {
+      val files = Tables.events(s, d)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("part_hour"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy("part_hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum0", coalesce(sum("n_rows").over(w), lit(0L)))
+        .withColumn("bin", expr("cum0 DIV 2000"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+          min("part_hour").as("first_hour"),
+          max("part_hour").as("last_hour"))
+        .orderBy("bin")
+    }),
+
     // Conversion-window funnel: the greedy-earliest fold of
     // events_funnel with a DEADLINE per step — each stage must fire
     // within 1 hour of the previous one (the product-analytics form:
@@ -768,6 +794,22 @@ object EventQueries extends Registry {
                  CAST(((n_files - files_touched) * 10000) // n_files
                    AS BIGINT) AS skip_bp
           FROM hit CROSS JOIN nf ORDER BY pu, pv""",
+
+    "layout_compaction_plan" ->
+      """WITH files AS (SELECT strftime(ts, '%Y-%m-%d %H') AS part_hour,
+                               count(*) AS n_rows
+                        FROM events GROUP BY 1),
+          c AS (SELECT part_hour, n_rows,
+                       coalesce(sum(n_rows) OVER (ORDER BY part_hour
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cum0
+                FROM files)
+          SELECT CAST(cum0 // 2000 AS BIGINT) AS bin,
+                 count(*) AS n_files,
+                 CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                 min(part_hour) AS first_hour,
+                 max(part_hour) AS last_hour
+          FROM c GROUP BY 1 ORDER BY 1""",
 
     "events_key_skew" ->
       """WITH counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

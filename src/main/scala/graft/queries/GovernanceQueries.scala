@@ -296,6 +296,68 @@ object GovernanceQueries extends Registry {
           round(cume_dist().over(w), 6).as("cum_dist"))
         .orderBy("event_type", "day", "user_id")
     }),
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between English and German doc
+    // lengths — the nonparametric location test a curation pipeline runs
+    // before trusting a per-source length gate across languages. Exact
+    // integer arithmetic throughout: ranks are computed on the (value →
+    // per-group count) HISTOGRAM (the length domain is bounded, never a
+    // global sort of raw docs), and tied ranks use DOUBLED average ranks
+    // (avg rank of a tie block starting after c rows with t members is
+    // c + (t+1)/2, so 2x it is the integer 2c + t + 1) — no .5 floats to
+    // round. U1 + U2 = n1*n2 holds by construction; both are emitted
+    // doubled so the identity is checkable on the output row.
+    "stats_mannwhitney_u" -> ((s, d) => {
+      val e = Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de"))
+        .select((col("lang") === "en").as("is_a"), col("n_chars"))
+      val h = e.groupBy("n_chars").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"))
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.select(col("na"), col("nb"), (col("na") + col("nb")).as("t"),
+          coalesce(sum(col("na") + col("nb")).over(w), lit(0L)).as("c"))
+        .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+          sum(col("na") * (lit(2L) * col("c") + col("t") + 1L))
+            .as("r1x2"))
+        .select(col("n_a"), col("n_b"), col("r1x2"),
+          (col("r1x2") - col("n_a") * (col("n_a") + 1L)).as("u1x2"),
+          (lit(2L) * col("n_a") * col("n_b")
+            - (col("r1x2") - col("n_a") * (col("n_a") + 1L))).as("u2x2"))
+    }),
+
+    // Winsorized mean of doc length per source — the outlier-robust
+    // center a mixture-weighting step should use instead of a raw mean
+    // one giant document can drag. Thresholds are the p05/p95 ORDER
+    // STATISTICS picked by a cumulative walk over the per-source length
+    // histogram (ceil ranks in pure integers: (n+19) DIV 20 and
+    // (19n+19) DIV 20), values clipped to [lo, hi] on the histogram
+    // itself (never re-touching raw rows), mean kept in centi-chars.
+    // Every window partitions by source and walks the bounded length
+    // domain.
+    "stats_winsorized_mean" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h
+        .withColumn("cum", sum("cnt").over(wc))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+      val thr = cum.groupBy("source", "n").agg(
+        min(when(col("cum") >= expr("(n + 19) DIV 20"), col("n_chars")))
+          .as("lo"),
+        min(when(col("cum") >= expr("(19 * n + 19) DIV 20"),
+          col("n_chars"))).as("hi"))
+      h.join(thr, "source")
+        .groupBy(col("source"), col("n"), col("lo"), col("hi"))
+        .agg(sum(least(greatest(col("n_chars"), col("lo")), col("hi"))
+          * col("cnt")).as("wsum"))
+        .select(col("source"), col("n").as("n_docs"), col("lo"),
+          col("hi"),
+          expr("(100 * wsum) DIV n").as("wmean_cc"))
+        .orderBy("source")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -513,5 +575,49 @@ object GovernanceQueries extends Registry {
                   (PARTITION BY event_type, day
                    ORDER BY cents, user_id), 6) AS cum_dist
          FROM daily ORDER BY event_type, day, user_id""",
+
+    "stats_mannwhitney_u" ->
+      """WITH e AS (SELECT lang = 'en' AS is_a, n_chars
+                    FROM documents WHERE lang IN ('en', 'de')),
+          h AS (SELECT n_chars,
+                       sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+                FROM e GROUP BY n_chars),
+          c AS (SELECT na, nb, na + nb AS t,
+                       coalesce(sum(na + nb) OVER (ORDER BY n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS c
+                FROM h),
+          a AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                       CAST(sum(nb) AS BIGINT) AS n_b,
+                       CAST(sum(na * (2 * c + t + 1)) AS BIGINT) AS r1x2
+                FROM c)
+          SELECT n_a, n_b, r1x2,
+                 CAST(r1x2 - n_a * (n_a + 1) AS BIGINT) AS u1x2,
+                 CAST(2 * n_a * n_b - (r1x2 - n_a * (n_a + 1)) AS BIGINT)
+                   AS u2x2
+          FROM a ORDER BY n_a""",
+
+    "stats_winsorized_mean" ->
+      """WITH h AS (SELECT source, n_chars, count(*) AS cnt
+                    FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, n_chars, cnt,
+                       sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(cnt) OVER (PARTITION BY source) AS n
+                FROM h),
+          thr AS (SELECT source, CAST(n AS BIGINT) AS n,
+                         CAST(min(CASE WHEN cum >= (n + 19) // 20
+                                       THEN n_chars END) AS BIGINT) AS lo,
+                         CAST(min(CASE WHEN cum >= (19 * n + 19) // 20
+                                       THEN n_chars END) AS BIGINT) AS hi
+                  FROM c GROUP BY source, n)
+          SELECT h.source, thr.n AS n_docs, lo, hi,
+                 CAST((100 * sum(least(greatest(n_chars, lo), hi) * cnt))
+                   // thr.n AS BIGINT) AS wmean_cc
+          FROM h JOIN thr ON h.source = thr.source
+          GROUP BY h.source, thr.n, lo, hi
+          ORDER BY h.source""",
   )
 }

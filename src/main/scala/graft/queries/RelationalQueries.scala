@@ -65,6 +65,27 @@ object RelationalQueries extends Registry {
         .orderBy("r_name")
     }),
 
+    // Cheapest-supplier-per-part: the argmin join (TPC-H Q2's core
+    // shape) through the min_by/arg_min aggregate surface — one partial
+    // aggregation, never a rank window over the whole fact. The
+    // ordering key is made UNIQUE by construction (unit price in
+    // centi-cents * 1e6 + suppkey, suppkey < 1e6), because min_by with
+    // a tied ordering is engine-nondeterministic; with a unique key the
+    // Spark min_by and DuckDB arg_min winners provably coincide. Unit
+    // price stays integer: cents DIV whole-unit quantity.
+    "join_argmin_supplier" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+            " DIV CAST(l_quantity AS BIGINT)").as("unit_cc"))
+        .withColumn("combo",
+          col("unit_cc") * lit(1000000L) + col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(min_by(col("l_suppkey"), col("combo")).as("best_suppkey"),
+          min("unit_cc").as("best_unit_cc"),
+          count(lit(1)).as("n_offers"))
+        .orderBy("l_partkey")),
+
     // The same 5-way join through the SQL surface: Views.register + a
     // spark.sql(...) text plan. Catalyst plans SQL and DataFrame
     // identically (same optimized plan, same broadcast decisions via AQE),
@@ -641,6 +662,21 @@ object RelationalQueries extends Registry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "join_argmin_supplier" ->
+      """WITH u AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    // CAST(l_quantity AS BIGINT) AS BIGINT) AS unit_cc
+           FROM lineitem),
+          c AS (SELECT l_partkey, l_suppkey, unit_cc,
+                       unit_cc * 1000000 + l_suppkey AS combo
+                FROM u)
+          SELECT l_partkey,
+                 CAST(arg_min(l_suppkey, combo) AS BIGINT) AS best_suppkey,
+                 CAST(min(unit_cc) AS BIGINT) AS best_unit_cc,
+                 count(*) AS n_offers
+          FROM c GROUP BY l_partkey ORDER BY l_partkey""",
 
     "sql_multiway_revenue" ->
       """SELECT r_name,

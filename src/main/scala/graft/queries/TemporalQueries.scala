@@ -215,6 +215,30 @@ object TemporalQueries extends Registry {
           countDistinct(col("base_order")).as("n_with_repeat"))
         .orderBy("o_custkey")
     }),
+
+    // The attribution REPORT a marketing pipeline actually ships: last
+    // click within 30 minutes wins the purchase (Joins.asOf with
+    // tolerance — matched-then-out-of-window purchases count as
+    // organic, exactly join_asof_tolerance's semantics), then revenue
+    // rolls up per purchase day and attribution flag, with the count of
+    // DISTINCT winning clicks (a click may win several purchases). One
+    // as-of shuffle + one partial aggregation; days x 2 output rows.
+    "events_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      Joins.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq("click_id"), toleranceSec = Some(1800L))
+        .groupBy(to_date(col("ts")).cast("string").as("day"),
+          col("click_id").isNotNull.as("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("cents").as("rev_cc"),
+          countDistinct(col("click_id")).as("n_touch_clicks"))
+        .orderBy("day", "attributed")
+    }),
   )
 
   /** Deterministic naive as-of: expand all prior clicks per purchase with
@@ -315,5 +339,27 @@ object TemporalQueries extends Registry {
           AND b.o_orderdate BETWEEN a.o_orderdate
                                 AND a.o_orderdate + INTERVAL 7 DAY
          GROUP BY 1 ORDER BY 1""",
+
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts,
+                           CAST(round("value" * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, ts AS cts, event_id AS click_id
+                FROM events WHERE event_type = 'click'),
+          m AS (SELECT p.event_id, p.ts, p.cents, c.click_id,
+                       date_diff('second', c.cts, p.ts) AS gap_sec,
+                       row_number() OVER (PARTITION BY p.event_id
+                         ORDER BY c.cts DESC, c.click_id DESC) AS rn
+                FROM p LEFT JOIN c
+                  ON p.user_id = c.user_id AND c.cts <= p.ts),
+          a AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, cents,
+                       CASE WHEN gap_sec <= 1800 THEN click_id END
+                         AS click_id
+                FROM m WHERE rn = 1)
+          SELECT day, click_id IS NOT NULL AS attributed,
+                 count(*) AS n_purchases,
+                 CAST(sum(cents) AS BIGINT) AS rev_cc,
+                 CAST(count(DISTINCT click_id) AS BIGINT) AS n_touch_clicks
+          FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
