@@ -242,4 +242,54 @@ object Graph {
       .select(col("src").as("node"), col("deg"))
       .orderBy("node")
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999), integer fixed point:
+    * each round sums hub scores into authorities over in-edges, then
+    * authority scores into hubs over out-edges, L1-renormalizing both to
+    * one million micro-units with truncating integer division — the same
+    * engine-portable arithmetic as [[pagerankInt]], so an oracle can
+    * unroll the rounds and hash-match bit-for-bit (float HITS never
+    * could). Nodes without in-edges hold authority 0, without out-edges
+    * hub 0.
+    *
+    * Scale shape: per round two (id, long) hash joins edge→score and two
+    * one-row global sums broadcast back — the score relation, never edge
+    * payloads, crosses the shuffle; lineage is truncated per round.
+    * Overflow-safe: post-normalization scores sum to ≤ 1e6, so a raw sum
+    * is ≤ 1e6 and raw*1e6 ≤ 1e12 (round 1: ≤ n*1e6*1e6, fine below
+    * ~9e6 nodes; larger graphs would scale down the seed).
+    *
+    * Returns (node, hub, auth) ordered by node. */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val scale = 1000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def renorm(raw: DataFrame): DataFrame = {
+      val s = raw.agg(sum("raw").as("s"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $scale) DIV s")
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.withColumn("rank", lit(scale))
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = renorm(e
+        .join(hub.select(col("node").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("rank").as("raw")))
+      hub = renorm(e
+        .join(auth.select(col("node").as("dst"), col("rank")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("rank").as("raw")))
+    }
+    hub.select(col("node"), col("rank").as("hub"))
+      .join(auth.select(col("node"), col("rank").as("auth")), "node")
+      .orderBy("node")
+  }
 }

@@ -30,6 +30,7 @@ import graft.operators.Graph
 object GraphQueries extends Registry {
 
   private val Iters = 5
+  private val HitsIters = 3
   private val DampBp = 8500L
   private val Scale = 1000000L
   private val Base = Scale * (10000 - DampBp) / 10000
@@ -82,6 +83,15 @@ object GraphQueries extends Registry {
         strongTradeEdges(s, d).filter(col("src") < col("dst")),
         "src", "dst", iters = Iters, dampBp = DampBp.toInt,
         redistributeDangling = true)),
+
+    // HITS on the same strong-trade relation: which nations are hubs
+    // (buy from the authorities) vs authorities (supply the hubs) —
+    // integer L1-renormalized fixed point (Graph.hitsInt), the second
+    // link-analysis ranking next to PageRank. Oracle unrolls the
+    // rounds; every micro-unit division replays exactly.
+    "graph_hits" -> ((s, d) =>
+      Graph.hitsInt(strongTradeEdges(s, d), "src", "dst",
+        iters = HitsIters)),
 
     "graph_triangles" -> ((s, d) =>
       Graph.triangles(strongTradeEdges(s, d), "src", "dst")),
@@ -310,6 +320,35 @@ object GraphQueries extends Registry {
            FROM nodes n LEFT JOIN c$i c ON n.node = c.node, d$i, nn)"""
   }.mkString(",\n")
 
+  /** Unrolled integer HITS: per round, authorities sum hub scores over
+    * in-edges then renormalize to 1e6 L1 mass (truncating //), hubs sum
+    * the NEW authority scores over out-edges and renormalize — the exact
+    * arithmetic of Graph.hitsInt. MATERIALIZED throughout: a<i> is read
+    * by both hr<i> and the final projection (and h<i> by ar<i+1>), and
+    * plain-CTE inlining would re-expand the whole chain per reference. */
+  private def hitsSteps: String = (1 to HitsIters).map { i =>
+    s"""ar$i AS MATERIALIZED (
+           SELECT e.dst AS node, CAST(sum(h.rank) AS BIGINT) AS raw
+           FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+       sa$i AS MATERIALIZED (
+           SELECT CAST(sum(raw) AS BIGINT) AS s FROM ar$i),
+       a$i AS MATERIALIZED (
+           SELECT n.node,
+                  CAST((coalesce(ar.raw, 0) * 1000000) // sa$i.s
+                    AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node, sa$i),
+       hr$i AS MATERIALIZED (
+           SELECT e.src AS node, CAST(sum(a.rank) AS BIGINT) AS raw
+           FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+       sh$i AS MATERIALIZED (
+           SELECT CAST(sum(raw) AS BIGINT) AS s FROM hr$i),
+       h$i AS MATERIALIZED (
+           SELECT n.node,
+                  CAST((coalesce(hr.raw, 0) * 1000000) // sh$i.s
+                    AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node, sh$i)"""
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
     "graph_degrees" ->
       s"""WITH e0 AS ($edgesSql),
@@ -352,6 +391,18 @@ object GraphQueries extends Registry {
             SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           ${pagerankDanglingSteps("ed")}
           SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_hits" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          nodes AS MATERIALIZED (
+            SELECT src AS node FROM e UNION SELECT dst FROM e),
+          h0 AS MATERIALIZED (
+            SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+          $hitsSteps
+          SELECT h.node, h.rank AS hub, a.rank AS auth
+          FROM h$HitsIters h JOIN a$HitsIters a ON h.node = a.node
+          ORDER BY h.node""",
 
     "graph_kcore" ->
       s"""WITH e0 AS ($edgesSql),

@@ -189,4 +189,45 @@ class GraphSpec extends SparkSpec {
     Graph.kcoreFixed(e, "src", "dst", k = 10, rounds = 8)
       .collect() shouldBe empty
   }
+
+  /** Reference simulation of integer HITS: per round authorities sum hub
+    * scores over in-edges then L1-renormalize to 1e6 (truncating), hubs
+    * sum the NEW authority scores over out-edges and renormalize. */
+  private def simulateHits(es: Set[(Long, Long)],
+                           iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = es.flatMap(e => Seq(e._1, e._2))
+    val scale = 1000000L
+    def renorm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val s = raw.values.sum
+      nodes.map(n => n -> raw.getOrElse(n, 0L) * scale / s).toMap
+    }
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = hub
+    for (_ <- 1 to iters) {
+      auth = renorm(es.groupBy(_._2).map { case (n, g) =>
+        n -> g.toSeq.map(e => hub(e._1)).sum })
+      hub = renorm(es.groupBy(_._1).map { case (n, g) =>
+        n -> g.toSeq.map(e => auth(e._2)).sum })
+    }
+    nodes.map(n => n -> (hub(n), auth(n))).toMap
+  }
+
+  test("hitsInt matches the integer simulation exactly") {
+    val distinctEdges = Set(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L))
+    for (iters <- Seq(1, 3)) {
+      val want = simulateHits(distinctEdges, iters)
+      val got = Graph.hitsInt(edges, "src", "dst", iters).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got shouldBe want
+    }
+    // dangling node 4 (no out-edges) must hold hub 0; L1 mass of each
+    // score vector stays within truncation slack of the 1e6 seed
+    val fin = Graph.hitsInt(edges, "src", "dst", 3).collect()
+    fin.find(_.getLong(0) == 4L).get.getLong(1) shouldBe 0L
+    val hubs = fin.map(_.getLong(1)).sum
+    val auths = fin.map(_.getLong(2)).sum
+    hubs should (be >= 1000000L - fin.length.toLong and be <= 1000000L)
+    auths should (be >= 1000000L - fin.length.toLong and be <= 1000000L)
+  }
 }
