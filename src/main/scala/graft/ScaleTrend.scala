@@ -165,6 +165,8 @@ object ScaleTrend {
           .select(col("doc_id").as("eval_id"), col("shingle")), "shingle")
         .groupBy("train_id", "eval_id").agg(count(lit(1)).as("shared"))
     }
+    def pq(e: DataFrame) =
+      Ann.pqTopK(e, annQ(e), "vec_id", "embedding", k = 10)
     def rangeCosine(e: DataFrame) =
       e.select(col("vec_id").as("cand_id"),
           col("embedding").cast("array<double>").as("cv"))
@@ -181,7 +183,7 @@ object ScaleTrend {
     Seq(jaccard(wd), minhash(wd), simhash(wd), cosine(we), brute(we),
       lsh(we), ivf(we), asofComposed(wv), asofNative(wv), cdc(wd),
       heavyTokens(wd), cosLsh(we), cdcBytes(wd), postings(wd),
-      contamination(wd), rangeCosine(we))
+      contamination(wd), rangeCosine(we), pq(we))
       .foreach(df => try df.count() catch { case _: Throwable => () })
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
@@ -201,7 +203,8 @@ object ScaleTrend {
         ("dedup_cdc_bytes", docInputs, cdcBytes),
         ("text_postings", docInputs, postings),
         ("dedup_contamination", docInputs, contamination),
-        ("ann_range_cosine", embInputs, rangeCosine))
+        ("ann_range_cosine", embInputs, rangeCosine),
+        ("ann_pq_topk", embInputs, pq))
 
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")

@@ -324,6 +324,101 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Product quantization (Jégou, Douze, Schmid 2011) two-stage search:
+    * vectors are unit-normalized and split into `m` subspaces; each
+    * subspace is vector-quantized to one of `codes` per-subspace
+    * centroids (trained like ivfTopK's coarse quantizer on a bounded
+    * driver-side sample, deterministic seed). A query precomputes one
+    * m x codes lookup table of subspace distances, so scoring a
+    * candidate under asymmetric distance is m array lookups instead of a
+    * dim-wide dot product — and at rest the index stores m small codes
+    * per vector (m=8, codes=16 compresses a 64-dim float32 vector 64x),
+    * which is what makes an exhaustive re-score over 100 TB of
+    * embeddings feasible. The ADC shortlist (rerank * k per query) is
+    * then re-ranked by exact cosine on the ORIGINAL vectors — the
+    * standard refinement stage, so the emitted sims are directly
+    * comparable to bruteForceTopK's.
+    *
+    * Codebooks are engine-internal state → registered rows-only;
+    * AnnSpec bounds recall against the exact baseline. */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
+             rerank: Int = 8, sampleSize: Int = 2000, iters: Int = 10,
+             seed: Long = 43L): DataFrame = {
+    val cRaw = spread(candidates).select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qRaw = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // unit-normalize for the quantizer (cosine ranking = L2 on the unit
+    // sphere); zero vectors pass through unchanged
+    def unit(vc: org.apache.spark.sql.Column) = TF.bind(vc) { v =>
+      TF.bind(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))) { n =>
+        when(n === 0.0, v).otherwise(transform(v, x => x / n))
+      }
+    }
+    val cU = cRaw.select(col("cand_id"), unit(col("cv")).as("uv"))
+    // per-subspace codebooks from a driver-side sample (hard-capped like
+    // ivfTopK/semdedup — the train step is a bounded collect by design)
+    val sample = cU.orderBy("cand_id").limit(sampleSize)
+      .select("uv").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTopK needs a non-empty candidate set")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subd = dim / m
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      kmeans(sample.map(_.slice(s * subd, (s + 1) * subd)),
+        codes, iters, seed + s).map(_.toSeq).toSeq
+    }
+    val cbLit = typedLit(books)
+    // squared L2 between a bound subvector and a codebook row
+    def d2(u: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
+      aggregate(zip_with(u, w, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    // encode: per subspace, the argmin codebook row (array_sort on
+    // (dist, code) structs — the nearestCells trick, per subspace)
+    def encode(vec: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        TF.bind(slice(vec, s * subd + 1, lit(subd))) { sub =>
+          TF.bind(element_at(cbLit, s + 1)) { book =>
+            element_at(array_sort(
+              transform(sequence(lit(0), lit(codes - 1)), c =>
+                struct(d2(sub, element_at(book, c + 1)).as("d"),
+                  c.as("code")))), 1).getField("code")
+          }
+        })
+    // query LUT: subspace s x code c -> squared L2 to that centroid
+    def lut(vec: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        TF.bind(slice(vec, s * subd + 1, lit(subd))) { sub =>
+          transform(element_at(cbLit, s + 1), cb => d2(sub, cb))
+        })
+    val cCoded = cU.select(col("cand_id"), encode(col("uv")).as("cds"))
+    val qSide = qRaw.select(col("query_id"), col("qv"),
+      lut(unit(col("qv"))).as("lut"))
+    // ADC scan: m lookups per (query, candidate) — never a dim-wide dot
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("cand_id").asc)
+    val short = cCoded.crossJoin(broadcast(qSide))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0.0), (acc, s) => acc + element_at(
+          element_at(col("lut"), s + 1),
+          element_at(col("cds"), s + 1) + 1)))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerank)
+      .select("query_id", "qv", "cand_id")
+    // refine: exact cosine on the original vectors over the shortlist
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    short.join(cRaw, "cand_id")
+      .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * compression step before shipping vectors to an index or a training
     * job (4x smaller than float32, 8x than float64). Per vector:

@@ -45,6 +45,15 @@ object AnnQueries extends Registry {
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
+    // Product-quantization ADC search (Ann.pqTopK): the memory-bound
+    // scale path — 8 nibble codes per vector instead of 64 floats, m
+    // LUT lookups per pair instead of a dot product, exact-cosine
+    // refinement of the shortlist. Codebooks are engine-internal →
+    // rows-only; AnnSpec bounds recall vs ann_brute_topk.
+    "ann_pq_topk" -> ((s, d) =>
+      Ann.pqTopK(Tables.embeddings(s, d), queriesOf(s, d),
+        "vec_id", "embedding", k = 5)),
+
     // Exact corpus-wide kNN graph (Ann.knnGraph): block-pair sims +
     // k-bounded TopK partial aggregate; integer basis-point ranking so
     // DuckDB replays the exact ordering. Memoized (core.Memo): the

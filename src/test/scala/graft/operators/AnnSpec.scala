@@ -144,6 +144,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("PQ top-k recall >= 0.5 vs brute force; exact-cosine refinement") {
+    val pq = Ann.pqTopK(embs, queries, "vec_id", "embedding", k = 5)
+    val recall = (neighborSet(pq) intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall")
+    // the refinement stage re-scores with exact cosine, so any (query,
+    // cand) pair PQ shares with brute force must carry the same sim
+    val bruteSims = Ann.bruteForceTopK(embs, queries, "vec_id",
+        "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.collect().foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(2))).foreach { s =>
+        r.getDouble(3) shouldBe s
+      }
+    }
+  }
+
   test("centroids computes exact per-group dimension means") {
     import spark.implicits._
     val tiny = Seq(
