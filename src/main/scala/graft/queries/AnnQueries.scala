@@ -69,6 +69,36 @@ object AnnQueries extends Registry {
         bits = Ann.autoBits(c.count()))
     }),
 
+    // Hard-negative mining for contrastive training: each probe's top-5
+    // most-similar candidates whose LABEL DIFFERS — the "close but
+    // wrong" examples a retrieval/embedding trainer needs. Same
+    // broadcast-probe brute shape as ann_brute_topk with the label
+    // inequality fused into the join predicate (filtered before any
+    // similarity is computed); the LSH/IVF/PQ paths are the 100 TB
+    // candidate generators for the identical predicate.
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"),
+          col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<double>").as("cv"),
+        col("label").as("neg_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      c.join(broadcast(q), col("query_id") =!= col("cand_id") &&
+          col("neg_label") =!= col("q_label"))
+        .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cand_id"),
+          col("neg_label").cast("long").as("neg_label"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Semantic clusters: weakly connected components over the kNN
     // graph's >= 0.2-cosine edges — the composition SemDeDup-style
     // pipelines run (kNN edges -> clusters -> keep policy), stitched
@@ -172,6 +202,25 @@ object AnnQueries extends Registry {
                 FROM q CROSS JOIN c
                 WHERE query_id <> cand_id)
           SELECT query_id, rank, cand_id, round(s, 4) AS sim
+          FROM r WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                           label AS q_label
+                    FROM embeddings WHERE vec_id % 50 = 0),
+          c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+                       label AS neg_label
+                FROM embeddings),
+          r AS (SELECT query_id, cand_id,
+                       CAST(neg_label AS BIGINT) AS neg_label,
+                       list_cosine_similarity(qv, cv) AS s,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                  cand_id ASC) AS rank
+                FROM q CROSS JOIN c
+                WHERE query_id <> cand_id AND neg_label <> q_label)
+          SELECT query_id, rank, cand_id, neg_label, round(s, 4) AS sim
           FROM r WHERE rank <= 5
           ORDER BY query_id, rank""",
 

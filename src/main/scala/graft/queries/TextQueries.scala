@@ -168,6 +168,52 @@ object TextQueries extends Registry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    // doc by unigram-LM surprisal per token, split the corpus into
+    // head / middle / tail at the global terciles, report the
+    // (source, bucket) composition a mixture designer reads before
+    // up/down-sampling. Exact integers end-to-end: per-token cost in
+    // centibits ((100 * sum_bits) DIV ntok), terciles picked by a
+    // cumulative walk over the bounded (centibits -> count) histogram
+    // (ceil ranks as (n+2) DIV 3, (2n+2) DIV 3), thresholds broadcast
+    // back as one row. No global sort of docs anywhere.
+    "corpus_perplexity_buckets" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val vocab = pairs.groupBy("term").agg(sum("tf").as("ctf"))
+      val total = vocab.agg(sum("ctf").as("n_total"))
+      val perDoc = pairs.join(vocab, "term")
+        .crossJoin(broadcast(total))
+        .withColumn("bits",
+          (length(bin(expr("n_total DIV ctf"))) - 1).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("bits")).as("sum_bits"),
+          sum("tf").as("ntok"))
+        .withColumn("cb", expr("(100 * sum_bits) DIV ntok"))
+      val hist = perDoc.groupBy("cb").agg(count(lit(1)).as("nk"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy("cb")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val nDocs = hist.agg(sum("nk").as("n"))
+      val thr = hist.withColumn("cum", sum("nk").over(wc))
+        .crossJoin(broadcast(nDocs))
+        .agg(min(when(col("cum") >= expr("(n + 2) DIV 3"), col("cb")))
+          .as("t1"),
+          min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("cb")))
+            .as("t2"))
+      perDoc
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .crossJoin(broadcast(thr))
+        .withColumn("bucket",
+          when(col("cb") <= col("t1"), "head")
+            .when(col("cb") <= col("t2"), "middle").otherwise("tail"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        .orderBy("source", "bucket")
+    }),
+
     // Exactly-30-docs-per-language sample (Sampling.exactPerStratum):
     // guaranteed sample size via hash-rank — id_sum is a membership
     // checksum the oracle must reproduce exactly.
@@ -604,6 +650,41 @@ object TextQueries extends Registry {
                    - 1)) AS DOUBLE) / sum(tf), 4) AS avg_bits
           FROM tf JOIN v USING (term), n
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+                FROM tf GROUP BY 1),
+          n AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM v),
+          pd AS (SELECT doc_id,
+                        CAST(sum(tf * (length(printf('%b', n_total // ctf))
+                          - 1)) AS BIGINT) AS sum_bits,
+                        CAST(sum(tf) AS BIGINT) AS ntok
+                 FROM tf JOIN v USING (term), n GROUP BY doc_id),
+          pc AS (SELECT doc_id, ntok,
+                        CAST((100 * sum_bits) // ntok AS BIGINT) AS cb
+                 FROM pd),
+          h AS (SELECT cb, count(*) AS nk FROM pc GROUP BY cb),
+          nd AS (SELECT CAST(sum(nk) AS BIGINT) AS n FROM h),
+          w AS (SELECT cb, sum(nk) OVER (ORDER BY cb
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h),
+          thr AS (SELECT
+                    CAST(min(CASE WHEN cum >= (n + 2) // 3
+                                  THEN cb END) AS BIGINT) AS t1,
+                    CAST(min(CASE WHEN cum >= (2 * n + 2) // 3
+                                  THEN cb END) AS BIGINT) AS t2
+                  FROM w, nd)
+          SELECT d.source,
+                 CASE WHEN pc.cb <= t1 THEN 'head'
+                      WHEN pc.cb <= t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 count(*) AS n_docs,
+                 CAST(sum(pc.ntok) AS BIGINT) AS n_tokens
+          FROM pc JOIN documents d USING (doc_id), thr
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "corpus_shuffle" ->
       """SELECT row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
