@@ -297,6 +297,34 @@ object GovernanceQueries extends Registry {
         .orderBy("event_type", "day", "user_id")
     }),
 
+    // Bot/scripted-traffic audit: the 20 users with the most REGULAR
+    // event cadence. Regularity = normalized gap variance held entirely
+    // in integers — var_num = n*Σg² - (Σg)² (the machine-friendly
+    // variance numerator, no float co-moments), normalized by n² with
+    // truncating DIV so cross-user comparison is engine-exact. A human's
+    // gaps are bursty (large nvar); a cron-driven client's collapse
+    // toward 0. One per-user lag window (bounded per key) + one partial
+    // aggregation; n >= 5 gaps to qualify.
+    "events_regularity_audit" -> ((s, d) => {
+      val wLag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(wLag))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+            .as("g"))
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("g").as("sg"),
+          sum(col("g") * col("g")).as("sg2"))
+        .filter(col("n_gaps") >= 5)
+        .select(col("user_id"), col("n_gaps"),
+          expr("sg DIV n_gaps").as("mean_gap_sec"),
+          expr("(n_gaps * sg2 - sg * sg) DIV (n_gaps * n_gaps)")
+            .as("nvar"))
+        .orderBy(col("nvar"), col("user_id"))
+        .limit(20)
+    }),
+
     // Mann-Whitney U (Wilcoxon rank-sum) between English and German doc
     // lengths — the nonparametric location test a curation pipeline runs
     // before trusting a per-source length gate across languages. Exact
@@ -575,6 +603,24 @@ object GovernanceQueries extends Registry {
                   (PARTITION BY event_type, day
                    ORDER BY cents, user_id), 6) AS cum_dist
          FROM daily ORDER BY event_type, day, user_id""",
+
+    "events_regularity_audit" ->
+      """WITH g AS (SELECT user_id,
+                           date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS g
+                    FROM events),
+          a AS (SELECT user_id, count(*) AS n_gaps,
+                       CAST(sum(g) AS BIGINT) AS sg,
+                       CAST(sum(g * g) AS BIGINT) AS sg2
+                FROM g WHERE g IS NOT NULL GROUP BY user_id
+                HAVING count(*) >= 5)
+          SELECT user_id, n_gaps,
+                 CAST(sg // n_gaps AS BIGINT) AS mean_gap_sec,
+                 CAST((n_gaps * sg2 - sg * sg) // (n_gaps * n_gaps)
+                   AS BIGINT) AS nvar
+          FROM a ORDER BY nvar, user_id LIMIT 20""",
 
     "stats_mannwhitney_u" ->
       """WITH e AS (SELECT lang = 'en' AS is_a, n_chars

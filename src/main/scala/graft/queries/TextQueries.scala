@@ -168,6 +168,44 @@ object TextQueries extends Registry {
         .orderBy("doc_id")
     }),
 
+    // Upsampling plan to an equal-token-share target: the complement of
+    // corpus_mix_weights' capped downsampling — sources BELOW the
+    // per-source target get weight > 10000 bp, decomposed into full
+    // epoch repeats (w DIV 10000) plus one fractional epoch drawn with
+    // the samplers' portable md5-prefix rule (frac256 threshold, the
+    // Sampling.hashPrefix recipe verbatim so the oracle replays doc
+    // membership exactly). Per source: observed tokens, weight, epochs,
+    // fractional-pass docs/tokens, and the planned token total the
+    // schedule would feed the trainer. Two partial aggregations + one
+    // broadcast of the 20-row plan — no shuffle of doc bodies.
+    "corpus_upsample_plan" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), TF.tokenCount(col("text")).cast("long").as("nt"))
+      val counts = docs.groupBy("source")
+        .agg(sum("nt").as("n_tokens"), count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum("n_tokens").as("total"),
+        count(lit(1)).as("n_sources"))
+      val plan = counts.crossJoin(broadcast(tot))
+        .withColumn("w_bp",
+          expr("(10000 * (total DIV n_sources)) DIV n_tokens"))
+        .withColumn("full_epochs", expr("w_bp DIV 10000"))
+        .withColumn("thr", format_string("%02x",
+          expr("(256 * (w_bp % 10000)) DIV 10000")))
+      val fracKept = docs
+        .join(broadcast(plan.select("source", "thr")), "source")
+        .filter(substring(md5(concat(col("doc_id").cast("string"),
+          lit("graft")).cast("binary")), 1, 2) < col("thr"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("frac_docs"), sum("nt").as("frac_tokens"))
+      plan.join(fracKept, Seq("source"), "left")
+        .na.fill(0L, Seq("frac_docs", "frac_tokens"))
+        .select(col("source"), col("n_tokens"), col("w_bp"),
+          col("full_epochs"), col("frac_docs"), col("frac_tokens"),
+          (col("full_epochs") * col("n_tokens") + col("frac_tokens"))
+            .as("planned_tokens"))
+        .orderBy("source")
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     // doc by unigram-LM surprisal per token, split the corpus into
     // head / middle / tail at the global terciles, report the
@@ -650,6 +688,38 @@ object TextQueries extends Registry {
                    - 1)) AS DOUBLE) / sum(tf), 4) AS avg_bits
           FROM tf JOIN v USING (term), n
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "corpus_upsample_plan" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+                               CAST(len($toks) AS BIGINT) AS nt
+                        FROM documents),
+          c AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens,
+                       count(*) AS n_docs
+                FROM docs GROUP BY source),
+          t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS n_sources FROM c),
+          plan AS (SELECT source, n_tokens,
+                          CAST((10000 * (total // n_sources)) // n_tokens
+                            AS BIGINT) AS w_bp
+                   FROM c, t),
+          p2 AS (SELECT source, n_tokens, w_bp,
+                        CAST(w_bp // 10000 AS BIGINT) AS full_epochs,
+                        printf('%02x', (256 * (w_bp % 10000)) // 10000)
+                          AS thr
+                 FROM plan),
+          fk AS (SELECT d.source, count(*) AS frac_docs,
+                        CAST(sum(d.nt) AS BIGINT) AS frac_tokens
+                 FROM docs d JOIN p2 ON d.source = p2.source
+                 WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || 'graft'),
+                                 1, 2) < p2.thr
+                 GROUP BY d.source)
+          SELECT p2.source, n_tokens, w_bp, full_epochs,
+                 coalesce(frac_docs, 0) AS frac_docs,
+                 CAST(coalesce(frac_tokens, 0) AS BIGINT) AS frac_tokens,
+                 CAST(full_epochs * n_tokens + coalesce(frac_tokens, 0)
+                   AS BIGINT) AS planned_tokens
+          FROM p2 LEFT JOIN fk ON p2.source = fk.source
+          ORDER BY p2.source""",
 
     "corpus_perplexity_buckets" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
