@@ -562,6 +562,28 @@ object EventQueries extends Registry {
         .orderBy("bin")
     }),
 
+    // Dynamic partition pruning through the DATE-PARTITIONED fact copy
+    // (core.Partitioned): the pruning day set — the 5 top-revenue days —
+    // exists only at runtime, so no literal predicate can prune the
+    // scan; Catalyst instead injects the broadcast join's key set into
+    // the fact scan as a dynamicpruning PartitionFilter
+    // (spec-asserted in ScaleMechanicsSpec). The 100 TB shape: scan 5
+    // day-directories, not the full history, when the driving filter is
+    // itself a query result. Oracle replays the same aggregation over
+    // the flat table — layout must not change results.
+    "join_partition_pruned" -> ((s, d) => {
+      val ev = graft.core.Partitioned.eventsByDay(s, d)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val hot = ev.filter(col("event_type") === "purchase")
+        .groupBy("day").agg(sum("cents").as("rev"))
+        .orderBy(col("rev").desc, col("day")).limit(5)
+        .select("day")
+      ev.join(broadcast(hot), "day")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("rev_cc"))
+        .orderBy("event_type")
+    }),
+
     // Conversion-window funnel: the greedy-earliest fold of
     // events_funnel with a DEADLINE per step — each stage must fire
     // within 1 hour of the previous one (the product-analytics form:
@@ -794,6 +816,19 @@ object EventQueries extends Registry {
                  CAST(((n_files - files_touched) * 10000) // n_files
                    AS BIGINT) AS skip_bp
           FROM hit CROSS JOIN nf ORDER BY pu, pv""",
+
+    "join_partition_pruned" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(round("value" * 100) AS BIGINT) AS cents
+                     FROM events),
+          hot AS (SELECT day FROM (
+                    SELECT day, sum(cents) AS rev FROM ev
+                    WHERE event_type = 'purchase'
+                    GROUP BY day ORDER BY rev DESC, day LIMIT 5))
+          SELECT event_type, count(*) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS rev_cc
+          FROM ev JOIN hot USING (day)
+          GROUP BY event_type ORDER BY event_type""",
 
     "layout_compaction_plan" ->
       """WITH files AS (SELECT strftime(ts, '%Y-%m-%d %H') AS part_hour,

@@ -71,6 +71,28 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"pruning read $prunedFiles of $allFiles files")
   }
 
+  test("join_partition_pruned plans DYNAMIC partition pruning") {
+    // the registered query's exact shape: the pruning day set is a
+    // runtime relation, so the fact scan must carry a dynamicpruning
+    // PartitionFilter (not a literal one) — the subquery reuses the
+    // join's broadcast exchange
+    val df = graft.queries.EventQueries.defs("join_partition_pruned")(
+      spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(4000))
+    // and it must still produce the flat-table answer
+    val flat = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val hot = flat.filter(col("event_type") === "purchase")
+      .groupBy("day").agg(sum("cents").as("rev"))
+      .orderBy(col("rev").desc, col("day")).limit(5).select("day")
+    val want = flat.join(hot, "day").groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("rev_cc"))
+      .orderBy("event_type").collect().toSeq
+    df.collect().toSeq shouldBe want
+  }
+
   test("predicate pushdown reaches the parquet scan") {
     val q = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 45)
