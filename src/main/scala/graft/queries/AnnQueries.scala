@@ -186,6 +186,42 @@ object AnnQueries extends Registry {
             (sqrt(col("na")) * sqrt(col("nb")))).cast("long").as("sim_bp"))
         .orderBy("label_a", "label_b")
     }),
+
+    // kNN majority-vote classification: each probe's label predicted by
+    // its 10 nearest neighbors (vote count desc, label asc tie-break) —
+    // the standard label-propagation / weak-labeling pass over an
+    // embedding store, and the evaluation harness for the ANN indexes
+    // (swap the brute candidate generator for LSH/IVF/PQ at 100 TB; the
+    // vote reduction is identical). Same broadcast-probe brute shape as
+    // ann_brute_topk; the vote rollup and argmax walk the 10-row
+    // neighbor lists per probe, never the corpus.
+    "ann_knn_classify" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"),
+          col("label").cast("long").as("true_label"))
+      val c = e.select(col("vec_id").as("cand_id"),
+        col("embedding").cast("array<double>").as("cv"),
+        col("label").cast("long").as("cand_label"))
+      val wN = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("cand_id").asc)
+      val votes = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+        .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(wN))
+        .filter(col("rank") <= 10)
+        .groupBy("query_id", "true_label", "cand_label")
+        .agg(count(lit(1)).as("votes"))
+      val wV = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("cand_label").asc)
+      votes.withColumn("vr", row_number().over(wV))
+        .filter(col("vr") === 1)
+        .select(col("query_id"), col("true_label"),
+          col("cand_label").as("pred_label"), col("votes"),
+          (col("cand_label") === col("true_label")).cast("long").as("correct"))
+        .orderBy("query_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +361,30 @@ object AnnQueries extends Registry {
           JOIN norms na ON dots.la = na.label
           JOIN norms nb ON dots.lb = nb.label
           ORDER BY label_a, label_b""",
+
+    "ann_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                           CAST(label AS BIGINT) AS true_label
+                    FROM embeddings WHERE vec_id % 50 = 0),
+          c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
+                       CAST(label AS BIGINT) AS cand_label
+                FROM embeddings),
+          r AS (SELECT query_id, true_label, cand_label,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                  cand_id ASC) AS rank
+                FROM q CROSS JOIN c
+                WHERE query_id <> cand_id),
+          v AS (SELECT query_id, true_label, cand_label,
+                       count(*) AS votes
+                FROM r WHERE rank <= 10 GROUP BY 1, 2, 3),
+          p AS (SELECT query_id, true_label, cand_label, votes,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY votes DESC, cand_label ASC) AS vr
+                FROM v)
+          SELECT query_id, true_label, cand_label AS pred_label,
+                 CAST(votes AS BIGINT) AS votes,
+                 CAST(cand_label = true_label AS BIGINT) AS correct
+          FROM p WHERE vr = 1 ORDER BY query_id""",
   )
 }

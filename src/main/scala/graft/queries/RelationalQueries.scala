@@ -568,6 +568,42 @@ object RelationalQueries extends Registry {
         .orderBy("pct_bp")
     }),
 
+    // RFM segmentation: per-customer Recency / Frequency / Monetary
+    // quartiles (ntile over (metric, custkey) — the unique tie-break
+    // key makes every bucket assignment engine-deterministic), rolled
+    // up to the 4x4x4 segment grid with customer counts and revenue.
+    // Revenue snaps to integer cents before any aggregation. The fact
+    // scan reduces to one row per CUSTOMER first; the three quartile
+    // windows then walk the customer dimension only (bounded far below
+    // the fact table — the same deliberate-global-window class as
+    // sales_pareto, documented here). At 100 TB the swap is quartile
+    // THRESHOLDS from the cumulative histogram (the stats_ks_test /
+    // orders_ship_lag recipe) joined back broadcast.
+    "orders_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val ref = o.agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+      val cust = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .crossJoin(broadcast(ref))
+        .withColumn("recency_d",
+          datediff(col("ref_date"), col("last_date")).cast("long"))
+      val rq = ntile(4).over(
+        Window.orderBy(col("recency_d").asc, col("o_custkey")))
+      val fq = ntile(4).over(
+        Window.orderBy(col("freq").desc, col("o_custkey")))
+      val mq = ntile(4).over(
+        Window.orderBy(col("cents").desc, col("o_custkey")))
+      cust.select(col("cents"),
+          rq.cast("long").as("r_q"), fq.cast("long").as("f_q"),
+          mq.cast("long").as("m_q"))
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"),
+          sum("cents").as("segment_cents"))
+        .orderBy("r_q", "f_q", "m_q")
+    }),
+
     // Order-to-ship lag distribution per order priority, exact
     // percentiles by the histogram-walk recipe (Audit.keySkew /
     // stats_ks_test): lag days collapse to a (priority, lag_day, count)
@@ -935,6 +971,33 @@ object RelationalQueries extends Registry {
           FROM c CROSS JOIN t CROSS JOIN p
           WHERE cum * 10000 >= p.pct_bp * t.t
           GROUP BY p.pct_bp ORDER BY pct_bp""",
+
+    "orders_rfm" ->
+      """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date
+                      FROM orders),
+          cust AS (SELECT o_custkey,
+                          max(CAST(o_orderdate AS DATE)) AS last_date,
+                          count(*) AS freq,
+                          CAST(sum(CAST(round(o_totalprice * 100)
+                            AS BIGINT)) AS BIGINT) AS cents
+                   FROM orders GROUP BY 1),
+          c2 AS (SELECT o_custkey, freq, cents,
+                        CAST(date_diff('day', last_date, ref_date)
+                          AS BIGINT) AS recency_d
+                 FROM cust CROSS JOIN ref),
+          q AS (SELECT cents,
+                       ntile(4) OVER (ORDER BY recency_d ASC, o_custkey)
+                         AS r_q,
+                       ntile(4) OVER (ORDER BY freq DESC, o_custkey)
+                         AS f_q,
+                       ntile(4) OVER (ORDER BY cents DESC, o_custkey)
+                         AS m_q
+                FROM c2)
+          SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+                 CAST(m_q AS BIGINT) AS m_q,
+                 count(*) AS n_customers,
+                 CAST(sum(cents) AS BIGINT) AS segment_cents
+          FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "sql_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -583,6 +583,113 @@ object TextQueries extends Registry {
             .as("postings_20"))
         .orderBy("term")
     }),
+
+    // Gopher-style quality gates (the Rae et al. 2021 rule shapes) with
+    // exact integer arithmetic: token-count bounds, mean-token-length in
+    // [3,10] tested as the cross-product 3n <= L <= 10n (no division, so
+    // empty docs can't fault), >= 80% of tokens containing a letter
+    // (5*alpha >= 4*n), and >= 2 distinct English stopwords present.
+    // Output is the per-source rule-attribution report a corpus-cleaning
+    // run reads: docs in, per-rule failure counts, survivors. One bound
+    // tokens() evaluation per doc (map-only) + one partial aggregation —
+    // at 100 TB this is a single scan with a 20-row result.
+    "corpus_gopher_gates" -> ((s, d) => {
+      val stops = TF.stopwords("en")
+      val flags = Tables.documents(s, d).select(col("source"),
+        TF.bind(TF.tokens(col("text"))) { t =>
+          val n = size(t).cast("long")
+          val sumLen = aggregate(t, lit(0L),
+            (acc, x) => acc + length(x).cast("long"))
+          val alphaAny = size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long")
+          val stopDistinct = size(filter(
+            array(stops.map(lit): _*), w => array_contains(t, w))).cast("long")
+          struct(
+            (n >= 10L && n <= 150L).as("g_len"),
+            (sumLen >= n * 3L && sumLen <= n * 10L).as("g_wordlen"),
+            (alphaAny * 5L >= n * 4L).as("g_alpha"),
+            (stopDistinct >= 2L).as("g_stop"))
+        }.as("g"))
+      flags.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("g.g_len"), 1L).otherwise(0L)).as("fail_len"),
+        sum(when(!col("g.g_wordlen"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("g.g_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("g.g_stop"), 1L).otherwise(0L)).as("fail_stop"),
+        sum(when(col("g.g_len") && col("g.g_wordlen") &&
+          col("g.g_alpha") && col("g.g_stop"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    }),
+
+    // DSIR-style data selection (Xie et al. 2023's importance-resampling
+    // shape) with the integer bit-cost trick: each doc scores
+    // delta_bits = bits under the whole-pool unigram LM minus bits under
+    // the target-domain LM (target = lang='en' docs), add-one smoothed
+    // over the joint vocabulary so unseen-in-target terms cost
+    // bit_length((N+V) DIV 1) rather than dividing by zero. Positive
+    // delta = the doc compresses better under the target model = keep
+    // candidate. All integer ops — both engines agree bit-for-bit where
+    // the float log-likelihood ratio would risk rounding flips. Shape is
+    // the tfidf/surprisal plan: shuffle bounded by distinct (doc, term)
+    // pairs, model tables broadcast from one-row/vocab-sized aggregates.
+    "text_dsir_weights" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      val vocab = pairs.groupBy("term").agg(
+        sum("tf").as("ctf_all"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ctf_tgt"))
+      val tot = vocab.agg(sum("ctf_all").as("n_all"),
+        sum("ctf_tgt").as("n_tgt"), count(lit(1)).as("v"))
+      pairs.join(vocab, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("bits_pool",
+          (length(bin(expr("(n_all + v) DIV (ctf_all + 1)"))) - 1).cast("long"))
+        .withColumn("bits_tgt",
+          (length(bin(expr("(n_tgt + v) DIV (ctf_tgt + 1)"))) - 1).cast("long"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf") * (col("bits_pool") - col("bits_tgt")))
+          .as("delta_bits"),
+          sum("tf").as("ntok"))
+        .orderBy("doc_id")
+    }),
+
+    // Heaps-law vocabulary growth: per source, cumulative (docs seen,
+    // tokens seen, distinct terms seen) at every 16-doc checkpoint — the
+    // curve that tells a tokenizer/corpus audit whether vocabulary is
+    // saturating. Never recounts prefixes: each term's FIRST-occurrence
+    // rank is a groupBy-min, both ranks and first occurrences collapse
+    // to 16-doc-bucket histograms, and one cumulative walk over the
+    // bounded checkpoint domain (n_docs/16 rows per source) yields every
+    // prefix count. The per-source row_number walks the doc dimension of
+    // one source — bounded, and the only ordered pass in the plan.
+    "text_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      val ranked = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), TF.tokens(col("text")).as("t"))
+        .withColumn("r", row_number().over(w).cast("long"))
+      val docH = ranked
+        .withColumn("ck", expr("(r + 15) DIV 16"))
+        .groupBy("source", "ck")
+        .agg(count(lit(1)).as("docs_in"),
+          sum(size(col("t")).cast("long")).as("toks_in"))
+      val vocH = ranked
+        .select(col("source"), col("r"),
+          explode(array_distinct(col("t"))).as("term"))
+        .groupBy("source", "term").agg(min("r").as("fo"))
+        .withColumn("ck", expr("(fo + 15) DIV 16"))
+        .groupBy("source", "ck").agg(count(lit(1)).as("vocab_in"))
+      val cw = Window.partitionBy("source").orderBy("ck")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docH.join(vocH, Seq("source", "ck"), "left")
+        .na.fill(0L, Seq("vocab_in"))
+        .select(col("source"), col("ck"),
+          sum("docs_in").over(cw).as("docs_seen"),
+          sum("toks_in").over(cw).as("tokens_seen"),
+          sum("vocab_in").over(cw).as("vocab_size"))
+        .orderBy("source", "ck")
+    }),
   )
 
   private val toks =
@@ -1153,5 +1260,83 @@ object TextQueries extends Registry {
                  array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',')
                    AS postings_20
           FROM p GROUP BY term ORDER BY term""",
+
+    "corpus_gopher_gates" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+          f AS (SELECT source,
+                       len(toks)::BIGINT AS n,
+                       CAST(coalesce(list_sum(list_transform(toks,
+                         x -> length(x))), 0) AS BIGINT) AS L,
+                       len(list_filter(toks,
+                         x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS a,
+                       len(list_filter(['the','a','of','and','to','in','is'],
+                         w -> list_contains(toks, w)))::BIGINT AS sd
+                FROM t),
+          g AS (SELECT source,
+                       (n >= 10 AND n <= 150) AS g_len,
+                       (L >= n * 3 AND L <= n * 10) AS g_wordlen,
+                       (a * 5 >= n * 4) AS g_alpha,
+                       (sd >= 2) AS g_stop
+                FROM f)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN NOT g_len THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fail_len,
+                 CAST(sum(CASE WHEN NOT g_wordlen THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fail_wordlen,
+                 CAST(sum(CASE WHEN NOT g_alpha THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fail_alpha,
+                 CAST(sum(CASE WHEN NOT g_stop THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fail_stop,
+                 CAST(sum(CASE WHEN g_len AND g_wordlen AND g_alpha
+                   AND g_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          FROM g GROUP BY source ORDER BY source""",
+
+    "text_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, lang, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, lang, term, count(*) AS tf
+                 FROM e GROUP BY 1, 2, 3),
+          v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf_all,
+                       CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END)
+                         AS BIGINT) AS ctf_tgt
+                FROM tf GROUP BY 1),
+          n AS (SELECT CAST(sum(ctf_all) AS BIGINT) AS n_all,
+                       CAST(sum(ctf_tgt) AS BIGINT) AS n_tgt,
+                       CAST(count(*) AS BIGINT) AS v FROM v)
+          SELECT doc_id, lang,
+                 CAST(sum(tf * (
+                   (length(printf('%b', (n_all + v) // (ctf_all + 1))) - 1)
+                   - (length(printf('%b', (n_tgt + v) // (ctf_tgt + 1))) - 1)
+                 )) AS BIGINT) AS delta_bits,
+                 CAST(sum(tf) AS BIGINT) AS ntok
+          FROM tf JOIN v USING (term), n
+          GROUP BY doc_id, lang ORDER BY doc_id""",
+
+    "text_vocab_growth" ->
+      s"""WITH t AS (SELECT source, doc_id, $toks AS toks FROM documents),
+          r AS (SELECT source, doc_id, toks,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY doc_id) AS BIGINT) AS r
+                FROM t),
+          dh AS (SELECT source, (r + 15) // 16 AS ck,
+                        count(*) AS docs_in,
+                        CAST(sum(len(toks)) AS BIGINT) AS toks_in
+                 FROM r GROUP BY 1, 2),
+          fo AS (SELECT source, term, min(r) AS fo
+                 FROM (SELECT source, r, unnest(list_distinct(toks)) AS term
+                       FROM r)
+                 GROUP BY 1, 2),
+          vh AS (SELECT source, (fo + 15) // 16 AS ck,
+                        count(*) AS vocab_in
+                 FROM fo GROUP BY 1, 2)
+          SELECT dh.source, CAST(dh.ck AS BIGINT) AS ck,
+                 CAST(sum(docs_in) OVER pw AS BIGINT) AS docs_seen,
+                 CAST(sum(toks_in) OVER pw AS BIGINT) AS tokens_seen,
+                 CAST(sum(coalesce(vocab_in, 0)) OVER pw AS BIGINT)
+                   AS vocab_size
+          FROM dh LEFT JOIN vh ON dh.source = vh.source AND dh.ck = vh.ck
+          WINDOW pw AS (PARTITION BY dh.source ORDER BY dh.ck
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ORDER BY source, ck""",
   )
 }
