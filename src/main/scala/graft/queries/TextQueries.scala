@@ -1337,6 +1337,6 @@ object TextQueries extends Registry {
           FROM dh LEFT JOIN vh ON dh.source = vh.source AND dh.ck = vh.ck
           WINDOW pw AS (PARTITION BY dh.source ORDER BY dh.ck
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          ORDER BY source, ck""",
+          ORDER BY dh.source, dh.ck""",
   )
 }
