@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -24,20 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects. Sessions must set
-    * spark.sql.legacy.parquet.nanosAsLong=true (Verify/Bench/tests do); the
-    * loader then converts the raw nanos to a microsecond TIMESTAMP column.
+  /** events.ts has shipped in three parquet flavors across testdata
+    * regenerations: INT64 TIMESTAMP(NANOS) (read as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true, which Verify/Bench/tests
+    * set), INT64 micros with isAdjustedToUTC=false (read as TIMESTAMP_NTZ),
+    * and plain UTC micros (TimestampType). The loader normalizes all three
+    * to TimestampType so every downstream query/operator sees one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      // integer DIV, not `/`: Long `/` coerces to Double and the
-      // round-trip rounds-to-nearest, corrupting ~1.5% of timestamps by
-      // 1 us (and flipping whole seconds for ns just under a boundary);
-      // DuckDB truncates ns->us, so truncation is also what the oracle does
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV, not `/`: Long `/` coerces to Double and the
+        // round-trip rounds-to-nearest, corrupting ~1.5% of timestamps by
+        // 1 us (and flipping whole seconds for ns just under a boundary);
+        // DuckDB truncates ns->us, so truncation is also what the oracle does
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        // sessions pin spark.sql.session.timeZone=UTC, so NTZ -> TZ is a
+        // value-preserving reinterpretation of the same micros
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -171,11 +171,22 @@ object AsOfNative {
     require(!rightCols.contains(rightTs),
       s"rightTs $rightTs must not also be listed in rightCols")
 
+    // accept TIMESTAMP_NTZ timestamps (parquet micros with
+    // isAdjustedToUTC=false reads as NTZ): under the library's pinned UTC
+    // session timezone the cast reinterprets the same micros, so the
+    // operator is usable on either flavor without caller-side casts
+    def tzNorm(df: org.apache.spark.sql.DataFrame, ts: String) =
+      if (df.schema(ts).dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df.withColumn(ts, col(ts).cast(TimestampType))
+      else df
+    val lNorm = tzNorm(left, leftTs)
+    val rNorm = tzNorm(right, rightTs)
+
     // same null semantics as Joins.asOf: a right row with a null key or
     // null ts can never be "the latest prior match" — and the merge
     // contract requires it gone (null ts sorts first within its key and
     // would stall the pointer)
-    val rClean = right.filter(
+    val rClean = rNorm.filter(
       (col(rightTs).isNotNull +: keys.map(col(_).isNotNull))
         .reduce(_ && _))
     // fresh expr ids via aliases: makes self-joins (left and right carved
@@ -184,7 +195,7 @@ object AsOfNative {
     val rSel = rClean.select(
       (keys ++ (rightTs +: rightCols)).map(c => col(c).as(c)): _*)
 
-    val lPlan = shims.analyzed(left)
+    val lPlan = shims.analyzed(lNorm)
     val rPlan = shims.analyzed(rSel)
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
