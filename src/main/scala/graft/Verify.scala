@@ -14,6 +14,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet carries INT64 TIMESTAMP(NANOS); see Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench: build-time GraftExtensions beats the experimental slot
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

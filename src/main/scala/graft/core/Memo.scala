@@ -63,6 +63,16 @@ object Memo {
 
   private[core] def liveEntries: Int = cache.synchronized(cache.size())
 
+  /** Drop every memoized handle for `s` (used by Bench's outlier retry:
+    * a first run may have built a memoized intermediate, and re-timing
+    * with it warm would measure a cheaper plan than the history median
+    * the retry is compared against). Blocks are reclaimed asynchronously
+    * by the ContextCleaner once unreferenced. */
+  def clear(s: SparkSession): Unit = cache.synchronized {
+    val sid = System.identityHashCode(s)
+    cache.keySet().removeIf(_._1 == sid)
+  }
+
   private val done = TrieMap.empty[(Int, String), Unit]
 
   /** Run a side-effecting setup (e.g. writing a bucketed table copy) once

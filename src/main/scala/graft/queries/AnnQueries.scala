@@ -26,6 +26,19 @@ object AnnQueries extends Registry {
       Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
     }
 
+  /** The LSH-bucketed k=5 kNN graph, materialized once per (session, dir)
+    * — shared by ann_knn_graph_lsh and ann_knn_components_lsh. This is
+    * the 100 TB twin of [[knn5]]: candidate pairs come from sign-bit
+    * buckets (constant bucket size via Ann.autoBits) instead of all
+    * block pairs, so the similarity work is linear-ish in n. */
+  private def knn5Lsh(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Memo.dataFrame(s, s"knn_graph_lsh:$d:k=5") {
+      val c = Tables.embeddings(s, d)
+      Ann.knnGraphLsh(c, "vec_id", "embedding", k = 5,
+        bits = Ann.autoBits(c.count()))
+    }
+
   val defs: Map[String, QueryFn] = Map(
     "ann_brute_topk" -> ((s, d) =>
       Ann.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d),
@@ -63,11 +76,7 @@ object AnnQueries extends Registry {
     // The scale path for the same graph: LSH-bucketed candidate pairs
     // into the identical top-k reduction. Engine-internal hyperplanes →
     // rows-only driver check; AnnSpec bounds recall vs the exact graph.
-    "ann_knn_graph_lsh" -> ((s, d) => {
-      val c = Tables.embeddings(s, d)
-      Ann.knnGraphLsh(c, "vec_id", "embedding", k = 5,
-        bits = Ann.autoBits(c.count()))
-    }),
+    "ann_knn_graph_lsh" -> ((s, d) => knn5Lsh(s, d)),
 
     // Hard-negative mining for contrastive training: each probe's top-5
     // most-similar candidates whose LABEL DIFFERS — the "close but
@@ -107,6 +116,21 @@ object AnnQueries extends Registry {
     // ranking and a recursive closure.
     "ann_knn_components" -> ((s, d) => {
       val edges = knn5(s, d)
+        .filter(col("sim_bp") >= 2000)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      graft.operators.Dedup.components(edges, "src", "dst")
+        .select(col("doc_id").as("node"), col("component"))
+        .orderBy("node")
+    }),
+
+    // The same SemDeDup-style cluster composition over the LSH graph —
+    // the composition a 100 TB run would actually execute (the exact
+    // n² graph above is the audited baseline). Engine-internal
+    // hyperplanes → rows-only driver check; AnnSpec asserts cluster
+    // agreement vs the exact composition (pairs co-clustered exactly
+    // stay mostly co-clustered here).
+    "ann_knn_components_lsh" -> ((s, d) => {
+      val edges = knn5Lsh(s, d)
         .filter(col("sim_bp") >= 2000)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       graft.operators.Dedup.components(edges, "src", "dst")

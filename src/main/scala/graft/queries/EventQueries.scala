@@ -49,14 +49,22 @@ object EventQueries extends Registry {
     }),
 
     // HLL sketch distinct: at 100 TB you count distinct users with a
-    // bounded-memory sketch, not an exact shuffle of every key. No SQL
-    // oracle (HLL estimates are engine-specific); EventQueriesSpec bounds
-    // the estimate within 5% of exact.
+    // bounded-memory sketch, not an exact shuffle of every key. The raw
+    // estimate is engine-internal, so the hash-checked output is the
+    // exact distinct count plus an integer within-5% verdict computed
+    // AGAINST the sketch (rsd 1%, so 5% is generous) — the oracle
+    // asserts the verdict is 1, graduating the old rows-only check.
+    // The exact column is the verification yardstick, not the 100 TB
+    // plan; the sketch is what a production rollup would keep.
     "events_approx_distinct" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), rsd = 0.01)
-          .as("approx_users"))
+            .as("approx"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")) * 100
+            <= col("exact_users") * 5).cast("long").as("within_5pct"))
         .orderBy("event_type")),
 
     // MERGEABLE sketch rollup — the pre-aggregated distinct-count
@@ -65,18 +73,28 @@ object EventQueries extends Registry {
     // day sketches (hll_union_agg) without touching raw events again.
     // approx_count_distinct above answers one grouping; this relation
     // is reusable across all groupings that compose from days. Sketch
-    // binaries are engine-internal -> rows-only; EventQueriesSpec
-    // bounds each weekly estimate within 5% of exact.
+    // binaries are engine-internal, so the hash-checked output is the
+    // exact weekly distinct plus an integer within-5% verdict computed
+    // AGAINST the unioned day sketches (EventQueriesSpec keeps the
+    // tighter per-week bound); the exact column is the verification
+    // yardstick — the sketch union is the 100 TB answer path.
     "events_hll_weekly_rollup" -> ((s, d) => {
-      val daily = Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val daily = ev
         .groupBy(to_date(date_trunc("week", col("ts"))).as("week"),
           to_date(col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      daily.groupBy("week")
+      val weekly = daily.groupBy("week")
         .agg(count(lit(1)).as("n_days"),
           expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+      val exact = ev
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
         .select(col("week").cast("string").as("week"), col("n_days"),
-          col("est_users"))
+          col("exact_users"),
+          (abs(col("est_users") - col("exact_users")) * 100
+            <= col("exact_users") * 5).cast("long").as("within_5pct"))
         .orderBy("week")
     }),
 
@@ -770,6 +788,20 @@ object EventQueries extends Registry {
   }
 
   val oracles: Map[String, String] = Map(
+    // the within_5pct flag asserts the Spark HLL estimate landed within
+    // 5% of exact — DuckDB states the expected verdict, Spark earns it
+    "events_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                CAST(1 AS BIGINT) AS within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "events_hll_weekly_rollup" ->
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                count(DISTINCT ts::DATE) AS n_days,
+                count(DISTINCT user_id) AS exact_users,
+                CAST(1 AS BIGINT) AS within_5pct
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     "cdc_latest_state" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id

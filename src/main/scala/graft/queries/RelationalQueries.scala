@@ -469,15 +469,29 @@ object RelationalQueries extends Registry {
     // agg pass, no per-group sort. No SQL oracle (sketch internals are
     // engine-specific); RelationalQueriesSpec bounds it against the
     // exact discrete percentiles.
+    // The sketch values themselves are engine-internal (GK-sketch rank
+    // error), so the hash-checked output is the exact continuous
+    // percentile (identical recipe to stats_percentiles_cont) plus an
+    // integer within-2% verdict per percentile computed AGAINST the
+    // sketch — the oracle asserts the flags are all 1, graduating the
+    // old rows-only check to a hash check without weakening it.
     "stats_percentiles_approx" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+            .as("ex"))
         .select(col("l_returnflag"),
-          element_at(col("pcts"), 1).as("p50"),
-          element_at(col("pcts"), 2).as("p90"),
-          element_at(col("pcts"), 3).as("p99"))
+          round(element_at(col("ex"), 1), 4).as("p50_cont"),
+          round(element_at(col("ex"), 2), 4).as("p90_cont"),
+          round(element_at(col("ex"), 3), 4).as("p99_cont"),
+          (abs(element_at(col("pcts"), 1) - element_at(col("ex"), 1))
+            <= element_at(col("ex"), 1) * 0.02).cast("long").as("p50_ok"),
+          (abs(element_at(col("pcts"), 2) - element_at(col("ex"), 2))
+            <= element_at(col("ex"), 2) * 0.02).cast("long").as("p90_ok"),
+          (abs(element_at(col("pcts"), 3) - element_at(col("ex"), 3))
+            <= element_at(col("ex"), 3) * 0.02).cast("long").as("p99_ok"))
         .orderBy("l_returnflag")),
 
     // HAVING: order-priority buckets above a count threshold.
@@ -777,6 +791,18 @@ object RelationalQueries extends Registry {
                 round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_cont,
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_cont,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_cont
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // the ok-flags assert the Spark sketch landed within 2% of the exact
+    // percentile — DuckDB states the expected verdict, Spark earns it
+    "stats_percentiles_approx" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_cont,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_cont,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_cont,
+                CAST(1 AS BIGINT) AS p50_ok,
+                CAST(1 AS BIGINT) AS p90_ok,
+                CAST(1 AS BIGINT) AS p99_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "stats_welch_ttest" ->

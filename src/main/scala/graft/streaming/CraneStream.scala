@@ -122,4 +122,67 @@ object CraneStream {
       }
       .start()
   }
+
+  /** Bounded-SNAPSHOT top-K for high-cardinality key spaces (SURVEY §7.5's
+    * noted hard part; VERDICT r5 item 8) — the third point on the state/
+    * output trade-off:
+    *
+    *  - `start` (complete mode): snapshot work is O(all keys) EVERY
+    *    trigger — the aggregation re-emits the entire key space and
+    *    topK re-sorts it;
+    *  - `startUpdateMode`: triggers emit only changed keys, but the
+    *    merge-on-write snapshot still carries every key ever seen;
+    *  - this: per-key running counts live in `mapGroupsWithState` (the
+    *    same keyed state the aggregation would hold, checkpointed the
+    *    same way), triggers emit only changed (key, count) pairs, and
+    *    the sink keeps a K-ROW snapshot — per-trigger sink work is
+    *    O(changed + K) and stored bytes are O(K), independent of key
+    *    cardinality.
+    *
+    * Exactness under the bounded snapshot relies on counts being
+    * MONOTONE non-decreasing: the new top-K can only contain rows from
+    * (previous top-K ∪ this trigger's changed keys) — an unchanged key
+    * outside the old top-K was already beaten by all K of its rows and
+    * nothing shrank. The same argument is why the candidate union below
+    * never needs the full key space. Idempotent across restarts like
+    * `startUpdateMode`: a replayed batch merges against the newest
+    * version strictly below its own batchId and overwrites its own.
+    */
+  def startTopKBounded(lines: DataFrame, app: String, store: VersionedStore,
+                       checkpointDir: String, k: Int = 5,
+                       period: String = "10 seconds"): StreamingQuery = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark0 = lines.sparkSession
+    import spark0.implicits._
+    val key = StreamApps.keyCol(app)
+    val name = s"${app}_topk"
+    val updates = StreamApps.keyedRows(app)(lines)
+      .select(col(key).cast("string")).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (word, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (word, n)
+      }
+    updates.toDF(key, "count").writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(period))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prior = store.versions(spark, name).filter(_ < batchId)
+        val candidates =
+          if (prior.isEmpty) batch
+          else {
+            val prev = spark.read.parquet(
+              s"${store.root}/$name/version=${prior.last}")
+            // changed keys win on collision (their counts are newer)
+            prev.join(batch, Seq(key), "left_anti").unionByName(batch)
+          }
+        store.putVersion(name, batchId, StreamApps.topK(candidates, k))
+        ()
+      }
+      .start()
+  }
 }

@@ -30,27 +30,40 @@ object StreamApps {
   private def words(line: Column): Column =
     graft.functions.TextFunctions.tokens(line)
 
+  /** Each app's transform stage alone — line → 0..n single-column key
+    * rows, BEFORE the running count (the reference's `transform` emit,
+    * wordCount.go:75-84 / twitter.go:59-67 / hothttp.go:59-73). The
+    * aggregated `apps` build on these; the bounded-state top-K path
+    * (CraneStream.startTopKBounded) consumes them directly so its
+    * per-key state lives in mapGroupsWithState instead of a complete-
+    * mode aggregation. */
+  val keyedRows: Map[String, DataFrame => DataFrame] = Map(
+    "wordCount" -> (lines =>
+      lines.select(explode(words(col("value"))).as("word"))),
+    "twitter" -> (lines =>
+      lines.select(words(col("value")).as("f"))
+        .filter(size(col("f")) === 2)
+        .select(element_at(col("f"), 2).as("followee"))),
+    "hothttp" -> (lines =>
+      lines.filter(col("value").contains("200"))
+        .select(words(col("value")).as("f"))
+        .filter(size(col("f")) >= 10)
+        .select(element_at(col("f"), 7).as("resource"))),
+  )
+
   /** wordCount (server/wordCount.go): line → one row per word. */
   def wordCount(lines: DataFrame): DataFrame =
-    lines.select(explode(words(col("value"))).as("word"))
-      .groupBy("word").count()
+    keyedRows("wordCount")(lines).groupBy("word").count()
 
   /** twitter (server/twitter.go:59-67): edge line "follower followee" →
     * followee, dropping malformed lines (field count != 2). */
   def twitter(lines: DataFrame): DataFrame =
-    lines.select(words(col("value")).as("f"))
-      .filter(size(col("f")) === 2)
-      .select(element_at(col("f"), 2).as("followee"))
-      .groupBy("followee").count()
+    keyedRows("twitter")(lines).groupBy("followee").count()
 
   /** hothttp (server/hothttp.go:59-73): keep lines containing "200" with
     * >= 10 fields, key on field 7 (the requested resource; Go index 6). */
   def hothttp(lines: DataFrame): DataFrame =
-    lines.filter(col("value").contains("200"))
-      .select(words(col("value")).as("f"))
-      .filter(size(col("f")) >= 10)
-      .select(element_at(col("f"), 7).as("resource"))
-      .groupBy("resource").count()
+    keyedRows("hothttp")(lines).groupBy("resource").count()
 
   /** Distributed grep (server/querier.go): regex filter + per-file counts;
     * streaming form of the batch S4/T4/A3 operators. */

@@ -84,6 +84,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"kNN-graph LSH recall $recall")
   }
 
+  test("components over the LSH graph agree with the exact composition") {
+    // the registered 100 TB clustering path (ann_knn_components_lsh)
+    // must reproduce most of the exact composition's co-clustering
+    // decisions: of the node pairs the exact components place together,
+    // at least half stay together under the LSH graph (transitivity
+    // makes clusters more robust than individual edges, so edge recall
+    // >= 0.5 lower-bounds this too)
+    def comp(name: String): Map[Long, Long] =
+      graft.queries.AnnQueries.defs(name)(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = comp("ann_knn_components")
+    val ap = comp("ann_knn_components_lsh")
+    val exPairs = ex.keys.toSeq.combinations(2)
+      .collect { case Seq(a, b) if ex(a) == ex(b) => (a, b) }.toSeq
+    assert(exPairs.nonEmpty, "exact composition produced no co-clustered pairs")
+    val kept = exPairs.count { case (a, b) =>
+      ap.get(a).isDefined && ap.get(a) == ap.get(b) }
+    val agreement = kept.toDouble / exPairs.size
+    assert(agreement >= 0.5, s"co-cluster agreement $agreement")
+  }
+
   test("LSH top-k recall >= 0.5 vs brute force") {
     val lsh = neighborSet(Ann.lshTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (lsh intersect exact).size.toDouble / exact.size

