@@ -91,6 +91,14 @@ object DedupQueries extends Registry {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, numPerms = 32, bands = 8, threshold = 0.8)),
 
+    // The oracle-checkable MinHash twin: md5-derived permutations replay
+    // bit-for-bit in DuckDB (dedup_minhash_lsh's seeded in-JVM hashes
+    // are the faster engine path; this one proves the banded-LSH
+    // semantics end-to-end against SQL).
+    "dedup_minhash_det" -> ((s, d) =>
+      Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerms = 16, rowsPerBand = 4)),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
@@ -420,7 +428,37 @@ object DedupQueries extends Registry {
           WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)
           ORDER BY doc_a, doc_b""",
 
-    // dedup_minhash_lsh, dedup_simhash: engine-internal hashes — rows-only.
+    // dedup_minhash_lsh, dedup_simhash: engine-internal hashes — rows-only
+    // (dedup_minhash_det below is the hash-checked twin of the former).
+
+    "dedup_minhash_det" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS shingle
+                 FROM t),
+          mh AS (SELECT doc_id, p,
+                   min(CAST(('0x' || substring(
+                     md5(p::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT))
+                     AS mh
+                 FROM sh, range(0, 16) r(p) GROUP BY doc_id, p),
+          bands AS (SELECT doc_id, p // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+                    FROM mh GROUP BY doc_id, p // 4),
+          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS bands_hit
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+          SELECT doc_a, doc_b, bands_hit,
+                 CAST(625 * count(*) FILTER (x.mh = y.mh) AS BIGINT)
+                   AS est_bp
+          FROM cand
+          JOIN mh x ON doc_a = x.doc_id
+          JOIN mh y ON doc_b = y.doc_id AND x.p = y.p
+          GROUP BY 1, 2, 3 ORDER BY doc_a, doc_b""",
 
     "dedup_components" ->
       s"""WITH RECURSIVE $closureCtes

@@ -113,6 +113,44 @@ class DedupSpec extends SparkSpec {
         s"LSH recall ${lsh.size}/${exact.size} below 0.8")
   }
 
+  test("deterministic minhash: exact dups fully matched, estimates track Jaccard") {
+    import spark.implicits._
+    val det = Dedup.minhashDetPairs(docs, "doc_id", "text",
+      n = 3, numPerms = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // identical shingle sets => identical signatures => all 4 bands hit
+    // and a 10000 bp estimate; every same-text pair must surface
+    val sameText = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    sameText.foreach { p =>
+      det.get(p) match {
+        case Some((bands, est)) =>
+          bands shouldBe 4L
+          est shouldBe 10000L
+        case None => fail(s"exact-dup pair $p missing from det minhash")
+      }
+    }
+    // candidates with a high estimate must be real near-dups: spot-check
+    // that >= 9000 bp estimates correspond to >= 0.5 true Jaccard (the
+    // estimator has 16-perm variance; this is a sanity bound, the oracle
+    // pins the exact arithmetic)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    det.filter(_._2._2 >= 9000).keys.foreach { p =>
+      assert(exact.contains(p),
+        s"pair $p estimated >= 0.9 but true Jaccard < 0.5")
+    }
+    // determinism: a second run yields the identical relation
+    val again = Dedup.minhashDetPairs(docs, "doc_id", "text",
+      n = 3, numPerms = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    again shouldBe det
+  }
+
   test("simhash finds all exact-duplicate pairs (Hamming 0)") {
     import spark.implicits._
     val dupIds = Dedup.exactGroups(docs, "doc_id", "text")
