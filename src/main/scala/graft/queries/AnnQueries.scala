@@ -58,6 +58,53 @@ object AnnQueries extends Registry {
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
+    // The oracle-checkable LSH twin (ann_lsh_topk's seeded hyperplanes
+    // are engine-internal; this pins the bucketed-ANN semantics against
+    // SQL): 6 Rademacher hyperplanes whose per-dimension sign is an md5
+    // bit (md5(p ":" dim) first hex >= '8' -> +1), dot products in
+    // integer micro-units (floor(x*1e6+0.5)) so the sign decision is
+    // exact integer arithmetic with no accumulation-order drift, bucket
+    // = the 6-bit sign word, then exact integer-bp cosine top-5 among
+    // co-bucketed candidates. Fixed 6 bits is the ORACLE parameter —
+    // the registered 100 TB path stays ann_lsh_topk with autoBits.
+    "ann_lsh_det_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val P = 6
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dots = e
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+        .select(col("vec_id"), col("dim"), col("xi"),
+          explode(sequence(lit(0), lit(P - 1))).as("p"))
+        .withColumn("sgnxi",
+          when(substring(md5(concat(col("p").cast("string"), lit(":"),
+            col("dim").cast("string"))), 1, 1) >= "8", col("xi"))
+            .otherwise(-col("xi")))
+        .groupBy("vec_id", "p").agg(sum("sgnxi").as("dot"))
+      val buckets = dots.groupBy("vec_id")
+        .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
+          ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
+      val withB = e.join(buckets, "vec_id")
+      val q = withB.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("bucket"))
+      val c = withB.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+        col("bucket"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim_bp").desc, col("cand_id").asc)
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("sim_bp",
+          round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+            .cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Product-quantization ADC search (Ann.pqTopK): the memory-bound
     // scale path — 8 nibble codes per vector instead of 64 floats, m
     // LUT lookups per pair instead of a dot product, exact-cosine
@@ -300,6 +347,38 @@ object AnnQueries extends Registry {
 
     // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
     // rows-only driver check; recall vs brute force asserted in ScalaTest.
+    // ann_lsh_det_topk below is the hash-checked twin of the former.
+
+    "ann_lsh_det_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) r(i) WHERE i <= len(v)),
+          pl AS (SELECT vec_id, p,
+                   sum(CASE WHEN substring(
+                         md5(p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+                         >= '8' THEN xi ELSE -xi END) AS dot
+                 FROM d, range(0, 6) r(p) GROUP BY vec_id, p),
+          b AS (SELECT vec_id,
+                  sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS bucket
+                FROM pl GROUP BY vec_id),
+          q AS (SELECT e.vec_id AS query_id, v AS qv, bucket
+                FROM e JOIN b USING (vec_id) WHERE e.vec_id % 50 = 0),
+          c AS (SELECT e.vec_id AS cand_id, v AS cv, bucket
+                FROM e JOIN b USING (vec_id)),
+          r AS (SELECT query_id, cand_id,
+                  CAST(round(list_cosine_similarity(qv, cv) * 10000)
+                    AS BIGINT) AS sim_bp,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY CAST(round(list_cosine_similarity(qv, cv)
+                      * 10000) AS BIGINT) DESC, cand_id ASC) AS rank
+                FROM q JOIN c USING (bucket)
+                WHERE query_id <> cand_id)
+          SELECT query_id, rank, cand_id, sim_bp
+          FROM r WHERE rank <= 5
+          ORDER BY query_id, rank""",
 
     "ann_knn_components" ->
       """WITH RECURSIVE

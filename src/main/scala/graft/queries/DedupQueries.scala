@@ -103,6 +103,12 @@ object DedupQueries extends Registry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
 
+    // The oracle-checkable SimHash twin (md5-derived 32-bit signatures;
+    // dedup_simhash's codegen'd simhash64 stays the fast engine path).
+    "dedup_simhash_det" -> ((s, d) =>
+      Dedup.simhashDetPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)),
+
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.2)),
@@ -429,7 +435,32 @@ object DedupQueries extends Registry {
           ORDER BY doc_a, doc_b""",
 
     // dedup_minhash_lsh, dedup_simhash: engine-internal hashes — rows-only
-    // (dedup_minhash_det below is the hash-checked twin of the former).
+    // (dedup_minhash_det / dedup_simhash_det are the hash-checked twins).
+
+    "dedup_simhash_det" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          th AS (SELECT doc_id,
+                   CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+                 FROM tok),
+          bits AS (SELECT doc_id, j,
+                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS s
+                   FROM th, range(0, 60) r(j) GROUP BY doc_id, j),
+          sg AS (SELECT doc_id,
+                   sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                       ELSE 0 END) AS sig
+                 FROM bits GROUP BY doc_id),
+          banded AS (SELECT doc_id, sig, b AS band,
+                       (sig >> (b * 15)) & 32767 AS bv
+                     FROM sg, range(0, 4) r(b)),
+          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      bit_count(xor(a.sig, b.sig)) AS hamming
+                    FROM banded a JOIN banded b
+                      ON a.band = b.band AND a.bv = b.bv
+                        AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+          FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
 
     "dedup_minhash_det" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

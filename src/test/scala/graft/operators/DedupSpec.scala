@@ -162,6 +162,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("deterministic simhash: exact dups at Hamming 0; relation reproducible") {
+    import spark.implicits._
+    val det = Dedup.simhashDetPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical text => identical frequency-weighted votes => identical
+    // signature: every same-text pair must surface at Hamming 0
+    val sameText = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().groupBy(_._2).values.filter(_.length >= 2)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    sameText.foreach { p =>
+      det.get(p) match {
+        case Some(h) => h shouldBe 0L
+        case None => fail(s"exact-dup pair $p missing from det simhash")
+      }
+    }
+    val again = Dedup.simhashDetPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    again shouldBe det
+  }
+
   test("contaminatedDocs flags exactly the docs sharing an 8-gram with eval") {
     import graft.functions.{TextFunctions => TF}
     val eval = docs.filter(col("doc_id") % 10 === 0)
