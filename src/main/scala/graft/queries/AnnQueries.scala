@@ -212,6 +212,40 @@ object AnnQueries extends Registry {
         .orderBy("query_id", "cand_id")
     }),
 
+    // Dimension-pair covariance of the embedding cloud — the whitening /
+    // PCA-prep / drift-detection primitive a training pipeline runs
+    // before transforming embeddings. Coordinates snap to integer
+    // micro-units FIRST (floor(x*1e6+0.5)), so the sufficient statistics
+    // (n, Σxa, Σxb, Σxaxb) are exact integers with no accumulation-order
+    // drift, and the final covariance divides identical operands in
+    // identical order on both engines. Plan: one exploded (vec, dim, xi)
+    // relation self-joined on vec_id (64 rows a side per key), partial-
+    // aggregated to the dim x dim upper triangle (2,080 rows at d=64) —
+    // the shuffle carries the triangle, not the outer products.
+    "embed_covariance" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+      val a = dims.select(col("vec_id"), col("dim").as("dim_a"),
+        col("xi").as("xa"))
+      val b = dims.select(col("vec_id"), col("dim").as("dim_b"),
+        col("xi").as("xb"))
+      a.join(b, Seq("vec_id")).filter(col("dim_a") <= col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
+          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"))
+        .select(col("dim_a").cast("long").as("dim_a"),
+          col("dim_b").cast("long").as("dim_b"),
+          floor(col("sxy").cast("double") / col("n")
+            - (col("sx").cast("double") / col("n"))
+              * (col("sy").cast("double") / col("n"))).cast("long")
+            .as("cov_u"))
+        .orderBy("dim_a", "dim_b")
+    }),
+
     // Int8 quantization summarized per vector in integers (scale in
     // micro-units, sum/min/max of the quantized codes) — the oracle
     // replays the exact floor(+0.5) arithmetic.
@@ -379,6 +413,19 @@ object AnnQueries extends Registry {
           SELECT query_id, rank, cand_id, sim_bp
           FROM r WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    "embed_covariance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) r(i) WHERE i <= len(v))
+          SELECT a.dim AS dim_a, b.dim AS dim_b,
+                 CAST(floor(sum(a.xi * b.xi)::DOUBLE / count(*)
+                   - (sum(a.xi)::DOUBLE / count(*))
+                     * (sum(b.xi)::DOUBLE / count(*))) AS BIGINT) AS cov_u
+          FROM d a JOIN d b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "ann_knn_components" ->
       """WITH RECURSIVE

@@ -105,6 +105,17 @@ class AnnSpec extends SparkSpec {
     assert(agreement >= 0.5, s"co-cluster agreement $agreement")
   }
 
+  test("embed_covariance: diagonal entries are non-negative variances") {
+    val cov = graft.queries.AnnQueries.defs("embed_covariance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val d = 64
+    cov.size shouldBe d * (d + 1) / 2
+    (0 until d).foreach { i =>
+      assert(cov((i.toLong, i.toLong)) >= 0L,
+        s"variance of dim $i negative: ${cov((i.toLong, i.toLong))}")
+    }
+  }
+
   test("LSH top-k recall >= 0.5 vs brute force") {
     val lsh = neighborSet(Ann.lshTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (lsh intersect exact).size.toDouble / exact.size
