@@ -167,6 +167,26 @@ object ScaleTrend {
     }
     def pq(e: DataFrame) =
       Ann.pqTopK(e, annQ(e), "vec_id", "embedding", k = 10)
+    def minhashDet(d: DataFrame) =
+      Dedup.minhashDetPairs(d, "doc_id", "text", n = 3, numPerms = 16,
+        rowsPerBand = 4)
+    def simhashDet(d: DataFrame) =
+      Dedup.simhashDetPairs(d, "doc_id", "text", maxHamming = 3)
+    def covariance(e: DataFrame) = {
+      val dims = e
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+      dims.select(col("vec_id"), col("dim").as("dim_a"), col("xi").as("xa"))
+        .join(dims.select(col("vec_id"), col("dim").as("dim_b"),
+          col("xi").as("xb")), Seq("vec_id"))
+        .filter(col("dim_a") <= col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
+          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"))
+    }
     def rangeCosine(e: DataFrame) =
       e.select(col("vec_id").as("cand_id"),
           col("embedding").cast("array<double>").as("cv"))
@@ -183,7 +203,8 @@ object ScaleTrend {
     Seq(jaccard(wd), minhash(wd), simhash(wd), cosine(we), brute(we),
       lsh(we), ivf(we), asofComposed(wv), asofNative(wv), cdc(wd),
       heavyTokens(wd), cosLsh(we), cdcBytes(wd), postings(wd),
-      contamination(wd), rangeCosine(we), pq(we))
+      contamination(wd), rangeCosine(we), pq(we), minhashDet(wd),
+      simhashDet(wd), covariance(we))
       .foreach(df => try df.count() catch { case _: Throwable => () })
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
@@ -204,7 +225,10 @@ object ScaleTrend {
         ("text_postings", docInputs, postings),
         ("dedup_contamination", docInputs, contamination),
         ("ann_range_cosine", embInputs, rangeCosine),
-        ("ann_pq_topk", embInputs, pq))
+        ("ann_pq_topk", embInputs, pq),
+        ("dedup_minhash_det", docInputs, minhashDet),
+        ("dedup_simhash_det", docInputs, simhashDet),
+        ("embed_covariance", embInputs, covariance))
 
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")

@@ -246,6 +246,62 @@ object AnnQueries extends Registry {
         .orderBy("dim_a", "dim_b")
     }),
 
+    // Top principal direction of the embedding cloud by POWER ITERATION
+    // over the integer covariance matrix — the eigen-step behind
+    // whitening / PCA-pruning / drift monitors, made oracle-checkable:
+    // every iterate is exact integer arithmetic (matrix-vector products
+    // over the micro-unit covariance, then a sign-split truncating
+    // rescale back to ~1e6 max — sign-split because Spark DIV truncates
+    // toward zero while DuckDB // floors, and the two disagree on
+    // negatives). 6 fixed iterations from the all-ones vector is a
+    // deterministic function, not a convergence loop, so both engines
+    // produce the identical vector. At 100 TB the heavy part is the
+    // covariance reduction (embed_covariance); the 64x64 iteration
+    // itself is trivially small — production would collect it to the
+    // driver, the declarative form here is what makes it replayable.
+    "embed_pca_power" -> ((s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+      val tri = dims
+        .select(col("vec_id"), col("dim").as("dim_a"), col("xi").as("xa"))
+        .join(dims.select(col("vec_id"), col("dim").as("dim_b"),
+          col("xi").as("xb")), Seq("vec_id"))
+        .filter(col("dim_a") <= col("dim_b"))
+        .groupBy("dim_a", "dim_b")
+        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
+          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"))
+        .select(col("dim_a"), col("dim_b"),
+          floor(col("sxy").cast("double") / col("n")
+            - (col("sx").cast("double") / col("n"))
+              * (col("sy").cast("double") / col("n"))).cast("long")
+            .as("a"))
+      val full = tri.select(col("dim_a").as("i"), col("dim_b").as("j"),
+          col("a"))
+        .unionByName(tri.filter(col("dim_a") =!= col("dim_b"))
+          .select(col("dim_b").as("i"), col("dim_a").as("j"), col("a")))
+      // iterate at max |v| ~ 1e5, not 1e6: u_i sums 64 terms of
+      // |a|*|v| <= ~1e12 * 1e5, keeping the worst case inside Long
+      val v0 = full.select(col("i").as("dim")).distinct()
+        .select(col("dim"), lit(100000L).as("v"))
+      val vK = (1 to 6).foldLeft(v0) { (v, _) =>
+        val u = full.join(v.select(col("dim").as("jd"), col("v")),
+            col("j") === col("jd"))
+          .groupBy("i").agg(sum(col("a") * col("v")).as("u"))
+        val scale = u.agg(max(abs(col("u"))).as("m"))
+          .select(expr("CAST((m + 99999) DIV 100000 AS BIGINT)").as("s"))
+        u.crossJoin(scale)
+          .select(col("i").as("dim"),
+            expr("CASE WHEN u < 0 THEN -(CAST(abs(u) AS BIGINT) DIV s) " +
+              "ELSE CAST(u AS BIGINT) DIV s END").as("v"))
+      }
+      vK.select(col("dim").cast("long").as("dim"), col("v"))
+        .orderBy("dim")
+    }),
+
     // Int8 quantization summarized per vector in integers (scale in
     // micro-units, sum/min/max of the quantized codes) — the oracle
     // replays the exact floor(+0.5) arithmetic.
@@ -328,6 +384,46 @@ object AnnQueries extends Registry {
         .orderBy("query_id")
     }),
   )
+
+  /** Six unrolled power-iteration steps as CTEs (the Spark side is the
+    * same fixed-step fold). Sign-split `//` keeps division semantics
+    * identical (Spark DIV truncates, DuckDB // floors — operands here
+    * are always non-negative). Sums are cast back to BIGINT because
+    * DuckDB widens sum(BIGINT) to HUGEINT, which pandas would render
+    * as float and break the value-hash compare. */
+  private val pcaPowerSql: String = {
+    val base =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) r(i) WHERE i <= len(v)),
+          tri AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+                    CAST(floor(sum(a.xi * b.xi)::DOUBLE / count(*)
+                      - (sum(a.xi)::DOUBLE / count(*))
+                        * (sum(b.xi)::DOUBLE / count(*))) AS BIGINT) AS a
+                  FROM d a JOIN d b
+                    ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                  GROUP BY 1, 2),
+          mat AS (SELECT dim_a AS i, dim_b AS j, a FROM tri
+                  UNION ALL
+                  SELECT dim_b, dim_a, a FROM tri WHERE dim_a <> dim_b),
+          v0 AS (SELECT DISTINCT i AS dim, CAST(100000 AS BIGINT) AS v
+                 FROM mat)"""
+    val iters = (1 to 6).map { k =>
+      s"""u$k AS (SELECT mat.i, CAST(sum(mat.a * p.v) AS BIGINT) AS u
+                  FROM mat JOIN v${k - 1} p ON mat.j = p.dim
+                  GROUP BY mat.i),
+          s$k AS (SELECT CAST((max(abs(u)) + 99999) // 100000 AS BIGINT)
+                    AS s FROM u$k),
+          v$k AS (SELECT i AS dim,
+                    CAST(CASE WHEN u < 0 THEN -(abs(u) // s)
+                         ELSE u // s END AS BIGINT) AS v
+                  FROM u$k, s$k)"""
+    }.mkString(",\n")
+    base + ",\n" + iters +
+      "\nSELECT dim, v FROM v6 ORDER BY dim"
+  }
 
   val oracles: Map[String, String] = Map(
     "ann_brute_topk" ->
@@ -413,6 +509,8 @@ object AnnQueries extends Registry {
           SELECT query_id, rank, cand_id, sim_bp
           FROM r WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    "embed_pca_power" -> pcaPowerSql,
 
     "embed_covariance" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
