@@ -90,6 +90,55 @@ object TextQueries extends Registry {
     "text_tfidf" -> ((s, d) =>
       graft.operators.Corpus.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
+    // Okapi BM25 retrieval (k1=1.2, b=0.75): the eval split (doc_id%20=0,
+    // the contamination-family query set) retrieves top-5 train docs —
+    // the RAG / retrieval-eval primitive over the postings the tfidf
+    // family already builds. Float parity discipline: every per-(query,
+    // doc, term) contribution is computed with the identical operand
+    // order on both engines, then snapped to integer micro-units
+    // (floor(c*1e6+0.5)) BEFORE the per-pair sum, so the score
+    // aggregation is exact integer arithmetic with no float-accumulation
+    // -order hazard, and ranking compares integers. Plan shape: postings
+    // join (query terms x per-term postings), partial-aggregated to
+    // (query, doc) scores; df/length/avgdl are broadcast-scale side
+    // relations. At 100 TB the same shape runs off the sharded postings
+    // (text_postings) with high-df terms blocked.
+    "text_bm25_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      val train = toks.filter(col("doc_id") % 20 =!= 0)
+      val tf = train.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dlen = train.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dlen.agg(count(lit(1)).as("n_docs"),
+        sum("len").as("tot_len"))
+      val qterms = toks.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("query_id"), col("term")).distinct()
+      val contrib = qterms.join(tf, "term")
+        .join(dlen, "doc_id")
+        .join(broadcast(dfr), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("norm", lit(1.2) * (lit(0.25)
+          + lit(0.75) * col("len").cast("double")
+            / (col("tot_len").cast("double") / col("n_docs"))))
+        .withColumn("c_u",
+          floor(col("idf") * (col("tf").cast("double") * lit(2.2))
+            / (col("tf").cast("double") + col("norm"))
+            * 1000000.0 + 0.5).cast("long"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_u").desc, col("doc_id").asc)
+      contrib.groupBy("query_id", "doc_id")
+        .agg(sum("c_u").as("score_u"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_u"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Intra-document repetition (RefinedWeb-style quality signal): the
     // most-repeated bigram's share of all bigrams. Non-distinct bigrams
     // via transform over positions (shingles() dedups, so not usable).
@@ -742,6 +791,44 @@ object TextQueries extends Registry {
                  round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
           FROM tf JOIN dfr USING (term), n
           ORDER BY doc_id, term""",
+
+    // contribution arithmetic mirrors the Spark expression operand-for-
+    // operand; integer-column operands are cast to DOUBLE before any
+    // decimal literal touches them (DuckDB decimal x integer is exact
+    // decimal arithmetic, which would diverge from Spark's doubles)
+    "text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          train AS (SELECT * FROM e WHERE doc_id % 20 <> 0),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM train GROUP BY 1, 2),
+          dlen AS (SELECT doc_id, count(*) AS len FROM train GROUP BY 1),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs, sum(len) AS tot_len
+                    FROM dlen),
+          q AS (SELECT DISTINCT doc_id AS query_id, term
+                FROM e WHERE doc_id % 20 = 0),
+          contrib AS (
+            SELECT q.query_id, tf.doc_id,
+              CAST(floor(
+                ln((n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1)
+                * (tf::DOUBLE * 2.2)
+                / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE
+                    / (tot_len::DOUBLE / n_docs)))
+                * 1000000 + 0.5) AS BIGINT) AS c_u
+            FROM q JOIN tf USING (term)
+            JOIN dlen ON tf.doc_id = dlen.doc_id
+            JOIN dfr USING (term), stats),
+          scores AS (SELECT query_id, doc_id,
+                       CAST(sum(c_u) AS BIGINT) AS score_u
+                     FROM contrib GROUP BY 1, 2),
+          ranked AS (SELECT query_id, doc_id, score_u,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_u DESC, doc_id ASC) AS rank
+                     FROM scores)
+          SELECT query_id, rank, doc_id, score_u
+          FROM ranked WHERE rank <= 5
+          ORDER BY query_id, rank""",
 
     "text_pack_bins" ->
       s"""WITH t AS (SELECT source, doc_id, len($toks)::BIGINT AS ntok
