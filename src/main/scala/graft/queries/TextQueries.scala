@@ -115,7 +115,10 @@ object TextQueries extends Registry {
         sum("len").as("tot_len"))
       val qterms = toks.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("query_id"), col("term")).distinct()
-      val contrib = qterms.join(tf, "term")
+      // qterms broadcasts (eval split x small vocab): a shuffle join on
+      // `term` would hash ~31 distinct keys over the partitions — pure
+      // skew; broadcasting keeps the big postings side un-shuffled
+      val contrib = tf.join(broadcast(qterms), "term")
         .join(dlen, "doc_id")
         .join(broadcast(dfr), "term")
         .crossJoin(broadcast(stats))
