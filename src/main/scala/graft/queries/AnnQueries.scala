@@ -279,10 +279,16 @@ object AnnQueries extends Registry {
             - (col("sx").cast("double") / col("n"))
               * (col("sy").cast("double") / col("n"))).cast("long")
             .as("a"))
+      // localCheckpoint the 64x64 matrix and each 64-row iterate: u is
+      // referenced twice per step (by the rescale and the product), so
+      // without truncation the lineage doubles every iteration and v6's
+      // plan would re-derive the covariance reduction ~2^6 times
+      // (measured 11.4 s at sf0.1; ~1 s truncated)
       val full = tri.select(col("dim_a").as("i"), col("dim_b").as("j"),
           col("a"))
         .unionByName(tri.filter(col("dim_a") =!= col("dim_b"))
           .select(col("dim_b").as("i"), col("dim_a").as("j"), col("a")))
+        .localCheckpoint()
       // iterate at max |v| ~ 1e5, not 1e6: u_i sums 64 terms of
       // |a|*|v| <= ~1e12 * 1e5, keeping the worst case inside Long
       val v0 = full.select(col("i").as("dim")).distinct()
@@ -291,6 +297,7 @@ object AnnQueries extends Registry {
         val u = full.join(v.select(col("dim").as("jd"), col("v")),
             col("j") === col("jd"))
           .groupBy("i").agg(sum(col("a") * col("v")).as("u"))
+          .localCheckpoint()
         val scale = u.agg(max(abs(col("u"))).as("m"))
           .select(expr("CAST((m + 99999) DIV 100000 AS BIGINT)").as("s"))
         u.crossJoin(scale)

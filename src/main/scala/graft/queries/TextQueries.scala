@@ -115,10 +115,10 @@ object TextQueries extends Registry {
         sum("len").as("tot_len"))
       val qterms = toks.filter(col("doc_id") % 20 === 0)
         .select(col("doc_id").as("query_id"), col("term")).distinct()
-      // qterms broadcasts (eval split x small vocab): a shuffle join on
-      // `term` would hash ~31 distinct keys over the partitions — pure
-      // skew; broadcasting keeps the big postings side un-shuffled
-      val contrib = tf.join(broadcast(qterms), "term")
+      // the contribution is QUERY-INDEPENDENT (idf x tf-norm), so it is
+      // computed once per (doc, term) posting — the ln and divisions run
+      // over the postings relation, not the (query x doc x term) fan-out
+      val contribDt = tf
         .join(dlen, "doc_id")
         .join(broadcast(dfr), "term")
         .crossJoin(broadcast(stats))
@@ -132,9 +132,14 @@ object TextQueries extends Registry {
           floor(col("idf") * (col("tf").cast("double") * lit(2.2))
             / (col("tf").cast("double") + col("norm"))
             * 1000000.0 + 0.5).cast("long"))
+        .select("doc_id", "term", "c_u")
+      // qterms broadcasts (eval split x small vocab): a shuffle join on
+      // `term` would hash ~31 distinct keys over the partitions — pure
+      // skew; broadcasting keeps the big postings side un-shuffled
       val w = Window.partitionBy("query_id")
         .orderBy(col("score_u").desc, col("doc_id").asc)
-      contrib.groupBy("query_id", "doc_id")
+      contribDt.join(broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
         .agg(sum("c_u").as("score_u"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
