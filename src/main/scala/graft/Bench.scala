@@ -125,13 +125,19 @@ object Bench {
     }
     var retried = List.empty[String]
     val results = selected.map { case (name, fn) =>
+      val memoBefore = graft.core.Memo.keys(spark)
       val first = timeOnce(name, fn)
       val med = historyMedian.get(name)
       val dt =
         if (retryEnabled && first > 0 && med.exists(m => first > 2 * m)) {
-          // memoized intermediates would make the retry measure a
-          // different (cheaper) plan — drop them first
-          graft.core.Memo.clear(spark)
+          // if the first run BUILT memoized intermediates, the retry
+          // would read them warm and measure a cheaper plan than the
+          // history median it is compared against — drop exactly those
+          // (and only those: clearing the whole session memo made one
+          // noisy query cascade cold rebuilds into every later memo
+          // consumer, distorting the record the retry exists to protect)
+          graft.core.Memo.clearKeys(spark,
+            graft.core.Memo.keys(spark) -- memoBefore)
           val second = timeOnce(name, fn)
           if (second > 0) {
             retried ::= name

@@ -172,21 +172,8 @@ object ScaleTrend {
         rowsPerBand = 4)
     def simhashDet(d: DataFrame) =
       Dedup.simhashDetPairs(d, "doc_id", "text", maxHamming = 3)
-    def covariance(e: DataFrame) = {
-      val dims = e
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim"),
-          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
-      dims.select(col("vec_id"), col("dim").as("dim_a"), col("xi").as("xa"))
-        .join(dims.select(col("vec_id"), col("dim").as("dim_b"),
-          col("xi").as("xb")), Seq("vec_id"))
-        .filter(col("dim_a") <= col("dim_b"))
-        .groupBy("dim_a", "dim_b")
-        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
-          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"))
-    }
+    def covariance(e: DataFrame) =
+      Ann.covarianceStats(e, "vec_id", "embedding")
     def rangeCosine(e: DataFrame) =
       e.select(col("vec_id").as("cand_id"),
           col("embedding").cast("array<double>").as("cv"))

@@ -63,15 +63,27 @@ object Memo {
 
   private[core] def liveEntries: Int = cache.synchronized(cache.size())
 
-  /** Drop every memoized handle for `s` (used by Bench's outlier retry:
-    * a first run may have built a memoized intermediate, and re-timing
-    * with it warm would measure a cheaper plan than the history median
-    * the retry is compared against). Blocks are reclaimed asynchronously
-    * by the ContextCleaner once unreferenced. */
-  def clear(s: SparkSession): Unit = cache.synchronized {
+  /** Keys currently memoized for `s` (Bench snapshots these around each
+    * timed query to find what the query built). */
+  def keys(s: SparkSession): Set[String] = cache.synchronized {
     val sid = System.identityHashCode(s)
-    cache.keySet().removeIf(_._1 == sid)
+    scala.jdk.CollectionConverters.SetHasAsScala(cache.keySet()).asScala
+      .collect { case (`sid`, k) => k }.toSet
   }
+
+  /** Drop exactly `which` for `s` — Bench's outlier retry clears only
+    * the entries the retried query itself built, so a memo-building
+    * query re-measures its honest cold cost WITHOUT also evicting
+    * intermediates that unrelated later queries' history medians assume
+    * warm (a whole-session clear made one noisy query cascade cold
+    * rebuilds into every subsequent memo consumer). Blocks are
+    * reclaimed asynchronously by the ContextCleaner once
+    * unreferenced. */
+  def clearKeys(s: SparkSession, which: Set[String]): Unit =
+    cache.synchronized {
+      val sid = System.identityHashCode(s)
+      which.foreach(k => cache.remove((sid, k)))
+    }
 
   private val done = TrieMap.empty[(Int, String), Unit]
 

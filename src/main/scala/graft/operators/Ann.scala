@@ -443,6 +443,46 @@ object Ann {
         }.as("sq"))
       .select(col(idCol), col("sq.scale").as("scale"), col("sq.q").as("q"))
 
+  /** Upper-triangle covariance sufficient statistics of an embedding
+    * cloud: (dim_a, dim_b, n, sx, sy, sxy) with coordinates snapped to
+    * integer micro-units (floor(x*1e6+0.5)) first, so the statistics are
+    * exact and engine-portable. Sums go through DECIMAL(38,0): xi is up
+    * to ~1e6 so xa*xb is up to ~1e12 per row, and a LongType sum would
+    * silently wrap past 2^63 at ~9M vectors — exactly the scale the
+    * operator exists for; Spark's 128-bit decimal sum matches DuckDB's
+    * HUGEINT widening (both convert the exact integer to the same
+    * nearest double downstream). Plan: one exploded (vec, dim, xi)
+    * relation self-joined on vec_id (d rows a side per key), partial-
+    * aggregated to the d x d upper triangle before the shuffle. */
+  def covarianceStats(embs: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    val dims = spread(embs)
+      .select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+    dims.select(col("vec_id"), col("dim").as("dim_a"), col("xi").as("xa"))
+      .join(dims.select(col("vec_id"), col("dim").as("dim_b"),
+        col("xi").as("xb")), Seq("vec_id"))
+      .filter(col("dim_a") <= col("dim_b"))
+      .groupBy("dim_a", "dim_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa").cast("decimal(38,0)")).as("sx"),
+        sum(col("xb").cast("decimal(38,0)")).as("sy"),
+        sum((col("xa") * col("xb")).cast("decimal(38,0)")).as("sxy"))
+  }
+
+  /** [[covarianceStats]] reduced to the floored covariance in micro-unit²
+    * (the shared input of embed_covariance and embed_pca_power). */
+  def covarianceTri(embs: DataFrame, idCol: String,
+                    vecCol: String): DataFrame =
+    covarianceStats(embs, idCol, vecCol)
+      .select(col("dim_a"), col("dim_b"),
+        floor(col("sxy").cast("double") / col("n")
+          - (col("sx").cast("double") / col("n"))
+            * (col("sy").cast("double") / col("n"))).cast("long")
+          .as("cov_u"))
+
   /** Per-group centroids of an embedding column, in long form
     * (group, dim, c): the distributed reduction that builds an IVF coarse
     * quantizer (or audits cluster drift) over the full corpus, not a

@@ -26,6 +26,16 @@ object AnnQueries extends Registry {
       Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
     }
 
+  /** Integer covariance triangle (Ann.covarianceTri), materialized once
+    * per (session, dir) — shared by embed_covariance and
+    * embed_pca_power (the latter's six iterations would otherwise
+    * re-derive the reduction). */
+  private def covTri(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Memo.dataFrame(s, s"cov_tri:$d") {
+      Ann.covarianceTri(Tables.embeddings(s, d), "vec_id", "embedding")
+    }
+
   /** The LSH-bucketed k=5 kNN graph, materialized once per (session, dir)
     * — shared by ann_knn_graph_lsh and ann_knn_components_lsh. This is
     * the 100 TB twin of [[knn5]]: candidate pairs come from sign-bit
@@ -72,17 +82,21 @@ object AnnQueries extends Registry {
       val P = 6
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val dots = e
+      val dims = e
         .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .select(col("vec_id"), col("dim"),
           floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
-        .select(col("vec_id"), col("dim"), col("xi"),
-          explode(sequence(lit(0), lit(P - 1))).as("p"))
-        .withColumn("sgnxi",
+      // the sign depends only on (dim, plane): materialize the tiny
+      // d x P table once and broadcast it, instead of re-hashing the
+      // same 384 strings for every vector (n x d x P md5 calls)
+      val signs = dims.select("dim").distinct()
+        .select(col("dim"), explode(sequence(lit(0), lit(P - 1))).as("p"))
+        .withColumn("sgn",
           when(substring(md5(concat(col("p").cast("string"), lit(":"),
-            col("dim").cast("string"))), 1, 1) >= "8", col("xi"))
-            .otherwise(-col("xi")))
-        .groupBy("vec_id", "p").agg(sum("sgnxi").as("dot"))
+            col("dim").cast("string"))), 1, 1) >= "8", lit(1L))
+            .otherwise(lit(-1L)))
+      val dots = dims.join(broadcast(signs), "dim")
+        .groupBy("vec_id", "p").agg(sum(col("sgn") * col("xi")).as("dot"))
       val buckets = dots.groupBy("vec_id")
         .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
           ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
@@ -216,35 +230,15 @@ object AnnQueries extends Registry {
     // PCA-prep / drift-detection primitive a training pipeline runs
     // before transforming embeddings. Coordinates snap to integer
     // micro-units FIRST (floor(x*1e6+0.5)), so the sufficient statistics
-    // (n, Σxa, Σxb, Σxaxb) are exact integers with no accumulation-order
-    // drift, and the final covariance divides identical operands in
-    // identical order on both engines. Plan: one exploded (vec, dim, xi)
-    // relation self-joined on vec_id (64 rows a side per key), partial-
-    // aggregated to the dim x dim upper triangle (2,080 rows at d=64) —
-    // the shuffle carries the triangle, not the outer products.
-    "embed_covariance" -> ((s, d) => {
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim"),
-          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
-      val a = dims.select(col("vec_id"), col("dim").as("dim_a"),
-        col("xi").as("xa"))
-      val b = dims.select(col("vec_id"), col("dim").as("dim_b"),
-        col("xi").as("xb"))
-      a.join(b, Seq("vec_id")).filter(col("dim_a") <= col("dim_b"))
-        .groupBy("dim_a", "dim_b")
-        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
-          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"))
+    // are exact (decimal-summed — see Ann.covarianceStats' overflow
+    // note) and the final covariance divides identical operands in
+    // identical order on both engines. Shared with embed_pca_power via
+    // the covTri memo.
+    "embed_covariance" -> ((s, d) =>
+      covTri(s, d)
         .select(col("dim_a").cast("long").as("dim_a"),
-          col("dim_b").cast("long").as("dim_b"),
-          floor(col("sxy").cast("double") / col("n")
-            - (col("sx").cast("double") / col("n"))
-              * (col("sy").cast("double") / col("n"))).cast("long")
-            .as("cov_u"))
-        .orderBy("dim_a", "dim_b")
-    }),
+          col("dim_b").cast("long").as("dim_b"), col("cov_u"))
+        .orderBy("dim_a", "dim_b")),
 
     // Top principal direction of the embedding cloud by POWER ITERATION
     // over the integer covariance matrix — the eigen-step behind
@@ -260,25 +254,8 @@ object AnnQueries extends Registry {
     // itself is trivially small — production would collect it to the
     // driver, the declarative form here is what makes it replayable.
     "embed_pca_power" -> ((s, d) => {
-      val dims = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          posexplode(col("embedding").cast("array<double>"))
-            .as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim"),
-          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
-      val tri = dims
-        .select(col("vec_id"), col("dim").as("dim_a"), col("xi").as("xa"))
-        .join(dims.select(col("vec_id"), col("dim").as("dim_b"),
-          col("xi").as("xb")), Seq("vec_id"))
-        .filter(col("dim_a") <= col("dim_b"))
-        .groupBy("dim_a", "dim_b")
-        .agg(count(lit(1)).as("n"), sum("xa").as("sx"),
-          sum("xb").as("sy"), sum(col("xa") * col("xb")).as("sxy"))
-        .select(col("dim_a"), col("dim_b"),
-          floor(col("sxy").cast("double") / col("n")
-            - (col("sx").cast("double") / col("n"))
-              * (col("sy").cast("double") / col("n"))).cast("long")
-            .as("a"))
+      val tri = covTri(s, d)
+        .select(col("dim_a"), col("dim_b"), col("cov_u").as("a"))
       // localCheckpoint the 64x64 matrix and each 64-row iterate: u is
       // referenced twice per step (by the rescale and the product), so
       // without truncation the lineage doubles every iteration and v6's
@@ -290,7 +267,11 @@ object AnnQueries extends Registry {
           .select(col("dim_b").as("i"), col("dim_a").as("j"), col("a")))
         .localCheckpoint()
       // iterate at max |v| ~ 1e5, not 1e6: u_i sums 64 terms of
-      // |a|*|v| <= ~1e12 * 1e5, keeping the worst case inside Long
+      // |a|*|v| <= ~1e12 * 1e5, keeping the worst case inside Long.
+      // greatest(s, 1): an all-zero matrix (constant embeddings) makes
+      // max|u| = 0 and s would be 0 — Spark DIV 0 yields NULL while
+      // DuckDB // 0 errors, so both sides clamp to 1 and return the
+      // zero vector instead of diverging
       val v0 = full.select(col("i").as("dim")).distinct()
         .select(col("dim"), lit(100000L).as("v"))
       val vK = (1 to 6).foldLeft(v0) { (v, _) =>
@@ -299,7 +280,8 @@ object AnnQueries extends Registry {
           .groupBy("i").agg(sum(col("a") * col("v")).as("u"))
           .localCheckpoint()
         val scale = u.agg(max(abs(col("u"))).as("m"))
-          .select(expr("CAST((m + 99999) DIV 100000 AS BIGINT)").as("s"))
+          .select(expr(
+            "CAST(greatest((m + 99999) DIV 100000, 1) AS BIGINT)").as("s"))
         u.crossJoin(scale)
           .select(col("i").as("dim"),
             expr("CASE WHEN u < 0 THEN -(CAST(abs(u) AS BIGINT) DIV s) " +
@@ -421,7 +403,8 @@ object AnnQueries extends Registry {
       s"""u$k AS (SELECT mat.i, CAST(sum(mat.a * p.v) AS BIGINT) AS u
                   FROM mat JOIN v${k - 1} p ON mat.j = p.dim
                   GROUP BY mat.i),
-          s$k AS (SELECT CAST((max(abs(u)) + 99999) // 100000 AS BIGINT)
+          s$k AS (SELECT CAST(greatest(
+                    (max(abs(u)) + 99999) // 100000, 1) AS BIGINT)
                     AS s FROM u$k),
           v$k AS (SELECT i AS dim,
                     CAST(CASE WHEN u < 0 THEN -(abs(u) // s)

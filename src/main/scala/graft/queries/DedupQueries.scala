@@ -103,8 +103,9 @@ object DedupQueries extends Registry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
 
-    // The oracle-checkable SimHash twin (md5-derived 32-bit signatures;
-    // dedup_simhash's codegen'd simhash64 stays the fast engine path).
+    // The oracle-checkable SimHash twin (md5-derived 60-bit signatures —
+    // see simhashDetPairs' width rationale; dedup_simhash's codegen'd
+    // simhash64 stays the fast engine path).
     "dedup_simhash_det" -> ((s, d) =>
       Dedup.simhashDetPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
