@@ -199,6 +199,62 @@ object AnnQueries extends Registry {
         .orderBy("node")
     }),
 
+    // Semi-supervised label propagation over the kNN graph (Zhu &
+    // Ghahramani 2002-style diffusion): the 20% seed nodes
+    // (vec_id % 5 = 0) push similarity-weighted label mass along kNN
+    // edges for 3 fixed steps; every step re-adds the seed mass
+    // (clamping) and rescales the weights to ~1e5 max with the same
+    // sign-safe integer truncation as embed_pca_power (weights are
+    // non-negative so Spark DIV == DuckDB //). Everything is exact
+    // integer arithmetic over the memoized exact graph, so the oracle
+    // replays the full diffusion; fixed step count makes it a
+    // deterministic function, not a convergence loop. This is the
+    // multi-hop weak-labeling pass (ann_knn_classify is the 1-hop
+    // vote); the 100 TB composition swaps in the LSH graph.
+    // NOTE on the `correct` column: the synthetic testdata's labels are
+    // RANDOM w.r.t. embedding geometry (measured 1-NN accuracy 0.096 at
+    // sf0.01), so ~10% accuracy here is the right answer, not a defect —
+    // the oracle pins the diffusion arithmetic; AnnSpec proves the
+    // semantics on a constructed clustered dataset where propagation
+    // must label every node correctly.
+    "ann_label_propagation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = knn5(s, d).select(col("vec_id").as("src"),
+        col("neighbor_id").as("dst"), col("sim_bp"))
+      val emb = Tables.embeddings(s, d)
+      val seeds = emb.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label").cast("long").as("l"),
+          lit(100000L).as("w"))
+      val wK = (1 to 3).foldLeft(seeds) { (w, _) =>
+        val diff = edges
+          .join(w.select(col("vec_id").as("u"), col("l"), col("w")),
+            col("dst") === col("u"))
+          .groupBy(col("src").as("vec_id"), col("l"))
+          .agg(sum(col("sim_bp") * col("w")).as("w"))
+        // acc is referenced twice (rescale + product) — truncate lineage
+        // per step like embed_pca_power, or the plan doubles per iteration
+        val acc = diff.unionByName(seeds)
+          .groupBy("vec_id", "l").agg(sum("w").as("w"))
+          .localCheckpoint()
+        val scale = acc.agg(max(col("w")).as("m"))
+          .select(expr(
+            "CAST(greatest((m + 99999) DIV 100000, 1) AS BIGINT)").as("s"))
+        acc.crossJoin(scale)
+          .select(col("vec_id"), col("l"),
+            expr("CAST(w DIV s AS BIGINT)").as("w"))
+      }
+      val truth = emb.select(col("vec_id"),
+        col("label").cast("long").as("true_label"))
+      val win = Window.partitionBy("vec_id")
+        .orderBy(col("w").desc, col("l").asc)
+      wK.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .join(truth, "vec_id")
+        .select(col("vec_id"), col("l").as("pred_label"),
+          col("w").as("weight"),
+          (col("l") === col("true_label")).cast("long").as("correct"))
+        .orderBy("vec_id")
+    }),
+
     // Full-corpus per-label centroids (the distributed IVF-build /
     // cluster-audit reduction): long form (label, dim, c).
     "ann_centroids" -> ((s, d) =>
@@ -415,7 +471,56 @@ object AnnQueries extends Registry {
       "\nSELECT dim, v FROM v6 ORDER BY dim"
   }
 
+  /** Three unrolled label-diffusion steps (the Spark side is the same
+    * fixed-step fold over the memoized graph). Weights stay
+    * non-negative, so plain `//` matches Spark DIV; sums cast back to
+    * BIGINT for the HUGEINT/pandas reason documented on pcaPowerSql. */
+  private val labelPropSql: String = {
+    val base =
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                  CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
+                    AS BIGINT) AS sim_bp
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+          r AS (SELECT src, dst, sim_bp,
+                  row_number() OVER (PARTITION BY src
+                    ORDER BY sim_bp DESC, dst ASC) AS rank
+                FROM p),
+          e AS (SELECT src, dst, sim_bp FROM r WHERE rank <= 5),
+          seeds AS (SELECT vec_id, CAST(label AS BIGINT) AS l,
+                      CAST(100000 AS BIGINT) AS w
+                    FROM embeddings WHERE vec_id % 5 = 0),
+          w0 AS (SELECT * FROM seeds)"""
+    val iters = (1 to 3).map { k =>
+      s"""d$k AS (SELECT e.src AS vec_id, p.l,
+                    CAST(sum(e.sim_bp * p.w) AS BIGINT) AS w
+                  FROM e JOIN w${k - 1} p ON e.dst = p.vec_id
+                  GROUP BY 1, 2),
+          a$k AS (SELECT vec_id, l, CAST(sum(w) AS BIGINT) AS w
+                  FROM (SELECT * FROM d$k
+                        UNION ALL SELECT * FROM seeds) u
+                  GROUP BY 1, 2),
+          s$k AS (SELECT CAST(greatest((max(w) + 99999) // 100000, 1)
+                    AS BIGINT) AS s FROM a$k),
+          w$k AS (SELECT vec_id, l, CAST(w // s AS BIGINT) AS w
+                  FROM a$k, s$k)"""
+    }.mkString(",\n")
+    base + ",\n" + iters + """,
+          ranked AS (SELECT vec_id, l, w,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY w DESC, l ASC) AS rn
+                     FROM w3),
+          truth AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label
+                    FROM embeddings)
+          SELECT r.vec_id, r.l AS pred_label, r.w AS weight,
+                 CAST(r.l = t.true_label AS BIGINT) AS correct
+          FROM ranked r JOIN truth t ON r.vec_id = t.vec_id
+          WHERE rn = 1 ORDER BY r.vec_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_label_propagation" -> labelPropSql,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id % 50 = 0),

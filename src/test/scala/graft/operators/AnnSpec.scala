@@ -105,6 +105,42 @@ class AnnSpec extends SparkSpec {
     assert(agreement >= 0.5, s"co-cluster agreement $agreement")
   }
 
+  test("label propagation labels two clean clusters from sparse seeds") {
+    // the real testdata's labels are random w.r.t. geometry (1-NN
+    // accuracy ~0.10), so semantics are proven here on a constructed
+    // corpus: two tight, well-separated clusters, seeds at vec_id%5=0
+    // (two per cluster) — after 3 diffusion steps EVERY node must carry
+    // its cluster's label
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lp").toString
+    try {
+      val vecs = (0L until 20L).map { i =>
+        val cluster = if (i < 10) 0 else 1
+        val base = if (cluster == 0) 1.0f else -1.0f
+        // tiny per-id jitter keeps neighbors distinct but intra-cluster
+        // similarity far above cross-cluster
+        val v = Array.tabulate(8)(j =>
+          base * (1.0f + 0.01f * ((i + j) % 5)))
+        (i, v, cluster.toLong)
+      }
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = graft.queries.AnnQueries.defs("ann_label_propagation")(
+        spark, dir).collect()
+      got.length shouldBe 20
+      got.foreach { r =>
+        val (id, pred, correct) = (r.getLong(0), r.getLong(1), r.getLong(3))
+        val want = if (id < 10) 0L else 1L
+        assert(pred == want && correct == 1L,
+          s"node $id predicted $pred, wanted $want")
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+
   test("embed_covariance: diagonal entries are non-negative variances") {
     val cov = graft.queries.AnnQueries.defs("embed_covariance")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
