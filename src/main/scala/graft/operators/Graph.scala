@@ -127,6 +127,52 @@ object Graph {
     rank.orderBy("node")
   }
 
+  /** Personalized PageRank (random walk with restart): identical integer
+    * fixed-point mechanics to [[pagerankInt]], except the restart mass
+    * lands ONLY on the seed set — rank r_k(v) = isSeed(v)*base +
+    * damp(Σ inflow) — and ranks start at `scale` on seeds, 0 elsewhere.
+    * The result ranks nodes by proximity to the seeds (the
+    * "expand-a-cluster-from-examples" primitive for graph-based data
+    * curation). Non-conserving like the default pagerankInt (mass
+    * leaking through dangling nodes decays the total; relative order is
+    * what PPR consumes). Same overflow bounds and per-round shuffle
+    * shape as pagerankInt; seeds arrive as an arbitrary (node) relation
+    * and are intersected with the graph's nodes. */
+  def personalizedPagerankInt(edges: DataFrame, srcCol: String,
+                              dstCol: String, seeds: DataFrame,
+                              iters: Int, dampBp: Int = 8500): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(dampBp >= 0 && dampBp <= 10000, s"dampBp out of range: $dampBp")
+    val scale = 1000000L
+    val base = scale * (10000 - dampBp) / 10000
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val outD = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val withDeg = e.join(outD, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seeds.select(col(seeds.columns.head).as("node"))
+        .distinct().withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint(true)
+    def damped(csumTot: String) =
+      expr(s"is_seed * $base + (($csumTot) DIV 10000) * $dampBp" +
+        s" + ((($csumTot) % 10000) * $dampBp) DIV 10000")
+    var rank = nodes.select(col("node"),
+      (col("is_seed") * scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(rank.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), expr("rank DIV out_deg").as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          damped("coalesce(csum, CAST(0 AS BIGINT))").as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.orderBy("node")
+  }
+
   /** Triangle enumeration on the undirected simple graph induced by the
     * edge list (direction, parallel edges, and self-loops are dropped).
     * Returns one row per triangle as (a, b, c) with a < b < c by node id,

@@ -84,6 +84,20 @@ object GraphQueries extends Registry {
         "src", "dst", iters = Iters, dampBp = DampBp.toInt,
         redistributeDangling = true)),
 
+    // Personalized PageRank from the node%5=0 seed set over the strong-
+    // trade graph — ranks nations by walk-proximity to the seeds, the
+    // expand-a-cluster-from-examples primitive (same integer fixed
+    // point as graph_pagerank; restart mass only on seeds, ranks start
+    // at scale on seeds and 0 elsewhere). Oracle unrolls the rounds.
+    "graph_ppr" -> ((s, d) => {
+      val edges = strongTradeEdges(s, d)
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .filter(col("node") % 5 === 0)
+      Graph.personalizedPagerankInt(edges, "src", "dst", seeds,
+        iters = Iters, dampBp = DampBp.toInt)
+    }),
+
     // HITS on the same strong-trade relation: which nations are hubs
     // (buy from the authorities) vs authorities (supply the hubs) —
     // integer L1-renormalized fixed point (Graph.hitsInt), the second
@@ -270,6 +284,23 @@ object GraphQueries extends Registry {
        e AS (SELECT src, dst FROM pairs, stats
              WHERE w * np * 100 > 115 * t)"""
 
+  /** Unrolled personalized PageRank: like [[pagerankSteps]] but the base
+    * term is `n.is_seed * Base` — restart mass only on the seed set. */
+  private def pprSteps: String = (1 to Iters).map { i =>
+    s"""c$i AS (SELECT e.dst AS node,
+                CAST(sum(r${i - 1}.rank // outd.od) AS BIGINT) AS csum
+           FROM e
+           JOIN outd ON e.src = outd.src
+           JOIN r${i - 1} ON r${i - 1}.node = e.src
+           GROUP BY e.dst),
+       r$i AS (SELECT n.node, n.is_seed,
+                CAST(n.is_seed * $Base
+                   + (coalesce(c.csum, 0) // 10000) * $DampBp
+                   + ((coalesce(c.csum, 0) % 10000) * $DampBp) // 10000
+                 AS BIGINT) AS rank
+           FROM sn n LEFT JOIN c$i c ON n.node = c.node)"""
+  }.mkString(",\n")
+
   /** Unrolled integer PageRank: c<i> sums truncated contributions into
     * each node, r<i> applies the overflow-safe damping reduction — the
     * exact arithmetic of Graph.pagerankInt (`//` is DuckDB integer
@@ -371,6 +402,21 @@ object GraphQueries extends Registry {
                     UNION SELECT dst FROM e),
           r0 AS (SELECT node, CAST($Scale AS BIGINT) AS rank FROM nodes),
           $pagerankSteps
+          SELECT node, rank FROM r$Iters ORDER BY node""",
+
+    "graph_ppr" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          outd AS MATERIALIZED (
+            SELECT src, CAST(count(*) AS BIGINT) AS od
+            FROM e GROUP BY src),
+          sn AS MATERIALIZED (
+            SELECT node, CAST(CASE WHEN node % 5 = 0 THEN 1 ELSE 0 END
+              AS BIGINT) AS is_seed
+            FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+          r0 AS (SELECT node, is_seed,
+                   CAST(is_seed * $Scale AS BIGINT) AS rank FROM sn),
+          $pprSteps
           SELECT node, rank FROM r$Iters ORDER BY node""",
 
     // same strong-trade chain, edges restricted to src < dst (acyclic

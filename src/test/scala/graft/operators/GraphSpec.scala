@@ -109,6 +109,43 @@ class GraphSpec extends SparkSpec {
     conserving should be > plain
   }
 
+  test("personalizedPagerankInt matches its integer simulation exactly") {
+    import spark.implicits._
+    val distinctEdges = Set(
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L))
+    val seedSet = Set(1L, 5L)
+    def simulatePpr(es: Set[(Long, Long)], iters: Int,
+                    dampBp: Long): Map[Long, Long] = {
+      val nodes = es.flatMap(e => Seq(e._1, e._2))
+      val scale = 1000000L
+      val base = scale * (10000 - dampBp) / 10000
+      val outDeg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+      var rank = nodes.map(n =>
+        n -> (if (seedSet(n)) scale else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((s, d) <- es) contrib(d) += rank(s) / outDeg(s)
+        rank = nodes.map { n =>
+          val c = contrib(n)
+          val b = if (seedSet(n)) base else 0L
+          n -> (b + (c / 10000) * dampBp + ((c % 10000) * dampBp) / 10000)
+        }.toMap
+      }
+      rank
+    }
+    val seeds = seedSet.toSeq.toDF("node")
+    for (iters <- Seq(1, 4)) {
+      val want = simulatePpr(distinctEdges, iters, 8500L)
+      val got = Graph.personalizedPagerankInt(edges, "src", "dst", seeds,
+        iters).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe want
+      // restart mass lands only on seeds: a non-seed node with no
+      // in-edges must decay to 0 rank mass of its own
+      assert(got.keySet.filterNot(seedSet).forall(n => got(n) >= 0L))
+    }
+  }
+
   test("pagerankInt output is ordered by node and mass-plausible") {
     val pr = Graph.pagerankInt(edges, "src", "dst", 4).collect()
     pr.map(_.getLong(0)) shouldBe pr.map(_.getLong(0)).sorted
