@@ -83,9 +83,13 @@ object Graph {
     * shuffle shape is unchanged. */
   def pagerankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int, dampBp: Int = 8500,
-                  redistributeDangling: Boolean = false): DataFrame = {
+                  redistributeDangling: Boolean = false,
+                  seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(dampBp >= 0 && dampBp <= 10000, s"dampBp out of range: $dampBp")
+    require(seeds.isEmpty || !redistributeDangling,
+      "personalized + dangling redistribution is not defined here " +
+        "(dangling mass in PPR returns to the seeds, a different model)")
     val scale = 1000000L
     val base = scale * (10000 - dampBp) / 10000
     // one materialization; every round re-reads this, not the (possibly
@@ -94,16 +98,27 @@ object Graph {
       .distinct().localCheckpoint(true)
     val outD = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val withDeg = e.join(outD, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val nodesBase = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // is_seed gates where restart mass lands: all nodes in the classic
+    // model, only the seed set in the personalized one — with is_seed=1
+    // everywhere the personalized arithmetic reduces bit-for-bit to the
+    // classic form, so both models share this one implementation
+    val nodes = (seeds match {
+      case None => nodesBase.withColumn("is_seed", lit(1L))
+      case Some(sd) => nodesBase
+        .join(sd.select(col(sd.columns.head).as("node")).distinct()
+          .withColumn("is_seed", lit(1L)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    }).localCheckpoint(true)
     val nNodes = nodes.agg(count(lit(1)).as("nn"))
     // the damping reduction, overflow-safe (see Overflow above), over an
     // arbitrary non-negative integer column expression
     def damped(csumTot: String) =
-      lit(base) + expr(s"(($csumTot) DIV 10000) * $dampBp" +
+      expr(s"is_seed * $base") + expr(s"(($csumTot) DIV 10000) * $dampBp" +
         s" + ((($csumTot) % 10000) * $dampBp) DIV 10000")
-    var rank = nodes.withColumn("rank", lit(scale))
+    var rank = nodes.select(col("node"), col("is_seed"),
+      (col("is_seed") * scale).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = withDeg
         .join(rank.select(col("node").as("src"), col("rank")), "src")
@@ -112,19 +127,19 @@ object Graph {
         .groupBy("node").agg(sum("c").as("csum"))
       val joined = nodes.join(contrib, Seq("node"), "left")
       rank = (if (!redistributeDangling) {
-        joined.select(col("node"),
+        joined.select(col("node"), col("is_seed"),
           damped("coalesce(csum, CAST(0 AS BIGINT))").as("rank"))
       } else {
         val dang = rank
           .join(outD.select(col("src").as("node")), Seq("node"), "left_anti")
           .agg(coalesce(sum("rank"), lit(0L)).as("dsum"))
         joined.crossJoin(broadcast(dang)).crossJoin(broadcast(nNodes))
-          .select(col("node"),
+          .select(col("node"), col("is_seed"),
             damped("coalesce(csum, CAST(0 AS BIGINT)) + dsum DIV nn")
               .as("rank"))
       }).localCheckpoint(true) // truncate the iterative lineage each round
     }
-    rank.orderBy("node")
+    rank.select("node", "rank").orderBy("node")
   }
 
   /** Personalized PageRank (random walk with restart): identical integer
@@ -140,38 +155,9 @@ object Graph {
     * and are intersected with the graph's nodes. */
   def personalizedPagerankInt(edges: DataFrame, srcCol: String,
                               dstCol: String, seeds: DataFrame,
-                              iters: Int, dampBp: Int = 8500): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
-    require(dampBp >= 0 && dampBp <= 10000, s"dampBp out of range: $dampBp")
-    val scale = 1000000L
-    val base = scale * (10000 - dampBp) / 10000
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
-    val outD = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = e.join(outD, "src").localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .join(seeds.select(col(seeds.columns.head).as("node"))
-        .distinct().withColumn("is_seed", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint(true)
-    def damped(csumTot: String) =
-      expr(s"is_seed * $base + (($csumTot) DIV 10000) * $dampBp" +
-        s" + ((($csumTot) % 10000) * $dampBp) DIV 10000")
-    var rank = nodes.select(col("node"),
-      (col("is_seed") * scale).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg
-        .join(rank.select(col("node").as("src"), col("rank")), "src")
-        .select(col("dst").as("node"), expr("rank DIV out_deg").as("c"))
-        .groupBy("node").agg(sum("c").as("csum"))
-      rank = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          damped("coalesce(csum, CAST(0 AS BIGINT))").as("rank"))
-        .localCheckpoint(true)
-    }
-    rank.orderBy("node")
-  }
+                              iters: Int, dampBp: Int = 8500): DataFrame =
+    pagerankInt(edges, srcCol, dstCol, iters, dampBp,
+      redistributeDangling = false, seeds = Some(seeds))
 
   /** Triangle enumeration on the undirected simple graph induced by the
     * edge list (direction, parallel edges, and self-loops are dropped).

@@ -239,9 +239,15 @@ object AnnQueries extends Registry {
         val scale = acc.agg(max(col("w")).as("m"))
           .select(expr(
             "CAST(greatest((m + 99999) DIV 100000, 1) AS BIGINT)").as("s"))
+        // sign-split like embed_pca_power: kNN edges can carry NEGATIVE
+        // sim_bp (a node whose top-5 includes an anti-correlated
+        // neighbor), making diffusion weights negative — and Spark DIV
+        // truncates while DuckDB // floors, so an unsplit division
+        // diverges by 1 on exactly those rows
         acc.crossJoin(scale)
           .select(col("vec_id"), col("l"),
-            expr("CAST(w DIV s AS BIGINT)").as("w"))
+            expr("CASE WHEN w < 0 THEN -(CAST(abs(w) AS BIGINT) DIV s) " +
+              "ELSE CAST(w DIV s AS BIGINT) END").as("w"))
       }
       val truth = emb.select(col("vec_id"),
         col("label").cast("long").as("true_label"))
@@ -487,23 +493,28 @@ object AnnQueries extends Registry {
                   row_number() OVER (PARTITION BY src
                     ORDER BY sim_bp DESC, dst ASC) AS rank
                 FROM p),
-          e AS (SELECT src, dst, sim_bp FROM r WHERE rank <= 5),
-          seeds AS (SELECT vec_id, CAST(label AS BIGINT) AS l,
-                      CAST(100000 AS BIGINT) AS w
-                    FROM embeddings WHERE vec_id % 5 = 0),
+          e AS MATERIALIZED (
+                SELECT src, dst, sim_bp FROM r WHERE rank <= 5),
+          seeds AS MATERIALIZED (
+                SELECT vec_id, CAST(label AS BIGINT) AS l,
+                  CAST(100000 AS BIGINT) AS w
+                FROM embeddings WHERE vec_id % 5 = 0),
           w0 AS (SELECT * FROM seeds)"""
     val iters = (1 to 3).map { k =>
       s"""d$k AS (SELECT e.src AS vec_id, p.l,
                     CAST(sum(e.sim_bp * p.w) AS BIGINT) AS w
                   FROM e JOIN w${k - 1} p ON e.dst = p.vec_id
                   GROUP BY 1, 2),
-          a$k AS (SELECT vec_id, l, CAST(sum(w) AS BIGINT) AS w
+          a$k AS MATERIALIZED (
+                  SELECT vec_id, l, CAST(sum(w) AS BIGINT) AS w
                   FROM (SELECT * FROM d$k
                         UNION ALL SELECT * FROM seeds) u
                   GROUP BY 1, 2),
           s$k AS (SELECT CAST(greatest((max(w) + 99999) // 100000, 1)
                     AS BIGINT) AS s FROM a$k),
-          w$k AS (SELECT vec_id, l, CAST(w // s AS BIGINT) AS w
+          w$k AS (SELECT vec_id, l,
+                    CAST(CASE WHEN w < 0 THEN -(abs(w) // s)
+                         ELSE w // s END AS BIGINT) AS w
                   FROM a$k, s$k)"""
     }.mkString(",\n")
     base + ",\n" + iters + """,

@@ -90,7 +90,9 @@ object GraphQueries extends Registry {
     // point as graph_pagerank; restart mass only on seeds, ranks start
     // at scale on seeds and 0 elsewhere). Oracle unrolls the rounds.
     "graph_ppr" -> ((s, d) => {
-      val edges = strongTradeEdges(s, d)
+      // one materialization of the 4-way-join edge derivation: both the
+      // operator's own edge scan and the seed set read this handle
+      val edges = strongTradeEdges(s, d).localCheckpoint()
       val seeds = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
         .filter(col("node") % 5 === 0)

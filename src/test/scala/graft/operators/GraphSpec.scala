@@ -111,8 +111,12 @@ class GraphSpec extends SparkSpec {
 
   test("personalizedPagerankInt matches its integer simulation exactly") {
     import spark.implicits._
+    // node 6 is a non-seed SOURCE (out-edge only, no in-edges): its rank
+    // must decay to exactly 0 — restart mass lands only on seeds
     val distinctEdges = Set(
-      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L))
+      (1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 5L), (3L, 4L),
+      (6L, 2L))
+    val pprEdges = distinctEdges.toSeq.toDF("src", "dst")
     val seedSet = Set(1L, 5L)
     def simulatePpr(es: Set[(Long, Long)], iters: Int,
                     dampBp: Long): Map[Long, Long] = {
@@ -137,12 +141,13 @@ class GraphSpec extends SparkSpec {
     val seeds = seedSet.toSeq.toDF("node")
     for (iters <- Seq(1, 4)) {
       val want = simulatePpr(distinctEdges, iters, 8500L)
-      val got = Graph.personalizedPagerankInt(edges, "src", "dst", seeds,
-        iters).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Graph.personalizedPagerankInt(pprEdges, "src", "dst",
+        seeds, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       got shouldBe want
-      // restart mass lands only on seeds: a non-seed node with no
-      // in-edges must decay to 0 rank mass of its own
-      assert(got.keySet.filterNot(seedSet).forall(n => got(n) >= 0L))
+      // the claimed invariant, now genuinely falsifiable: the source
+      // non-seed (node 6) gets no restart mass and no inflow — rank 0
+      got(6L) shouldBe 0L
     }
   }
 
