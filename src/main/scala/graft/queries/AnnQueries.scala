@@ -261,6 +261,23 @@ object AnnQueries extends Registry {
         .orderBy("vec_id")
     }),
 
+    // Personalized PageRank over the kNN graph, seeded by the probe set
+    // (vec_id % 50 = 0): ranks every vector by walk-proximity to the
+    // probes — the "expand the query neighborhood" primitive for
+    // retrieval-seeded curation (grow a selection from examples), and a
+    // composition of two already-verified pieces: the memoized exact
+    // kNN graph and Graph.pagerankInt's seeded integer fixed point.
+    // 4 unrolled rounds, damp 8500; oracle replays graph + diffusion.
+    "ann_ppr_expand" -> ((s, d) => {
+      val edges = knn5(s, d).select(col("vec_id").as("src"),
+        col("neighbor_id").as("dst"))
+      val seeds = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("node"))
+      graft.operators.Graph.personalizedPagerankInt(
+        edges, "src", "dst", seeds, iters = 4, dampBp = 8500)
+    }),
+
     // Full-corpus per-label centroids (the distributed IVF-build /
     // cluster-audit reduction): long form (label, dim, c).
     "ann_centroids" -> ((s, d) =>
@@ -530,7 +547,59 @@ object AnnQueries extends Registry {
           WHERE rn = 1 ORDER BY r.vec_id"""
   }
 
+  /** Four unrolled seeded-PageRank rounds over the kNN graph — the same
+    * overflow-safe damping reduction as GraphQueries' pagerankSteps,
+    * with restart mass only on the probe seeds (ranks are non-negative
+    * throughout, so `//` == Spark DIV). */
+  private val pprExpandSql: String = {
+    val damp = 8500L
+    val scale = 1000000L
+    val base = scale * (10000 - damp) / 10000
+    val baseCtes =
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                  CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
+                    AS BIGINT) AS sim_bp
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+          rk AS (SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                     ORDER BY sim_bp DESC, dst ASC) AS rank
+                 FROM p),
+          e AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM rk WHERE rank <= 5),
+          outd AS MATERIALIZED (
+                SELECT src, CAST(count(*) AS BIGINT) AS od
+                FROM e GROUP BY src),
+          sn AS MATERIALIZED (
+                SELECT node, CAST(CASE WHEN node % 50 = 0 THEN 1 ELSE 0
+                  END AS BIGINT) AS is_seed
+                FROM (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e)),""" +
+        s"""
+          r0 AS (SELECT node, is_seed,
+                   CAST(is_seed * $scale AS BIGINT) AS rank FROM sn)"""
+    val steps = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+                    CAST(sum(r${i - 1}.rank // outd.od) AS BIGINT) AS csum
+                  FROM e
+                  JOIN outd ON e.src = outd.src
+                  JOIN r${i - 1} ON r${i - 1}.node = e.src
+                  GROUP BY e.dst),
+          r$i AS MATERIALIZED (
+                  SELECT n.node, n.is_seed,
+                    CAST(n.is_seed * $base
+                       + (coalesce(c.csum, 0) // 10000) * $damp
+                       + ((coalesce(c.csum, 0) % 10000) * $damp) // 10000
+                     AS BIGINT) AS rank
+                  FROM sn n LEFT JOIN c$i c ON n.node = c.node)"""
+    }.mkString(",\n")
+    baseCtes + ",\n" + steps +
+      "\nSELECT node, rank FROM r4 ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_ppr_expand" -> pprExpandSql,
     "ann_label_propagation" -> labelPropSql,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
