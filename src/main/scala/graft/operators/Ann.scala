@@ -483,6 +483,109 @@ object Ann {
             * (col("sy").cast("double") / col("n"))).cast("long")
           .as("cov_u"))
 
+  /** Labeled micro-unit coordinates: (vec_id, y, dim, xi) with xi =
+    * floor(x*1e6+0.5) — the shared exploded relation of [[linearProbe]]
+    * and [[linearProbeScores]]. */
+  private def labeledDims(embs: DataFrame, idCol: String, vecCol: String,
+                          yCol: String): DataFrame =
+    spread(embs)
+      .select(col(idCol).as("vec_id"), col(yCol).cast("long").as("y"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("y"), col("dim"),
+        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+
+  /** Linear quality-classifier probe on an embedding store — the
+    * fastText/CCNet-style "train a cheap linear filter on embeddings"
+    * primitive of LLM data pipelines — trained by FIXED-STEP Richardson
+    * iteration (= gradient descent on least squares), every step exact
+    * integer arithmetic so any engine replays the identical weights.
+    *
+    * Solves Cov·w = c (centered least squares against y in ±1):
+    *   - C = integer covariance DIV 100 (sign-split: Spark DIV truncates,
+    *     DuckDB // floors; operands made non-negative first),
+    *   - c = cross-covariance of micro-unit coords with y,
+    *   - step: w += (c·1e10 − C·w) div S, S = Gershgorin row-sum bound
+    *     (≥ λ_max, so the iteration contracts on C's range space),
+    *     clamped to ±1e6 (overflow guard: |C·w| ≤ 64·1e12·1e6 < 2^63
+    *     even at the theoretical max covariance of unit-norm coords).
+    *
+    * At 100 TB the heavy part is the one-pass covariance/cross-covariance
+    * reduction (shared with embed_covariance via the caller's memo); the
+    * d×d iteration is tiny — production would collect it to the driver,
+    * the declarative fold is what makes it oracle-checkable. Iterates are
+    * localCheckpointed: w is referenced twice per step, so an untruncated
+    * lineage would double per iteration (see embed_pca_power).
+    *
+    * y values must be ±1. Output: (dim, w), total order. */
+  def linearProbe(embs: DataFrame, idCol: String, vecCol: String,
+                  yCol: String, iters: Int = 8,
+                  covTri: Option[DataFrame] = None): DataFrame = {
+    val dims = labeledDims(embs, idCol, vecCol, yCol)
+    val tri = covTri.getOrElse(covarianceTri(embs, idCol, vecCol))
+    // full matrix, entries DIV 100 with sign-split truncation
+    val mat = tri.select(col("dim_a").as("i"), col("dim_b").as("j"),
+        col("cov_u"))
+      .unionByName(tri.filter(col("dim_a") =!= col("dim_b"))
+        .select(col("dim_b").as("i"), col("dim_a").as("j"), col("cov_u")))
+      .select(col("i"), col("j"),
+        expr("CASE WHEN cov_u < 0 THEN -((-cov_u) DIV 100) " +
+          "ELSE cov_u DIV 100 END").as("a"))
+      .localCheckpoint()
+    // cross-covariance: same decimal-sum discipline as covarianceStats
+    // (xi*y is ±xi, so sums stay far inside decimal(38,0))
+    val cvec = dims.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum((col("xi") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum(col("xi").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"))
+      .select(col("dim"),
+        floor(col("sxy").cast("double") / col("n")
+          - (col("sx").cast("double") / col("n"))
+            * (col("sy").cast("double") / col("n"))).cast("long").as("c"))
+      .localCheckpoint()
+    val gersh = mat.groupBy("i").agg(sum(abs(col("a"))).as("rs"))
+      .agg(max(col("rs")).as("m"))
+      .select(expr("CAST(greatest(m, 1) AS BIGINT)").as("s"))
+    val w0 = cvec.select(col("dim"), lit(0L).as("w"))
+    val wK = (1 to iters).foldLeft(w0) { (w, _) =>
+      val cw = mat.join(w.select(col("dim").as("jd"), col("w")),
+          col("j") === col("jd"))
+        .groupBy("i").agg(sum(col("a") * col("w")).as("cw"))
+      cvec.join(cw, col("dim") === col("i"))
+        .join(w.select(col("dim").as("pd"), col("w").as("pw")),
+          col("dim") === col("pd"))
+        .crossJoin(broadcast(gersh))
+        .select(col("dim"),
+          expr("CAST(least(1000000, greatest(-1000000, pw + " +
+            "CASE WHEN c * 10000000000 - cw < 0 " +
+            "THEN -((-(c * 10000000000 - cw)) DIV s) " +
+            "ELSE (c * 10000000000 - cw) DIV s END)) AS BIGINT)").as("w"))
+        .localCheckpoint()
+    }
+    wK.select(col("dim").cast("long").as("dim"), col("w")).orderBy("dim")
+  }
+
+  /** Score every vector with a trained [[linearProbe]]: per-row centered
+    * dot product Σ_j (xi_j − μ_j)·w_j, μ = exact integer FLOOR(Σxi/n)
+    * per dim (sign-split so Spark's truncating DIV reproduces DuckDB's
+    * flooring //). Weights and means are dim-sized — broadcast; the
+    * corpus is read once, map-side. Output: (vec_id, y, score). */
+  def linearProbeScores(embs: DataFrame, idCol: String, vecCol: String,
+                        yCol: String, weights: DataFrame): DataFrame = {
+    val dims = labeledDims(embs, idCol, vecCol, yCol)
+    val mu = dims.groupBy("dim")
+      .agg(sum(col("xi").cast("decimal(38,0)")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("dim"),
+        expr("CAST(CASE WHEN sx >= 0 THEN sx DIV n " +
+          "ELSE -(((-sx) + n - 1) DIV n) END AS BIGINT)").as("mu"))
+    dims.join(broadcast(mu), "dim")
+      .join(broadcast(weights), "dim")
+      .groupBy("vec_id", "y")
+      .agg(sum((col("xi") - col("mu")) * col("w")).as("score"))
+      .select(col("vec_id"), col("y"), col("score").cast("long").as("score"))
+  }
+
   /** Per-group centroids of an embedding column, in long form
     * (group, dim, c): the distributed reduction that builds an IVF coarse
     * quantizer (or audits cluster drift) over the full corpus, not a

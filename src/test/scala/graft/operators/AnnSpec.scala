@@ -252,4 +252,29 @@ class AnnSpec extends SparkSpec {
     val b = Ann.kmeans(pts, 4, 5, 42L).map(_.toSeq).toSeq
     a shouldBe b
   }
+
+  test("linearProbe perfectly separates a linearly separable cloud") {
+    import spark.implicits._
+    // two clusters split along dims 0/1; dims 2/3 carry class-independent
+    // jitter so the probe must actually weight the informative dims
+    val rows = (0 until 40).map { i =>
+      val y = if (i % 2 == 0) 1L else -1L
+      val jit = (i % 7) * 0.01
+      (i.toLong,
+        Array(0.8 * y + jit, -0.6 * y + jit, 0.05 + jit, -jit), y)
+    }
+    val df = rows.toDF("vec_id", "embedding", "y")
+    val w = Ann.linearProbe(df, "vec_id", "embedding", "y")
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wm.values.exists(_ != 0L), s"all-zero probe: $wm")
+    // the informative dims must dominate the jitter dims
+    assert(math.abs(wm(0L)) > math.abs(wm(3L)), wm)
+    val sc = Ann.linearProbeScores(df, "vec_id", "embedding", "y", w)
+      .collect()
+    sc.length shouldBe 40
+    sc.foreach { r =>
+      assert((r.getLong(2) >= 0L) == (r.getLong(1) > 0L),
+        s"vec ${r.getLong(0)}: y=${r.getLong(1)} score=${r.getLong(2)}")
+    }
+  }
 }
