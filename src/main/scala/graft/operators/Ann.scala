@@ -483,6 +483,75 @@ object Ann {
             * (col("sy").cast("double") / col("n"))).cast("long")
           .as("cov_u"))
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998): per query, greedily pick k results from the `pool` most
+    * relevant candidates, each pick maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7 as
+    * integer weights 7/3 over basis-point cosines, so the selection is
+    * exact integer arithmetic and replays in any engine; ties resolve to
+    * the smaller candidate id, the empty-set redundancy term is 0).
+    *
+    * The RAG answer-diversity primitive: plain top-k returns near
+    * duplicates, MMR trades a little relevance for coverage. Execution
+    * shape: one broadcast-probe scan builds the per-query pool (the only
+    * corpus-sized work — swap in LSH/IVF/PQ candidates at 100 TB), then
+    * the k−1 greedy steps run over the bounded nq × pool relation and
+    * its nq × pool² pair sims, localCheckpointed so the fold's lineage
+    * stays flat. Output: (query_id, pick_rank 1..k, cand_id, mmr). */
+  def mmrTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, pool: Int = 20): DataFrame = {
+    val c = spread(candidates).select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel_bp").desc, col("cand_id").asc)
+    val rel = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("rel_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rr", row_number().over(wRel))
+      .filter(col("rr") <= pool)
+      .select(col("query_id"), col("cand_id"), col("rel_bp"), col("cv"))
+      .localCheckpoint()
+    val pairs = rel.select(col("query_id"), col("cand_id").as("a_id"),
+        col("cv").as("av"))
+      .join(rel.select(col("query_id"), col("cand_id").as("b_id"),
+        col("cv").as("bv")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        round(HashExprs.cosine_sim(col("av"), col("bv")) * 10000)
+          .cast("long").as("pair_bp"))
+      .localCheckpoint()
+    val sel1 = rel.withColumn("rn", row_number().over(wRel))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1L).as("pick_rank"), col("cand_id"),
+        (lit(7L) * col("rel_bp")).as("mmr"))
+      .localCheckpoint()
+    val selK = (2 to k).foldLeft(sel1) { (sel, i) =>
+      val selIds = sel.select(col("query_id"), col("cand_id"))
+      val maxsim = pairs
+        .join(selIds.withColumnRenamed("cand_id", "b_id"),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id").as("cand_id"))
+        .agg(max(col("pair_bp")).as("maxsim"))
+        .join(selIds, Seq("query_id", "cand_id"), "left_anti")
+      val wPick = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("cand_id").asc)
+      val pick = maxsim
+        .join(rel.select(col("query_id"), col("cand_id"), col("rel_bp")),
+          Seq("query_id", "cand_id"))
+        .withColumn("mmr",
+          lit(7L) * col("rel_bp") - lit(3L) * col("maxsim"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(i.toLong).as("pick_rank"),
+          col("cand_id"), col("mmr"))
+      sel.unionByName(pick).localCheckpoint()
+    }
+    selK.orderBy("query_id", "pick_rank")
+  }
+
   /** Labeled micro-unit coordinates: (vec_id, y, dim, xi) with xi =
     * floor(x*1e6+0.5) — the shared exploded relation of [[linearProbe]]
     * and [[linearProbeScores]]. */

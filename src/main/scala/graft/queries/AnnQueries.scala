@@ -452,6 +452,14 @@ object AnnQueries extends Registry {
         .orderBy("query_id")
     }),
 
+    // MMR diversified retrieval (Ann.mmrTopK): greedy top-5 from the
+    // 20-candidate pool, each pick maximizing 7·rel_bp − 3·max-sim-to-
+    // selected — the RAG answer-diversity primitive. All-integer greedy
+    // selection; DuckDB unrolls the 4 greedy steps as CTEs.
+    "ann_mmr_rerank" -> ((s, d) =>
+      Ann.mmrTopK(Tables.embeddings(s, d), queriesOf(s, d),
+        "vec_id", "embedding", k = 5, pool = 20)),
+
     // Linear quality-classifier probe (Ann.linearProbe): the fastText/
     // CCNet-style "train a cheap linear filter on embeddings" primitive —
     // least squares of y = (label == 0 ? +1 : -1) on the centered
@@ -709,7 +717,72 @@ object AnnQueries extends Registry {
                  CAST(count(*) AS BIGINT) AS n
           FROM sc GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** MMR oracle: pool + pair sims, then the 4 greedy steps unrolled
+    * (sel1 is plain top-1 by relevance; each step excludes the selected
+    * set, maxes pair similarity against it, and ranks the integer MMR
+    * score with the same (mmr desc, cand_id asc) tie rule as the Spark
+    * fold). */
+  private val mmrSql: String = {
+    val base =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id % 50 = 0),
+          c AS (SELECT vec_id AS cand_id, v AS cv FROM e),
+          r0 AS (SELECT query_id, cand_id, cv,
+                   CAST(round(list_cosine_similarity(qv, cv) * 10000)
+                     AS BIGINT) AS rel_bp,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY CAST(round(list_cosine_similarity(qv, cv)
+                       * 10000) AS BIGINT) DESC, cand_id ASC) AS rr
+                 FROM q JOIN c ON query_id <> cand_id),
+          rel AS MATERIALIZED (
+                SELECT query_id, cand_id, rel_bp, cv FROM r0
+                WHERE rr <= 20),
+          pairs AS MATERIALIZED (
+                SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+                  CAST(round(list_cosine_similarity(a.cv, b.cv) * 10000)
+                    AS BIGINT) AS pair_bp
+                FROM rel a JOIN rel b
+                  ON a.query_id = b.query_id
+                 AND a.cand_id <> b.cand_id),
+          sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS pick_rank,
+                     cand_id, CAST(7 * rel_bp AS BIGINT) AS mmr
+                   FROM (SELECT query_id, cand_id, rel_bp,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel_bp DESC, cand_id ASC) AS rn
+                         FROM rel)
+                   WHERE rn = 1)"""
+    val steps = (2 to 5).map { i =>
+      s"""ms$i AS (SELECT p.query_id, p.a_id AS cand_id,
+                    max(p.pair_bp) AS maxsim
+                  FROM pairs p JOIN sel${i - 1} s
+                    ON p.query_id = s.query_id AND p.b_id = s.cand_id
+                  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+                                    WHERE x.query_id = p.query_id
+                                      AND x.cand_id = p.a_id)
+                  GROUP BY 1, 2),
+          pk$i AS (SELECT query_id, CAST($i AS BIGINT) AS pick_rank,
+                     cand_id, CAST(mmr AS BIGINT) AS mmr
+                   FROM (SELECT m.query_id, m.cand_id,
+                           7 * r.rel_bp - 3 * m.maxsim AS mmr,
+                           row_number() OVER (PARTITION BY m.query_id
+                             ORDER BY 7 * r.rel_bp - 3 * m.maxsim DESC,
+                                      m.cand_id ASC) AS rn
+                         FROM ms$i m JOIN rel r
+                           ON m.query_id = r.query_id
+                          AND m.cand_id = r.cand_id)
+                   WHERE rn = 1),
+          sel$i AS (SELECT * FROM sel${i - 1}
+                    UNION ALL SELECT * FROM pk$i)"""
+    }.mkString(",\n")
+    base + ",\n" + steps +
+      "\nSELECT query_id, pick_rank, cand_id, mmr FROM sel5" +
+      "\nORDER BY query_id, pick_rank"
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann_mmr_rerank" -> mmrSql,
     "embed_linear_probe" -> probeSql,
     "embed_probe_eval" -> probeEvalSql,
     "ann_ppr_expand" -> pprExpandSql,

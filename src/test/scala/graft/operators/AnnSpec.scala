@@ -253,6 +253,52 @@ class AnnSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("mmrTopK matches an in-memory greedy MMR on the same integer sims") {
+    import spark.implicits._
+    // a tight near-duplicate cluster plus diverse mid-relevance vectors:
+    // the case where plain top-k returns redundant picks and MMR must
+    // trade relevance for coverage
+    val vecs: Seq[(Long, Array[Double])] = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0), // query (vec_id % 5 == 0)
+      1L -> Array(0.9, 0.01, 0.0, 0.0),
+      2L -> Array(0.9, 0.02, 0.0, 0.0),
+      3L -> Array(0.9, 0.03, 0.0, 0.0),
+      4L -> Array(0.8, 0.6, 0.0, 0.0),
+      6L -> Array(0.8, 0.0, 0.6, 0.0),
+      7L -> Array(-0.5, 0.1, 0.0, 0.4))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") % 5 === 0)
+    val got = Ann.mmrTopK(df, q, "vec_id", "embedding", k = 4, pool = 6)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent greedy reference over the same basis-point sims
+    def cos(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      math.round(d / math.sqrt(na * nb) * 10000)
+    }
+    val qv = vecs.head._2
+    val cands = vecs.filter(_._1 != 0L)
+    val rel = cands.map { case (id, v) => id -> cos(qv, v) }.toMap
+    val pool = rel.toSeq.sortBy { case (id, bp) => (-bp, id) }.take(6)
+    var sel = Vector.empty[(Long, Long, Long)] // (rank, id, mmr)
+    for (i <- 1 to 4) {
+      val remaining = pool.filterNot(p => sel.exists(_._2 == p._1))
+      val scored = remaining.map { case (id, bp) =>
+        val red = if (sel.isEmpty) 0L
+          else sel.map(s => cos(cands.find(_._1 == id).get._2,
+            cands.find(_._1 == s._2).get._2)).max
+        (id, 7L * bp - 3L * red)
+      }
+      val (pid, mmr) = scored.minBy { case (id, m) => (-m, id) }
+      sel :+= ((i.toLong, pid, mmr))
+    }
+    got.toSeq shouldBe sel
+    // the picked set must not be the redundant pure-duplicate cluster
+    assert(got.map(_._2).toSet.intersect(Set(4L, 6L, 7L)).nonEmpty)
+  }
+
   test("linearProbe perfectly separates a linearly separable cloud") {
     import spark.implicits._
     // two clusters split along dims 0/1; dims 2/3 carry class-independent
