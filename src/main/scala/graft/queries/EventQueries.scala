@@ -48,6 +48,34 @@ object EventQueries extends Registry {
         .orderBy("user_id")
     }),
 
+    // Concurrency from intervals: how many sessions are ACTIVE in each
+    // hour — the load-profile / capacity-planning analytic over the same
+    // 30-minute-gap sessions as events_sessionize. Each session interval
+    // explodes to the hour buckets it overlaps (sequence + explode;
+    // fan-out bounded by session duration, which the gap rule keeps
+    // short), then a partial-aggregated count per bucket — no
+    // interval-vs-interval join anywhere. Output hours as epoch seconds
+    // (engines serialize timestamps differently).
+    "events_concurrency_hourly" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+              > gapSec, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_session")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("st"), max("ts").as("en"))
+        .select(explode(sequence(date_trunc("hour", col("st")),
+          date_trunc("hour", col("en")), expr("INTERVAL 1 HOUR")))
+          .as("hour"))
+        .groupBy(unix_timestamp(col("hour")).as("hour_epoch"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("hour_epoch")
+    }),
+
     // HLL sketch distinct: at 100 TB you count distinct users with a
     // bounded-memory sketch, not an exact shuffle of every key. The raw
     // estimate is engine-internal, so the hash-checked output is the
@@ -929,6 +957,34 @@ object EventQueries extends Registry {
                  CAST(sum(n_events) AS BIGINT) AS n_events,
                  CAST(sum(duration_sec) AS BIGINT) AS total_duration_sec
           FROM agg GROUP BY user_id ORDER BY user_id""",
+
+    // same session construction as events_sessionize, then each
+    // [start, end] interval unnests to its overlapped hour buckets
+    "events_concurrency_hourly" ->
+      s"""WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                        OR date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             ts) > $gapSec
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+          sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked),
+          iv AS (
+            SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+            FROM sess GROUP BY user_id, session_id),
+          h AS (
+            SELECT unnest(generate_series(date_trunc('hour', st),
+                     date_trunc('hour', en), INTERVAL 1 HOUR)) AS hour
+            FROM iv)
+          SELECT CAST(epoch(hour) AS BIGINT) AS hour_epoch,
+                 count(*) AS n_active
+          FROM h GROUP BY 1 ORDER BY 1""",
 
     "events_sample_bernoulli" ->
       """SELECT event_type, count(*) AS n, round(sum("value"), 2) AS sum_value
