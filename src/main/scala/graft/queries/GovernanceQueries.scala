@@ -386,9 +386,50 @@ object GovernanceQueries extends Registry {
           expr("(100 * wsum) DIV n").as("wmean_cc"))
         .orderBy("source")
     }),
+
+    // Noisy vocabulary release, DP-release SHAPE: global token counts
+    // perturbed with bounded per-token pseudo-noise (md5-seeded integer
+    // in [-1000, 1000] — a deterministic, replayable stand-in for the
+    // Laplace draw; real differential privacy needs true randomness,
+    // this pins the release PIPELINE: perturb, threshold small counts,
+    // publish top-20 noisy counts only, never exact ones). One token
+    // count reduction (partial-aggregated) + a 20-row global top-k.
+    "corpus_dp_topk" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("noisy").desc, col("term").asc)
+      counts
+        .withColumn("noise",
+          conv(substring(md5(concat(lit("dp:"), col("term"))), 1, 15),
+            16, 10).cast("long") % 2001 - 1000)
+        .select(col("term"), (col("cnt") + col("noise")).as("noisy"))
+        .filter(col("noisy") >= 1000)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("term"), col("noisy"))
+        .orderBy("rank")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+
+    "corpus_dp_topk" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(trim(text),
+                      '\s+'), x -> x <> '') AS toks FROM documents),
+          e AS (SELECT unnest(toks) AS term FROM t),
+          c AS (SELECT term, count(*) AS cnt FROM e GROUP BY term),
+          z AS (SELECT term,
+                  cnt + (('0x' || substring(md5('dp:' || term), 1, 15))
+                    ::BIGINT % 2001 - 1000) AS noisy
+                FROM c),
+          r AS (SELECT term, noisy,
+                  CAST(row_number() OVER (ORDER BY noisy DESC, term ASC)
+                    AS BIGINT) AS rank
+                FROM z WHERE noisy >= 1000)
+          SELECT rank, term, CAST(noisy AS BIGINT) AS noisy
+          FROM r WHERE rank <= 20 ORDER BY rank""",
 
     "events_k_anonymity" ->
       """WITH cells AS (
