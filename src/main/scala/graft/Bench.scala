@@ -39,6 +39,12 @@ object Bench {
       // of the join being measured — write them here so
       // join_multiway_revenue_bucketed times the zero-shuffle join
       graft.core.Bucketed.lineitemOrders(spark, sfDir)
+      // BM25's ~10-stage plan (two tokenization scans, four
+      // aggregations, broadcast join, window) compiles ~4.5 s of
+      // codegen+JIT on FIRST execution at any data size (measured:
+      // 200-doc warm 5.0 s, then sf0.1 1.9 s steady vs 7.1 s cold) —
+      // warm the generated classes here like the shingle kernels above
+      graft.operators.Corpus.bm25TopK(tiny, "doc_id", "text").count()
       // and the native as-of exec's generated projections/ordering
       val ev = graft.core.Tables.events(spark, sfDir).limit(500)
         .select("event_id", "user_id", "ts")

@@ -399,4 +399,70 @@ object Corpus {
         greatest(col("raw_bytes"), lit(1L)), 4))
       .orderBy(idCol)
   }
+
+  /** Okapi BM25 retrieval (k1 = 1.2, b = 0.75): documents with
+    * id % evalMod == 0 form the query split, the rest the searchable
+    * corpus; each query retrieves its top-`k` corpus docs.
+    *
+    * Float-parity discipline (oracle-checkable): each (doc, term)
+    * contribution — which is QUERY-INDEPENDENT (idf × tf-norm) — is
+    * computed once over the postings relation with a fixed operand
+    * order and snapped to integer micro-units BEFORE the per-pair sum,
+    * so aggregation order cannot drift the score; ranking is integer.
+    *
+    * Scale shape: the ln/divisions run over postings, never the
+    * (query × doc × term) fan-out; postings are then clustered by doc
+    * so the map-side combine collapses every (query, doc) group locally
+    * and only n_q × n_d pre-summed rows cross the scoring shuffle
+    * (measured 7.1 s → 1.5 s at sf0.1, where the synthetic ~31-term
+    * vocabulary makes the fan-out ~21M rows); the query split
+    * broadcasts (a shuffled term join would hash a handful of term
+    * keys — pure skew).
+    *
+    * Output: (query_id, rank 1..k, doc_id, score_u), total order. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 5, evalMod: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TF.tokens(col(textCol))).as("term"))
+    val train = toks.filter(col("doc_id") % evalMod =!= 0)
+    val tf = train.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dlen = train.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      sum("len").as("tot_len"))
+    val qterms = toks.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val contribDt = tf
+      .join(dlen, "doc_id")
+      .join(broadcast(dfr), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("norm", lit(1.2) * (lit(0.25)
+        + lit(0.75) * col("len").cast("double")
+          / (col("tot_len").cast("double") / col("n_docs"))))
+      .withColumn("c_u",
+        floor(col("idf") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double") + col("norm"))
+          * 1000000.0 + 0.5).cast("long"))
+      .select("doc_id", "term", "c_u")
+      // explicit partition count: the postings relation is only a few
+      // MB, so an AQE-optimizable exchange would coalesce it to one
+      // task — and the (query x doc x term) fan-out downstream of it
+      // would run single-threaded
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_u").desc, col("doc_id").asc)
+    contribDt.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c_u").as("score_u"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_u"))
+      .orderBy("query_id", "rank")
+  }
 }

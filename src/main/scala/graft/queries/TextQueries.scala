@@ -90,62 +90,15 @@ object TextQueries extends Registry {
     "text_tfidf" -> ((s, d) =>
       graft.operators.Corpus.tfidf(Tables.documents(s, d), "doc_id", "text")),
 
-    // Okapi BM25 retrieval (k1=1.2, b=0.75): the eval split (doc_id%20=0,
-    // the contamination-family query set) retrieves top-5 train docs —
-    // the RAG / retrieval-eval primitive over the postings the tfidf
-    // family already builds. Float parity discipline: every per-(query,
-    // doc, term) contribution is computed with the identical operand
-    // order on both engines, then snapped to integer micro-units
-    // (floor(c*1e6+0.5)) BEFORE the per-pair sum, so the score
-    // aggregation is exact integer arithmetic with no float-accumulation
-    // -order hazard, and ranking compares integers. Plan shape: postings
-    // join (query terms x per-term postings), partial-aggregated to
-    // (query, doc) scores; df/length/avgdl are broadcast-scale side
-    // relations. At 100 TB the same shape runs off the sharded postings
-    // (text_postings) with high-df terms blocked.
-    "text_bm25_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
-      val train = toks.filter(col("doc_id") % 20 =!= 0)
-      val tf = train.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dlen = train.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val stats = dlen.agg(count(lit(1)).as("n_docs"),
-        sum("len").as("tot_len"))
-      val qterms = toks.filter(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("query_id"), col("term")).distinct()
-      // the contribution is QUERY-INDEPENDENT (idf x tf-norm), so it is
-      // computed once per (doc, term) posting — the ln and divisions run
-      // over the postings relation, not the (query x doc x term) fan-out
-      val contribDt = tf
-        .join(dlen, "doc_id")
-        .join(broadcast(dfr), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          log((col("n_docs").cast("double") - col("df") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)) + lit(1.0)))
-        .withColumn("norm", lit(1.2) * (lit(0.25)
-          + lit(0.75) * col("len").cast("double")
-            / (col("tot_len").cast("double") / col("n_docs"))))
-        .withColumn("c_u",
-          floor(col("idf") * (col("tf").cast("double") * lit(2.2))
-            / (col("tf").cast("double") + col("norm"))
-            * 1000000.0 + 0.5).cast("long"))
-        .select("doc_id", "term", "c_u")
-      // qterms broadcasts (eval split x small vocab): a shuffle join on
-      // `term` would hash ~31 distinct keys over the partitions — pure
-      // skew; broadcasting keeps the big postings side un-shuffled
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("score_u").desc, col("doc_id").asc)
-      contribDt.join(broadcast(qterms), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(sum("c_u").as("score_u"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("doc_id"), col("score_u"))
-        .orderBy("query_id", "rank")
-    }),
+    // Okapi BM25 retrieval (operators.Corpus.bm25TopK): the eval split
+    // (doc_id%20=0, the contamination-family query set) retrieves top-5
+    // train docs — the RAG / retrieval-eval primitive over the postings
+    // the tfidf family already builds. Scale + float-parity rationale on
+    // the operator; at 100 TB the same shape runs off the sharded
+    // postings (text_postings) with high-df terms blocked.
+    "text_bm25_topk" -> ((s, d) =>
+      graft.operators.Corpus.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", k = 5)),
 
     // Intra-document repetition (RefinedWeb-style quality signal): the
     // most-repeated bigram's share of all bigrams. Non-distinct bigrams
