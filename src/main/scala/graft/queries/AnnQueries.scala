@@ -460,6 +460,51 @@ object AnnQueries extends Registry {
       Ann.mmrTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5, pool = 20)),
 
+    // Per-dimension PSI drift monitor between two embedding cohorts
+    // (vec_id parity as the ref/cur split stand-in): 10 fixed value
+    // buckets on [-1, 1], Laplace-smoothed shares, PSI = Σ_b
+    // (p_ref − p_cur)·ln(p_ref/p_cur) — the population-stability check
+    // an embedding store runs before trusting a re-embedded corpus.
+    // Float parity: each BUCKET term is snapped to integer nano-units
+    // before the per-dim sum (10-term float sums would drift with
+    // aggregation order); the ln runs on identical operands on both
+    // engines (the bm25/surprisal precedent). One exploded pass,
+    // partial-aggregated to dims × 10 × 2 cells; the grid join is
+    // broadcast-scale.
+    "embed_drift_psi" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cells = e
+        .select((col("vec_id") % 2).as("grp"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("dim", "x")))
+        .select(col("grp"), col("dim"),
+          least(lit(9L), greatest(lit(0L),
+            floor((col("x") + 1.0) * 5.0).cast("long"))).as("b"))
+        .groupBy("dim", "b", "grp").agg(count(lit(1)).as("cnt"))
+      val g = e.select((col("vec_id") % 2).as("grp"))
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+      val grid = cells.select("dim").distinct()
+        .select(col("dim"), explode(sequence(lit(0L), lit(9L))).as("b"))
+        .select(col("dim"), col("b"),
+          explode(sequence(lit(0L), lit(1L))).as("grp"))
+      val p = grid
+        .join(cells, Seq("dim", "b", "grp"), "left")
+        .select(col("dim"), col("b"), col("grp"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .join(broadcast(g), "grp")
+        .groupBy("dim", "b")
+        .agg(
+          max(when(col("grp") === 0,
+            (col("cnt") + 1).cast("double") / (col("n") + 10))).as("p0"),
+          max(when(col("grp") === 1,
+            (col("cnt") + 1).cast("double") / (col("n") + 10))).as("p1"))
+      p.select(col("dim").cast("long").as("dim"),
+          floor((col("p0") - col("p1")) * log(col("p0") / col("p1"))
+            * 1000000000.0 + 0.5).cast("long").as("term_n"))
+        .groupBy("dim").agg(sum("term_n").as("psi_n"))
+        .orderBy("dim")
+    }),
+
     // Linear quality-classifier probe (Ann.linearProbe): the fastText/
     // CCNet-style "train a cheap linear filter on embeddings" primitive —
     // least squares of y = (label == 0 ? +1 : -1) on the centered
@@ -782,6 +827,38 @@ object AnnQueries extends Registry {
   }
 
   val oracles: Map[String, String] = Map(
+    "embed_drift_psi" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id % 2 AS grp, i - 1 AS dim,
+                  least(9, greatest(0,
+                    CAST(floor((v[i] + 1.0) * 5.0) AS BIGINT))) AS b
+                FROM e, range(1, 4097) r(i) WHERE i <= len(v)),
+          c AS (SELECT dim, b, grp, count(*) AS cnt
+                FROM d GROUP BY 1, 2, 3),
+          g AS (SELECT vec_id % 2 AS grp, count(*) AS n
+                FROM embeddings GROUP BY 1),
+          grid AS (SELECT dim, b, grp
+                   FROM (SELECT DISTINCT dim FROM c),
+                        range(0, 10) r(b), range(0, 2) q(grp)),
+          j AS (SELECT grid.dim, grid.b, grid.grp,
+                  coalesce(c.cnt, 0) AS cnt
+                FROM grid LEFT JOIN c
+                  ON grid.dim = c.dim AND grid.b = c.b
+                 AND grid.grp = c.grp),
+          p AS (SELECT j.dim, j.b,
+                  max(CASE WHEN j.grp = 0
+                      THEN (cnt + 1)::DOUBLE / (n + 10) END) AS p0,
+                  max(CASE WHEN j.grp = 1
+                      THEN (cnt + 1)::DOUBLE / (n + 10) END) AS p1
+                FROM j JOIN g ON j.grp = g.grp GROUP BY 1, 2),
+          t AS (SELECT dim,
+                  CAST(floor((p0 - p1) * ln(p0 / p1) * 1000000000
+                    + 0.5) AS BIGINT) AS term_n
+                FROM p)
+          SELECT dim, CAST(sum(term_n) AS BIGINT) AS psi_n
+          FROM t GROUP BY dim ORDER BY dim""",
+
     "ann_mmr_rerank" -> mmrSql,
     "embed_linear_probe" -> probeSql,
     "embed_probe_eval" -> probeEvalSql,
