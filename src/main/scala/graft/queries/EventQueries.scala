@@ -170,6 +170,40 @@ object EventQueries extends Registry {
         .orderBy("hour")
     }),
 
+    // Exponentially-weighted moving average of the daily event count per
+    // type (alpha = 1/2 over a 20-day trailing window), in EXACT integer
+    // arithmetic: weights are powers of two (shiftleft), the normalizer
+    // is the sum of the weights actually present, and the final milli-
+    // scaled division runs on identical non-negative operands on both
+    // engines. The heavy work is the partial-aggregated daily rollup;
+    // the smoothing self-join runs over the dense (types x days) grid —
+    // dimension-sized at any corpus scale, never the fact table.
+    "events_ewma_daily" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt"))
+      val spine = ev.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val dense = ev.select("event_type").distinct()
+        .crossJoin(spine)
+        .join(daily, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val hist = dense.select(col("event_type").as("t2"),
+        col("day").as("d2"), col("cnt").as("c2"))
+      dense.join(hist, col("event_type") === col("t2") &&
+          datediff(col("day"), col("d2")).between(0, 19))
+        .groupBy("event_type", "day")
+        .agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
+            " 19 - datediff(day, d2)) * c2")).as("wsum"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT)," +
+            " 19 - datediff(day, d2))")).as("norm"))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          expr("(1000 * wsum) DIV norm").as("ewma_milli"))
+        .orderBy("event_type", "day")
+    }),
+
     // Gap-filled hourly series with LINEAR interpolation: missing hours
     // take the value interpolated between the nearest non-missing
     // neighbors (leading/trailing gaps stay null) — the time-series
@@ -1021,6 +1055,33 @@ object EventQueries extends Registry {
                  coalesce(c.cnt, 0) AS cnt
           FROM h LEFT JOIN c ON h.hour = c.hour
           ORDER BY 1""",
+
+    "events_ewma_daily" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day
+                     FROM events),
+          daily AS (SELECT event_type, day, count(*) AS cnt
+                    FROM ev GROUP BY 1, 2),
+          b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+          spine AS (SELECT unnest(generate_series(lo, hi,
+                      INTERVAL 1 DAY))::DATE AS day FROM b),
+          grid AS (SELECT t.event_type, s.day
+                   FROM (SELECT DISTINCT event_type FROM ev) t
+                   CROSS JOIN spine s),
+          dense AS (SELECT g.event_type, g.day, coalesce(d.cnt, 0) AS cnt
+                    FROM grid g LEFT JOIN daily d
+                      ON d.event_type = g.event_type AND d.day = g.day),
+          j AS (SELECT a.event_type, a.day,
+                  sum((1::BIGINT << (19 - datediff('day', h.day, a.day)))
+                    * h.cnt) AS wsum,
+                  sum(1::BIGINT << (19 - datediff('day', h.day, a.day)))
+                    AS norm
+                FROM dense a JOIN dense h
+                  ON a.event_type = h.event_type
+                 AND datediff('day', h.day, a.day) BETWEEN 0 AND 19
+                GROUP BY 1, 2)
+          SELECT event_type, CAST(day AS VARCHAR) AS day,
+                 CAST((1000 * wsum) // norm AS BIGINT) AS ewma_milli
+          FROM j ORDER BY event_type, day""",
 
     "events_hourly_interp" ->
       """WITH base AS (
