@@ -68,6 +68,19 @@ object AnnQueries extends Registry {
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
+    // Multi-probe LSH (Lv et al. 2007): each query probes its own bucket
+    // plus every Hamming-distance-1 neighbor bucket, buying back the
+    // recall that extra bits cost WITHOUT more tables — the knob that
+    // keeps bucket size constant at 100 TB (autoBits) while holding
+    // recall. Same seeded hyperplanes as ann_lsh_topk (engine-internal
+    // -> rows-only check); AnnSpec bounds recall >= the single-probe
+    // variant's.
+    "ann_lsh_multiprobe" -> ((s, d) => {
+      val c = Tables.embeddings(s, d)
+      Ann.lshTopK(c, queriesOf(s, d), "vec_id", "embedding", k = 5,
+        bits = Ann.autoBits(c.count()), multiProbe = true)
+    }),
+
     // The oracle-checkable LSH twin (ann_lsh_topk's seeded hyperplanes
     // are engine-internal; this pins the bucketed-ANN semantics against
     // SQL): 6 Rademacher hyperplanes whose per-dimension sign is an md5
