@@ -185,6 +185,36 @@ object GraphQueries extends Registry {
         .orderBy("a", "c")
     }),
 
+    // Adamic-Adar link prediction over the same undirected strong-trade
+    // graph: AA(a,c) = Σ_{b ∈ N(a)∩N(c)} 1/ln(deg b) — common neighbors
+    // weighted inversely by their hubness. Same two-hop join shape as
+    // graph_jaccard_neighbors, with the per-common-neighbor term snapped
+    // to integer nano-units BEFORE the pair sum (float sums drift with
+    // aggregation order; ln on identical operands is the bm25 precedent)
+    // — deg(b) >= 2 for any common neighbor, so ln never hits zero.
+    "graph_adamic_adar" -> ((s, d) => {
+      val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+      val und = e
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      und.select(col("dst").as("b"), col("src").as("a"))
+        .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
+        .filter(col("a") < col("c"))
+        .join(broadcast(deg.select(col("src").as("b"),
+          col("deg").as("degb"))), "b")
+        .select(col("a"), col("c"),
+          floor(lit(1000000000.0) / log(col("degb").cast("double")) + 0.5)
+            .cast("long").as("term_n"))
+        .groupBy("a", "c")
+        .agg(count(lit(1)).as("inter"), sum("term_n").as("aa_n"))
+        .join(und.select(col("src").as("a"), col("dst").as("c"),
+          lit(1L).as("is_edge")), Seq("a", "c"), "left")
+        .select(col("a"), col("c"), col("inter"), col("aa_n"),
+          coalesce(col("is_edge"), lit(0L)).as("is_edge"))
+        .orderBy("a", "c")
+    }),
+
     // Modularity of the REGION partition of the undirected strong-trade
     // graph — "do trade blocs follow geography?". Kept integer-exact by
     // reporting each region's modularity contribution scaled by 4m^2:
@@ -484,6 +514,32 @@ object GraphQueries extends Registry {
           JOIN deg da ON inter.a = da.src
           JOIN deg dc ON inter.c = dc.src
           LEFT JOIN und u ON u.src = inter.a AND u.dst = inter.c
+          ORDER BY a, c""",
+
+    "graph_adamic_adar" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ed AS (SELECT src, dst FROM e WHERE src <> dst),
+          und AS (SELECT DISTINCT * FROM (SELECT src, dst FROM ed
+                                          UNION ALL SELECT dst, src
+                                          FROM ed)),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                  FROM und GROUP BY src),
+          hop AS (SELECT x.src AS a, y.dst AS c, x.dst AS b
+                  FROM und x JOIN und y ON x.dst = y.src
+                  WHERE x.src < y.dst),
+          terms AS (SELECT a, c,
+                      CAST(floor(1000000000.0 / ln(deg::DOUBLE) + 0.5)
+                        AS BIGINT) AS term_n
+                    FROM hop JOIN deg ON hop.b = deg.src),
+          agg AS (SELECT a, c, CAST(count(*) AS BIGINT) AS inter,
+                    CAST(sum(term_n) AS BIGINT) AS aa_n
+                  FROM terms GROUP BY 1, 2)
+          SELECT a, c, inter, aa_n,
+                 CAST(CASE WHEN u.src IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_edge
+          FROM agg
+          LEFT JOIN und u ON u.src = agg.a AND u.dst = agg.c
           ORDER BY a, c""",
 
     "graph_bfs_hops" ->
