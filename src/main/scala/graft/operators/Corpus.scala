@@ -421,19 +421,31 @@ object Corpus {
     *
     * Output: (query_id, rank 1..k, doc_id, score_u), total order. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 5, evalMod: Int = 20): DataFrame = {
+               k: Int = 5, evalMod: Int = 20): DataFrame =
+    bm25Retrieve(
+      docs.filter(col(idCol) % evalMod =!= 0), idCol, textCol,
+      docs.filter(col(idCol) % evalMod === 0), idCol, textCol, k)
+
+  /** The general form of [[bm25TopK]]: any (id, text) corpus searched by
+    * any (id, text) query set — e.g. whole-document queries over a
+    * CHUNKED corpus, the RAG retrieval shape. Scale/parity notes above
+    * apply unchanged. */
+  def bm25Retrieve(corpus: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qidCol: String, qtextCol: String,
+                   k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
+    val train = corpus
       .select(col(idCol).as("doc_id"),
         explode(TF.tokens(col(textCol))).as("term"))
-    val train = toks.filter(col("doc_id") % evalMod =!= 0)
     val tf = train.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dlen = train.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"),
       sum("len").as("tot_len"))
-    val qterms = toks.filter(col("doc_id") % evalMod === 0)
-      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(TF.tokens(col(qtextCol))).as("term"))
+      .distinct()
     val contribDt = tf
       .join(dlen, "doc_id")
       .join(broadcast(dfr), "term")
@@ -453,7 +465,7 @@ object Corpus {
       // MB, so an AQE-optimizable exchange would coalesce it to one
       // task — and the (query x doc x term) fan-out downstream of it
       // would run single-threaded
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_u").desc, col("doc_id").asc)

@@ -100,6 +100,32 @@ object TextQueries extends Registry {
       graft.operators.Corpus.bm25TopK(Tables.documents(s, d),
         "doc_id", "text", k = 5)),
 
+    // The RAG retrieval pipeline as one plan: the train split chunks
+    // into 32-token passages (Corpus.chunkUnordered, stride 32 — the
+    // dedup_passage arithmetic), whole-document queries retrieve their
+    // top-3 passages via BM25 over the CHUNK corpus
+    // (Corpus.bm25Retrieve) — retrieval granularity decoupled from
+    // storage granularity, which is the entire point of chunked RAG.
+    // Chunk key packs as doc_id*1000 + chunk_id (docs are far below
+    // 1000 chunks; the output unpacks it). Both stages are operators
+    // proven above; the oracle replays chunking + BM25 end to end.
+    "pipeline_rag_retrieve" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val chunks = graft.operators.Corpus.chunkUnordered(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          chunkTokens = 32, overlap = 0)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+          col("chunk_text"))
+      val queries = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text"))
+      graft.operators.Corpus.bm25Retrieve(chunks, "cid", "chunk_text",
+          queries, "doc_id", "text", k = 3)
+        .select(col("query_id"), col("rank"),
+          expr("doc_id DIV 1000").as("doc_id"),
+          (col("doc_id") % 1000).as("chunk_id"), col("score_u"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Intra-document repetition (RefinedWeb-style quality signal): the
     // most-repeated bigram's share of all bigrams. Non-distinct bigrams
     // via transform over positions (shingles() dedups, so not usable).
@@ -1298,6 +1324,52 @@ object TextQueries extends Registry {
                 FROM tf)
           SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf
           FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    // chunking replayed with dedup_passage's 32/0 slice arithmetic, then
+    // the bm25 CTEs verbatim over the chunk corpus (cid = doc*1000+chunk)
+    "pipeline_rag_retrieve" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+                     WHERE doc_id % 20 <> 0),
+          n AS (SELECT doc_id, toks, len(toks)::BIGINT AS ntok FROM t
+                WHERE len(toks) > 0),
+          ch AS (SELECT doc_id * 1000 + chunk_id AS cid,
+                   toks[chunk_id * 32 + 1 : chunk_id * 32 + 32] AS ctoks
+                 FROM (SELECT doc_id, toks, ntok,
+                         unnest(range(0, greatest(1, (ntok + 31) // 32)))
+                           AS chunk_id
+                       FROM n)),
+          e AS (SELECT cid, unnest(ctoks) AS term FROM ch),
+          tf AS (SELECT cid, term, count(*) AS tf FROM e GROUP BY 1, 2),
+          dlen AS (SELECT cid, count(*) AS len FROM e GROUP BY 1),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs, sum(len) AS tot_len
+                    FROM dlen),
+          q AS (SELECT DISTINCT doc_id AS query_id, term
+                FROM (SELECT doc_id, unnest($toks) AS term
+                      FROM documents WHERE doc_id % 20 = 0)),
+          contrib AS (
+            SELECT q.query_id, tf.cid,
+              CAST(floor(
+                ln((n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1)
+                * (tf::DOUBLE * 2.2)
+                / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE
+                    / (tot_len::DOUBLE / n_docs)))
+                * 1000000 + 0.5) AS BIGINT) AS c_u
+            FROM q JOIN tf USING (term)
+            JOIN dlen ON tf.cid = dlen.cid
+            JOIN dfr USING (term), stats),
+          scores AS (SELECT query_id, cid,
+                       CAST(sum(c_u) AS BIGINT) AS score_u
+                     FROM contrib GROUP BY 1, 2),
+          ranked AS (SELECT query_id, cid, score_u,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_u DESC, cid ASC) AS BIGINT)
+                         AS rank
+                     FROM scores)
+          SELECT query_id, rank, CAST(cid // 1000 AS BIGINT) AS doc_id,
+                 CAST(cid % 1000 AS BIGINT) AS chunk_id, score_u
+          FROM ranked WHERE rank <= 3
+          ORDER BY query_id, rank""",
 
     "text_postings" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
