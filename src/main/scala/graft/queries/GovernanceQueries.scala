@@ -387,6 +387,44 @@ object GovernanceQueries extends Registry {
         .orderBy("source")
     }),
 
+    // Theil-Sen robust trend of the daily event count per type: the
+    // MEDIAN of all pairwise day-slopes — outlier days move the OLS
+    // slope (events_linreg_trend) but barely move this one; shipping
+    // both is the standard robustness cross-check. Slopes are exact
+    // sign-split integer milli-units; the median walks a cumulative
+    // rank over the (type, slope) histogram (the inter-event-gap
+    // pattern), so nothing sorts raw pairs. The pair relation is
+    // (days per type)² — dimension-sized at any corpus scale; the only
+    // corpus-sized work is the partial-aggregated daily rollup.
+    "stats_theilsen_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val a = daily.select(col("event_type"), col("day").as("d1"),
+        col("cnt").as("c1"))
+      val b = daily.select(col("event_type").as("t2"),
+        col("day").as("d2"), col("cnt").as("c2"))
+      val slopes = a.join(b, col("event_type") === col("t2") &&
+          col("d1") < col("d2"))
+        .select(col("event_type"),
+          expr("""CASE WHEN (c2 - c1) < 0
+                  THEN -((-(c2 - c1)) * 1000 DIV datediff(d2, d1))
+                  ELSE (c2 - c1) * 1000 DIV datediff(d2, d1)
+                  END""").as("slope_milli"))
+      val hist = slopes.groupBy("event_type", "slope_milli")
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("event_type").orderBy("slope_milli")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("event_type")
+      hist
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(wTot))
+        .groupBy(col("event_type"), col("n").as("n_pairs"))
+        .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"),
+          col("slope_milli"))).as("med_slope_milli"))
+        .orderBy("event_type")
+    }),
+
     // Noisy vocabulary release, DP-release SHAPE: global token counts
     // perturbed with bounded per-token pseudo-noise (md5-seeded integer
     // in [-1000, 1000] — a deterministic, replayable stand-in for the
@@ -414,6 +452,32 @@ object GovernanceQueries extends Registry {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "stats_theilsen_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS cnt
+                 FROM events GROUP BY 1, 2),
+          sl AS (SELECT a.event_type,
+                   CASE WHEN (b.cnt - a.cnt) < 0
+                   THEN -((-(b.cnt - a.cnt)) * 1000
+                          // datediff('day', a.day, b.day))
+                   ELSE (b.cnt - a.cnt) * 1000
+                        // datediff('day', a.day, b.day)
+                   END AS slope_milli
+                 FROM daily a JOIN daily b
+                   ON a.event_type = b.event_type AND a.day < b.day),
+          h AS (SELECT event_type, slope_milli, count(*) AS cnt
+                FROM sl GROUP BY 1, 2),
+          c AS (SELECT event_type, slope_milli,
+                  sum(cnt) OVER (PARTITION BY event_type
+                    ORDER BY slope_milli
+                    ROWS UNBOUNDED PRECEDING) AS cum,
+                  sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM h)
+          SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+                 CAST(min(CASE WHEN cum >= (n + 1) // 2
+                   THEN slope_milli END) AS BIGINT) AS med_slope_milli
+          FROM c GROUP BY 1, 2 ORDER BY event_type""",
 
     "corpus_dp_topk" ->
       """WITH t AS (SELECT list_filter(string_split_regex(trim(text),
