@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, substring}
+import org.apache.spark.sql.functions.{abs, col, count, explode, expr, lit,
+  max, substring}
 
 import graft.core.{Memo, Tables}
 import graft.operators.Dedup
@@ -98,6 +99,45 @@ object DedupQueries extends Registry {
     "dedup_minhash_det" -> ((s, d) =>
       Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, numPerms = 16, rowsPerBand = 4)),
+
+    // Estimator calibration: on every det-MinHash candidate pair, how
+    // far is the 16-perm Jaccard ESTIMATE from the exact shingle-set
+    // Jaccard, grouped by band-hit count (the sketch's own confidence
+    // signal)? The audit that justifies sketch parameters before a
+    // 100 TB dedup run — and it composes two already-verified relations:
+    // the deterministic MinHash pairs and the exact intersection,
+    // joined only on the (small) candidate set, never all pairs.
+    "dedup_minhash_calibration" -> ((s, d) => {
+      import graft.functions.{TextFunctions => TFx}
+      val cand = Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, numPerms = 16, rowsPerBand = 4)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TFx.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = cand.select("doc_a", "doc_b")
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")),
+          "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(sizes.select(col("doc_id").as("doc_a"),
+          col("nsh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"),
+          col("nsh").as("nb")), "doc_b")
+        .withColumn("abs_err", abs(col("est_bp") -
+          expr("(inter * 10000) DIV (na + nb - inter)")))
+        .groupBy("bands_hit")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(abs_err) DIV count(1) AS BIGINT)")
+            .as("mean_abs_err_bp"),
+          max(col("abs_err")).as("max_abs_err_bp"))
+        .orderBy("bands_hit")
+    }),
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -491,6 +531,61 @@ object DedupQueries extends Registry {
           JOIN mh x ON doc_a = x.doc_id
           JOIN mh y ON doc_b = y.doc_id AND x.p = y.p
           GROUP BY 1, 2, 3 ORDER BY doc_a, doc_b""",
+
+    // same CTE prefix as dedup_minhash_det, extended with the exact
+    // shingle-set Jaccard on the candidate pairs and the per-bands_hit
+    // error rollup
+    "dedup_minhash_calibration" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS shingle
+                 FROM t),
+          mh AS (SELECT doc_id, p,
+                   min(CAST(('0x' || substring(
+                     md5(p::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT))
+                     AS mh
+                 FROM sh, range(0, 16) r(p) GROUP BY doc_id, p),
+          bands AS (SELECT doc_id, p // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+                    FROM mh GROUP BY doc_id, p // 4),
+          cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS bands_hit
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          est AS (SELECT doc_a, doc_b, bands_hit,
+                    CAST(625 * count(*) FILTER (x.mh = y.mh) AS BIGINT)
+                      AS est_bp
+                  FROM cand
+                  JOIN mh x ON doc_a = x.doc_id
+                  JOIN mh y ON doc_b = y.doc_id AND x.p = y.p
+                  GROUP BY 1, 2, 3),
+          szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+                  FROM sh GROUP BY 1),
+          iv AS (SELECT c.doc_a, c.doc_b,
+                   CAST(count(*) AS BIGINT) AS inter
+                 FROM cand c
+                 JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b
+                           AND sb.shingle = sa.shingle
+                 GROUP BY 1, 2),
+          j AS (SELECT e.bands_hit,
+                  abs(e.est_bp - ((coalesce(iv.inter, 0) * 10000)
+                    // (sa.nsh + sb.nsh - coalesce(iv.inter, 0))))
+                    AS abs_err
+                FROM est e
+                LEFT JOIN iv ON e.doc_a = iv.doc_a
+                            AND e.doc_b = iv.doc_b
+                JOIN szs sa ON e.doc_a = sa.doc_id
+                JOIN szs sb ON e.doc_b = sb.doc_id)
+          SELECT bands_hit, count(*) AS n_pairs,
+                 CAST(sum(abs_err) // count(*) AS BIGINT)
+                   AS mean_abs_err_bp,
+                 CAST(max(abs_err) AS BIGINT) AS max_abs_err_bp
+          FROM j GROUP BY 1 ORDER BY 1""",
 
     "dedup_components" ->
       s"""WITH RECURSIVE $closureCtes
