@@ -569,6 +569,39 @@ object EventQueries extends Registry {
         payloadCols = Seq("event_type", "value"))
         .orderBy("user_id")),
 
+    // Incremental view maintenance shape: the last 7 days are the DELTA,
+    // everything before is the BASE; each side pre-aggregates to
+    // mergeable partials (count + exact cents sum) and the published
+    // total is the MERGE of partials — never a rescan of base rows. In a
+    // lakehouse the base partials persist and only the delta partition
+    // is read per refresh; here both sides scan the same file, but the
+    // plan is the IVM plan (two partial aggregations + a
+    // dimension-sized full-outer merge). The oracle recomputes the
+    // total from scratch, so the hash check IS the merge-equals-
+    // recompute proof.
+    "cdc_incremental_agg" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cut = ev.agg(date_sub(max("day"), 6).as("cut"))
+      val tagged = ev.crossJoin(broadcast(cut))
+      val base = tagged.filter(col("day") < col("cut"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_base"), sum("cents").as("c_base"))
+      val delta = tagged.filter(col("day") >= col("cut"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_delta"), sum("cents").as("c_delta"))
+      base.join(delta, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          (coalesce(col("n_base"), lit(0L))
+            + coalesce(col("n_delta"), lit(0L))).as("n_total"),
+          (coalesce(col("c_base"), lit(0L))
+            + coalesce(col("c_delta"), lit(0L))).as("cents_total"))
+        .orderBy("event_type")
+    }),
+
     // Z-order layout index (operators.Layout.zorderStats): events
     // clustered on the (user_id, value-bucket) Morton curve into 64
     // target files; the output is each file's row count and min/max
@@ -863,6 +896,28 @@ object EventQueries extends Registry {
                 count(DISTINCT user_id) AS exact_users,
                 CAST(1 AS BIGINT) AS within_5pct
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // the oracle recomputes the published totals from scratch — equality
+    // with the Spark side's merged partials is the IVM correctness proof
+    "cdc_incremental_agg" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(round("value" * 100) AS BIGINT) AS cents
+                 FROM events),
+          cut AS (SELECT max(day) - 6 AS cut FROM ev),
+          b AS (SELECT event_type, count(*) AS n_base,
+                  CAST(sum(cents) AS BIGINT) AS c_base
+                FROM ev, cut WHERE day < cut GROUP BY 1),
+          dl AS (SELECT event_type, count(*) AS n_delta,
+                   CAST(sum(cents) AS BIGINT) AS c_delta
+                 FROM ev, cut WHERE day >= cut GROUP BY 1)
+          SELECT coalesce(b.event_type, dl.event_type) AS event_type,
+                 coalesce(n_base, 0) AS n_base,
+                 coalesce(n_delta, 0) AS n_delta,
+                 coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_total,
+                 coalesce(c_base, 0) + coalesce(c_delta, 0)
+                   AS cents_total
+          FROM b FULL OUTER JOIN dl ON b.event_type = dl.event_type
+          ORDER BY 1""",
 
     "cdc_latest_state" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
