@@ -42,6 +42,15 @@ object DedupQueries extends Registry {
       Dedup.shinglePrefix(shingleIdx(s, d), thresholdBp = 8000)
     }
 
+  /** The deterministic-MinHash candidate relation (16 perms, 4-row
+    * bands), memoized — shared by dedup_minhash_det and the calibration
+    * audit so the md5-permutation pipeline runs once per session. */
+  private def minhashDet(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"minhash_det:$d:n=3:p=16:b=4") {
+      Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerms = 16, rowsPerBand = 4)
+    }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Memo.dataFrame(s, s"jaccard_pairs:$d:n=3:thr=0.8") {
       Dedup.ngramJaccardPairsIdx(shingleIdx(s, d), thresholdBp = 8000,
@@ -96,9 +105,7 @@ object DedupQueries extends Registry {
     // bit-for-bit in DuckDB (dedup_minhash_lsh's seeded in-JVM hashes
     // are the faster engine path; this one proves the banded-LSH
     // semantics end-to-end against SQL).
-    "dedup_minhash_det" -> ((s, d) =>
-      Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numPerms = 16, rowsPerBand = 4)),
+    "dedup_minhash_det" -> ((s, d) => minhashDet(s, d)),
 
     // Estimator calibration: on every det-MinHash candidate pair, how
     // far is the 16-perm Jaccard ESTIMATE from the exact shingle-set
@@ -109,8 +116,7 @@ object DedupQueries extends Registry {
     // joined only on the (small) candidate set, never all pairs.
     "dedup_minhash_calibration" -> ((s, d) => {
       import graft.functions.{TextFunctions => TFx}
-      val cand = Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id",
-        "text", n = 3, numPerms = 16, rowsPerBand = 4)
+      val cand = minhashDet(s, d)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TFx.shingles(col("text"), 3)).as("shingle"))

@@ -194,9 +194,14 @@ object GraphQueries extends Registry {
     // — deg(b) >= 2 for any common neighbor, so ln never hits zero.
     "graph_adamic_adar" -> ((s, d) => {
       val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+      // und feeds the two-hop join twice, the degree table, and the
+      // is_edge flag — localCheckpoint it once instead of re-deriving
+      // the multi-join trade-edge pipeline four times (plan audit: 50
+      // inner joins without it, 8 with)
       val und = e
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
+        .localCheckpoint()
       val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
       und.select(col("dst").as("b"), col("src").as("a"))
         .join(und.select(col("src").as("b"), col("dst").as("c")), "b")
