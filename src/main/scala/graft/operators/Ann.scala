@@ -419,6 +419,113 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ two-level search — the FAISS production index shape for
+    * corpus-scale ANN: an IVF coarse quantizer restricts each query to
+    * its `nprobe` nearest cells (so the scan touches n·nprobe/nlist
+    * candidates, not n), and WITHIN the probed cells candidates are
+    * scored by PQ asymmetric distance (m table lookups per pair against
+    * 64x-compressed codes), with the usual exact-cosine refinement of
+    * the ADC shortlist. Composes [[ivfTopK]]'s cell assignment with
+    * [[pqTopK]]'s codebooks; both quantizers train on the same bounded
+    * driver-side sample (deterministic seeds). At 100 TB this is the
+    * index you actually build: cells partition the corpus, codes make
+    * the per-cell scan memory-resident, refinement touches only
+    * rerank·k original vectors per query.
+    *
+    * Quantizer state is engine-internal → registered rows-only; AnnSpec
+    * bounds recall against the exact baseline. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, codes: Int = 16, rerank: Int = 8,
+                sampleSize: Int = 2000, iters: Int = 10,
+                seed: Long = 44L): DataFrame = {
+    val cRaw = spread(candidates).select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qRaw = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    def unit(vc: org.apache.spark.sql.Column) = TF.bind(vc) { v =>
+      TF.bind(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))) { n =>
+        when(n === 0.0, v).otherwise(transform(v, x => x / n))
+      }
+    }
+    val sampleRaw = cRaw.orderBy("cand_id").limit(sampleSize)
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    require(sampleRaw.nonEmpty, "ivfPqTopK needs a non-empty candidate set")
+    val dim = sampleRaw(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subd = dim / m
+    def unitJvm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    // coarse quantizer on raw vectors (the ivfTopK convention), PQ
+    // codebooks on unit vectors (the pqTopK convention) — one collect
+    val cents = kmeans(sampleRaw, nlist, iters, seed)
+    val books: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      kmeans(sampleRaw.map(unitJvm).map(_.slice(s * subd, (s + 1) * subd)),
+        codes, iters, seed + 1 + s).map(_.toSeq).toSeq
+    }
+    val centLit = array(cents.map(c => typedLit(c.toSeq)): _*)
+    val cbLit = typedLit(books)
+    def d2(u: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column) =
+      aggregate(zip_with(u, w, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, x) => a + x)
+    def nearestCells(vec: org.apache.spark.sql.Column, n: Int) =
+      TF.bind(vec) { v =>
+        TF.bind(transform(centLit, c => d2(v, c))) { dists =>
+          slice(array_sort(
+            transform(sequence(lit(0), lit(nlist - 1)),
+              i => struct(element_at(dists, i + 1).as("d"), i.as("cell")))),
+            1, n)
+        }
+      }
+    def encode(vec: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        TF.bind(slice(vec, s * subd + 1, lit(subd))) { sub =>
+          TF.bind(element_at(cbLit, s + 1)) { book =>
+            element_at(array_sort(
+              transform(sequence(lit(0), lit(codes - 1)), c =>
+                struct(d2(sub, element_at(book, c + 1)).as("d"),
+                  c.as("code")))), 1).getField("code")
+          }
+        })
+    def lut(vec: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        TF.bind(slice(vec, s * subd + 1, lit(subd))) { sub =>
+          transform(element_at(cbLit, s + 1), cb => d2(sub, cb))
+        })
+    // the stored index row: cell + m codes per candidate (the original
+    // vector is NOT carried through the scan — only the refinement
+    // re-reads it, by id)
+    val cIdx = cRaw.select(col("cand_id"),
+      element_at(nearestCells(col("cv"), 1), 1).getField("cell").as("cell"),
+      encode(unit(col("cv"))).as("cds"))
+    val qSide = qRaw.select(col("query_id"), col("qv"),
+      explode(transform(nearestCells(col("qv"), nprobe),
+        s => s.getField("cell"))).as("cell"),
+      lut(unit(col("qv"))).as("lut"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("cand_id").asc)
+    val short = cIdx.join(broadcast(qSide), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("adist", aggregate(sequence(lit(0), lit(m - 1)),
+        lit(0.0), (acc, s) => acc + element_at(
+          element_at(col("lut"), s + 1),
+          element_at(col("cds"), s + 1) + 1)))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerank)
+      .select("query_id", "qv", "cand_id")
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    short.join(cRaw, "cand_id")
+      .withColumn("sim", HashExprs.cosine_sim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * compression step before shipping vectors to an index or a training
     * job (4x smaller than float32, 8x than float64). Per vector:

@@ -68,6 +68,15 @@ object AnnQueries extends Registry {
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
+    // IVF-PQ composition (Ann.ivfPqTopK): coarse cells restrict the
+    // scan, PQ codes make the per-cell scoring m lookups per pair, exact
+    // cosine refines the shortlist — the FAISS production index shape
+    // and the registry's flagship 100 TB ANN path. Quantizer state is
+    // engine-internal -> rows-only; AnnSpec bounds recall.
+    "ann_ivf_pq_topk" -> ((s, d) =>
+      Ann.ivfPqTopK(Tables.embeddings(s, d), queriesOf(s, d),
+        "vec_id", "embedding", k = 5)),
+
     // Multi-probe LSH (Lv et al. 2007): each query probes its own bucket
     // plus every Hamming-distance-1 neighbor bucket, buying back the
     // recall that extra bits cost WITHOUT more tables — the knob that

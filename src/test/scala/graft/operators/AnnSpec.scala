@@ -212,6 +212,14 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("IVF-PQ top-k recall >= 0.4 vs brute force; k rows per query") {
+    val got = Ann.ivfPqTopK(embs, queries, "vec_id", "embedding", 5)
+    val perQuery = got.groupBy("query_id").count().collect()
+    perQuery.foreach(r => assert(r.getLong(1) <= 5L))
+    val recall = (neighborSet(got) intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall $recall")
+  }
+
   test("PQ top-k recall >= 0.5 vs brute force; exact-cosine refinement") {
     val pq = Ann.pqTopK(embs, queries, "vec_id", "embedding", k = 5)
     val recall = (neighborSet(pq) intersect exact).size.toDouble / exact.size
