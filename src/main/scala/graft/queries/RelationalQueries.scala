@@ -145,6 +145,25 @@ object RelationalQueries extends Registry {
     // GROUPING SETS through the SQL surface (the DataFrame API exposes
     // only cube/rollup; arbitrary set lists are SQL-only). NULL groups
     // coalesced so the compare is total-order-stable.
+    // Correlated LATERAL subquery on the SQL surface (Spark 3.2+ lateral
+    // join): per nation, the top-2 customers by account balance — the
+    // "for each row, run this parameterized subquery" form analysts
+    // write; Catalyst decorrelates it into the same join+window plan the
+    // DSL would build, which is exactly what the oracle's LATERAL must
+    // reproduce.
+    "sql_lateral_topn" -> ((s, d) => {
+      graft.core.Views.register(s, d)
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.acctbal
+           FROM nation n,
+           LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+                    FROM customer
+                    WHERE c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey ASC
+                    LIMIT 2) t
+           ORDER BY n.n_name, t.acctbal DESC, t.c_custkey""")
+    }),
+
     "sql_grouping_sets" -> ((s, d) => {
       graft.core.Views.register(s, d)
       s.sql(
@@ -737,6 +756,16 @@ object RelationalQueries extends Registry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "sql_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.acctbal
+         FROM nation n,
+         LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+                  FROM customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC
+                  LIMIT 2) t
+         ORDER BY n.n_name, t.acctbal DESC, t.c_custkey""",
 
     "sql_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
