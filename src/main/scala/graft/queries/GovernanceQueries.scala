@@ -425,6 +425,45 @@ object GovernanceQueries extends Registry {
         .orderBy("event_type")
     }),
 
+    // Count-Min sketch audit with ENGINE-PORTABLE hashes: a 4x256
+    // counter sketch over the token stream (bucket = md5(row:term) mod
+    // width — fully replayable, unlike library CM implementations), then
+    // each of the top-20 exact tokens is point-queried against it. The
+    // sketch is a 1,024-row mergeable partial-aggregate — the bounded-
+    // memory heavy-hitter shape a 100 TB pipeline keeps per shard and
+    // merges by cell addition — and the output carries the exact count,
+    // the estimate, the (always >= 0) overcount, and the est <= exact +
+    // 2N/width verdict, so the hash check pins the CM guarantee itself.
+    "corpus_countmin_audit" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("term"))
+      val entries = toks
+        .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("b",
+          conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+            col("term"))), 1, 15), 16, 10).cast("long") % 256)
+      val sketch = entries.groupBy("r", "b").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("exact").desc, col("term").asc)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+      top
+        .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("b",
+          conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+            col("term"))), 1, 15), 16, 10).cast("long") % 256)
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy("rank", "term", "exact").agg(min("c").as("est"))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("term"), col("exact"), col("est"),
+          (col("est") - col("exact")).as("overcount"),
+          (col("est") <= col("exact") + expr("(2 * n) DIV 256"))
+            .cast("long").as("within_eps"))
+        .orderBy("rank")
+    }),
+
     // Noisy vocabulary release, DP-release SHAPE: global token counts
     // perturbed with bounded per-token pseudo-noise (md5-seeded integer
     // in [-1000, 1000] — a deterministic, replayable stand-in for the
@@ -452,6 +491,35 @@ object GovernanceQueries extends Registry {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "corpus_countmin_audit" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(trim(text),
+                      '\s+'), x -> x <> '') AS toks FROM documents),
+          e AS (SELECT unnest(toks) AS term FROM t),
+          en AS (SELECT term, r,
+                   ('0x' || substring(md5(r::VARCHAR || ':' || term),
+                     1, 15))::BIGINT % 256 AS b
+                 FROM e, range(0, 4) q(r)),
+          sk AS (SELECT r, b, count(*) AS c FROM en GROUP BY 1, 2),
+          tot AS (SELECT count(*) AS n FROM e),
+          ex AS (SELECT term, count(*) AS exact FROM e GROUP BY term),
+          top AS (SELECT term, exact,
+                    CAST(row_number() OVER (ORDER BY exact DESC, term ASC)
+                      AS BIGINT) AS rank
+                  FROM ex),
+          pq AS (SELECT rank, t.term, t.exact, min(sk.c) AS est
+                 FROM top t, range(0, 4) q(r)
+                 JOIN sk ON sk.r = q.r
+                        AND sk.b = ('0x' || substring(
+                          md5(q.r::VARCHAR || ':' || t.term), 1, 15))
+                          ::BIGINT % 256
+                 WHERE t.rank <= 20
+                 GROUP BY 1, 2, 3)
+          SELECT rank, term, exact, CAST(est AS BIGINT) AS est,
+                 CAST(est - exact AS BIGINT) AS overcount,
+                 CAST(est <= exact + (2 * n) // 256 AS BIGINT)
+                   AS within_eps
+          FROM pq, tot ORDER BY rank""",
 
     "stats_theilsen_trend" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
