@@ -145,6 +145,50 @@ object RelationalQueries extends Registry {
     // GROUPING SETS through the SQL surface (the DataFrame API exposes
     // only cube/rollup; arbitrary set lists are SQL-only). NULL groups
     // coalesced so the compare is total-order-stable.
+    // Bloom-filter semi-join prefilter, made REPLAYABLE: a 2,048-bit /
+    // 4-hash Bloom built from purchase users (bits = md5(r:uid) mod m —
+    // the bit-set relation is <= 2,048 rows, broadcastable at any
+    // corpus scale) prefilters the click stream before the exact semi
+    // join — the runtime-filter mechanics AQE applies internally, with
+    // the false-positive rate surfaced: the output is the
+    // clicks / bloom-pass / true-match / false-positive accounting plus
+    // the FPR in basis points. All integer; one click-side scan.
+    "join_bloom_semi" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchUsers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val bits = purchUsers
+        .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+        .select((conv(substring(md5(concat(col("r").cast("string"),
+          lit(":"), col("user_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2048).as("bit"))
+        .distinct()
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+      val hits = clicks
+        .withColumn("r", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("bit",
+          conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+            col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2048)
+        .join(broadcast(bits), Seq("bit"))
+        .groupBy("event_id", "user_id")
+        .agg(count(lit(1)).as("nbits"))
+        .filter(col("nbits") === 4)
+        .select(col("event_id"), col("user_id"))
+      val truly = clicks.join(
+        purchUsers.withColumnRenamed("user_id", "user_id"),
+        Seq("user_id"), "left_semi")
+      hits.agg(count(lit(1)).as("n_bloom_pass"))
+        .crossJoin(broadcast(clicks.agg(count(lit(1)).as("n_clicks"))))
+        .crossJoin(broadcast(truly.agg(count(lit(1)).as("n_true"))))
+        .select(col("n_clicks"), col("n_bloom_pass"), col("n_true"),
+          (col("n_bloom_pass") - col("n_true")).as("n_false_pos"),
+          expr("""CASE WHEN n_clicks - n_true = 0 THEN 0
+                  ELSE ((n_bloom_pass - n_true) * 10000)
+                       DIV (n_clicks - n_true) END""").as("fpr_bp"))
+    }),
+
     // Correlated LATERAL subquery on the SQL surface (Spark 3.2+ lateral
     // join): per nation, the top-2 customers by account balance — the
     // "for each row, run this parameterized subquery" form analysts
@@ -756,6 +800,34 @@ object RelationalQueries extends Registry {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+
+    "join_bloom_semi" ->
+      """WITH pu AS (SELECT DISTINCT user_id FROM events
+                     WHERE event_type = 'purchase'),
+          bits AS (SELECT DISTINCT
+                     ('0x' || substring(md5(r::VARCHAR || ':' ||
+                       user_id::VARCHAR), 1, 15))::BIGINT % 2048 AS bit
+                   FROM pu, range(0, 4) q(r)),
+          cl AS (SELECT event_id, user_id FROM events
+                 WHERE event_type = 'click'),
+          hp AS (SELECT event_id
+                 FROM (SELECT c.event_id, q.r,
+                         ('0x' || substring(md5(q.r::VARCHAR || ':' ||
+                           c.user_id::VARCHAR), 1, 15))::BIGINT % 2048
+                           AS bit
+                       FROM cl c, range(0, 4) q(r)) x
+                 JOIN bits USING (bit)
+                 GROUP BY event_id HAVING count(*) = 4),
+          tr AS (SELECT count(*) AS n_true FROM cl
+                 WHERE user_id IN (SELECT user_id FROM pu)),
+          nb AS (SELECT count(*) AS n_bloom_pass FROM hp),
+          nc AS (SELECT count(*) AS n_clicks FROM cl)
+          SELECT n_clicks, n_bloom_pass, n_true,
+                 n_bloom_pass - n_true AS n_false_pos,
+                 CASE WHEN n_clicks - n_true = 0 THEN 0
+                 ELSE ((n_bloom_pass - n_true) * 10000)
+                      // (n_clicks - n_true) END AS fpr_bp
+          FROM nb, nc, tr""",
 
     "sql_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, t.acctbal
