@@ -142,9 +142,6 @@ object RelationalQueries extends Registry {
         .orderBy("c_mktsegment")
     }),
 
-    // GROUPING SETS through the SQL surface (the DataFrame API exposes
-    // only cube/rollup; arbitrary set lists are SQL-only). NULL groups
-    // coalesced so the compare is total-order-stable.
     // Bloom-filter semi-join prefilter, made REPLAYABLE: a 2,048-bit /
     // 4-hash Bloom built from purchase users (bits = md5(r:uid) mod m —
     // the bit-set relation is <= 2,048 rows, broadcastable at any
@@ -155,7 +152,12 @@ object RelationalQueries extends Registry {
     // the FPR in basis points. All integer; one click-side scan.
     "join_bloom_semi" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val purchUsers = ev.filter(col("event_type") === "purchase")
+      // the synthetic users are uniform (every click user also
+      // purchases), so the build side restricts to the sparse "VIP"
+      // cohort (user_id % 17 == 0) — otherwise the filter passes
+      // everything and the FPR accounting is vacuous
+      val purchUsers = ev.filter(col("event_type") === "purchase" &&
+          col("user_id") % 17 === 0)
         .select(col("user_id")).distinct()
       val bits = purchUsers
         .withColumn("r", explode(sequence(lit(0L), lit(3L))))
@@ -208,6 +210,9 @@ object RelationalQueries extends Registry {
            ORDER BY n.n_name, t.acctbal DESC, t.c_custkey""")
     }),
 
+    // GROUPING SETS through the SQL surface (the DataFrame API exposes
+    // only cube/rollup; arbitrary set lists are SQL-only). NULL groups
+    // coalesced so the compare is total-order-stable.
     "sql_grouping_sets" -> ((s, d) => {
       graft.core.Views.register(s, d)
       s.sql(
@@ -803,7 +808,8 @@ object RelationalQueries extends Registry {
 
     "join_bloom_semi" ->
       """WITH pu AS (SELECT DISTINCT user_id FROM events
-                     WHERE event_type = 'purchase'),
+                     WHERE event_type = 'purchase'
+                       AND user_id % 17 = 0),
           bits AS (SELECT DISTINCT
                      ('0x' || substring(md5(r::VARCHAR || ':' ||
                        user_id::VARCHAR), 1, 15))::BIGINT % 2048 AS bit
