@@ -1,8 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, col, count, explode, expr, lit,
-  max, substring}
+import org.apache.spark.sql.functions.{abs, col, concat, count, explode,
+  expr, lit, max, substring}
 
 import graft.core.{Memo, Tables}
 import graft.operators.Dedup
@@ -288,6 +288,43 @@ object DedupQueries extends Registry {
       Dedup.cdcBytesRetention(Tables.documents(s, d), "doc_id", "text",
         w = 16, divisor = 64)),
 
+    // The CDC robustness CLAIM as a measured query: prepend one token to
+    // every document (the worst case for fixed windows — every window
+    // re-flows) and count how many chunk fingerprints survive under the
+    // fixed 32-token chunker vs the content-defined one. CDC boundaries
+    // are content-anchored, so only the chunk containing the edit
+    // changes (~90%+ survival); the fixed chunker loses essentially
+    // everything. This is WHY a 100 TB dedup index uses CDC — here it
+    // is a 2-row hash-checked fact instead of prose.
+    "dedup_shift_robustness" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val edited = docs.select(col("doc_id"),
+        concat(lit("zz "), col("text")).as("text"))
+      def fixedFps(df: DataFrame) =
+        graft.operators.Corpus.chunkUnordered(df, "doc_id", "text",
+            chunkTokens = 32, overlap = 0)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.md5(col("chunk_text")).as("fp"))
+          .distinct()
+      def cdcFps(df: DataFrame) =
+        Dedup.cdcChunks(df, "doc_id", "text", divisor = 8)
+          .select(col("doc_id"),
+            org.apache.spark.sql.functions.md5(col("chunk_text")).as("fp"))
+          .distinct()
+      def survival(name: String, orig: DataFrame,
+                   ed: DataFrame): DataFrame = {
+        val surv = orig.join(ed, Seq("doc_id", "fp"), "left_semi")
+        orig.agg(count(lit(1)).as("n_chunks"))
+          .crossJoin(surv.agg(count(lit(1)).as("n_survive")))
+          .select(lit(name).as("chunker"), col("n_chunks"),
+            col("n_survive"),
+            expr("(n_survive * 10000) DIV n_chunks").as("survive_bp"))
+      }
+      survival("cdc", cdcFps(docs), cdcFps(edited))
+        .unionByName(survival("fixed32", fixedFps(docs), fixedFps(edited)))
+        .orderBy("chunker")
+    }),
+
     // Flagship composition — the whole corpus-prep pipeline as ONE
     // declarative plan: quality/language/length gates, near-dup cluster
     // collapse on the clean subset, content-hash shard assignment, and
@@ -392,6 +429,66 @@ object DedupQueries extends Registry {
 
   private val toks =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
+
+  /** Both chunkers replayed over the original corpus and its
+    * one-token-prepended copy, then per-chunker fingerprint survival —
+    * the fixed-window slice arithmetic of text_chunk/dedup_passage and
+    * the base-31 polynomial CDC rule of dedup_cdc_chunks, applied
+    * twice each via prefixed CTE blocks. */
+  private def shiftFixedFps(src: String, p: String): String =
+    s"""${p}_t AS (SELECT doc_id, $toks AS toks FROM $src),
+        ${p}_n AS (SELECT doc_id, toks, len(toks)::BIGINT AS ntok
+                   FROM ${p}_t WHERE len(toks) > 0),
+        ${p}_f AS (SELECT DISTINCT doc_id,
+                     md5(array_to_string(
+                       toks[c * 32 + 1 : c * 32 + 32], ' ')) AS fp
+                   FROM (SELECT doc_id, toks,
+                           unnest(range(0, greatest(1, (ntok + 31) // 32)))
+                             AS c
+                         FROM ${p}_n) q)"""
+
+  private def shiftCdcFps(src: String, p: String): String =
+    s"""${p}_t AS (SELECT doc_id, $toks AS toks FROM $src),
+        ${p}_tok AS (SELECT doc_id, pos, toks[pos] AS tok
+                     FROM (SELECT doc_id,
+                             unnest(range(1, len(toks) + 1)) AS pos, toks
+                           FROM ${p}_t) z),
+        ${p}_hx AS (SELECT doc_id, pos, tok,
+                      list_reduce(list_prepend(0::BIGINT,
+                        list_transform(regexp_extract_all(tok, '.'),
+                          c -> unicode(c)::BIGINT)),
+                        (a, c) -> (a * 31 + c) % 1000000007) AS h
+                    FROM ${p}_tok),
+        ${p}_ch AS (SELECT doc_id, pos, tok,
+                      sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS chunk_id
+                    FROM ${p}_hx),
+        ${p}_f0 AS (SELECT doc_id, chunk_id,
+                      md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+                    FROM ${p}_ch GROUP BY 1, 2),
+        ${p}_f AS (SELECT DISTINCT doc_id, fp FROM ${p}_f0)"""
+
+  private val shiftRobustSql: String =
+    s"""WITH e0 AS (SELECT doc_id, 'zz ' || text AS text FROM documents),
+        ${shiftFixedFps("documents", "fo")},
+        ${shiftFixedFps("e0", "fe")},
+        ${shiftCdcFps("documents", "co")},
+        ${shiftCdcFps("e0", "ce")},
+        res AS (
+          SELECT 'cdc' AS chunker,
+                 (SELECT count(*) FROM co_f) AS n_chunks,
+                 (SELECT count(*) FROM co_f JOIN ce_f
+                    USING (doc_id, fp)) AS n_survive
+          UNION ALL
+          SELECT 'fixed32',
+                 (SELECT count(*) FROM fo_f),
+                 (SELECT count(*) FROM fo_f JOIN fe_f
+                    USING (doc_id, fp)))
+        SELECT chunker, n_chunks, n_survive,
+               (n_survive * 10000) // n_chunks AS survive_bp
+        FROM res ORDER BY chunker"""
 
   /** Shared CTE block: 3-gram shingle index + pairwise intersections —
     * the single definition all Jaccard-family oracles build on, so the
@@ -537,6 +634,8 @@ object DedupQueries extends Registry {
           JOIN mh x ON doc_a = x.doc_id
           JOIN mh y ON doc_b = y.doc_id AND x.p = y.p
           GROUP BY 1, 2, 3 ORDER BY doc_a, doc_b""",
+
+    "dedup_shift_robustness" -> shiftRobustSql,
 
     // same CTE prefix as dedup_minhash_det, extended with the exact
     // shingle-set Jaccard on the candidate pairs and the per-bands_hit
