@@ -719,6 +719,62 @@ object RelationalQueries extends Registry {
         .select("priority", "n", "min_lag", "p50_d", "p90_d", "max_lag")
         .orderBy("priority")
     }),
+
+    // 2-D skyline (Pareto-non-dominated set) over part: minimize
+    // (price, size). A part is dominated iff some other part is <= on
+    // both axes and strictly < on at least one. The definition is
+    // quadratic; the plan is the O(n log n) sweep: order parts by
+    // integer price-cents, then a part survives iff (a) no
+    // strictly-cheaper part has size <= its own (cumulative min over a
+    // RANGE frame that excludes price ties) and (b) no same-price part
+    // has a strictly smaller size. Both windows walk the PART dimension
+    // (bounded far below the fact table); the DuckDB oracle is the
+    // declarative NOT-EXISTS quadratic — scale-safe plan vs literal
+    // spec, the same twin recipe as the dedup family.
+    "skyline_parts" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"),
+        col("p_size").cast("long").as("size"))
+      val cheaper = Window.orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val same = Window.partitionBy("cents")
+      p.select(col("p_partkey"), col("cents"), col("size"),
+          min("size").over(cheaper).as("min_cheaper"),
+          min("size").over(same).as("min_same"))
+        .filter((col("min_cheaper").isNull ||
+            col("min_cheaper") > col("size")) &&
+          col("min_same") === col("size"))
+        .select("p_partkey", "cents", "size")
+        .orderBy("p_partkey")
+    }),
+
+    // Entity-resolution candidate pairs over the part catalog: block on
+    // the head noun (last name token), pair DISTINCT names within each
+    // block, match on levenshtein <= 3, and weight each surviving pair
+    // by how many concrete row-pairs it would merge (n_a * n_b). The
+    // pairwise (quadratic) work runs on the distinct-entity relation —
+    // dictionary-bounded at any SF — never on fact rows; the fact table
+    // only contributes counts. That canonicalize-then-block shape is
+    // what keeps ER feasible at 100 TB: the blocks bound the candidate
+    // set, and the edit-distance kernel sees each entity string once.
+    "er_blocked_pairs" -> ((s, d) => {
+      val names = Tables.part(s, d)
+        .select(col("p_name"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+        .groupBy("blk", "p_name").agg(count(lit(1)).as("n"))
+      val a = names.select(col("blk"), col("p_name").as("name_a"),
+        col("n").as("n_a"))
+      val b = names.select(col("blk").as("blk_b"),
+        col("p_name").as("name_b"), col("n").as("n_b"))
+      a.join(b, col("blk") === col("blk_b") &&
+          col("name_a") < col("name_b"))
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("blk"), col("name_a"), col("name_b"), col("dist"),
+          (col("n_a") * col("n_b")).as("pair_weight"))
+        .orderBy("blk", "name_a", "name_b")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1104,6 +1160,31 @@ object RelationalQueries extends Registry {
           FROM c CROSS JOIN t CROSS JOIN p
           WHERE cum * 10000 >= p.pct_bp * t.t
           GROUP BY p.pct_bp ORDER BY pct_bp""",
+
+    "skyline_parts" ->
+      """WITH p AS (SELECT p_partkey,
+                           CAST(round(p_retailprice * 100) AS BIGINT)
+                             AS cents,
+                           CAST(p_size AS BIGINT) AS size
+                    FROM part)
+          SELECT p_partkey, cents, size FROM p a
+          WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.cents <= a.cents AND b.size <= a.size
+              AND (b.cents < a.cents OR b.size < a.size))
+          ORDER BY p_partkey""",
+
+    "er_blocked_pairs" ->
+      """WITH names AS (SELECT split_part(p_name, ' ', 2) AS blk,
+                               p_name, count(*) AS n
+                        FROM part GROUP BY 1, 2)
+          SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                 CAST(a.n * b.n AS BIGINT) AS pair_weight
+          FROM names a JOIN names b
+            ON a.blk = b.blk AND a.p_name < b.p_name
+          WHERE levenshtein(a.p_name, b.p_name) <= 3
+          ORDER BY a.blk, name_a, name_b""",
 
     "orders_rfm" ->
       """WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date
