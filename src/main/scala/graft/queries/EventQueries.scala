@@ -870,6 +870,58 @@ object EventQueries extends Registry {
                'value', nu_val, nd_val) AS (col_name, n_nulls, n_distinct)"""),
           col("n_rows"))
         .orderBy("col_name")),
+
+    // Seasonal anomaly detection: each observed (event_type, hour)
+    // count is scored against its seasonal cohort — all hours sharing
+    // the same (dow, hour-of-day) slot — via the robust median/MAD
+    // recipe, and the top-5 most anomalous hours per type surface.
+    // Everything is integer: med and mad are LOWER medians (min value
+    // whose rank clears 2*rn >= n), and the score is the truncating
+    // integer division (dev*100) DIV (mad+1) — mad-units in percent,
+    // +1 so a zero-MAD cohort cannot divide by zero; operands are
+    // non-negative so Spark DIV (truncate) and DuckDB // (floor)
+    // agree. The windows partition by the 168-slot seasonal cohort —
+    // never a global order — and the hourly rollup is one shuffle with
+    // map-side combine; at 100 TB only the (type, 168-slot, day) cube
+    // reaches the windows, bounded by the calendar.
+    "events_seasonal_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .groupBy("event_type", "h", "dow", "hr")
+        .agg(count(lit(1)).as("cnt"))
+      val grp = Seq("event_type", "dow", "hr")
+      val wN = Window.partitionBy(grp.map(col): _*)
+      val wMed = wN.orderBy("cnt", "h")
+      val med = hourly
+        .select(col("event_type"), col("dow"), col("hr"), col("cnt"),
+          row_number().over(wMed).cast("long").as("rn"),
+          count(lit(1)).over(wN).as("n"))
+        .filter(col("rn") * 2 >= col("n"))
+        .groupBy(grp.map(col): _*).agg(min("cnt").as("med"))
+      val dev = hourly.join(med, grp)
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val wMad = wN.orderBy("dev", "h")
+      val mad = dev
+        .select(col("event_type"), col("dow"), col("hr"), col("dev"),
+          row_number().over(wMad).cast("long").as("rn"),
+          count(lit(1)).over(wN).as("n"))
+        .filter(col("rn") * 2 >= col("n"))
+        .groupBy(grp.map(col): _*).agg(min("dev").as("mad"))
+      val scored = dev.join(mad, grp)
+        .withColumn("score",
+          expr("(dev * 100) DIV (mad + 1)"))
+      val wTop = Window.partitionBy("event_type")
+        .orderBy(col("score").desc, col("h"))
+      scored
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+          col("cnt"), col("med"), col("mad"), col("score"))
+        .orderBy("event_type", "hour")
+    }),
   )
 
   /** SQL form of Layout.spread16's mask-spread chain (fully
@@ -1466,5 +1518,39 @@ object EventQueries extends Registry {
                   CAST(count(DISTINCT "value") AS BIGINT),
                   CAST(count(*) AS BIGINT) FROM events)
          ORDER BY col_name""",
+
+    "events_seasonal_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS h,
+                  isodow(ts) AS dow, hour(ts) AS hr, count(*) AS cnt
+           FROM events GROUP BY 1, 2, 3, 4),
+          rmed AS (
+           SELECT event_type, dow, hr, cnt,
+                  row_number() OVER (PARTITION BY event_type, dow, hr
+                    ORDER BY cnt, h) AS rn,
+                  count(*) OVER (PARTITION BY event_type, dow, hr) AS n
+           FROM hourly),
+          med AS (SELECT event_type, dow, hr, min(cnt) AS med
+                  FROM rmed WHERE rn * 2 >= n GROUP BY 1, 2, 3),
+          dv AS (SELECT hourly.*, med.med, abs(cnt - med) AS dev
+                 FROM hourly JOIN med USING (event_type, dow, hr)),
+          rmad AS (
+           SELECT event_type, dow, hr, dev,
+                  row_number() OVER (PARTITION BY event_type, dow, hr
+                    ORDER BY dev, h) AS rn,
+                  count(*) OVER (PARTITION BY event_type, dow, hr) AS n
+           FROM dv),
+          mad AS (SELECT event_type, dow, hr, min(dev) AS mad
+                  FROM rmad WHERE rn * 2 >= n GROUP BY 1, 2, 3),
+          sc AS (SELECT dv.*, mad.mad,
+                        (dv.dev * 100) // (mad.mad + 1) AS score
+                 FROM dv JOIN mad USING (event_type, dow, hr)),
+          tp AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY score DESC, h) AS rk FROM sc)
+          SELECT event_type, strftime(h, '%Y-%m-%d %H') AS hour,
+                 CAST(cnt AS BIGINT) AS cnt, CAST(med AS BIGINT) AS med,
+                 CAST(mad AS BIGINT) AS mad,
+                 CAST(score AS BIGINT) AS score
+          FROM tp WHERE rk <= 5 ORDER BY event_type, hour""",
   )
 }

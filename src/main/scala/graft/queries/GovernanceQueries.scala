@@ -40,6 +40,32 @@ object GovernanceQueries extends Registry {
             .as("rows_suppressed"))
         .orderBy("event_type")),
 
+    // l-diversity audit over the same quasi-identifier cells as
+    // events_k_anonymity: k bounds re-identification, but a cell whose
+    // rows all belong to ONE user still leaks (homogeneity attack) —
+    // l = distinct sensitive values (user_id) per cell must clear a
+    // floor too. Per event_type: cell count, worst l, cells below
+    // l = 3 and the rows they expose. Same two-level partial-agg shape
+    // as k-anonymity (cells shuffle once on the QI key; the per-type
+    // rollup rides map-side combine), so it scales identically.
+    "events_l_diversity" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"),
+          floor(col("value") / 10.0).cast("long").as("vb"),
+          col("user_id"))
+        .groupBy("event_type", "dow", "hr", "vb")
+        .agg(countDistinct("user_id").as("l"), count(lit(1)).as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          min("l").as("min_l"),
+          sum(when(col("l") < 3, 1L).otherwise(0L)).as("cells_lt3"),
+          sum(when(col("l") < 3, col("k")).otherwise(0L))
+            .as("rows_at_risk"))
+        .orderBy("event_type")),
+
     // Benford's-law conformance of lineitem prices: observed
     // first-significant-digit share (integer basis points) vs the
     // Benford expectation. Digit extraction goes through exact integer
@@ -576,6 +602,21 @@ object GovernanceQueries extends Registry {
                   AS cells_lt5,
                 CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
                   AS rows_suppressed
+         FROM cells GROUP BY event_type ORDER BY event_type""",
+
+    "events_l_diversity" ->
+      """WITH cells AS (
+           SELECT event_type, isodow(ts) AS dow, hour(ts) AS hr,
+                  CAST(floor("value" / 10.0) AS BIGINT) AS vb,
+                  count(DISTINCT user_id) AS l, count(*) AS k
+           FROM events GROUP BY 1, 2, 3, 4)
+         SELECT event_type,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(min(l) AS BIGINT) AS min_l,
+                CAST(count(CASE WHEN l < 3 THEN 1 END) AS BIGINT)
+                  AS cells_lt3,
+                CAST(coalesce(sum(CASE WHEN l < 3 THEN k END), 0)
+                  AS BIGINT) AS rows_at_risk
          FROM cells GROUP BY event_type ORDER BY event_type""",
 
     "stats_benford" ->
