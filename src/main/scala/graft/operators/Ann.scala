@@ -131,6 +131,61 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the mining rule behind CCMatrix-style parallel-corpus extraction):
+    * a cross-cohort pair's score is the RATIO margin between its cosine
+    * and the mean cosine of each side's k nearest neighbors in the
+    * OTHER cohort; the mined pairs are the mutual best-margin matches.
+    * Raw cosine alone over-selects hub vectors — the margin divides the
+    * hubness out, which is why this beats absolute-threshold mining.
+    *
+    * Exactness: similarities snap to integer basis points, each
+    * denominator is an integer sum of k of them, and the score is one
+    * truncating division over operands kept non-negative by the
+    * sim_bp > 0 / den > 0 guards — so the whole relation replays
+    * bit-for-bit in any engine. Scale: the |A| x |B| pair relation here
+    * is the spec-oracle baseline (A is the broadcast side); at 100 TB
+    * candidates come from the same sign-bit bucketing as [[knnGraphLsh]]
+    * — margin scoring composes with any candidate generator because it
+    * only needs each side's top-k denominator, also computable from the
+    * bucketed candidate set.
+    *
+    * a: (a_id, va); b: (b_id, vb). Output: mutual pairs
+    * (a_id, b_id, sim_bp, margin_bp), one row per mined a_id. */
+  def marginBitext(a: DataFrame, b: DataFrame, k: Int = 4): DataFrame = {
+    val pairs = broadcast(a).crossJoin(spread(b))
+      .select(col("a_id"), col("b_id"),
+        round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
+          .cast("long").as("sim_bp"))
+    val wa = Window.partitionBy("a_id")
+      .orderBy(col("sim_bp").desc, col("b_id"))
+    val wb = Window.partitionBy("b_id")
+      .orderBy(col("sim_bp").desc, col("a_id"))
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+    val denA = ranked.filter(col("ra") <= k).groupBy("a_id")
+      .agg(sum("sim_bp").as("den_a"))
+    val denB = ranked.filter(col("rb") <= k).groupBy("b_id")
+      .agg(sum("sim_bp").as("den_b"))
+    // margin = sim / ((den_a/k + den_b/k) / 2) in basis points, as one
+    // integer division: (sim_bp * 2k * 10000) DIV (den_a + den_b)
+    val scored = pairs
+      .join(broadcast(denA), "a_id").join(broadcast(denB), "b_id")
+      .filter(col("sim_bp") > 0 && col("den_a") + col("den_b") > 0)
+      .withColumn("margin_bp",
+        expr(s"(sim_bp * ${2L * k * 10000L}) DIV (den_a + den_b)"))
+    scored
+      .withColumn("rka", row_number().over(Window.partitionBy("a_id")
+        .orderBy(col("margin_bp").desc, col("b_id"))))
+      .withColumn("rkb", row_number().over(Window.partitionBy("b_id")
+        .orderBy(col("margin_bp").desc, col("a_id"))))
+      .filter(col("rka") === 1 && col("rkb") === 1)
+      .select("a_id", "b_id", "sim_bp", "margin_bp")
+      .orderBy("a_id")
+  }
+
   /** The shared LSH candidate mechanics (see [[knnGraphLsh]]'s shape
     * notes): per-table sign-bit buckets on (id, tbl, bucket) only, pair
     * dedup across tables BEFORE vectors are touched, vectors joined

@@ -550,6 +550,22 @@ object AnnQueries extends Registry {
         .groupBy("true_y", "pred_y").agg(count(lit(1)).as("n"))
         .orderBy("true_y", "pred_y")
     }),
+
+    // Margin-based bitext mining (Ann.marginBitext): the two "languages"
+    // are the vec_id parity cohorts, k = 4 cross-cohort neighbors feed
+    // each side's hubness denominator, and the output is the mutual
+    // best-margin pairs — the parallel-corpus mining primitive. Exact
+    // integer scoring end-to-end, so DuckDB replays the whole pipeline.
+    "ann_margin_bitext" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Ann.marginBitext(
+        e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("a_id"), col("embedding").as("va")),
+        e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("vb")),
+        k = 4)
+    }),
   )
 
   /** The trained probe weights, materialized once per (session, dir) —
@@ -1094,5 +1110,39 @@ object AnnQueries extends Registry {
                  CAST(votes AS BIGINT) AS votes,
                  CAST(cand_label = true_label AS BIGINT) AS correct
           FROM p WHERE vr = 1 ORDER BY query_id""",
+
+    "ann_margin_bitext" ->
+      """WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS va
+                    FROM embeddings WHERE vec_id % 2 = 0),
+          b AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb
+                FROM embeddings WHERE vec_id % 2 = 1),
+          p AS (SELECT a_id, b_id,
+                       CAST(round(list_cosine_similarity(va, vb) * 10000)
+                         AS BIGINT) AS sim_bp
+                FROM a CROSS JOIN b),
+          r AS (SELECT *,
+                       row_number() OVER (PARTITION BY a_id
+                         ORDER BY sim_bp DESC, b_id) AS ra,
+                       row_number() OVER (PARTITION BY b_id
+                         ORDER BY sim_bp DESC, a_id) AS rb
+                FROM p),
+          da AS (SELECT a_id, CAST(sum(sim_bp) AS BIGINT) AS den_a
+                 FROM r WHERE ra <= 4 GROUP BY 1),
+          db AS (SELECT b_id, CAST(sum(sim_bp) AS BIGINT) AS den_b
+                 FROM r WHERE rb <= 4 GROUP BY 1),
+          sc AS (SELECT p.a_id, p.b_id, p.sim_bp,
+                        (p.sim_bp * 80000) // (den_a + den_b)
+                          AS margin_bp
+                 FROM p JOIN da USING (a_id) JOIN db USING (b_id)
+                 WHERE p.sim_bp > 0 AND den_a + den_b > 0),
+          m AS (SELECT *,
+                       row_number() OVER (PARTITION BY a_id
+                         ORDER BY margin_bp DESC, b_id) AS rka,
+                       row_number() OVER (PARTITION BY b_id
+                         ORDER BY margin_bp DESC, a_id) AS rkb
+                FROM sc)
+          SELECT a_id, b_id, sim_bp,
+                 CAST(margin_bp AS BIGINT) AS margin_bp
+          FROM m WHERE rka = 1 AND rkb = 1 ORDER BY a_id""",
   )
 }
