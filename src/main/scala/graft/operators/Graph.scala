@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators over an edge-list relation — the reference's twitter
@@ -272,6 +273,55 @@ object Graph {
     }
     e.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
+      .orderBy("node")
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007),
+    * SYNCHRONOUS fixed-round variant: every node starts labeled with its
+    * own id; each round it adopts the most frequent label among its
+    * undirected neighbors, ties broken toward the SMALLER label. The
+    * synchronous schedule + deterministic tie-break makes the result a
+    * pure function of the graph (the async/random-order variant that
+    * converges faster is not engine-replayable), at the cost that
+    * bipartite-ish structures may oscillate — a fixed round count
+    * reports whatever the schedule reached, which is exactly what an
+    * oracle can replay by unrolling rounds.
+    *
+    * Scale shape: each round is one (node, label) hash join onto the
+    * undirected edge relation, a (node, label) count aggregate with
+    * map-side combine, and an argmax window PARTITIONED BY NODE — no
+    * global window, no driver collect; lineage truncated per round.
+    *
+    * Returns (node, community) ordered by node. */
+  def lpaFixed(edges: DataFrame, srcCol: String, dstCol: String,
+               rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds out of range: $rounds")
+    val p = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .distinct().localCheckpoint(true)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var i = 0
+    while (i < rounds) {
+      val byNeighbor = und
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("a")
+        .orderBy(col("c").desc, col("label"))
+      labels = byNeighbor
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("community"))
       .orderBy("node")
   }
 

@@ -30,6 +30,7 @@ import graft.operators.Graph
 object GraphQueries extends Registry {
 
   private val Iters = 5
+  private val LpaRounds = 4
   private val HitsIters = 3
   private val DampBp = 8500L
   private val Scale = 1000000L
@@ -144,6 +145,15 @@ object GraphQueries extends Registry {
       graft.operators.Dedup.components(strongTradeEdges(s, d), "src", "dst")
         .select(col("doc_id").as("node"), col("component"))
         .orderBy("node")),
+
+    // Label-propagation communities (Graph.lpaFixed): synchronous
+    // most-frequent-neighbor-label rounds with min-label tie-break over
+    // the undirected strong-trade graph — finer than graph_components
+    // (which only finds connectivity), coarser than modularity-optimal.
+    // The oracle unrolls the identical 4 rounds, each MATERIALIZED.
+    "graph_lpa_communities" -> ((s, d) =>
+      Graph.lpaFixed(strongTradeEdges(s, d), "src", "dst",
+        rounds = LpaRounds)),
 
     // 5-core of the undirected strong-trade graph: nations that keep at
     // least 5 strong trade partners even after every weaker-connected
@@ -320,6 +330,23 @@ object GraphQueries extends Registry {
                         CAST(count(*) AS BIGINT) AS np FROM pairs),
        e AS (SELECT src, dst FROM pairs, stats
              WHERE w * np * 100 > 115 * t)"""
+
+  /** Unrolled synchronous LPA rounds (expects `und` + `l0` to exist):
+    * each round counts neighbor labels then takes the (count desc,
+    * label asc) argmax per node. MATERIALIZED so the doubly-referenced
+    * previous round cannot be inlined exponentially. */
+  private def lpaSteps: String = (1 to LpaRounds).map { i =>
+    s"""s$i AS MATERIALIZED (
+          SELECT u.a, l.label, count(*) AS c
+          FROM und u JOIN l${i - 1} l ON u.b = l.node
+          GROUP BY 1, 2),
+        l$i AS MATERIALIZED (
+          SELECT a AS node, label FROM (
+            SELECT a, label,
+                   row_number() OVER (PARTITION BY a
+                     ORDER BY c DESC, label) AS rk
+            FROM s$i) r WHERE rk = 1)"""
+  }.mkString(",\n")
 
   /** Unrolled personalized PageRank: like [[pagerankSteps]] but the base
     * term is `n.is_seed * Base` — restart mass only on the seed set. */
@@ -586,6 +613,18 @@ object GraphQueries extends Registry {
           cc AS (SELECT a AS node, min(b) AS component
                  FROM reach GROUP BY a)
           SELECT node, component FROM cc ORDER BY node""",
+
+    "graph_lpa_communities" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          und AS (SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM e WHERE src <> dst
+                    UNION ALL
+                    SELECT dst, src FROM e WHERE src <> dst) u0),
+          l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+          $lpaSteps
+          SELECT node, label AS community FROM l$LpaRounds
+          ORDER BY node""",
 
     "graph_triangles" ->
       s"""WITH e0 AS ($edgesSql),
