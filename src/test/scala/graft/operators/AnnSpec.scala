@@ -331,4 +331,24 @@ class AnnSpec extends SparkSpec {
         s"vec ${r.getLong(0)}: y=${r.getLong(1)} score=${r.getLong(2)}")
     }
   }
+
+  test("marginBitext mines true pairs and rejects the hub vector") {
+    import spark.implicits._
+    // a0<->b1 and a2<->b3 are planted near-duplicates across cohorts;
+    // b5 is a hub (cosine 0.8 with a2 — HIGHER than many true-pair
+    // sims elsewhere) that margin scoring must leave unmatched because
+    // a2's margin to its true partner is larger; a4 is orthogonal to
+    // every b (no positive sim) and must be absent entirely.
+    val a = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0)),
+      (4L, Array(0.0, 0.0, 1.0, 0.0))).toDF("a_id", "va")
+    val b = Seq(
+      (1L, Array(0.9, 0.1, 0.0, 0.0)),
+      (3L, Array(0.1, 0.9, 0.0, 0.0)),
+      (5L, Array(0.6, 0.8, 0.0, 0.0))).toDF("b_id", "vb")
+    val got = Ann.marginBitext(a, b, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((0L, 1L), (2L, 3L))
+  }
 }

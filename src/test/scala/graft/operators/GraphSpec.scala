@@ -272,4 +272,18 @@ class GraphSpec extends SparkSpec {
     hubs should (be >= 1000000L - fin.length.toLong and be <= 1000000L)
     auths should (be >= 1000000L - fin.length.toLong and be <= 1000000L)
   }
+
+  test("lpaFixed separates two triangles joined by a bridge") {
+    import spark.implicits._
+    // two triangle communities {1,2,3} and {10,11,12} with bridge 3-10;
+    // expected labels hand-traced through the documented synchronous
+    // min-tie-break schedule for 4 rounds: the bridge does not bleed
+    // one community's label into the other
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.lpaFixed(es, "src", "dst", rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L)
+  }
 }
