@@ -922,6 +922,45 @@ object EventQueries extends Registry {
           col("cnt"), col("med"), col("mad"), col("score"))
         .orderBy("event_type", "hour")
     }),
+
+    // Survival life table over per-activity user lifetimes (the
+    // Kaplan-Meier input relation), one cohort per event_type: lifetime
+    // = days between a user's first and last event of that type; a user
+    // whose last such event falls inside the final 3 observed days is
+    // right-CENSORED (still alive at cutoff), not dead. For each
+    // (type, lifetime day t): users still at risk (reverse cumulative
+    // sum over the lifetime histogram), deaths, censored exits, and the
+    // integer hazard (deaths*10000) DIV at_risk. The KM survival curve
+    // is the running product of (1 - hazard) — left to the consumer
+    // because a float product can never hash-match; the life table
+    // itself is the exact, mergeable artifact. Facts reduce to one row
+    // per (type, user), the histogram to one row per (type, lifetime
+    // day) — calendar-bounded — and the only window is PARTITIONED BY
+    // TYPE over that day domain.
+    "events_survival_lifetable" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val gmax = ev.agg(max(col("ts").cast("date")).as("obs_end"))
+      val users = ev.groupBy("event_type", "user_id").agg(
+          min(col("ts").cast("date")).as("first_d"),
+          max(col("ts").cast("date")).as("last_d"))
+        .crossJoin(broadcast(gmax))
+        .select(col("event_type"),
+          datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+          when(datediff(col("obs_end"), col("last_d")) < 3, 1L)
+            .otherwise(0L).as("cens"))
+      val hist = users.groupBy("event_type", "t").agg(
+        sum(when(col("cens") === 0, 1L).otherwise(0L)).as("deaths"),
+        sum(col("cens")).as("censored"))
+      val wRev = Window.partitionBy("event_type").orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      hist.select(col("event_type"), col("t"), col("deaths"),
+          col("censored"),
+          sum(col("deaths") + col("censored")).over(wRev).as("at_risk"))
+        .withColumn("hazard_bp", expr("(deaths * 10000) DIV at_risk"))
+        .select("event_type", "t", "at_risk", "deaths", "censored",
+          "hazard_bp")
+        .orderBy("event_type", "t")
+    }),
   )
 
   /** SQL form of Layout.spread16's mask-spread chain (fully
@@ -1552,5 +1591,31 @@ object EventQueries extends Registry {
                  CAST(mad AS BIGINT) AS mad,
                  CAST(score AS BIGINT) AS score
           FROM tp WHERE rk <= 5 ORDER BY event_type, hour""",
+
+    "events_survival_lifetable" ->
+      """WITH ge AS (SELECT max(CAST(ts AS DATE)) AS obs_end FROM events),
+          u AS (SELECT event_type, user_id,
+                       min(CAST(ts AS DATE)) AS first_d,
+                       max(CAST(ts AS DATE)) AS last_d
+                FROM events GROUP BY 1, 2),
+          uc AS (SELECT event_type,
+                        date_diff('day', first_d, last_d) AS t,
+                        CASE WHEN date_diff('day', last_d, obs_end) < 3
+                          THEN 1 ELSE 0 END AS cens
+                 FROM u CROSS JOIN ge),
+          h AS (SELECT event_type, t,
+                       count(CASE WHEN cens = 0 THEN 1 END) AS deaths,
+                       CAST(sum(cens) AS BIGINT) AS censored
+                FROM uc GROUP BY 1, 2),
+          lt AS (SELECT event_type, t, deaths, censored,
+                        CAST(sum(deaths + censored) OVER (
+                          PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN CURRENT ROW AND
+                          UNBOUNDED FOLLOWING) AS BIGINT) AS at_risk
+                 FROM h)
+          SELECT event_type, CAST(t AS BIGINT) AS t, at_risk,
+                 CAST(deaths AS BIGINT) AS deaths, censored,
+                 CAST((deaths * 10000) // at_risk AS BIGINT) AS hazard_bp
+          FROM lt ORDER BY event_type, t""",
   )
 }
