@@ -726,6 +726,36 @@ object TextQueries extends Registry {
           sum("vocab_in").over(cw).as("vocab_size"))
         .orderBy("source", "ck")
     }),
+
+    // Lexical diversity: global type-token ratio is length-biased
+    // (longer docs repeat more), so the robust measure is the chunked
+    // moving-average TTR (MATTR-style): distinct/total over
+    // NON-OVERLAPPING full 16-token chunks, averaged per doc — all in
+    // integer basis points with truncating division over non-negative
+    // operands. Docs shorter than one full chunk drop out (no MATTR is
+    // defined for them). Shape: the posexplode fan-out is the linear
+    // token relation; both distinct-counts are two-phase aggregates
+    // with map-side partials; no window at all.
+    "text_ttr_mattr" -> ((s, d) => {
+      val C = 16
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("ntok"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
+      val cst = tok.withColumn("chunk_id", expr(s"pos DIV $C"))
+        .groupBy("doc_id", "ntok", "chunk_id")
+        .agg(count(lit(1)).as("clen"), countDistinct("tok").as("nd"))
+      val gl = tok.groupBy("doc_id")
+        .agg(countDistinct("tok").as("nd_all"))
+      cst.filter(col("clen") === C)
+        .groupBy("doc_id", "ntok")
+        .agg(count(lit(1)).as("n_chunks"), sum("nd").as("snd"))
+        .join(gl, "doc_id")
+        .select(col("doc_id"), col("ntok"), col("n_chunks"),
+          expr("(nd_all * 10000) DIV ntok").as("ttr_bp"),
+          expr(s"(snd * 10000) DIV (${C}L * n_chunks)").as("mattr_bp"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val toks =
@@ -1458,5 +1488,26 @@ object TextQueries extends Registry {
           WINDOW pw AS (PARTITION BY dh.source ORDER BY dh.ck
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ORDER BY dh.source, dh.ck""",
+
+    "text_ttr_mattr" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          tok AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
+                         (i - 1) // 16 AS chunk_id, toks[i] AS tok
+                  FROM t CROSS JOIN range(1, 257) r(i)
+                  WHERE i <= len(toks)),
+          cst AS (SELECT doc_id, ntok, chunk_id, count(*) AS clen,
+                         count(DISTINCT tok) AS nd
+                  FROM tok GROUP BY 1, 2, 3),
+          gl AS (SELECT doc_id, count(DISTINCT tok) AS nd_all
+                 FROM tok GROUP BY 1),
+          agg AS (SELECT doc_id, ntok, count(*) AS n_chunks,
+                         CAST(sum(nd) AS BIGINT) AS snd
+                  FROM cst WHERE clen = 16 GROUP BY 1, 2)
+          SELECT a.doc_id, a.ntok,
+                 CAST(n_chunks AS BIGINT) AS n_chunks,
+                 CAST((g.nd_all * 10000) // a.ntok AS BIGINT) AS ttr_bp,
+                 CAST((snd * 10000) // (16 * n_chunks) AS BIGINT)
+                   AS mattr_bp
+          FROM agg a JOIN gl g USING (doc_id) ORDER BY doc_id""",
   )
 }
