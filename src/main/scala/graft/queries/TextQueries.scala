@@ -756,6 +756,41 @@ object TextQueries extends Registry {
           expr(s"(snd * 10000) DIV (${C}L * n_chunks)").as("mattr_bp"))
         .orderBy("doc_id")
     }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009): lexical BM25 and embedding-cosine rankings over the same
+    // eval/train split, each truncated at 20, fused by
+    // rrf = sum(1000000 DIV (60 + rank)) and re-ranked top-5 — the
+    // standard hybrid-search shape behind RAG stacks (sparse catches
+    // exact terms, dense catches paraphrase; RRF needs no score
+    // calibration because it only consumes RANKS, which also makes it
+    // integer-exact). Docs without an embedding (sf0.1 has 5k docs,
+    // 2k vectors) simply lack dense contributions — union semantics,
+    // no inner join. Both input rankings are independently verified
+    // queries; the fusion adds one (query, doc) aggregate and a
+    // per-query top-5 window.
+    "pipeline_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = graft.operators.Corpus
+        .bm25TopK(Tables.documents(s, d), "doc_id", "text", k = 20)
+        .select(col("query_id"), col("doc_id"),
+          expr("CAST(1000000 DIV (60 + rank) AS LONG)").as("c"))
+      val e = Tables.embeddings(s, d)
+      val cos = graft.operators.Ann.bruteForceTopK(
+          e.filter(col("vec_id") % 20 =!= 0),
+          e.filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("cand_id").as("doc_id"),
+          expr("CAST(1000000 DIV (60 + rank) AS LONG)").as("c"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf_u").desc, col("doc_id"))
+      bm.unionAll(cos)
+        .groupBy("query_id", "doc_id").agg(sum("c").as("rrf_u"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "doc_id", "rrf_u")
+        .orderBy("query_id", "rank")
+    }),
   )
 
   private val toks =
@@ -1509,5 +1544,62 @@ object TextQueries extends Registry {
                  CAST((snd * 10000) // (16 * n_chunks) AS BIGINT)
                    AS mattr_bp
           FROM agg a JOIN gl g USING (doc_id) ORDER BY doc_id""",
+
+    "pipeline_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          train AS (SELECT * FROM e WHERE doc_id % 20 <> 0),
+          tf AS (SELECT doc_id, term, count(*) AS tf
+                 FROM train GROUP BY 1, 2),
+          dlen AS (SELECT doc_id, count(*) AS len FROM train GROUP BY 1),
+          dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          stats AS (SELECT count(*) AS n_docs, sum(len) AS tot_len
+                    FROM dlen),
+          q AS (SELECT DISTINCT doc_id AS query_id, term
+                FROM e WHERE doc_id % 20 = 0),
+          contrib AS (
+            SELECT q.query_id, tf.doc_id,
+              CAST(floor(
+                ln((n_docs::DOUBLE - df + 0.5) / (df::DOUBLE + 0.5) + 1)
+                * (tf::DOUBLE * 2.2)
+                / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * len::DOUBLE
+                    / (tot_len::DOUBLE / n_docs)))
+                * 1000000 + 0.5) AS BIGINT) AS c_u
+            FROM q JOIN tf USING (term)
+            JOIN dlen ON tf.doc_id = dlen.doc_id
+            JOIN dfr USING (term), stats),
+          scores AS (SELECT query_id, doc_id,
+                       CAST(sum(c_u) AS BIGINT) AS score_u
+                     FROM contrib GROUP BY 1, 2),
+          bmr AS (SELECT query_id, doc_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY score_u DESC, doc_id ASC) AS rank
+                  FROM scores),
+          bmc AS (SELECT query_id, doc_id,
+                    CAST(1000000 // (60 + rank) AS BIGINT) AS c
+                  FROM bmr WHERE rank <= 20),
+          qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS vq
+                 FROM embeddings WHERE vec_id % 20 = 0),
+          cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS vc
+                 FROM embeddings WHERE vec_id % 20 <> 0),
+          cr AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY list_cosine_similarity(vq, vc) DESC,
+                              doc_id ASC) AS rank
+                 FROM qv CROSS JOIN cv),
+          cc AS (SELECT query_id, doc_id,
+                   CAST(1000000 // (60 + rank) AS BIGINT) AS c
+                 FROM cr WHERE rank <= 20),
+          fused AS (SELECT query_id, doc_id,
+                      CAST(sum(c) AS BIGINT) AS rrf_u
+                    FROM (SELECT * FROM bmc
+                          UNION ALL SELECT * FROM cc) u
+                    GROUP BY 1, 2),
+          fr AS (SELECT query_id, doc_id, rrf_u,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf_u DESC, doc_id) AS rank
+                 FROM fused)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_u
+          FROM fr WHERE rank <= 5 ORDER BY query_id, rank""",
   )
 }
