@@ -961,6 +961,30 @@ object EventQueries extends Registry {
           "hazard_bp")
         .orderBy("event_type", "t")
     }),
+
+    // Concentration profile of each type's hour-of-day distribution:
+    // plug-in Shannon entropy in integer-floor BITS via the same
+    // log2-by-bit-length trick as text_unigram_surprisal
+    // (bits_i = len(bin(N DIV c_i)) - 1 — no float log touches the
+    // data path, so both engines bucket identically). A type firing
+    // uniformly across the day scores ~log2(24); a bursty type scores
+    // low — the drift/regularity signal schedulers and anomaly gates
+    // key off. One 120-row histogram, no windows.
+    "events_type_hour_entropy" -> ((s, d) => {
+      val h = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+      val tot = h.groupBy("event_type").agg(sum("c").as("n"))
+      h.join(tot, "event_type")
+        .withColumn("bits", (length(bin(expr("n DIV c"))) - 1).cast("long"))
+        .groupBy("event_type", "n")
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("c") * col("bits")).as("sum_bits"))
+        .withColumn("avg_bits",
+          round(col("sum_bits").cast("double") / col("n"), 4))
+        .select("event_type", "n", "n_bins", "sum_bits", "avg_bits")
+        .orderBy("event_type")
+    }),
   )
 
   /** SQL form of Layout.spread16's mask-spread chain (fully
@@ -1617,5 +1641,19 @@ object EventQueries extends Registry {
                  CAST(deaths AS BIGINT) AS deaths, censored,
                  CAST((deaths * 10000) // at_risk AS BIGINT) AS hazard_bp
           FROM lt ORDER BY event_type, t""",
+
+    "events_type_hour_entropy" ->
+      """WITH h AS (SELECT event_type, hour(ts) AS hr, count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                  FROM h GROUP BY 1)
+          SELECT h.event_type, n,
+                 CAST(count(*) AS BIGINT) AS n_bins,
+                 CAST(sum(c * (length(printf('%b', n // c)) - 1))
+                   AS BIGINT) AS sum_bits,
+                 round(CAST(sum(c * (length(printf('%b', n // c)) - 1))
+                   AS DOUBLE) / n, 4) AS avg_bits
+          FROM h JOIN tot USING (event_type)
+          GROUP BY h.event_type, n ORDER BY h.event_type""",
   )
 }
