@@ -66,6 +66,48 @@ object GovernanceQueries extends Registry {
             .as("rows_at_risk"))
         .orderBy("event_type")),
 
+    // Difference-in-differences lift estimate over purchase values:
+    // treatment = even user_id, periods split at the observation
+    // midpoint (integer date comparison), and the DiD estimate is
+    // (T.post - T.pre) - (C.post - C.pre) of cell means. Values snap
+    // to integer micro-units per row BEFORE any aggregation and cell
+    // means are truncating integer divisions, so the estimate is
+    // engine-exact (a float mean could never hash). On this synthetic
+    // data the true lift is ~0 — the query's value is the verified
+    // causal-analysis shape: facts reduce to 4 cohort cells in one
+    // partial aggregate, then a broadcast-size pivot.
+    "events_did_lift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+      val bounds = ev.agg(min(col("ts").cast("date")).as("lo"),
+        max(col("ts").cast("date")).as("hi"))
+      val cell = ev.crossJoin(broadcast(bounds))
+        .select(
+          when(col("user_id") % 2 === 0, lit("T")).otherwise(lit("C"))
+            .as("cohort"),
+          when(expr(
+            "2 * datediff(cast(ts as date), lo) >= datediff(hi, lo) + 1"),
+            lit("post")).otherwise(lit("pre")).as("period"),
+          floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("v_u"))
+        .groupBy("cohort", "period")
+        .agg(count(lit(1)).as("n"), sum("v_u").as("sum_u"))
+        .withColumn("mean_u", expr("sum_u DIV n"))
+      cell.agg(
+          max(when(col("cohort") === "T" && col("period") === "pre",
+            col("mean_u"))).as("t_pre_u"),
+          max(when(col("cohort") === "T" && col("period") === "post",
+            col("mean_u"))).as("t_post_u"),
+          max(when(col("cohort") === "C" && col("period") === "pre",
+            col("mean_u"))).as("c_pre_u"),
+          max(when(col("cohort") === "C" && col("period") === "post",
+            col("mean_u"))).as("c_post_u"))
+        .select(col("t_pre_u"), col("t_post_u"), col("c_pre_u"),
+          col("c_post_u"),
+          ((col("t_post_u") - col("t_pre_u")) -
+            (col("c_post_u") - col("c_pre_u"))).as("did_u"))
+    }),
+
     // Benford's-law conformance of lineitem prices: observed
     // first-significant-digit share (integer basis points) vs the
     // Benford expectation. Digit extraction goes through exact integer
@@ -618,6 +660,41 @@ object GovernanceQueries extends Registry {
                 CAST(coalesce(sum(CASE WHEN l < 3 THEN k END), 0)
                   AS BIGINT) AS rows_at_risk
          FROM cells GROUP BY event_type ORDER BY event_type""",
+
+    "events_did_lift" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, "value"
+                     FROM events WHERE event_type = 'purchase'),
+          b AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+          cells AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END
+                     AS cohort,
+                   CASE WHEN 2 * date_diff('day', lo, d) >=
+                          date_diff('day', lo, hi) + 1
+                        THEN 'post' ELSE 'pre' END AS period,
+                   CAST(floor("value" * 1000000.0 + 0.5) AS BIGINT)
+                     AS v_u
+            FROM ev CROSS JOIN b),
+          agg AS (SELECT cohort, period, count(*) AS n,
+                         CAST(sum(v_u) AS BIGINT) AS sum_u
+                  FROM cells GROUP BY 1, 2),
+          m AS (SELECT cohort, period, sum_u // n AS mean_u FROM agg),
+          p AS (SELECT
+                  max(CASE WHEN cohort = 'T' AND period = 'pre'
+                    THEN mean_u END) AS t_pre_u,
+                  max(CASE WHEN cohort = 'T' AND period = 'post'
+                    THEN mean_u END) AS t_post_u,
+                  max(CASE WHEN cohort = 'C' AND period = 'pre'
+                    THEN mean_u END) AS c_pre_u,
+                  max(CASE WHEN cohort = 'C' AND period = 'post'
+                    THEN mean_u END) AS c_post_u
+                FROM m)
+          SELECT CAST(t_pre_u AS BIGINT) AS t_pre_u,
+                 CAST(t_post_u AS BIGINT) AS t_post_u,
+                 CAST(c_pre_u AS BIGINT) AS c_pre_u,
+                 CAST(c_post_u AS BIGINT) AS c_post_u,
+                 CAST((t_post_u - t_pre_u) - (c_post_u - c_pre_u)
+                   AS BIGINT) AS did_u
+          FROM p""",
 
     "stats_benford" ->
       """WITH v AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
