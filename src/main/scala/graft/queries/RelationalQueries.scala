@@ -748,6 +748,44 @@ object RelationalQueries extends Registry {
         .orderBy("p_partkey")
     }),
 
+    // TPC-H Q1 (pricing summary report) in exact integer units — the
+    // canonical scan-heavy aggregate every warehouse is judged on, here
+    // as the EXACT twin: quantities/prices snap to cents, discount/tax
+    // to basis points, disc_price accumulates in cent-bp and charge
+    // divides its cent-bp^2 product back to cent-bp per row (operands
+    // non-negative, so truncate == floor; at ~1e9 per row the sums hold
+    // ~9e18 rows of headroom — a true 100 TB run widens the two product
+    // columns to decimal(38)). Averages are truncating divisions. One
+    // scan, one partial aggregate, 6 groups; the shipdate predicate and
+    // 7-column projection push into the parquet scan.
+    "sql_tpch_q1" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") <=
+          lit("1998-09-02").cast("date"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 10000).cast("long").as("disc_bp"),
+          round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+        .withColumn("disc_price_cbp",
+          col("price_c") * (lit(10000L) - col("disc_bp")))
+        .withColumn("charge_cbp", expr(
+          "(price_c * (10000 - disc_bp) * (10000 + tax_bp)) DIV 10000"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("qty_c").as("sum_qty_c"),
+          sum("price_c").as("sum_base_price_c"),
+          sum("disc_price_cbp").as("sum_disc_price_cbp"),
+          sum("charge_cbp").as("sum_charge_cbp"),
+          sum("disc_bp").as("sum_disc_bp"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_c", expr("sum_qty_c DIV count_order"))
+        .withColumn("avg_price_c",
+          expr("sum_base_price_c DIV count_order"))
+        .withColumn("avg_disc_bp", expr("sum_disc_bp DIV count_order"))
+        .drop("sum_disc_bp")
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // Entity-resolution candidate pairs over the part catalog: block on
     // the head noun (last name token), pair DISTINCT names within each
     // block, match on levenshtein <= 3, and weight each surviving pair
@@ -1173,6 +1211,33 @@ object RelationalQueries extends Registry {
             WHERE b.cents <= a.cents AND b.size <= a.size
               AND (b.cents < a.cents OR b.size < a.size))
           ORDER BY p_partkey""",
+
+    "sql_tpch_q1" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus,
+                           CAST(round(l_quantity * 100) AS BIGINT)
+                             AS qty_c,
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                             AS price_c,
+                           CAST(round(l_discount * 10000) AS BIGINT)
+                             AS disc_bp,
+                           CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp
+                    FROM lineitem
+                    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'),
+          x AS (SELECT *, price_c * (10000 - disc_bp) AS disc_price_cbp,
+                       (price_c * (10000 - disc_bp) * (10000 + tax_bp))
+                         // 10000 AS charge_cbp
+                FROM l)
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+                 CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+                 CAST(sum(disc_price_cbp) AS BIGINT)
+                   AS sum_disc_price_cbp,
+                 CAST(sum(charge_cbp) AS BIGINT) AS sum_charge_cbp,
+                 CAST(count(*) AS BIGINT) AS count_order,
+                 CAST(sum(qty_c) // count(*) AS BIGINT) AS avg_qty_c,
+                 CAST(sum(price_c) // count(*) AS BIGINT) AS avg_price_c,
+                 CAST(sum(disc_bp) // count(*) AS BIGINT) AS avg_disc_bp
+          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "er_blocked_pairs" ->
       """WITH names AS (SELECT split_part(p_name, ' ', 2) AS blk,
