@@ -146,6 +146,29 @@ object GraphQueries extends Registry {
         .select(col("doc_id").as("node"), col("component"))
         .orderBy("node")),
 
+    // Degree assortativity (Newman 2002): Pearson correlation of the
+    // endpoint degrees over every directed realization of the simple
+    // undirected strong-trade edges — positive = hubs link to hubs,
+    // negative = hub-and-spoke. Degrees are exact integers; the corr
+    // co-moment runs on identical integer inputs in both engines and
+    // rounds to 4 places (the stats_corr parity precedent). Shape: two
+    // broadcast-size joins of the degree relation onto the edge list.
+    "graph_assortativity" -> ((s, d) => {
+      val e = strongTradeEdges(s, d).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("w"))
+        .distinct()
+      val both = e.unionAll(e.select(col("w").as("u"), col("u").as("w")))
+      val deg = both.groupBy("u").agg(count(lit(1)).as("deg"))
+      both
+        .join(deg, Seq("u")).withColumnRenamed("deg", "deg_u")
+        .join(deg.withColumnRenamed("u", "w")
+          .withColumnRenamed("deg", "deg_w"), Seq("w"))
+        .agg(count(lit(1)).as("n_endpoints"),
+          round(corr(col("deg_u").cast("double"),
+            col("deg_w").cast("double")), 4).as("assortativity"))
+    }),
+
     // Label-propagation communities (Graph.lpaFixed): synchronous
     // most-frequent-neighbor-label rounds with min-label tie-break over
     // the undirected strong-trade graph — finer than graph_components
@@ -613,6 +636,22 @@ object GraphQueries extends Registry {
           cc AS (SELECT a AS node, min(b) AS component
                  FROM reach GROUP BY a)
           SELECT node, component FROM cc ORDER BY node""",
+
+    "graph_assortativity" ->
+      s"""WITH e0 AS ($edgesSql),
+          $strongSql,
+          ce AS (SELECT DISTINCT least(src, dst) AS u,
+                        greatest(src, dst) AS w
+                 FROM e WHERE src <> dst),
+          bo AS (SELECT u, w FROM ce UNION ALL SELECT w, u FROM ce),
+          deg AS (SELECT u AS node, count(*) AS deg FROM bo GROUP BY 1),
+          p AS (SELECT du.deg AS deg_u, dw.deg AS deg_w
+                FROM bo JOIN deg du ON bo.u = du.node
+                        JOIN deg dw ON bo.w = dw.node)
+          SELECT CAST(count(*) AS BIGINT) AS n_endpoints,
+                 round(corr(deg_u::DOUBLE, deg_w::DOUBLE), 4)
+                   AS assortativity
+          FROM p""",
 
     "graph_lpa_communities" ->
       s"""WITH e0 AS ($edgesSql),
