@@ -129,6 +129,27 @@ object EventTimeOps {
         s"r.$rightTs <= l.$leftTs + interval $horizon"))
   }
 
+  /** Left-outer form of [[intervalJoin]]: left rows that find no right
+    * match inside the horizon are still emitted (null right columns) —
+    * but only once the watermark passes left.ts + horizon, because
+    * until then a match could still arrive. That deferred-null emission
+    * is the abandoned-funnel primitive (views that never converted);
+    * state stays watermark-bounded exactly as in the inner form. The
+    * time-range predicate on BOTH bounds is what lets Spark prove the
+    * eviction horizon — an unconstrained outer stream-stream join would
+    * be unbounded state and is rejected by the planner. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        leftTs: String, rightTs: String, horizon: String,
+                        lateness: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness).as("l")
+    val r = right.withWatermark(rightTs, lateness).as("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTs >= l.$leftTs AND " +
+        s"r.$rightTs <= l.$leftTs + interval $horizon"),
+      "leftOuter")
+  }
+
   /** Streaming exact dedup: drop rows whose key was already seen, with
     * state bounded by the watermark (dropDuplicatesWithinWatermark — the
     * seen-keys store evicts once keys age past the lateness horizon).

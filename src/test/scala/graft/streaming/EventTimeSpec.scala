@@ -299,6 +299,35 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter emits unmatched lefts after the horizon") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = EventTimeOps.intervalJoinOuter(
+      views.toDF().toDF("user_id", "view_ts"),
+      clicks.toDF().toDF("user_id", "click_ts"),
+      "user_id", "view_ts", "click_ts",
+      horizon = "10 minutes", lateness = "5 minutes")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("vco").start()
+    try {
+      views.addData((1L, ts(100)), (2L, ts(100)))
+      clicks.addData((1L, ts(105))) // user 1 converts; user 2 never does
+      q.processAllAvailable()
+      // push both watermarks far past view_ts + horizon + lateness so
+      // the unmatched left row's null emission is forced
+      views.addData((9L, ts(200)))
+      clicks.addData((9L, ts(200)))
+      q.processAllAvailable()
+      val got = spark.table("vco").collect()
+        .filter(r => r.getLong(0) <= 2L)
+        .map(r => (r.getLong(0),
+          Option(r.getTimestamp(3)).map(_.getTime / 60000))).toSet
+      got shouldBe Set((1L, Some(105L)), (2L, None))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap within a single batch") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val sp: org.apache.spark.sql.SparkSession = spark
