@@ -49,6 +49,54 @@ object AnnQueries extends Registry {
         bits = Ann.autoBits(c.count()))
     }
 
+  /** The deterministic (md5-hyperplane) LSH top-5 — the hash-checked
+    * twin of ann_lsh_topk; shared by its registered query and the
+    * ann_recall_eval harness. Fixed P = 6 sign planes; per-dim signs
+    * come from one md5 bit so the tiny d x P sign table broadcasts
+    * instead of re-hashing per vector. */
+  private def lshDetTopK(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 6
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dims = e
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+    // the sign depends only on (dim, plane): materialize the tiny
+    // d x P table once and broadcast it, instead of re-hashing the
+    // same 384 strings for every vector (n x d x P md5 calls)
+    val signs = dims.select("dim").distinct()
+      .select(col("dim"), explode(sequence(lit(0), lit(P - 1))).as("p"))
+      .withColumn("sgn",
+        when(substring(md5(concat(col("p").cast("string"), lit(":"),
+          col("dim").cast("string"))), 1, 1) >= "8", lit(1L))
+          .otherwise(lit(-1L)))
+    val dots = dims.join(broadcast(signs), "dim")
+      .groupBy("vec_id", "p").agg(sum(col("sgn") * col("xi")).as("dot"))
+    val buckets = dots.groupBy("vec_id")
+      .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
+        ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
+    val withB = e.join(buckets, "vec_id")
+    val q = withB.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("bucket"))
+    val c = withB.select(col("vec_id").as("cand_id"), col("v").as("cv"),
+      col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Map[String, QueryFn] = Map(
     "ann_brute_topk" -> ((s, d) =>
       Ann.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d),
@@ -99,46 +147,31 @@ object AnnQueries extends Registry {
     // = the 6-bit sign word, then exact integer-bp cosine top-5 among
     // co-bucketed candidates. Fixed 6 bits is the ORACLE parameter —
     // the registered 100 TB path stays ann_lsh_topk with autoBits.
-    "ann_lsh_det_topk" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val P = 6
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val dims = e
-        .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-        .select(col("vec_id"), col("dim"),
-          floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
-      // the sign depends only on (dim, plane): materialize the tiny
-      // d x P table once and broadcast it, instead of re-hashing the
-      // same 384 strings for every vector (n x d x P md5 calls)
-      val signs = dims.select("dim").distinct()
-        .select(col("dim"), explode(sequence(lit(0), lit(P - 1))).as("p"))
-        .withColumn("sgn",
-          when(substring(md5(concat(col("p").cast("string"), lit(":"),
-            col("dim").cast("string"))), 1, 1) >= "8", lit(1L))
-            .otherwise(lit(-1L)))
-      val dots = dims.join(broadcast(signs), "dim")
-        .groupBy("vec_id", "p").agg(sum(col("sgn") * col("xi")).as("dot"))
-      val buckets = dots.groupBy("vec_id")
-        .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
-          ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
-      val withB = e.join(buckets, "vec_id")
-      val q = withB.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          col("bucket"))
-      val c = withB.select(col("vec_id").as("cand_id"), col("v").as("cv"),
-        col("bucket"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("sim_bp").desc, col("cand_id").asc)
-      c.join(broadcast(q), Seq("bucket"))
-        .filter(col("query_id") =!= col("cand_id"))
-        .withColumn("sim_bp",
-          round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
-            .cast("long"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
-        .orderBy("query_id", "rank")
+    "ann_lsh_det_topk" -> ((s, d) => lshDetTopK(s, d)),
+
+    // Retrieval-recall evaluation harness, fully hash-checked: per
+    // query, how many of the exact cosine top-5 the deterministic-LSH
+    // path recovered (both inputs are themselves oracle-verified
+    // queries, so the eval metric is engine-replayable end-to-end —
+    // the rows-only engine paths get their recall bounds in AnnSpec,
+    // this is the REGISTERED eval shape those bounds instantiate).
+    // recall_bp divides by the exact list size (5); n_lsh < 5 happens
+    // when a query's bucket is thin — visible in the output rather
+    // than silently padded.
+    "ann_recall_eval" -> ((s, d) => {
+      val brute = Ann.bruteForceTopK(Tables.embeddings(s, d),
+          queriesOf(s, d), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("cand_id"))
+      val lsh = lshDetTopK(s, d).select("query_id", "cand_id")
+      val nLsh = lsh.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
+      val nHit = brute.join(lsh, Seq("query_id", "cand_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      brute.select("query_id").distinct()
+        .join(nLsh, Seq("query_id"), "left")
+        .join(nHit, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_lsh", "n_hit"))
+        .withColumn("recall_bp", expr("(n_hit * 10000) DIV 5"))
+        .orderBy("query_id")
     }),
 
     // Product-quantization ADC search (Ann.pqTopK): the memory-bound
@@ -1110,6 +1143,55 @@ object AnnQueries extends Registry {
                  CAST(votes AS BIGINT) AS votes,
                  CAST(cand_label = true_label AS BIGINT) AS correct
           FROM p WHERE vr = 1 ORDER BY query_id""",
+
+    "ann_recall_eval" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          br AS (SELECT query_id, cand_id FROM (
+                   SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                          row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v)
+                              DESC, c.vec_id ASC) AS rank
+                   FROM e q CROSS JOIN e c
+                   WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) x
+                 WHERE rank <= 5),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) r(i) WHERE i <= len(v)),
+          pl AS (SELECT vec_id, p,
+                   sum(CASE WHEN substring(
+                         md5(p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+                         >= '8' THEN xi ELSE -xi END) AS dot
+                 FROM d, range(0, 6) r(p) GROUP BY vec_id, p),
+          b AS (SELECT vec_id,
+                  sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS bucket
+                FROM pl GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, v, bucket FROM e JOIN b USING (vec_id)),
+          lsh AS (SELECT query_id, cand_id FROM (
+                    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                           row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY CAST(round(
+                               list_cosine_similarity(q.v, c.v) * 10000)
+                               AS BIGINT) DESC, c.vec_id ASC) AS rank
+                    FROM eb q JOIN eb c USING (bucket)
+                    WHERE q.vec_id % 50 = 0
+                      AND q.vec_id <> c.vec_id) x
+                  WHERE rank <= 5),
+          nl AS (SELECT query_id, count(*) AS n_lsh
+                 FROM lsh GROUP BY 1),
+          nh AS (SELECT br.query_id, count(*) AS n_hit
+                 FROM br JOIN lsh USING (query_id, cand_id)
+                 GROUP BY 1),
+          qs AS (SELECT DISTINCT query_id FROM br)
+          SELECT qs.query_id,
+                 CAST(coalesce(n_lsh, 0) AS BIGINT) AS n_lsh,
+                 CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+                 CAST((coalesce(n_hit, 0) * 10000) // 5 AS BIGINT)
+                   AS recall_bp
+          FROM qs LEFT JOIN nl USING (query_id)
+                  LEFT JOIN nh USING (query_id)
+          ORDER BY query_id""",
 
     "ann_margin_bitext" ->
       """WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS va
