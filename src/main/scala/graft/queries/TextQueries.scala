@@ -791,6 +791,41 @@ object TextQueries extends Registry {
         .select("query_id", "rank", "doc_id", "rrf_u")
         .orderBy("query_id", "rank")
     }),
+
+    // Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    // standard n-gram smoothing), EXACT: with discount D = 3/4,
+    // P_KN(w|u) = max(c(u,w)-D,0)/c(u) + D*N1+(u,.)/c(u) * Pcont(w),
+    // Pcont(w) = N1+(.,w)/N1+(.,.). Multiplying through by 4 clears
+    // the only fraction, so the probability is one exact rational
+    // emitted in integer parts-per-billion by a single floor division
+    // of non-negative operands — the MLE text_bigram_surprisal's
+    // smoothed upgrade, hash-checkable where float KN never could be.
+    // Output: the 30 most frequent bigrams with their count relations
+    // and P_KN. Shape: one lead() window per doc (bounded partitions),
+    // three partial-aggregated rollups of the bigram-TYPE relation,
+    // TakeOrdered for the top-30 (no global window); at larger corpora
+    // the two products widen to decimal(38).
+    "text_kn_bigram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wn = Window.partitionBy("doc_id").orderBy("pos")
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("w", lead("tok", 1).over(wn))
+        .filter(col("w").isNotNull)
+        .select(col("tok").as("u"), col("w"))
+      val cuw = big.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+      val cu = cuw.groupBy("u")
+        .agg(sum("c_uw").as("c_u"), count(lit(1)).as("n1_u"))
+      val cw = cuw.groupBy("w").agg(count(lit(1)).as("n1c_w"))
+      val tt = cuw.agg(count(lit(1)).as("t_types"))
+      cuw.join(cu, "u").join(cw, "w").crossJoin(broadcast(tt))
+        .withColumn("p_kn_ppb", expr(
+          """((greatest(4 * c_uw - 3, 0) * t_types + 3 * n1_u * n1c_w)
+             * 1000000000) DIV (4 * c_u * t_types)"""))
+        .orderBy(col("c_uw").desc, col("u"), col("w")).limit(30)
+        .select("u", "w", "c_uw", "c_u", "n1_u", "n1c_w", "p_kn_ppb")
+    }),
   )
 
   private val toks =
@@ -1601,5 +1636,30 @@ object TextQueries extends Registry {
                  FROM fused)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_u
           FROM fr WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "text_kn_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          big AS (SELECT toks[i] AS u, toks[i + 1] AS w
+                  FROM t CROSS JOIN range(1, 257) r(i)
+                  WHERE i <= len(toks) - 1),
+          cuw AS (SELECT u, w, count(*) AS c_uw FROM big GROUP BY 1, 2),
+          cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u,
+                        count(*) AS n1_u
+                 FROM cuw GROUP BY 1),
+          cw AS (SELECT w, count(*) AS n1c_w FROM cuw GROUP BY 1),
+          tt AS (SELECT count(*) AS t_types FROM cuw),
+          sc AS (SELECT cuw.u, cuw.w, c_uw, c_u, n1_u, n1c_w,
+                        ((greatest(4 * c_uw - 3, 0) * t_types
+                          + 3 * n1_u * n1c_w) * 1000000000)
+                          // (4 * c_u * t_types) AS p_kn_ppb
+                 FROM cuw JOIN cu USING (u) JOIN cw USING (w), tt),
+          rk AS (SELECT *, row_number() OVER (ORDER BY c_uw DESC, u, w)
+                   AS rnk
+                 FROM sc)
+          SELECT u, w, CAST(c_uw AS BIGINT) AS c_uw, c_u,
+                 CAST(n1_u AS BIGINT) AS n1_u,
+                 CAST(n1c_w AS BIGINT) AS n1c_w,
+                 CAST(p_kn_ppb AS BIGINT) AS p_kn_ppb
+          FROM rk WHERE rnk <= 30 ORDER BY c_uw DESC, u, w""",
   )
 }
