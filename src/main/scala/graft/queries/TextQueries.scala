@@ -826,6 +826,54 @@ object TextQueries extends Registry {
         .orderBy(col("c_uw").desc, col("u"), col("w")).limit(30)
         .select("u", "w", "c_uw", "c_u", "n1_u", "n1c_w", "p_kn_ppb")
     }),
+
+    // The KN model doing its actual job: held-out perplexity scoring.
+    // Eval docs (doc_id%20=0, the standard split) score every bigram
+    // against the TRAIN split's KN statistics — unseen bigrams (where
+    // MLE surprisal is undefined and the smoothing earns its keep) get
+    // the continuation mass; a fully unseen context backs off to the
+    // 30-bit cap. Surprisal stays integer via the floor-log2 bit-length
+    // trick on the exact rational den/num (P <= 1, so den DIV num >= 1)
+    // — the CCNet-style quality signal, engine-replayable. Shape: the
+    // three train rollups broadcast onto the eval bigram stream; one
+    // per-doc partial aggregate.
+    "text_kn_surprisal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wn = Window.partitionBy("doc_id").orderBy("pos")
+      val big = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("w", lead("tok", 1).over(wn))
+        .filter(col("w").isNotNull)
+        .select(col("doc_id"), col("tok").as("u"), col("w"))
+      val train = big.filter(col("doc_id") % 20 =!= 0)
+        .select("u", "w")
+      val cuw = train.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+      val cu = cuw.groupBy("u")
+        .agg(sum("c_uw").as("c_u"), count(lit(1)).as("n1_u"))
+      val cw = cuw.groupBy("w").agg(count(lit(1)).as("n1c_w"))
+      val tt = cuw.agg(count(lit(1)).as("t_types"))
+      big.filter(col("doc_id") % 20 === 0)
+        .join(cuw, Seq("u", "w"), "left")
+        .join(cu, Seq("u"), "left")
+        .join(cw, Seq("w"), "left")
+        .crossJoin(broadcast(tt))
+        .withColumn("bits", expr(
+          """CASE WHEN c_u IS NULL THEN 30L ELSE least(30L,
+               CASE WHEN greatest(4 * coalesce(c_uw, 0L) - 3, 0L)
+                      * t_types
+                    + 3 * n1_u * coalesce(n1c_w, 0L) = 0 THEN 30L
+               ELSE length(bin((4 * c_u * t_types) DIV
+                 (greatest(4 * coalesce(c_uw, 0L) - 3, 0L) * t_types
+                  + 3 * n1_u * coalesce(n1c_w, 0L)))) - 1 END) END"""))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("bits").as("sum_bits"),
+          sum(when(col("c_uw").isNull, 1L).otherwise(0L)).as("n_unseen"))
+        .withColumn("avg_bits",
+          round(col("sum_bits").cast("double") / col("n_bigrams"), 4))
+        .orderBy("doc_id")
+    }),
   )
 
   private val toks =
@@ -1661,5 +1709,47 @@ object TextQueries extends Registry {
                  CAST(n1c_w AS BIGINT) AS n1c_w,
                  CAST(p_kn_ppb AS BIGINT) AS p_kn_ppb
           FROM rk WHERE rnk <= 30 ORDER BY c_uw DESC, u, w""",
+
+    "text_kn_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          big AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w
+                  FROM t CROSS JOIN range(1, 257) r(i)
+                  WHERE i <= len(toks) - 1),
+          tr AS (SELECT u, w FROM big WHERE doc_id % 20 <> 0),
+          cuw AS (SELECT u, w, count(*) AS c_uw FROM tr GROUP BY 1, 2),
+          cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u,
+                        count(*) AS n1_u
+                 FROM cuw GROUP BY 1),
+          cw AS (SELECT w, count(*) AS n1c_w FROM cuw GROUP BY 1),
+          tt AS (SELECT count(*) AS t_types FROM cuw),
+          ev AS (SELECT big.doc_id, big.u, big.w,
+                        cuw.c_uw, cu.c_u, cu.n1_u, cw.n1c_w, t_types
+                 FROM big
+                 LEFT JOIN cuw ON big.u = cuw.u AND big.w = cuw.w
+                 LEFT JOIN cu ON big.u = cu.u
+                 LEFT JOIN cw ON big.w = cw.w
+                 CROSS JOIN tt
+                 WHERE big.doc_id % 20 = 0),
+          sc AS (SELECT doc_id, c_uw,
+                   CASE WHEN c_u IS NULL THEN 30 ELSE least(30,
+                     CASE WHEN greatest(4 * coalesce(c_uw, 0) - 3, 0)
+                            * t_types
+                          + 3 * n1_u * coalesce(n1c_w, 0) = 0 THEN 30
+                     ELSE length(printf('%b',
+                       CAST((4 * c_u * t_types) //
+                         (greatest(4 * coalesce(c_uw, 0) - 3, 0)
+                          * t_types
+                          + 3 * n1_u * coalesce(n1c_w, 0)) AS BIGINT)))
+                       - 1
+                     END) END AS bits
+                 FROM ev)
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(bits) AS BIGINT) AS sum_bits,
+                 CAST(count(CASE WHEN c_uw IS NULL THEN 1 END) AS BIGINT)
+                   AS n_unseen,
+                 round(CAST(sum(bits) AS DOUBLE) / count(*), 4)
+                   AS avg_bits
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
   )
 }
