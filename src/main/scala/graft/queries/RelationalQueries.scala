@@ -748,6 +748,32 @@ object RelationalQueries extends Registry {
         .orderBy("p_partkey")
     }),
 
+    // Statistical process control (p-chart): monthly share of finished
+    // orders against the all-time center line, with the 3-sigma
+    // out-of-control test collapsed to ONE integer comparison by
+    // clearing every denominator: (x/n - X/N)^2 > 9 p(1-p)/n becomes
+    // (xN - nX)^2 > 9 X (N-X) n — no division, no sqrt, no float, so
+    // both engines flag identical months (at ~1e7+ orders/month the
+    // square widens to decimal(38); here it peaks ~1e12). The monitor
+    // relation is one row per MONTH — the fact scan partial-aggregates
+    // once and the chart walks the calendar.
+    "orders_status_pchart" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        to_date(date_trunc("month", col("o_orderdate"))).as("m"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
+      val mo = o.groupBy("m").agg(count(lit(1)).as("n"), sum("f").as("x"))
+      val g = mo.agg(sum("n").as("nn"), sum("x").as("xx"))
+      mo.crossJoin(broadcast(g))
+        .withColumn("dev", col("x") * col("nn") - col("n") * col("xx"))
+        .select(col("m").cast("string").as("month"), col("n"), col("x"),
+          expr("(x * 10000) DIV n").as("share_bp"),
+          expr("(xx * 10000) DIV nn").as("center_bp"),
+          when(col("dev") * col("dev") >
+            lit(9L) * col("xx") * (col("nn") - col("xx")) * col("n"),
+            1L).otherwise(0L).as("ooc"))
+        .orderBy("month")
+    }),
+
     // TPC-H Q1 (pricing summary report) in exact integer units — the
     // canonical scan-heavy aggregate every warehouse is judged on, here
     // as the EXACT twin: quantities/prices snap to cents, discount/tax
@@ -1211,6 +1237,24 @@ object RelationalQueries extends Registry {
             WHERE b.cents <= a.cents AND b.size <= a.size
               AND (b.cents < a.cents OR b.size < a.size))
           ORDER BY p_partkey""",
+
+    "orders_status_pchart" ->
+      """WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                      AS m,
+                          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                      AS f
+                    FROM orders),
+          mo AS (SELECT m, count(*) AS n, CAST(sum(f) AS BIGINT) AS x
+                 FROM o GROUP BY m),
+          g AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                       CAST(sum(x) AS BIGINT) AS xx FROM mo)
+          SELECT CAST(m AS VARCHAR) AS month, n, x,
+                 CAST((x * 10000) // n AS BIGINT) AS share_bp,
+                 CAST((xx * 10000) // nn AS BIGINT) AS center_bp,
+                 CAST(CASE WHEN (x * nn - n * xx) * (x * nn - n * xx)
+                        > 9 * xx * (nn - xx) * n
+                      THEN 1 ELSE 0 END AS BIGINT) AS ooc
+          FROM mo CROSS JOIN g ORDER BY month""",
 
     "sql_tpch_q1" ->
       """WITH l AS (SELECT l_returnflag, l_linestatus,
