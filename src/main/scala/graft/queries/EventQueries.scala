@@ -985,6 +985,30 @@ object EventQueries extends Registry {
         .select("event_type", "n", "n_bins", "sum_bits", "avg_bits")
         .orderBy("event_type")
     }),
+
+    // Sequence-motif mining: each user's event history compresses to an
+    // ordered initial string (v/c/p/s/e, tie-broken by event_id), and
+    // the view->click->purchase conversion motif is counted with pure
+    // string arithmetic — (len(s) - len(replace(s,'vcp',''))) / 3 —
+    // the non-overlapping occurrence count with NO regex engine in the
+    // path (Java vs RE2 greedy semantics can diverge; replace cannot).
+    // Output: users per motif-count bucket. Per-user sequences build
+    // in one sort-free aggregate (array_sort of (ts,id,initial)
+    // structs — map-side partial, no window); the histogram is the
+    // only shuffle after it.
+    "events_motif_vcp" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(expr("transform(array_sort(collect_list(e)), " +
+          "x -> x.ini)"), "").as("seq"))
+        .select(((length(col("seq")) -
+          length(expr("replace(seq, 'vcp', '')"))) / 3)
+          .cast("long").as("n_vcp"))
+        .groupBy("n_vcp").agg(count(lit(1)).as("n_users"))
+        .orderBy("n_vcp")),
   )
 
   /** SQL form of Layout.spread16's mask-spread chain (fully
@@ -1655,5 +1679,17 @@ object EventQueries extends Registry {
                    AS DOUBLE) / n, 4) AS avg_bits
           FROM h JOIN tot USING (event_type)
           GROUP BY h.event_type, n ORDER BY h.event_type""",
+
+    "events_motif_vcp" ->
+      """WITH sq AS (SELECT user_id,
+                            string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+                     FROM events GROUP BY user_id),
+          m AS (SELECT (length(seq) - length(replace(seq, 'vcp', '')))
+                         // 3 AS n_vcp
+                FROM sq)
+          SELECT CAST(n_vcp AS BIGINT) AS n_vcp,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM m GROUP BY n_vcp ORDER BY n_vcp""",
   )
 }
