@@ -584,6 +584,32 @@ object AnnQueries extends Registry {
         .orderBy("true_y", "pred_y")
     }),
 
+    // Embedding-hygiene audit: per-label L2-norm profile in EXACT
+    // integer micro-units-squared (norms far from the cohort band mean
+    // truncated/garbage vectors; a degenerate all-zero cluster shows as
+    // min = 0). sqrt never runs — the SQUARED norm is order-isomorphic
+    // and stays integer; p50 is the lower median via the rank recipe.
+    // One aggregate-lambda pass per vector, windows partition by label.
+    "embed_norm_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("""aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>),
+            x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)),
+            CAST(0 AS BIGINT), (a, xi) -> a + xi * xi)""").as("nrm2_u"))
+      val w = Window.partitionBy("label").orderBy("nrm2_u", "vec_id")
+      val wp = Window.partitionBy("label")
+      e.select(col("label"), col("nrm2_u"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(wp).as("n"))
+        .groupBy("label")
+        .agg(max("n").as("n"), min("nrm2_u").as("min_nrm2_u"),
+          min(when(col("rn") * 2 >= col("n"), col("nrm2_u")))
+            .as("p50_nrm2_u"),
+          max("nrm2_u").as("max_nrm2_u"))
+        .orderBy("label")
+    }),
+
     // Margin-based bitext mining (Ann.marginBitext): the two "languages"
     // are the vec_id parity cohorts, k = 4 cross-cohort neighbors feed
     // each side's hubness denominator, and the output is the mutual
@@ -1143,6 +1169,28 @@ object AnnQueries extends Registry {
                  CAST(votes AS BIGINT) AS votes,
                  CAST(cand_label = true_label AS BIGINT) AS correct
           FROM p WHERE vr = 1 ORDER BY query_id""",
+
+    "embed_norm_profile" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          nr AS (SELECT vec_id, label,
+                   list_sum(list_transform(v, x ->
+                     CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                     * CAST(floor(x * 1000000 + 0.5) AS BIGINT)))
+                     AS nrm2_u
+                 FROM e),
+          rk AS (SELECT label, nrm2_u,
+                   row_number() OVER (PARTITION BY label
+                     ORDER BY nrm2_u, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY label) AS n
+                 FROM nr)
+          SELECT label, CAST(max(n) AS BIGINT) AS n,
+                 CAST(min(nrm2_u) AS BIGINT) AS min_nrm2_u,
+                 CAST(min(CASE WHEN rn * 2 >= n THEN nrm2_u END)
+                   AS BIGINT) AS p50_nrm2_u,
+                 CAST(max(nrm2_u) AS BIGINT) AS max_nrm2_u
+          FROM rk GROUP BY label ORDER BY label""",
 
     "ann_recall_eval" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
