@@ -154,10 +154,15 @@ object Ann {
     * a: (a_id, va); b: (b_id, vb). Output: mutual pairs
     * (a_id, b_id, sim_bp, margin_bp), one row per mined a_id. */
   def marginBitext(a: DataFrame, b: DataFrame, k: Int = 4): DataFrame = {
+    // materialized once: the |A| x |B| cosine kernel feeds THREE
+    // consumers (denA, denB, scored) — without the checkpoint each
+    // branch would re-execute the cross-join subtree, tripling the n^2
+    // similarity work; the materialized relation is 3 longs per pair
     val pairs = broadcast(a).crossJoin(spread(b))
       .select(col("a_id"), col("b_id"),
         round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
           .cast("long").as("sim_bp"))
+      .localCheckpoint(true)
     val wa = Window.partitionBy("a_id")
       .orderBy(col("sim_bp").desc, col("b_id"))
     val wb = Window.partitionBy("b_id")

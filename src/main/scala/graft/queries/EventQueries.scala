@@ -944,8 +944,15 @@ object EventQueries extends Registry {
           min(col("ts").cast("date")).as("first_d"),
           max(col("ts").cast("date")).as("last_d"))
         .crossJoin(broadcast(gmax))
+        // a censored user was observed ALIVE through the cutoff, so
+        // their time at risk runs to obs_end - first_d, not to the
+        // last event (proper KM right-censoring; the two differ by at
+        // most the 3-day censoring window)
         .select(col("event_type"),
-          datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+          when(datediff(col("obs_end"), col("last_d")) < 3,
+            datediff(col("obs_end"), col("first_d")))
+            .otherwise(datediff(col("last_d"), col("first_d")))
+            .cast("long").as("t"),
           when(datediff(col("obs_end"), col("last_d")) < 3, 1L)
             .otherwise(0L).as("cens"))
       val hist = users.groupBy("event_type", "t").agg(
@@ -1647,7 +1654,10 @@ object EventQueries extends Registry {
                        max(CAST(ts AS DATE)) AS last_d
                 FROM events GROUP BY 1, 2),
           uc AS (SELECT event_type,
-                        date_diff('day', first_d, last_d) AS t,
+                        CASE WHEN date_diff('day', last_d, obs_end) < 3
+                          THEN date_diff('day', first_d, obs_end)
+                          ELSE date_diff('day', first_d, last_d)
+                        END AS t,
                         CASE WHEN date_diff('day', last_d, obs_end) < 3
                           THEN 1 ELSE 0 END AS cens
                  FROM u CROSS JOIN ge),

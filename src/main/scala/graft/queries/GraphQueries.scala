@@ -165,8 +165,13 @@ object GraphQueries extends Registry {
         .join(deg.withColumnRenamed("u", "w")
           .withColumnRenamed("deg", "deg_w"), Seq("w"))
         .agg(count(lit(1)).as("n_endpoints"),
-          round(corr(col("deg_u").cast("double"),
-            col("deg_w").cast("double")), 4).as("assortativity"))
+          // a degree-regular graph has zero degree variance: Spark's
+          // corr yields NaN there where DuckDB yields NULL — normalize
+          // to NULL so the one-row outputs agree on every graph shape
+          when(isnan(corr(col("deg_u").cast("double"),
+              col("deg_w").cast("double"))), lit(null))
+            .otherwise(round(corr(col("deg_u").cast("double"),
+              col("deg_w").cast("double")), 4)).as("assortativity"))
     }),
 
     // Label-propagation communities (Graph.lpaFixed): synchronous

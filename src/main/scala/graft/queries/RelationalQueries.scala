@@ -1284,7 +1284,7 @@ object RelationalQueries extends Registry {
           FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "er_blocked_pairs" ->
-      """WITH names AS (SELECT split_part(p_name, ' ', 2) AS blk,
+      """WITH names AS (SELECT string_split(p_name, ' ')[-1] AS blk,
                                p_name, count(*) AS n
                         FROM part GROUP BY 1, 2)
           SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,

@@ -806,19 +806,7 @@ object TextQueries extends Registry {
     // TakeOrdered for the top-30 (no global window); at larger corpora
     // the two products widen to decimal(38).
     "text_kn_bigram" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wn = Window.partitionBy("doc_id").orderBy("pos")
-      val big = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("w", lead("tok", 1).over(wn))
-        .filter(col("w").isNotNull)
-        .select(col("tok").as("u"), col("w"))
-      val cuw = big.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
-      val cu = cuw.groupBy("u")
-        .agg(sum("c_uw").as("c_u"), count(lit(1)).as("n1_u"))
-      val cw = cuw.groupBy("w").agg(count(lit(1)).as("n1c_w"))
-      val tt = cuw.agg(count(lit(1)).as("t_types"))
+      val (cuw, cu, cw, tt) = knStats(bigramsOf(s, d))
       cuw.join(cu, "u").join(cw, "w").crossJoin(broadcast(tt))
         .withColumn("p_kn_ppb", expr(
           """((greatest(4 * c_uw - 3, 0) * t_types + 3 * n1_u * n1c_w)
@@ -838,21 +826,9 @@ object TextQueries extends Registry {
     // three train rollups broadcast onto the eval bigram stream; one
     // per-doc partial aggregate.
     "text_kn_surprisal" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wn = Window.partitionBy("doc_id").orderBy("pos")
-      val big = Tables.documents(s, d)
-        .select(col("doc_id"),
-          posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
-        .withColumn("w", lead("tok", 1).over(wn))
-        .filter(col("w").isNotNull)
-        .select(col("doc_id"), col("tok").as("u"), col("w"))
-      val train = big.filter(col("doc_id") % 20 =!= 0)
-        .select("u", "w")
-      val cuw = train.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
-      val cu = cuw.groupBy("u")
-        .agg(sum("c_uw").as("c_u"), count(lit(1)).as("n1_u"))
-      val cw = cuw.groupBy("w").agg(count(lit(1)).as("n1c_w"))
-      val tt = cuw.agg(count(lit(1)).as("t_types"))
+      val big = bigramsOf(s, d)
+      val (cuw, cu, cw, tt) =
+        knStats(big.filter(col("doc_id") % 20 =!= 0))
       big.filter(col("doc_id") % 20 === 0)
         .join(cuw, Seq("u", "w"), "left")
         .join(cu, Seq("u"), "left")
@@ -875,6 +851,37 @@ object TextQueries extends Registry {
         .orderBy("doc_id")
     }),
   )
+
+  /** Doc-tagged bigram relation (doc_id, u, w): one lead() window per
+    * doc (bounded partitions). Shared by the two KN queries so the
+    * tokenization and pairing live in one place. */
+  private def bigramsOf(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w", lead("tok", 1).over(wn))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("tok").as("u"), col("w"))
+  }
+
+  /** The KN count relations over a (u, w) bigram stream: bigram counts,
+    * left-context totals + distinct continuations, right continuation
+    * counts, and the bigram-type total — the D = 3/4 discount
+    * arithmetic (4x / -3) lives at the two call sites' scoring
+    * expressions, the COUNTS live here, once. */
+  private def knStats(big: org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+       org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cuw = big.groupBy("u", "w").agg(count(lit(1)).as("c_uw"))
+    val cu = cuw.groupBy("u")
+      .agg(sum("c_uw").as("c_u"), count(lit(1)).as("n1_u"))
+    val cw = cuw.groupBy("w").agg(count(lit(1)).as("n1c_w"))
+    val tt = cuw.agg(count(lit(1)).as("t_types"))
+    (cuw, cu, cw, tt)
+  }
 
   private val toks =
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
@@ -1610,9 +1617,10 @@ object TextQueries extends Registry {
     "text_ttr_mattr" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
           tok AS (SELECT doc_id, len(toks)::BIGINT AS ntok,
-                         (i - 1) // 16 AS chunk_id, toks[i] AS tok
-                  FROM t CROSS JOIN range(1, 257) r(i)
-                  WHERE i <= len(toks)),
+                         (unnest(range(1, len(toks) + 1)) - 1) // 16
+                           AS chunk_id,
+                         unnest(toks) AS tok
+                  FROM t),
           cst AS (SELECT doc_id, ntok, chunk_id, count(*) AS clen,
                          count(DISTINCT tok) AS nd
                   FROM tok GROUP BY 1, 2, 3),
@@ -1687,9 +1695,9 @@ object TextQueries extends Registry {
 
     "text_kn_bigram" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-          big AS (SELECT toks[i] AS u, toks[i + 1] AS w
-                  FROM t CROSS JOIN range(1, 257) r(i)
-                  WHERE i <= len(toks) - 1),
+          big AS (SELECT unnest(toks[1:len(toks) - 1]) AS u,
+                         unnest(toks[2:len(toks)]) AS w
+                  FROM t),
           cuw AS (SELECT u, w, count(*) AS c_uw FROM big GROUP BY 1, 2),
           cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u,
                         count(*) AS n1_u
@@ -1712,9 +1720,10 @@ object TextQueries extends Registry {
 
     "text_kn_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-          big AS (SELECT doc_id, toks[i] AS u, toks[i + 1] AS w
-                  FROM t CROSS JOIN range(1, 257) r(i)
-                  WHERE i <= len(toks) - 1),
+          big AS (SELECT doc_id,
+                         unnest(toks[1:len(toks) - 1]) AS u,
+                         unnest(toks[2:len(toks)]) AS w
+                  FROM t),
           tr AS (SELECT u, w FROM big WHERE doc_id % 20 <> 0),
           cuw AS (SELECT u, w, count(*) AS c_uw FROM tr GROUP BY 1, 2),
           cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u,
