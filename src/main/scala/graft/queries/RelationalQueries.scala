@@ -812,6 +812,63 @@ object RelationalQueries extends Registry {
         .drop("sum_disc_bp")
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q6 (forecasting revenue change): the maximally selective
+    // scan — three range predicates that must ALL reach the parquet
+    // reader (a year of shipdates, a discount band, a quantity cap) and
+    // one global sum. Revenue accumulates as exact cent-bp integers
+    // (price cents x discount bp). The discount band compares snapped
+    // INTEGER bp (>= 500, <= 700), not floats — 0.05 is not exactly
+    // representable and a double literal comparison could disagree
+    // across engines at the boundary.
+    "sql_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >=
+            lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date")
+          && col("l_quantity") < 24)
+        .select(
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 10000).cast("long").as("disc_bp"))
+        .filter(col("disc_bp") >= 500 && col("disc_bp") <= 700)
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("price_c") * col("disc_bp")).as("revenue_cbp"))),
+
+    // TPC-H Q3 (shipping priority): the canonical join benchmark —
+    // segment-filtered customers x unshipped orders x future lineitems,
+    // revenue per order in exact cent-bp, top-10 by revenue. The
+    // customer dim broadcasts; the orders-lineitem join shuffles once
+    // on orderkey; TakeOrdered replaces any global sort. (The synthetic
+    // orders table has no o_shippriority; o_orderpriority stands in.)
+    "sql_tpch_q3" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") <
+          lit("1998-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >
+          lit("1998-01-01").cast("date"))
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) -
+              round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").cast("string")
+            .as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum("rev_cbp").as("revenue_cbp"))
+        .orderBy(col("revenue_cbp").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue_cbp", "o_orderdate",
+          "o_orderpriority")
+    }),
+
     // Entity-resolution candidate pairs over the part catalog: block on
     // the head noun (last name token), pair DISTINCT names within each
     // block, match on levenshtein <= 3, and weight each surviving pair
@@ -1237,6 +1294,41 @@ object RelationalQueries extends Registry {
             WHERE b.cents <= a.cents AND b.size <= a.size
               AND (b.cents < a.cents OR b.size < a.size))
           ORDER BY p_partkey""",
+
+    "sql_tpch_q6" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_discount * 10000) AS BIGINT))
+                  AS BIGINT) AS revenue_cbp
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_quantity < 24
+           AND CAST(round(l_discount * 10000) AS BIGINT)
+             BETWEEN 500 AND 700""",
+
+    "sql_tpch_q3" ->
+      """WITH c AS (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING'),
+          o AS (SELECT o_orderkey, o_custkey,
+                       CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                         AS o_orderdate,
+                       o_orderpriority
+                FROM orders
+                WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'),
+          l AS (SELECT l_orderkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (10000 - CAST(round(l_discount * 10000)
+                             AS BIGINT)) AS rev_cbp
+                FROM lineitem
+                WHERE CAST(l_shipdate AS DATE) > DATE '1998-01-01')
+          SELECT l_orderkey,
+                 CAST(sum(rev_cbp) AS BIGINT) AS revenue_cbp,
+                 o_orderdate, o_orderpriority
+          FROM l JOIN o ON l_orderkey = o_orderkey
+                 JOIN c ON o_custkey = c_custkey
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue_cbp DESC, l_orderkey LIMIT 10""",
 
     "orders_status_pchart" ->
       """WITH o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
