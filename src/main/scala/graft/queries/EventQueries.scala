@@ -1016,6 +1016,28 @@ object EventQueries extends Registry {
           .cast("long").as("n_vcp"))
         .groupBy("n_vcp").agg(count(lit(1)).as("n_users"))
         .orderBy("n_vcp")),
+
+    // Longest consecutive-day activity streak per user (gaps-and-
+    // islands): consecutive days share a constant (epoch-day - rank),
+    // so one window + two aggregates find every streak without
+    // self-joins or recursion. Output is the users-per-max-streak
+    // histogram — the engagement-depth curve retention reports key
+    // off. The window partitions by user (bounded); everything
+    // downstream is map-side-combining aggregation.
+    "events_streak_lengths" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp",
+          expr("datediff(day, DATE '1970-01-01')").cast("long") -
+            row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("max_streak"))
+        .groupBy("max_streak").agg(count(lit(1)).as("n_users"))
+        .orderBy("max_streak")
+    }),
   )
 
   /** SQL form of Layout.spread16's mask-spread chain (fully
@@ -1701,5 +1723,21 @@ object EventQueries extends Registry {
           SELECT CAST(n_vcp AS BIGINT) AS n_vcp,
                  CAST(count(*) AS BIGINT) AS n_users
           FROM m GROUP BY n_vcp ORDER BY n_vcp""",
+
+    "events_streak_lengths" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+          isl AS (SELECT user_id,
+                         date_diff('day', DATE '1970-01-01', day)
+                           - row_number() OVER (PARTITION BY user_id
+                               ORDER BY day) AS grp
+                  FROM days),
+          st AS (SELECT user_id, grp, count(*) AS len
+                 FROM isl GROUP BY 1, 2),
+          mx AS (SELECT user_id, max(len) AS max_streak
+                 FROM st GROUP BY 1)
+          SELECT CAST(max_streak AS BIGINT) AS max_streak,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM mx GROUP BY 1 ORDER BY 1""",
   )
 }

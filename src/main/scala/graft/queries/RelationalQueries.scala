@@ -869,6 +869,46 @@ object RelationalQueries extends Registry {
           "o_orderpriority")
     }),
 
+    // TPC-H Q5 (local supplier volume): the full star join — lineitem
+    // x orders x customer x supplier x nation x region with the
+    // LOCAL-supplier equi-condition (customer and supplier share a
+    // nation), revenue per nation in exact cent-bp. Plan shape: the
+    // three dims broadcast; the two fact relations shuffle once on
+    // orderkey; the nation rollup rides map-side combine. The
+    // c_nationkey = s_nationkey predicate applies AFTER the supplier
+    // join (it correlates the two branches — exactly the join Catalyst
+    // cannot push into either scan).
+    "sql_tpch_q5" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val n = Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >=
+            lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") <
+            lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) -
+              round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum("rev_cbp").as("revenue_cbp"))
+        .orderBy(col("revenue_cbp").desc, col("n_name"))
+    }),
+
     // Entity-resolution candidate pairs over the part catalog: block on
     // the head noun (last name token), pair DISTINCT names within each
     // block, match on levenshtein <= 3, and weight each surviving pair
@@ -1294,6 +1334,24 @@ object RelationalQueries extends Registry {
             WHERE b.cents <= a.cents AND b.size <= a.size
               AND (b.cents < a.cents OR b.size < a.size))
           ORDER BY p_partkey""",
+
+    "sql_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+                  AS BIGINT) AS revenue_cbp
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE c_nationkey = s_nationkey
+           AND r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue_cbp DESC, n_name""",
 
     "sql_tpch_q6" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
