@@ -869,6 +869,33 @@ object RelationalQueries extends Registry {
           "o_orderpriority")
     }),
 
+    // TPC-H Q4 (order priority checking), adapted to this schema's
+    // columns: orders in a quarter that have AT LEAST ONE late line
+    // (shipped > 90 days after the order date — the synthetic lineitem
+    // has no commit/receipt dates), counted by priority. The EXISTS
+    // becomes a left-semi join whose right side reduces to (orderkey,
+    // max lateness) BEFORE the join: the semi-join input shuffles one
+    // row per order, not per lineitem.
+    "sql_tpch_q4" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >=
+            lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") <
+            lit("1996-04-01").cast("date"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val late = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 90)
+        .select(col("l_orderkey").as("late_key")).distinct()
+      o.join(late, o("o_orderkey") === col("late_key"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q5 (local supplier volume): the full star join — lineitem
     // x orders x customer x supplier x nation x region with the
     // LOCAL-supplier equi-condition (customer and supplier share a
@@ -1334,6 +1361,21 @@ object RelationalQueries extends Registry {
             WHERE b.cents <= a.cents AND b.size <= a.size
               AND (b.cents < a.cents OR b.size < a.size))
           ORDER BY p_partkey""",
+
+    "sql_tpch_q4" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate, o_orderpriority
+                    FROM orders
+                    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01')
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS order_count
+          FROM o
+          WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+              AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) > 90)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "sql_tpch_q5" ->
       """SELECT n_name,
