@@ -425,6 +425,51 @@ object DedupQueries extends Registry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS local-fingerprinting algorithm): hash every positioned
+    // 5-gram (md5 -> 60-bit int, the engine-portable recipe), keep the
+    // MINIMUM of each 4-hash window, dedup per doc. The winnowing
+    // guarantee: any shared token run of length >= w + k - 1 = 8
+    // leaves at least one shared fingerprint, while storage drops to
+    // ~2/(w+1) of the k-gram count — the density/recall dial CDC
+    // chunking doesn't have. Candidate pairs then come from a
+    // df-capped fingerprint index (the contamination-pairs shape:
+    // bucket join, never all-pairs), ranked by shared-fingerprint
+    // count. Windowed min runs per doc ordered by position (bounded
+    // partitions); ties are impossible enough at 60 bits that min()
+    // is the deterministic tie rule on both engines.
+    "dedup_winnowing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{min, posexplode, count => cnt}
+      val K = 5; val W = 4
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .tokens(col("text")).as("toks"))
+        .filter(expr(s"size(toks) >= $K"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(1, size(toks) - ${K - 1}),
+              i -> CAST(conv(substring(md5(concat_ws(' ',
+                slice(toks, i, $K))), 1, 15), 16, 10) AS BIGINT))"""))
+          .as(Seq("pos", "h")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, W - 1)
+      val fps = hashed
+        .withColumn("nsh",
+          cnt(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("wmin", min("h").over(w))
+        .filter(col("pos") <= col("nsh") - W)
+        .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      val rare = fps.groupBy("fp").agg(cnt(lit(1)).as("df"))
+        .filter(col("df") <= 64).select("fp")
+      val kept = fps.join(rare, "fp")
+      kept.select(col("doc_id").as("doc_a"), col("fp"))
+        .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(cnt(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   private val toks =
@@ -1002,5 +1047,32 @@ object DedupQueries extends Registry {
            ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.2
          ORDER BY id_a, id_b""",
+
+    "dedup_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          ft AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+          sh AS (SELECT doc_id,
+                   unnest(range(1, len(toks) - 3)) AS pos,
+                   unnest(list_transform(range(1, len(toks) - 3),
+                     i -> ('0x' || substring(md5(array_to_string(
+                       toks[i:i+4], ' ')), 1, 15))::BIGINT)) AS h
+                 FROM ft),
+          wm AS (SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+                   count(*) OVER (PARTITION BY doc_id) AS nsh
+                 FROM sh),
+          fp AS (SELECT DISTINCT doc_id, wmin AS fp
+                 FROM wm WHERE pos <= nsh - 3),
+          rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
+                                   FROM fp GROUP BY 1) x
+                   WHERE df <= 64),
+          kept AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared_fps
+          FROM kept a JOIN kept b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY doc_a, doc_b""",
   )
 }
