@@ -66,6 +66,32 @@ object GovernanceQueries extends Registry {
             .as("rows_at_risk"))
         .orderBy("event_type")),
 
+    // A/B experiment plumbing: deterministic hash assignment (md5 of
+    // the user key -> arm, the reproducible-bucketing recipe the
+    // sampling family uses) plus the SAMPLE-RATIO-MISMATCH guard every
+    // experiment platform runs before reading results: a one-dof
+    // chi-square of observed arm counts vs 50/50, collapsed to the
+    // integer comparison (nT - nC)^2 * 100 > 384 * (nT + nC)
+    // (chi2 > 3.84 = p < .05) — a flagged split means the assignment
+    // or logging pipeline is broken and the experiment is void. One
+    // distinct-users aggregate; no windows.
+    "events_ab_srm" -> ((s, d) => {
+      val arms = Tables.events(s, d)
+        .select(col("user_id")).distinct()
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("ab:"),
+            col("user_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2)
+      arms.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_c"))
+        .select(col("n_t"), col("n_c"),
+          (col("n_t") - col("n_c")).as("delta"),
+          when((col("n_t") - col("n_c")) * (col("n_t") - col("n_c"))
+            * 100 > lit(384L) * (col("n_t") + col("n_c")), 1L)
+            .otherwise(0L).as("srm_flag"))
+    }),
+
     // Difference-in-differences lift estimate over purchase values:
     // treatment = even user_id, periods split at the observation
     // midpoint (integer date comparison), and the DiD estimate is
@@ -660,6 +686,23 @@ object GovernanceQueries extends Registry {
                 CAST(coalesce(sum(CASE WHEN l < 3 THEN k END), 0)
                   AS BIGINT) AS rows_at_risk
          FROM cells GROUP BY event_type ORDER BY event_type""",
+
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+          arms AS (SELECT (('0x' || substring(md5('ab:' ||
+                     user_id::VARCHAR), 1, 15))::BIGINT) % 2 AS arm
+                   FROM u),
+          c AS (SELECT
+                  CAST(count(CASE WHEN arm = 0 THEN 1 END) AS BIGINT)
+                    AS n_t,
+                  CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT)
+                    AS n_c
+                FROM arms)
+          SELECT n_t, n_c, n_t - n_c AS delta,
+                 CAST(CASE WHEN (n_t - n_c) * (n_t - n_c) * 100
+                        > 384 * (n_t + n_c)
+                      THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+          FROM c""",
 
     "events_did_lift" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, "value"
