@@ -54,4 +54,22 @@ class RelationalQueriesSpec extends SparkSpec {
       math.abs(a99 - e99) / e99 should be < 0.01
     }
   }
+
+  test("TPC-H exhibit plans: broadcasts in place, no nested-loop joins") {
+    // the plan shapes the scale story claims: Q3/Q5 broadcast their
+    // dims and never fall to a cartesian/nested-loop; the skyline is
+    // the window sweep, not the quadratic NOT-EXISTS anti-join
+    for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q4",
+        "skyline_parts")) {
+      val plan = RelationalQueries.defs(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+    for (name <- Seq("sql_tpch_q3", "sql_tpch_q5")) {
+      val plan = RelationalQueries.defs(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
+    }
+  }
 }
