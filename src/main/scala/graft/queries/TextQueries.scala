@@ -815,6 +815,27 @@ object TextQueries extends Registry {
         .select("u", "w", "c_uw", "c_u", "n1_u", "n1c_w", "p_kn_ppb")
     }),
 
+    // Simpson concentration per source: the probability two tokens
+    // drawn WITHOUT replacement are the same type — an exact rational
+    // (sum c_i(c_i-1)) / (N(N-1)) emitted in parts-per-billion by one
+    // floor division, so unlike Shannon diversity it needs no log
+    // anywhere. High values = a source dominated by few token types
+    // (boilerplate/templating) — the corpus-level complement of the
+    // per-doc MATTR signal. One (source, term) rollup, one per-source
+    // reduce; no windows. rep_pairs * 1e9 holds to ~3M repeated
+    // tokens per source; past that the product widens to decimal(38).
+    "corpus_simpson_diversity" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum("c").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("c") * (col("c") - 1)).as("rep_pairs"))
+        .withColumn("simpson_ppb", expr(
+          "(rep_pairs * 1000000000) DIV (n_tokens * (n_tokens - 1))"))
+        .orderBy("source")),
+
     // The KN model doing its actual job: held-out perplexity scoring.
     // Eval docs (doc_id%20=0, the standard split) score every bigram
     // against the TRAIN split's KN statistics — unseen bigrams (where
@@ -1717,6 +1738,21 @@ object TextQueries extends Registry {
                  CAST(n1c_w AS BIGINT) AS n1c_w,
                  CAST(p_kn_ppb AS BIGINT) AS p_kn_ppb
           FROM rk WHERE rnk <= 30 ORDER BY c_uw DESC, u, w""",
+
+    "corpus_simpson_diversity" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+          e AS (SELECT source, unnest(toks) AS term FROM t),
+          c AS (SELECT source, term, count(*) AS c
+                FROM e GROUP BY 1, 2),
+          agg AS (SELECT source,
+                         CAST(sum(c) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS vocab,
+                         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+                  FROM c GROUP BY 1)
+          SELECT source, n_tokens, vocab, rep_pairs,
+                 CAST((rep_pairs * 1000000000) //
+                   (n_tokens * (n_tokens - 1)) AS BIGINT) AS simpson_ppb
+          FROM agg ORDER BY source""",
 
     "text_kn_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
