@@ -155,7 +155,10 @@ object AnnQueries extends Registry {
     // queries, so the eval metric is engine-replayable end-to-end —
     // the rows-only engine paths get their recall bounds in AnnSpec,
     // this is the REGISTERED eval shape those bounds instantiate).
-    // recall_bp divides by the exact list size (5); n_lsh < 5 happens
+    // recall_bp divides by the PER-QUERY brute list size (counted from
+    // the brute relation, not a literal k — a tiny corpus or k change
+    // can make the exact list shorter than 5, and a hardcoded
+    // denominator would silently understate); n_lsh < n_brute happens
     // when a query's bucket is thin — visible in the output rather
     // than silently padded.
     "ann_recall_eval" -> ((s, d) => {
@@ -166,11 +169,12 @@ object AnnQueries extends Registry {
       val nLsh = lsh.groupBy("query_id").agg(count(lit(1)).as("n_lsh"))
       val nHit = brute.join(lsh, Seq("query_id", "cand_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-      brute.select("query_id").distinct()
+      brute.groupBy("query_id").agg(count(lit(1)).as("n_brute"))
         .join(nLsh, Seq("query_id"), "left")
         .join(nHit, Seq("query_id"), "left")
         .na.fill(0L, Seq("n_lsh", "n_hit"))
-        .withColumn("recall_bp", expr("(n_hit * 10000) DIV 5"))
+        .withColumn("recall_bp", expr("(n_hit * 10000) DIV n_brute"))
+        .select("query_id", "n_lsh", "n_hit", "recall_bp")
         .orderBy("query_id")
     }),
 
@@ -1231,11 +1235,12 @@ object AnnQueries extends Registry {
           nh AS (SELECT br.query_id, count(*) AS n_hit
                  FROM br JOIN lsh USING (query_id, cand_id)
                  GROUP BY 1),
-          qs AS (SELECT DISTINCT query_id FROM br)
+          qs AS (SELECT query_id, count(*) AS n_brute
+                 FROM br GROUP BY 1)
           SELECT qs.query_id,
                  CAST(coalesce(n_lsh, 0) AS BIGINT) AS n_lsh,
                  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-                 CAST((coalesce(n_hit, 0) * 10000) // 5 AS BIGINT)
+                 CAST((coalesce(n_hit, 0) * 10000) // n_brute AS BIGINT)
                    AS recall_bp
           FROM qs LEFT JOIN nl USING (query_id)
                   LEFT JOIN nh USING (query_id)

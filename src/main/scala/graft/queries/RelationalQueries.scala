@@ -723,24 +723,28 @@ object RelationalQueries extends Registry {
     // 2-D skyline (Pareto-non-dominated set) over part: minimize
     // (price, size). A part is dominated iff some other part is <= on
     // both axes and strictly < on at least one. The definition is
-    // quadratic; the plan is the O(n log n) sweep: order parts by
-    // integer price-cents, then a part survives iff (a) no
-    // strictly-cheaper part has size <= its own (cumulative min over a
-    // RANGE frame that excludes price ties) and (b) no same-price part
-    // has a strictly smaller size. Both windows walk the PART dimension
-    // (bounded far below the fact table); the DuckDB oracle is the
-    // declarative NOT-EXISTS quadratic — scale-safe plan vs literal
-    // spec, the same twin recipe as the dedup family.
+    // quadratic; the plan is the histogram sweep: aggregate the part
+    // relation to one row per DISTINCT price (min size at that price —
+    // a distributed groupBy), run the cumulative prefix-min over that
+    // value histogram, and join the thresholds back. A part survives
+    // iff (a) no strictly-cheaper price admits a size <= its own
+    // (prefix-min over rows strictly before its price bucket) and (b)
+    // it attains the min size at its own price. The only unpartitioned
+    // window walks the distinct-cents histogram — bounded by the PRICE
+    // DOMAIN (TPC-H retailprice spans ~1e5 cent values), not by SF —
+    // the same bounded-domain recipe as stats_ks_test; the DuckDB
+    // oracle stays the declarative NOT-EXISTS quadratic — scale-safe
+    // plan vs literal spec, the same twin recipe as the dedup family.
     "skyline_parts" -> ((s, d) => {
       val p = Tables.part(s, d).select(col("p_partkey"),
         round(col("p_retailprice") * 100).cast("long").as("cents"),
         col("p_size").cast("long").as("size"))
+      val hist = p.groupBy("cents").agg(min("size").as("min_same"))
       val cheaper = Window.orderBy("cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val same = Window.partitionBy("cents")
-      p.select(col("p_partkey"), col("cents"), col("size"),
-          min("size").over(cheaper).as("min_cheaper"),
-          min("size").over(same).as("min_same"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val thresholds = hist.select(col("cents"), col("min_same"),
+        min("min_same").over(cheaper).as("min_cheaper"))
+      p.join(thresholds, "cents")
         .filter((col("min_cheaper").isNull ||
             col("min_cheaper") > col("size")) &&
           col("min_same") === col("size"))
@@ -753,23 +757,30 @@ object RelationalQueries extends Registry {
     // out-of-control test collapsed to ONE integer comparison by
     // clearing every denominator: (x/n - X/N)^2 > 9 p(1-p)/n becomes
     // (xN - nX)^2 > 9 X (N-X) n — no division, no sqrt, no float, so
-    // both engines flag identical months (at ~1e7+ orders/month the
-    // square widens to decimal(38); here it peaks ~1e12). The monitor
-    // relation is one row per MONTH — the fact scan partial-aggregates
-    // once and the chart walks the calendar.
+    // both engines flag identical months. The products are carried in
+    // decimal(38,0) (Spark) / HUGEINT (oracle): at ~1e7 orders/month
+    // and 1e10 total, dev^2 peaks ~1e34 — silent Int64 wraparound
+    // under non-ANSI Spark would otherwise flip the flag while DuckDB
+    // errors, so the widening keeps the two engines divergence-free at
+    // every scale. The monitor relation is one row per MONTH — the
+    // fact scan partial-aggregates once and the chart walks the
+    // calendar.
     "orders_status_pchart" -> ((s, d) => {
       val o = Tables.orders(s, d).select(
         to_date(date_trunc("month", col("o_orderdate"))).as("m"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("f"))
       val mo = o.groupBy("m").agg(count(lit(1)).as("n"), sum("f").as("x"))
       val g = mo.agg(sum("n").as("nn"), sum("x").as("xx"))
+      val dec = "decimal(38,0)"
       mo.crossJoin(broadcast(g))
-        .withColumn("dev", col("x") * col("nn") - col("n") * col("xx"))
+        .withColumn("dev", col("x").cast(dec) * col("nn") -
+          col("n").cast(dec) * col("xx"))
         .select(col("m").cast("string").as("month"), col("n"), col("x"),
           expr("(x * 10000) DIV n").as("share_bp"),
           expr("(xx * 10000) DIV nn").as("center_bp"),
           when(col("dev") * col("dev") >
-            lit(9L) * col("xx") * (col("nn") - col("xx")) * col("n"),
+            lit(9L).cast(dec) * col("xx") * (col("nn") - col("xx")) *
+              col("n"),
             1L).otherwise(0L).as("ooc"))
         .orderBy("month")
     }),
@@ -1443,8 +1454,9 @@ object RelationalQueries extends Registry {
           SELECT CAST(m AS VARCHAR) AS month, n, x,
                  CAST((x * 10000) // n AS BIGINT) AS share_bp,
                  CAST((xx * 10000) // nn AS BIGINT) AS center_bp,
-                 CAST(CASE WHEN (x * nn - n * xx) * (x * nn - n * xx)
-                        > 9 * xx * (nn - xx) * n
+                 CAST(CASE WHEN (CAST(x AS HUGEINT) * nn - n * xx)
+                             * (CAST(x AS HUGEINT) * nn - n * xx)
+                        > 9 * CAST(xx AS HUGEINT) * (nn - xx) * n
                       THEN 1 ELSE 0 END AS BIGINT) AS ooc
           FROM mo CROSS JOIN g ORDER BY month""",
 

@@ -766,9 +766,11 @@ object TextQueries extends Registry {
     // calibration because it only consumes RANKS, which also makes it
     // integer-exact). Docs without an embedding (sf0.1 has 5k docs,
     // 2k vectors) simply lack dense contributions — union semantics,
-    // no inner join. Both input rankings are independently verified
-    // queries; the fusion adds one (query, doc) aggregate and a
-    // per-query top-5 window.
+    // no inner join. The dense branch ranks on round(sim*10000) — the
+    // knnGraph/marginBitext integer-snap — so the fused ranks never
+    // hinge on cross-engine double comparison order; the BM25 branch
+    // already ranks on floor'd integer micro-scores. The fusion adds
+    // one (query, doc) aggregate and a per-query top-5 window.
     "pipeline_hybrid_rrf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val bm = graft.operators.Corpus
@@ -776,11 +778,20 @@ object TextQueries extends Registry {
         .select(col("query_id"), col("doc_id"),
           expr("CAST(1000000 DIV (60 + rank) AS LONG)").as("c"))
       val e = Tables.embeddings(s, d)
-      val cos = graft.operators.Ann.bruteForceTopK(
-          e.filter(col("vec_id") % 20 =!= 0),
-          e.filter(col("vec_id") % 20 === 0),
-          "vec_id", "embedding", k = 20)
-        .select(col("query_id"), col("cand_id").as("doc_id"),
+      val qv = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val cvs = e.filter(col("vec_id") % 20 =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("cv"))
+      val wd = Window.partitionBy("query_id")
+        .orderBy(col("sim_bp").desc, col("doc_id").asc)
+      val cos = cvs.join(broadcast(qv))
+        .withColumn("sim_bp", round(graft.functions.HashExprs
+          .cosine_sim(col("qv"), col("cv")) * 10000).cast("long"))
+        .withColumn("rank", row_number().over(wd))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"),
           expr("CAST(1000000 DIV (60 + rank) AS LONG)").as("c"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("rrf_u").desc, col("doc_id"))
@@ -1696,7 +1707,8 @@ object TextQueries extends Registry {
                  FROM embeddings WHERE vec_id % 20 <> 0),
           cr AS (SELECT query_id, doc_id,
                    row_number() OVER (PARTITION BY query_id
-                     ORDER BY list_cosine_similarity(vq, vc) DESC,
+                     ORDER BY CAST(round(list_cosine_similarity(vq, vc)
+                         * 10000) AS BIGINT) DESC,
                               doc_id ASC) AS rank
                  FROM qv CROSS JOIN cv),
           cc AS (SELECT query_id, doc_id,
