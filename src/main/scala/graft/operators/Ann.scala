@@ -73,8 +73,17 @@ object Ann {
     val pairs = Dedup.blockPairSims(embs, idCol, vecCol, blocks)
       .select(col("id_a"), col("id_b"),
         round(col("sim") * 10000).cast("long").as("sim_bp"))
-    // both directed ends in one pass — a union of two selects would run
-    // the quadratic block-pair join twice
+    mirroredTopK(pairs, k)
+  }
+
+  /** The shared kNN-graph reduction: mirror each undirected scored pair
+    * into its two directed ends IN THE SAME TASK (a union of two
+    * selects would recompute the candidate-pair relation twice), then
+    * reduce each source to its k best neighbors with the k-bounded
+    * [[graft.functions.CraneAggregators.TopKByScore]] partial
+    * aggregate — at most k entries per (node, map partition) cross the
+    * aggregation shuffle, never the pair relation itself. */
+  private def mirroredTopK(pairs: DataFrame, k: Int): DataFrame = {
     val dir = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("sim_bp"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("sim_bp"), col("id_a").as("dst"))))
@@ -116,19 +125,68 @@ object Ann {
       .select(col("id_a"), col("id_b"),
         round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
           .cast("long").as("sim_bp"))
-    val dir = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("sim_bp"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("sim_bp"), col("id_a").as("dst"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.sim_bp").as("sim_bp"),
-        col("e.dst").as("dst"))
-    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
-    dir.groupBy("src").agg(topk(col("sim_bp"), col("dst")).as("nn"))
-      .select(col("src"), posexplode(col("nn")))
-      .select(col("src").as("vec_id"),
-        (col("pos") + 1).cast("long").as("rank"),
-        col("col._1").as("sim_bp"), col("col._2").as("neighbor_id"))
-      .orderBy("vec_id", "rank")
+    mirroredTopK(pairs, k)
+  }
+
+  /** [[knnGraphLsh]]'s deterministic twin and the DEFAULT registered
+    * kNN-graph path: identical Σ bucket² candidate structure and
+    * mirrored top-k reduction, but the hyperplanes are md5-Rademacher —
+    * the per-(table, plane, dim) sign is one md5 bit and dot products
+    * run in integer micro-units (floor(x·1e6 + 0.5)), so bucket
+    * membership is exact integer arithmetic ANY engine replays. That
+    * makes the scale-shaped graph hash-checkable against SQL — the
+    * property the seeded Gaussian variant gives up (its planes live
+    * only in this JVM). Determinism costs nothing statistically:
+    * sign-of-dot with Rademacher directions is a valid random-
+    * hyperplane family (Charikar 2002 needs only symmetric random
+    * directions), and md5 bits are as good as a seeded PRNG. */
+  def knnGraphLshDet(embs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, bits: Int, tables: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pairs = lshDetCandidatePairs(v, bits, tables)
+      .select(col("id_a"), col("id_b"),
+        round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
+          .cast("long").as("sim_bp"))
+    mirroredTopK(pairs, k)
+  }
+
+  /** [[lshCandidatePairs]]' deterministic twin: same mechanics — the
+    * bucket self-join carries only (id, table, bucket), pairs dedup
+    * across tables BEFORE any vector is touched, vectors join back by
+    * id — but buckets come from md5-Rademacher sign planes over
+    * integer micro-unit coordinates (see [[knnGraphLshDet]]). The
+    * sign depends only on (table, plane, dim), so the tiny
+    * tables×bits×d sign table materializes once and broadcasts instead
+    * of re-hashing per vector. */
+  private def lshDetCandidatePairs(v: DataFrame, bits: Int,
+                                   tables: Int): DataFrame = {
+    val dims = v
+      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"),
+        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+    val signs = dims.select("dim").distinct()
+      .select(col("dim"),
+        explode(sequence(lit(0), lit(tables - 1))).as("t"))
+      .select(col("dim"), col("t"),
+        explode(sequence(lit(0), lit(bits - 1))).as("p"))
+      .withColumn("sgn",
+        when(substring(md5(concat(col("t").cast("string"), lit(":"),
+          col("p").cast("string"), lit(":"),
+          col("dim").cast("string"))), 1, 1) >= "8", lit(1L))
+          .otherwise(lit(-1L)))
+    val dots = dims.join(broadcast(signs), "dim")
+      .groupBy("id", "t", "p").agg(sum(col("sgn") * col("xi")).as("dot"))
+    val buckets = dots.groupBy("id", "t")
+      .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
+        ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
+    buckets.as("a").join(buckets.as("b"), Seq("t", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
@@ -278,6 +336,22 @@ object Ann {
     val b = math.ceil(
       math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
     math.min(30, math.max(1, b))
+  }
+
+  /** [[autoBits]] with no float log: the smallest b with
+    * 2^b · targetBucket >= n, via the bit length of
+    * ceil(n/targetBucket) - 1. Integer-exact, so an oracle SQL can
+    * recompute the SAME b from the same count (float log2 can land on
+    * either side of ceil() at exact powers of two) — the det-LSH
+    * registered queries use this so their bucket geometry replays in
+    * any engine at any scale factor. */
+  def autoBitsExact(n: Long, targetBucket: Int = 256): Int = {
+    require(n > 0 && targetBucket > 0, "need positive counts")
+    val ceilDiv = (n + targetBucket - 1) / targetBucket
+    val b =
+      if (ceilDiv <= 1) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(ceilDiv - 1)
+    math.min(30, math.max(1, b.toInt))
   }
 
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

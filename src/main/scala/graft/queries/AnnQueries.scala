@@ -19,11 +19,27 @@ object AnnQueries extends Registry {
     Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
 
   /** The exact k=5 kNN graph, materialized once per (session, dir) —
-    * shared by ann_knn_graph and ann_knn_components. */
+    * the eval oracle (ann_knn_graph_exact), also consumed by the
+    * label-propagation and kNN-classify oracle replays. */
   private def knn5(s: org.apache.spark.sql.SparkSession,
                    d: String): org.apache.spark.sql.DataFrame =
     graft.core.Memo.dataFrame(s, s"knn_graph:$d:k=5") {
       Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+    }
+
+  /** The DEFAULT k=5 kNN graph — deterministic-LSH candidates
+    * (md5-Rademacher planes, integer micro-unit dots) into the same
+    * top-k reduction, so the 100 TB-shaped path is ALSO the
+    * hash-checked one. bits scales with the corpus via the
+    * integer-exact autoBits twin (the oracle recomputes the same b
+    * from count(*)); materialized once per (session, dir) — shared by
+    * ann_knn_graph and ann_knn_components. */
+  private def knn5Det(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Memo.dataFrame(s, s"knn_graph_det:$d:k=5") {
+      val c = Tables.embeddings(s, d)
+      Ann.knnGraphLshDet(c, "vec_id", "embedding", k = 5,
+        bits = Ann.autoBitsExact(c.count()))
     }
 
   /** Integer covariance triangle (Ann.covarianceTri), materialized once
@@ -187,14 +203,25 @@ object AnnQueries extends Registry {
       Ann.pqTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
-    // Exact corpus-wide kNN graph (Ann.knnGraph): block-pair sims +
-    // k-bounded TopK partial aggregate; integer basis-point ranking so
-    // DuckDB replays the exact ordering. Memoized (core.Memo): the
-    // clusters query below consumes the same graph.
-    "ann_knn_graph" -> ((s, d) => knn5(s, d)),
+    // Corpus-wide kNN graph, DEFAULT form: deterministic-LSH candidate
+    // pairs (Σ bucket² compute, linear shuffle — the 100 TB shape) into
+    // the k-bounded TopK reduction, with md5-Rademacher planes and
+    // integer micro-unit dots so DuckDB replays the bucket geometry
+    // and the exact integer-bp ranking end-to-end. Memoized
+    // (core.Memo): the clusters query below consumes the same graph.
+    // AnnSpec additionally bounds its edge recall vs the exact graph.
+    "ann_knn_graph" -> ((s, d) => knn5Det(s, d)),
 
-    // The scale path for the same graph: LSH-bucketed candidate pairs
-    // into the identical top-k reduction. Engine-internal hyperplanes →
+    // The exact n² baseline (Ann.knnGraph: block-pair sims, every
+    // unordered pair computed once) — the EVAL ORACLE the approximate
+    // paths' recall bounds are measured against, like ann_brute_topk
+    // for the top-k family. Quadratic by definition; the registered
+    // default above is the scale path.
+    "ann_knn_graph_exact" -> ((s, d) => knn5(s, d)),
+
+    // The seeded Gaussian-hyperplane variant (production path when
+    // engine-internal planes are fine): same candidate structure with
+    // autoBits bucket sizing. Engine-internal hyperplanes →
     // rows-only driver check; AnnSpec bounds recall vs the exact graph.
     "ann_knn_graph_lsh" -> ((s, d) => knn5Lsh(s, d)),
 
@@ -228,14 +255,17 @@ object AnnQueries extends Registry {
         .orderBy("query_id", "rank")
     }),
 
-    // Semantic clusters: weakly connected components over the kNN
-    // graph's >= 0.2-cosine edges — the composition SemDeDup-style
-    // pipelines run (kNN edges -> clusters -> keep policy), stitched
-    // from two already-verified operators (Ann.knnGraph +
-    // Dedup.components' label propagation). Oracle replays the kNN
-    // ranking and a recursive closure.
+    // Semantic clusters: weakly connected components over the DEFAULT
+    // (det-LSH) kNN graph's >= 0.2-cosine edges — the composition
+    // SemDeDup-style pipelines run (kNN edges -> clusters -> keep
+    // policy), stitched from two already-verified operators
+    // (Ann.knnGraphLshDet + Dedup.components' label propagation), and
+    // the composition a 100 TB run would actually execute. Oracle
+    // replays the det-LSH bucketing, the kNN ranking, and a recursive
+    // closure; AnnSpec bounds co-cluster agreement vs the exact
+    // composition.
     "ann_knn_components" -> ((s, d) => {
-      val edges = knn5(s, d)
+      val edges = knn5Det(s, d)
         .filter(col("sim_bp") >= 2000)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       graft.operators.Dedup.components(edges, "src", "dst")
@@ -927,6 +957,51 @@ object AnnQueries extends Registry {
       "\nORDER BY query_id, pick_rank"
   }
 
+  /** CTE chain replaying [[knn5Det]]: integer micro-unit coordinates,
+    * md5-Rademacher sign planes (16 tables, bits = integer-exact
+    * autoBits recomputed from count(*) via printf('%b') bit length —
+    * BIGINT cast required, HUGEINT formats wrong), per-table sign-word
+    * buckets, distinct co-bucketed pairs, exact integer-bp cosine on
+    * candidates, mirrored ranking. Ends at `r` (src, dst, sim_bp,
+    * rank); shared by the ann_knn_graph and ann_knn_components
+    * oracles. */
+  private val detGraphCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          bb AS (SELECT CASE WHEN (count(*) + 255) // 256 <= 1 THEN 1
+                   ELSE least(30, length(printf('%b',
+                     CAST((count(*) + 255) // 256 - 1 AS BIGINT)))) END
+                   AS bits
+                 FROM e),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          pl AS (SELECT vec_id, t, p,
+                   sum(CASE WHEN substring(md5(t::VARCHAR || ':'
+                         || p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+                         >= '8'
+                       THEN xi ELSE -xi END) AS dot
+                 FROM d, range(0, 16) rt(t), range(0, 30) rp(p), bb
+                 WHERE p < bits
+                 GROUP BY vec_id, t, p),
+          b AS (SELECT vec_id, t,
+                  sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS bucket
+                FROM pl GROUP BY vec_id, t),
+          pr AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
+                 FROM b a JOIN b c USING (t, bucket)
+                 WHERE a.vec_id < c.vec_id),
+          sm AS (SELECT ia, ib,
+                   CAST(round(list_cosine_similarity(ea.v, eb.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM pr JOIN e ea ON pr.ia = ea.vec_id
+                         JOIN e eb ON pr.ib = eb.vec_id),
+          dr AS (SELECT ia AS src, ib AS dst, sim_bp FROM sm
+                 UNION ALL SELECT ib, ia, sim_bp FROM sm),
+          r AS (SELECT src, dst, sim_bp,
+                  row_number() OVER (PARTITION BY src
+                    ORDER BY sim_bp DESC, dst ASC) AS rank
+                FROM dr)"""
+
   val oracles: Map[String, String] = Map(
     "embed_drift_psi" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1065,19 +1140,11 @@ object AnnQueries extends Registry {
           GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "ann_knn_components" ->
-      """WITH RECURSIVE
-          v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-                       CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
-                         AS BIGINT) AS sim_bp
-                FROM v a JOIN v b ON a.vec_id <> b.vec_id),
-          r AS (SELECT src, dst, sim_bp,
-                       row_number() OVER (PARTITION BY src
-                         ORDER BY sim_bp DESC, dst ASC) AS rank
-                FROM p),
-          e AS (SELECT src AS a, dst AS b FROM r
-                WHERE rank <= 5 AND sim_bp >= 2000),
-          und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      s"""WITH RECURSIVE
+          $detGraphCtes,
+          eg AS (SELECT src AS a, dst AS b FROM r
+                 WHERE rank <= 5 AND sim_bp >= 2000),
+          und AS (SELECT a, b FROM eg UNION SELECT b, a FROM eg),
           reach(a, b) AS (
             SELECT a, b FROM und
             UNION SELECT DISTINCT a, a FROM und
@@ -1087,6 +1154,13 @@ object AnnQueries extends Registry {
           FROM reach GROUP BY a ORDER BY node""",
 
     "ann_knn_graph" ->
+      s"""WITH $detGraphCtes
+          SELECT src AS vec_id, CAST(rank AS BIGINT) AS rank, sim_bp,
+                 dst AS neighbor_id
+          FROM r WHERE rank <= 5
+          ORDER BY vec_id, rank""",
+
+    "ann_knn_graph_exact" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
                        CAST(round(list_cosine_similarity(a.v, b.v) * 10000)

@@ -66,12 +66,13 @@ class AnnSpec extends SparkSpec {
     rows.groupBy(_._1).values.foreach(_.map(_._2).sorted shouldBe Seq(1L, 2L, 3L))
   }
 
+  private def edges(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(2)).toMap
+
   test("knnGraphLsh edges are a subset of exact sims; recall >= 0.5") {
     val exactG = Ann.knnGraph(embs, "vec_id", "embedding", k = 5)
     val approxG = Ann.knnGraphLsh(embs, "vec_id", "embedding", k = 5)
-    def edges(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
-      df.collect()
-        .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(2)).toMap
     val ex = edges(exactG)
     val ap = edges(approxG)
     // every approximate edge carries the TRUE similarity (same sim_bp as
@@ -84,25 +85,55 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"kNN-graph LSH recall $recall")
   }
 
-  test("components over the LSH graph agree with the exact composition") {
-    // the registered 100 TB clustering path (ann_knn_components_lsh)
-    // must reproduce most of the exact composition's co-clustering
-    // decisions: of the node pairs the exact components place together,
-    // at least half stay together under the LSH graph (transitivity
-    // makes clusters more robust than individual edges, so edge recall
-    // >= 0.5 lower-bounds this too)
-    def comp(name: String): Map[Long, Long] =
-      graft.queries.AnnQueries.defs(name)(spark, sfDir)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ex = comp("ann_knn_components")
-    val ap = comp("ann_knn_components_lsh")
+  test("knnGraphLshDet (the DEFAULT graph) edges are exact sims; recall >= 0.5") {
+    // same bound as the seeded variant, but on the path ann_knn_graph
+    // actually registers: md5-Rademacher planes, integer-exact autoBits
+    val exactG = Ann.knnGraph(embs, "vec_id", "embedding", k = 5)
+    val detG = Ann.knnGraphLshDet(embs, "vec_id", "embedding", k = 5,
+      bits = Ann.autoBitsExact(embs.count()))
+    val ex = edges(exactG)
+    val ap = edges(detG)
+    val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
+    ap.foreach { case (e, bp) => exactAll(e) shouldBe bp }
+    val recall = ex.keySet.intersect(ap.keySet).size.toDouble / ex.size
+    assert(recall >= 0.5, s"det kNN-graph recall $recall")
+  }
+
+  test("autoBitsExact matches the float autoBits away from boundaries and is monotone") {
+    for (n <- Seq(1L, 100L, 256L, 257L, 500L, 2000L, 1000000L))
+      Ann.autoBitsExact(n) shouldBe Ann.autoBits(n)
+    // power-of-two boundary: the integer form is well-defined (smallest
+    // b with 2^b * 256 >= n) regardless of float log rounding
+    Ann.autoBitsExact(512L) shouldBe 1
+    Ann.autoBitsExact(513L) shouldBe 2
+    val bs = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L).map(Ann.autoBitsExact(_))
+    bs shouldBe bs.sorted
+  }
+
+  test("components over the det and seeded LSH graphs agree with the exact composition") {
+    // the registered clustering paths (ann_knn_components on the det
+    // graph — the DEFAULT — and ann_knn_components_lsh on the seeded
+    // one) must reproduce most of the exact composition's
+    // co-clustering decisions: of the node pairs the exact components
+    // place together, at least half stay together under each LSH graph
+    // (transitivity makes clusters more robust than individual edges,
+    // so edge recall >= 0.5 lower-bounds this too)
+    val exEdges = Ann.knnGraph(embs, "vec_id", "embedding", k = 5)
+      .filter(col("sim_bp") >= 2000)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val ex = Dedup.components(exEdges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exPairs = ex.keys.toSeq.combinations(2)
       .collect { case Seq(a, b) if ex(a) == ex(b) => (a, b) }.toSeq
     assert(exPairs.nonEmpty, "exact composition produced no co-clustered pairs")
-    val kept = exPairs.count { case (a, b) =>
-      ap.get(a).isDefined && ap.get(a) == ap.get(b) }
-    val agreement = kept.toDouble / exPairs.size
-    assert(agreement >= 0.5, s"co-cluster agreement $agreement")
+    for (name <- Seq("ann_knn_components", "ann_knn_components_lsh")) {
+      val ap = graft.queries.AnnQueries.defs(name)(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kept = exPairs.count { case (a, b) =>
+        ap.get(a).isDefined && ap.get(a) == ap.get(b) }
+      val agreement = kept.toDouble / exPairs.size
+      assert(agreement >= 0.5, s"$name co-cluster agreement $agreement")
+    }
   }
 
   test("label propagation labels two clean clusters from sparse seeds") {
