@@ -211,16 +211,58 @@ object Ann {
     *
     * a: (a_id, va); b: (b_id, vb). Output: mutual pairs
     * (a_id, b_id, sim_bp, margin_bp), one row per mined a_id. */
-  def marginBitext(a: DataFrame, b: DataFrame, k: Int = 4): DataFrame = {
-    // materialized once: the |A| x |B| cosine kernel feeds THREE
-    // consumers (denA, denB, scored) — without the checkpoint each
-    // branch would re-execute the cross-join subtree, tripling the n^2
-    // similarity work; the materialized relation is 3 longs per pair
-    val pairs = broadcast(a).crossJoin(spread(b))
+  def marginBitext(a: DataFrame, b: DataFrame, k: Int = 4): DataFrame =
+    marginScore(broadcast(a).crossJoin(spread(b))
       .select(col("a_id"), col("b_id"),
         round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
+          .cast("long").as("sim_bp")), k)
+
+  /** [[marginBitext]]'s 100 TB path: cross-cohort candidate pairs come
+    * from the deterministic LSH bucketing of the UNION of the two
+    * cohorts (md5-Rademacher planes — see [[knnGraphLshDet]]) instead
+    * of the |A|×|B| kernel, then flow through the SAME mutual
+    * best-margin scoring. Compute drops from |A|·|B| to Σ bucket²,
+    * shuffle stays linear; the margin denominators become each side's
+    * top-k among CANDIDATES (a planted near-duplicate pair collides in
+    * some table with high probability, so mined pairs survive —
+    * spec-bounded vs the exact miner). Determinism keeps the whole
+    * relation engine-replayable, so the registered form hash-checks.
+    * Cohort ids must be disjoint (the registered query splits by
+    * vec_id parity). */
+  def marginBitextLshDet(a: DataFrame, b: DataFrame, k: Int = 4,
+                         bits: Int = 1, tables: Int = 16): DataFrame = {
+    val u = spread(a.select(col("a_id").as("id"),
+        col("va").cast("array<double>").as("v"))
+      .unionByName(b.select(col("b_id").as("id"),
+        col("vb").cast("array<double>").as("v"))))
+    val sides = a.select(col("a_id").as("id"), lit(true).as("is_a"))
+      .unionByName(b.select(col("b_id").as("id"), lit(false).as("is_a")))
+    // orient BEFORE the cosine (cosine is symmetric, so only the ids
+    // swap) — within-cohort collisions drop without paying a dot product
+    val pairs = lshDetCandidatePairs(u, bits, tables)
+      .join(sides.select(col("id").as("id_a"), col("is_a").as("a_is_a")),
+        "id_a")
+      .join(sides.select(col("id").as("id_b"), col("is_a").as("b_is_a")),
+        "id_b")
+      .filter(col("a_is_a") =!= col("b_is_a"))
+      .select(
+        when(col("a_is_a"), col("id_a")).otherwise(col("id_b")).as("a_id"),
+        when(col("a_is_a"), col("id_b")).otherwise(col("id_a")).as("b_id"),
+        round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
           .cast("long").as("sim_bp"))
-      .localCheckpoint(true)
+    marginScore(pairs, k)
+  }
+
+  /** The shared mutual best-margin reduction over a scored cross-cohort
+    * pair relation (a_id, b_id, sim_bp): per-side top-k denominators,
+    * ratio margin as one truncating integer division, mutual rank-1
+    * filter. */
+  private def marginScore(pairsIn: DataFrame, k: Int): DataFrame = {
+    // materialized once: the pair relation feeds THREE consumers
+    // (denA, denB, scored) — without the checkpoint each branch would
+    // re-execute the candidate subtree, tripling the similarity work;
+    // the materialized relation is 3 longs per pair
+    val pairs = pairsIn.localCheckpoint(true)
     val wa = Window.partitionBy("a_id")
       .orderBy(col("sim_bp").desc, col("b_id"))
     val wb = Window.partitionBy("b_id")

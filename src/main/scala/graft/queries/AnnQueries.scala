@@ -659,6 +659,24 @@ object AnnQueries extends Registry {
           .select(col("vec_id").as("b_id"), col("embedding").as("vb")),
         k = 4)
     }),
+
+    // The scale path for the same miner: cross-cohort candidates from
+    // the det-LSH bucketing of the cohort union (the cohorts are the
+    // vec_id parity split, so the union is exactly the embeddings
+    // table and the oracle reuses the det-graph bucket replay) into
+    // the identical mutual best-margin scoring. Σ bucket² compute
+    // instead of |A|×|B|; hash-checked end-to-end; AnnSpec bounds
+    // recovered-pair recall vs the exact miner on planted dups.
+    "ann_margin_bitext_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      Ann.marginBitextLshDet(
+        e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("a_id"), col("embedding").as("va")),
+        e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("vb")),
+        k = 4, bits = Ann.autoBitsExact(e.count()), tables = 16)
+    }),
   )
 
   /** The trained probe weights, materialized once per (session, dir) —
@@ -1353,5 +1371,41 @@ object AnnQueries extends Registry {
           SELECT a_id, b_id, sim_bp,
                  CAST(margin_bp AS BIGINT) AS margin_bp
           FROM m WHERE rka = 1 AND rkb = 1 ORDER BY a_id""",
+
+    // Replays the det-LSH bucket chain (the cohort union IS the
+    // embeddings table), keeps only cross-parity candidate pairs
+    // oriented as (even a_id, odd b_id), then the same margin CTEs as
+    // the exact oracle — but over the candidate relation, so the
+    // denominators are each side's top-4 among candidates.
+    "ann_margin_bitext_lsh" ->
+      s"""WITH $detGraphCtes,
+          cp AS (SELECT CASE WHEN ia % 2 = 0 THEN ia ELSE ib END AS a_id,
+                        CASE WHEN ia % 2 = 0 THEN ib ELSE ia END AS b_id,
+                        sim_bp
+                 FROM sm WHERE (ia % 2) <> (ib % 2)),
+          rr AS (SELECT *,
+                        row_number() OVER (PARTITION BY a_id
+                          ORDER BY sim_bp DESC, b_id) AS ra,
+                        row_number() OVER (PARTITION BY b_id
+                          ORDER BY sim_bp DESC, a_id) AS rb
+                 FROM cp),
+          da AS (SELECT a_id, CAST(sum(sim_bp) AS BIGINT) AS den_a
+                 FROM rr WHERE ra <= 4 GROUP BY 1),
+          db AS (SELECT b_id, CAST(sum(sim_bp) AS BIGINT) AS den_b
+                 FROM rr WHERE rb <= 4 GROUP BY 1),
+          sc AS (SELECT cp.a_id, cp.b_id, cp.sim_bp,
+                        (cp.sim_bp * 80000) // (den_a + den_b)
+                          AS margin_bp
+                 FROM cp JOIN da USING (a_id) JOIN db USING (b_id)
+                 WHERE cp.sim_bp > 0 AND den_a + den_b > 0),
+          mm AS (SELECT *,
+                        row_number() OVER (PARTITION BY a_id
+                          ORDER BY margin_bp DESC, b_id) AS rka,
+                        row_number() OVER (PARTITION BY b_id
+                          ORDER BY margin_bp DESC, a_id) AS rkb
+                 FROM sc)
+          SELECT a_id, b_id, sim_bp,
+                 CAST(margin_bp AS BIGINT) AS margin_bp
+          FROM mm WHERE rka = 1 AND rkb = 1 ORDER BY a_id""",
   )
 }

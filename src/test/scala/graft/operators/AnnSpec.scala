@@ -382,4 +382,28 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe Set((0L, 1L), (2L, 3L))
   }
+
+  test("marginBitextLshDet recovers >= 0.8 of the exact miner's planted pairs") {
+    import spark.implicits._
+    // 20 planted cross-cohort near-duplicates: cohort B is cohort A
+    // plus small Gaussian noise, ids split by parity like the
+    // registered query. The LSH-candidate miner must recover at least
+    // 80% of what the exact |A|x|B| miner mines.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(8)(rnd.nextGaussian())
+    val base = (0 until 20).map(_ => vec())
+    val a = base.zipWithIndex
+      .map { case (v, i) => (2L * i, v) }.toDF("a_id", "va")
+    val b = base.zipWithIndex
+      .map { case (v, i) => (2L * i + 1,
+        v.map(x => x + 0.05 * rnd.nextGaussian())) }.toDF("b_id", "vb")
+    val exact = Ann.marginBitext(a, b, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.marginBitextLshDet(a, b, k = 2,
+      bits = Ann.autoBitsExact(40L), tables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact miner mined nothing")
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"margin-bitext LSH recall $recall")
+  }
 }
