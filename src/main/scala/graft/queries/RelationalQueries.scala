@@ -629,24 +629,56 @@ object RelationalQueries extends Registry {
     // descending cumulative revenue reaches 50/80/95% of the total.
     // Revenue snaps to exact integer cents before any comparison, and
     // the threshold test is the integer cross-product cum*10000 >=
-    // pct*total. The ranking window walks the PART dimension (bounded
-    // far below the fact table); the 100 TB swap is the same
-    // histogram-rank recipe as stats_ks_test over the revenue values.
+    // pct*total. NO unpartitioned window ever touches an SF-scaling
+    // relation: per-part revenues collapse to the distinct-value
+    // histogram, values bucket into $10k revenue bands, the only
+    // global-ordered window walks the BUCKET rollup (bounded by the
+    // revenue DOMAIN — max part revenue / 1e6 cents — not by SF), the
+    // within-bucket cumulative is a PARTITIONED window (each bucket's
+    // values, parallel across buckets), and each threshold's crossing
+    // VALUE GROUP is the unique row where the cumulative straddles the
+    // target, with the part count inside that tie group recovered by
+    // one integer ceiling division — equal-revenue parts contribute
+    // identical cents, so the minimal count never depends on tie
+    // order. (At ~1e14 total cents the 1e4 cross-products approach
+    // Int64 limits — widen to decimal(38) then.)
     "sales_pareto" -> ((s, d) => {
       val rev = Tables.lineitem(s, d).groupBy("l_partkey")
         .agg(sum(round(col("l_extendedprice") * (lit(1.0) -
           col("l_discount")) * 100).cast("long")).as("cents"))
-      val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      val hist = rev.groupBy("cents").agg(count(lit(1)).as("cnt"))
+        .withColumn("mass", col("cents") * col("cnt"))
+        .withColumn("bucket", expr("cents DIV 1000000"))
+      val bHist = hist.groupBy("bucket")
+        .agg(sum("mass").as("bmass"), sum("cnt").as("bcnt"))
+      val wB = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bPrefix = bHist.select(col("bucket"),
+        coalesce(sum("bmass").over(wB), lit(0L)).as("pmass"),
+        coalesce(sum("bcnt").over(wB), lit(0L)).as("pcnt"))
+      val wIn = Window.partitionBy("bucket")
+        .orderBy(col("cents").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("imass", sum("mass").over(wIn))
+        .withColumn("icnt", sum("cnt").over(wIn))
+        .join(bPrefix, "bucket")
+        .select(col("cents"), col("cnt"), col("mass"),
+          (col("pmass") + col("imass")).as("cum_mass"),
+          (col("pcnt") + col("icnt")).as("cum_cnt"))
       val tot = rev.agg(sum("cents").as("t"))
-      rev
-        .select(col("cents"), sum("cents").over(w).as("cum"),
-          row_number().over(w).cast("long").as("rk"))
-        .crossJoin(broadcast(tot))
+      cum.crossJoin(broadcast(tot))
         .select(explode(typedLit(Seq(5000L, 8000L, 9500L))).as("pct_bp"),
-          col("cum"), col("rk"), col("t"))
-        .filter(col("cum") * 10000 >= col("pct_bp") * col("t"))
-        .groupBy("pct_bp").agg(min("rk").as("n_parts"))
+          col("cents"), col("cnt"), col("mass"), col("cum_mass"),
+          col("cum_cnt"), col("t"))
+        .filter(col("cum_mass") * 10000 >= col("pct_bp") * col("t") &&
+          (col("cum_mass") - col("mass")) * 10000 <
+            col("pct_bp") * col("t"))
+        .select(col("pct_bp"),
+          (col("cum_cnt") - col("cnt") +
+            expr("""(pct_bp * t - 10000 * (cum_mass - mass)
+                     + 10000 * cents - 1) DIV (10000 * cents)"""))
+            .as("n_parts"))
         .orderBy("pct_bp")
     }),
 

@@ -57,8 +57,9 @@ class RelationalQueriesSpec extends SparkSpec {
 
   test("TPC-H exhibit plans: broadcasts in place, no nested-loop joins") {
     // the plan shapes the scale story claims: Q3/Q5 broadcast their
-    // dims and never fall to a cartesian/nested-loop; the skyline is
-    // the window sweep, not the quadratic NOT-EXISTS anti-join
+    // dims and never fall to a cartesian/nested-loop; the skyline and
+    // the pareto sweep are histogram windows + joins, not quadratic
+    // NOT-EXISTS anti-joins
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q4",
         "skyline_parts")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
@@ -66,6 +67,15 @@ class RelationalQueriesSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
     }
+    // sales_pareto's one nested-loop is the 1-row scalar total
+    // attached via crossJoin(broadcast(...)) — allowed; what must NOT
+    // appear is an unbroadcast cartesian, and the value-histogram
+    // windows must be there (one global over the bucket rollup, one
+    // partitioned by bucket)
+    val pareto = RelationalQueries.defs("sales_pareto")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!pareto.contains("CartesianProduct"), pareto)
+    assert(pareto.contains("windowspecdefinition(bucket"), pareto)
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
