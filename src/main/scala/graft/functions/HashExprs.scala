@@ -73,6 +73,64 @@ object HashExprs {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5 token hash: the value of the first 15 hex digits of
+    * md5(token) — bit-identical to SQL's
+    * conv(substring(md5(tok), 1, 15), 16, 10), i.e. the top 60 bits of
+    * the big-endian digest. */
+  def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** SimHash over md5-derived 60-bit token hashes: one digest per token
+    * OCCURRENCE (frequency-weighted voting), strict votes>0 sign rule —
+    * the same function [[graft.operators.Dedup.simhashDetPairs]]
+    * computes relationally, collapsed to one codegen'd pass per row (no
+    * ×60 token fan-out, nothing but the final signature crosses any
+    * shuffle). Because the hash is md5, the signature replays
+    * bit-for-bit in any engine — this is the registered dedup_simhash
+    * path: the production execution shape AND oracle-checkable. */
+  def simhashMd5Kernel(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Hash60(arr.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  case class SimHashMd560(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      simhashMd5Kernel(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.simhashMd5Kernel($c)")
+    override protected def withNewChildInternal(c: Expression): SimHashMd560 =
+      copy(c)
+  }
+
   /** Distinct word n-gram shingles over a token array, in first-occurrence
     * order (array_distinct semantics), as one pass over the internal row —
     * the higher-order-function formulation (sequence + transform +
@@ -322,6 +380,8 @@ object HashExprs {
   def hyperplane_bucket(vec: Column, planes: Array[Array[Double]]): Column =
     column(HyperplaneBucket(expression(vec), planes))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash_md5_60(tokens: Column): Column =
+    column(SimHashMd560(expression(tokens)))
   def ngram_shingles(tokens: Column, n: Int): Column =
     column(NgramShingles(expression(tokens), n))
   def minhash(shingles: Column, numPerms: Int): Column =

@@ -152,16 +152,13 @@ object Ann {
     mirroredTopK(pairs, k)
   }
 
-  /** [[lshCandidatePairs]]' deterministic twin: same mechanics — the
-    * bucket self-join carries only (id, table, bucket), pairs dedup
-    * across tables BEFORE any vector is touched, vectors join back by
-    * id — but buckets come from md5-Rademacher sign planes over
-    * integer micro-unit coordinates (see [[knnGraphLshDet]]). The
-    * sign depends only on (table, plane, dim), so the tiny
-    * tables×bits×d sign table materializes once and broadcasts instead
-    * of re-hashing per vector. */
-  private def lshDetCandidatePairs(v: DataFrame, bits: Int,
-                                   tables: Int): DataFrame = {
+  /** Per-(vector, table) det-LSH bucket assignment over (id, v):
+    * md5-Rademacher sign planes on integer micro-unit coordinates (see
+    * [[knnGraphLshDet]]); the sign depends only on (table, plane, dim),
+    * so the tiny tables×bits×d sign table materializes once and
+    * broadcasts. Returns (id, t, bucket). */
+  private def lshDetBuckets(v: DataFrame, bits: Int,
+                            tables: Int): DataFrame = {
     val dims = v
       .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("id"), col("dim"),
@@ -178,9 +175,18 @@ object Ann {
           .otherwise(lit(-1L)))
     val dots = dims.join(broadcast(signs), "dim")
       .groupBy("id", "t", "p").agg(sum(col("sgn") * col("xi")).as("dot"))
-    val buckets = dots.groupBy("id", "t")
+    dots.groupBy("id", "t")
       .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
         ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
+  }
+
+  /** [[lshCandidatePairs]]' deterministic twin: same mechanics — the
+    * bucket self-join carries only (id, table, bucket), pairs dedup
+    * across tables BEFORE any vector is touched, vectors join back by
+    * id — but buckets come from [[lshDetBuckets]]. */
+  private def lshDetCandidatePairs(v: DataFrame, bits: Int,
+                                   tables: Int): DataFrame = {
+    val buckets = lshDetBuckets(v, bits, tables)
     buckets.as("a").join(buckets.as("b"), Seq("t", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -394,6 +400,50 @@ object Ann {
       if (ceilDiv <= 1) 1
       else 64 - java.lang.Long.numberOfLeadingZeros(ceilDiv - 1)
     math.min(30, math.max(1, b.toInt))
+  }
+
+  /** [[lshTopK]]'s deterministic twin — the registered
+    * ann_lsh_topk/ann_lsh_multiprobe form: buckets come from
+    * [[lshDetBuckets]] (md5-Rademacher planes, integer micro-unit
+    * dots), so the probe structure AND the integer-bp ranking replay
+    * bit-for-bit in any engine — the bucketed-ANN scale path is also
+    * the hash-checked one. With `multiProbe` each query additionally
+    * probes every Hamming-distance-1 neighbor bucket (Lv et al. 2007),
+    * buying recall back without more tables. Probe cost per query
+    * stays O(tables × bucket) — pass bits from [[autoBitsExact]]. */
+  def lshTopKDet(candidates: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, bits: Int, tables: Int = 16,
+                 multiProbe: Boolean = false): DataFrame = {
+    val c0 = spread(candidates).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q0 = queries.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cB = lshDetBuckets(c0, bits, tables)
+      .select(col("id").as("cand_id"), col("t"), col("bucket"))
+    val qB0 = lshDetBuckets(q0, bits, tables)
+      .select(col("id").as("query_id"), col("t"), col("bucket"))
+    val qB =
+      if (!multiProbe) qB0
+      else qB0.select(col("query_id"), col("t"),
+        explode(array((col("bucket") +: (0 until bits).map(p =>
+          col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+    val cand = cB.join(qB, Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    cand
+      .join(c0.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(q0.select(col("id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
   }
 
   def lshTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

@@ -122,10 +122,16 @@ object AnnQueries extends Registry {
     // so bucket size — and with it per-bucket compute and recall — stays
     // constant as the table grows instead of buckets bloating linearly;
     // the count is a parquet-metadata read, not a scan
+    // Bucketed-LSH top-5 — re-seeded (round 7) onto the det planes
+    // (Ann.lshTopKDet) so the bucket probe structure replays in SQL and
+    // the query hash-checks; bits scales with the corpus via the
+    // integer-exact autoBits twin, which the oracle recomputes from
+    // count(*). The seeded Gaussian Ann.lshTopK stays the library path
+    // when engine-internal planes are fine (AnnSpec recall bound).
     "ann_lsh_topk" -> ((s, d) => {
       val c = Tables.embeddings(s, d)
-      Ann.lshTopK(c, queriesOf(s, d), "vec_id", "embedding", k = 5,
-        bits = Ann.autoBits(c.count()))
+      Ann.lshTopKDet(c, queriesOf(s, d), "vec_id", "embedding", k = 5,
+        bits = Ann.autoBitsExact(c.count()))
     }),
 
     "ann_ivf_topk" -> ((s, d) =>
@@ -145,13 +151,14 @@ object AnnQueries extends Registry {
     // plus every Hamming-distance-1 neighbor bucket, buying back the
     // recall that extra bits cost WITHOUT more tables — the knob that
     // keeps bucket size constant at 100 TB (autoBits) while holding
-    // recall. Same seeded hyperplanes as ann_lsh_topk (engine-internal
-    // -> rows-only check); AnnSpec bounds recall >= the single-probe
+    // recall. Re-seeded (round 7) onto the det planes like
+    // ann_lsh_topk, so the probe fan-out itself replays in SQL and the
+    // query hash-checks; AnnSpec bounds recall >= the single-probe
     // variant's.
     "ann_lsh_multiprobe" -> ((s, d) => {
       val c = Tables.embeddings(s, d)
-      Ann.lshTopK(c, queriesOf(s, d), "vec_id", "embedding", k = 5,
-        bits = Ann.autoBits(c.count()), multiProbe = true)
+      Ann.lshTopKDet(c, queriesOf(s, d), "vec_id", "embedding", k = 5,
+        bits = Ann.autoBitsExact(c.count()), multiProbe = true)
     }),
 
     // The oracle-checkable LSH twin (ann_lsh_topk's seeded hyperplanes
@@ -1107,9 +1114,58 @@ object AnnQueries extends Registry {
           FROM r WHERE sim_bp >= 1500
           ORDER BY query_id, cand_id""",
 
-    // ann_lsh_topk / ann_ivf_topk: engine-side hyperplanes & centroids —
-    // rows-only driver check; recall vs brute force asserted in ScalaTest.
-    // ann_lsh_det_topk below is the hash-checked twin of the former.
+    // ann_ivf_topk / ann_pq_topk / ann_ivf_pq_topk: engine-side k-means
+    // centroids & codebooks — rows-only driver check; recall vs brute
+    // force asserted in ScalaTest.
+
+    // Replays the registered det-LSH probe: the shared bucket chain
+    // (16 tables, integer-exact autoBits from count(*)), queries =
+    // vec_id % 50 = 0 probing their own bucket per table, exact
+    // integer-bp cosine top-5 over the deduped candidate set.
+    "ann_lsh_topk" ->
+      s"""WITH $detGraphCtes,
+          cnd AS (SELECT DISTINCT q.vec_id AS query_id,
+                    c.vec_id AS cand_id
+                  FROM b q JOIN b c USING (t, bucket)
+                  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM cnd JOIN e eq ON cnd.query_id = eq.vec_id
+                          JOIN e ec ON cnd.cand_id = ec.vec_id),
+          rk AS (SELECT query_id, cand_id, sim_bp,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                 FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Same chain with the Hamming-1 probe fan-out: each query probes
+    // its base bucket plus every single-bit flip (p < bits), UNION
+    // dedups the probe set before the candidate join.
+    "ann_lsh_multiprobe" ->
+      s"""WITH $detGraphCtes,
+          qp AS (SELECT vec_id, t, bucket FROM b WHERE vec_id % 50 = 0
+                 UNION
+                 SELECT vec_id, t,
+                        xor(bucket, (CAST(1 AS BIGINT) << p)) AS bucket
+                 FROM b, range(0, 30) rp(p), bb
+                 WHERE vec_id % 50 = 0 AND p < bits),
+          cnd AS (SELECT DISTINCT qp.vec_id AS query_id,
+                    c.vec_id AS cand_id
+                  FROM qp JOIN b c ON qp.t = c.t AND qp.bucket = c.bucket
+                  WHERE qp.vec_id <> c.vec_id),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM cnd JOIN e eq ON cnd.query_id = eq.vec_id
+                          JOIN e ec ON cnd.cand_id = ec.vec_id),
+          rk AS (SELECT query_id, cand_id, sim_bp,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                 FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "ann_lsh_det_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -97,9 +97,15 @@ object DedupQueries extends Registry {
 
     "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
+    // Banded MinHash-LSH near-dup pairs with exact-Jaccard verification
+    // — re-seeded (round 7) onto the md5 permutation recipe so band
+    // membership replays bit-for-bit in DuckDB and the query hash-
+    // checks instead of rows-only; same geometry as before (32 perms,
+    // 8 bands of 4). The seeded in-JVM Dedup.minhashLshPairs stays the
+    // fastest library path (DedupSpec bounds its recall).
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numPerms = 32, bands = 8, threshold = 0.8)),
+      Dedup.minhashLshDetPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerms = 32, rowsPerBand = 4, threshold = 0.8)),
 
     // The oracle-checkable MinHash twin: md5-derived permutations replay
     // bit-for-bit in DuckDB (dedup_minhash_lsh's seeded in-JVM hashes
@@ -145,13 +151,20 @@ object DedupQueries extends Registry {
         .orderBy("bands_hit")
     }),
 
+    // SimHash near-dup pairs over the codegen'd md5-60 kernel —
+    // re-seeded (round 7) from the engine-internal simhash64 hash onto
+    // the md5-derived signature, so the production one-pass-per-row
+    // execution shape is ALSO hash-checked (the relational det twin
+    // below computes the identical signature as pure dataflow; both
+    // replay against the same oracle). Dedup.simhashPairs (seeded
+    // 64-bit) stays in the library, DedupSpec-covered.
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      Dedup.simhashMd5Pairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
 
-    // The oracle-checkable SimHash twin (md5-derived 60-bit signatures —
-    // see simhashDetPairs' width rationale; dedup_simhash's codegen'd
-    // simhash64 stays the fast engine path).
+    // The relational twin of the same signature (×60 bit fan-out into
+    // partial sums — the SQL-shaped exhibit that pins the codegen
+    // kernel): identical output, identical oracle.
     "dedup_simhash_det" -> ((s, d) =>
       Dedup.simhashDetPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
@@ -566,6 +579,34 @@ object DedupQueries extends Registry {
           UNION
           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)"""
 
+  /** Shared replay of the md5-60 SimHash pair relation: dedup_simhash
+    * (codegen kernel) and dedup_simhash_det (relational fan-out)
+    * compute the same function and hash against this same SQL. */
+  private val simhashDetSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        th AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+               FROM tok),
+        bits AS (SELECT doc_id, j,
+                   sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                     AS s
+                 FROM th, range(0, 60) r(j) GROUP BY doc_id, j),
+        sg AS (SELECT doc_id,
+                 sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                     ELSE 0 END) AS sig
+               FROM bits GROUP BY doc_id),
+        banded AS (SELECT doc_id, sig, b AS band,
+                     (sig >> (b * 15)) & 32767 AS bv
+                   FROM sg, range(0, 4) r(b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    bit_count(xor(a.sig, b.sig)) AS hamming
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -623,33 +664,38 @@ object DedupQueries extends Registry {
           WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)
           ORDER BY doc_a, doc_b""",
 
-    // dedup_minhash_lsh, dedup_simhash: engine-internal hashes — rows-only
-    // (dedup_minhash_det / dedup_simhash_det are the hash-checked twins).
+    // dedup_minhash_lsh: md5 permutations -> band membership replays in
+    // SQL; the exact-Jaccard verification reuses the shingle CTEs,
+    // restricted to the banded candidate set.
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes,
+          mh AS (SELECT doc_id, p,
+                   min(CAST(('0x' || substring(
+                     md5(p::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT))
+                     AS mh
+                 FROM sh, range(0, 32) r(p) GROUP BY doc_id, p),
+          bands AS (SELECT doc_id, p // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+                    FROM mh GROUP BY doc_id, p // 4),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id)
+          SELECT i.doc_a, i.doc_b,
+                 (10000 * i.i) // (sa.nsh + sb.nsh - i.i) AS jac_bp
+          FROM inter i
+          JOIN cand USING (doc_a, doc_b)
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          WHERE 10000 * i.i >= 8000 * (sa.nsh + sb.nsh - i.i)
+          ORDER BY doc_a, doc_b""",
 
-    "dedup_simhash_det" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-          tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-          th AS (SELECT doc_id,
-                   CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
-                 FROM tok),
-          bits AS (SELECT doc_id, j,
-                     sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
-                       AS s
-                   FROM th, range(0, 60) r(j) GROUP BY doc_id, j),
-          sg AS (SELECT doc_id,
-                   sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
-                       ELSE 0 END) AS sig
-                 FROM bits GROUP BY doc_id),
-          banded AS (SELECT doc_id, sig, b AS band,
-                       (sig >> (b * 15)) & 32767 AS bv
-                     FROM sg, range(0, 4) r(b)),
-          pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      bit_count(xor(a.sig, b.sig)) AS hamming
-                    FROM banded a JOIN banded b
-                      ON a.band = b.band AND a.bv = b.bv
-                        AND a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-          FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
+    // dedup_simhash and dedup_simhash_det compute the SAME md5-60
+    // signature (codegen kernel vs relational fan-out) and replay
+    // against the same SQL.
+    "dedup_simhash" -> simhashDetSql,
+
+    "dedup_simhash_det" -> simhashDetSql,
 
     "dedup_minhash_det" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
