@@ -979,6 +979,97 @@ object RelationalQueries extends Registry {
         .orderBy(col("revenue_cbp").desc, col("n_name"))
     }),
 
+    // TPC-H Q2 (minimum-cost supplier), adapted to this schema: the
+    // partsupp relation derives from lineitem (min unit price in cents
+    // per (part, supplier) — truncating division of non-negative
+    // operands), the region is EUROPE, size-15 parts. The CORRELATED
+    // min-subquery decorrelates into a per-part min over the same
+    // filtered supply relation joined back on (partkey, cost) —
+    // explicitly the rewrite Catalyst performs on the literal form, so
+    // the plan is two hash aggregates and equi-joins, no per-row
+    // subquery execution; the DuckDB oracle states the correlated
+    // subquery verbatim (scale-safe plan vs declarative spec). Money
+    // in exact integer cents; ordering total (s_name unique).
+    "sql_tpch_q2" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("partkey"),
+          col("l_suppkey").as("suppkey"),
+          expr("""(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+                  DIV CAST(round(l_quantity * 100) AS BIGINT)""")
+            .as("unit_c"))
+        .groupBy("partkey", "suppkey").agg(min("unit_c").as("cost_c"))
+      val r = Tables.region(s, d).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val n = Tables.nation(s, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("acctbal_c"))
+      val eu = ps.join(broadcast(sup), col("suppkey") === col("s_suppkey"))
+      val minCost = eu.groupBy(col("partkey").as("mk"))
+        .agg(min("cost_c").as("min_c"))
+      val p = Tables.part(s, d).filter(col("p_size") === 15)
+        .select("p_partkey")
+      eu.join(minCost,
+          col("partkey") === col("mk") && col("cost_c") === col("min_c"))
+        .join(broadcast(p), col("partkey") === col("p_partkey"))
+        .select(col("acctbal_c").as("s_acctbal_c"), col("s_name"),
+          col("n_name"), col("p_partkey"))
+        .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): the
+    // outer-join-with-join-predicate shape the exhibit exists to test —
+    // urgent orders are excluded IN the join condition, not a WHERE, so
+    // customers with only urgent orders surface at c_count = 0 instead
+    // of dropping out — then two stacked counts. All-integer; both
+    // aggregates partial-combine map-side.
+    "sql_tpch_q13" -> ((s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(!col("o_orderpriority").startsWith("1-"))
+        .select("o_orderkey", "o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q18 (large-volume customers): the agg-in-semi-join shape —
+    // orders whose total lineitem quantity exceeds 200 units (threshold
+    // adapted to this generator's short orders; the reference 300 is
+    // above its max), pre-aggregated per order and joined back with
+    // customer/order attributes. The HAVING relation already carries
+    // the quantity sum, so the literal query's re-aggregation after
+    // the IN-subquery collapses into one join. Quantities in exact
+    // integer centi-units, totalprice in cents; ordering total via
+    // o_orderkey.
+    "sql_tpch_q18" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"))
+      val big = l.groupBy("l_orderkey").agg(sum("qty_c").as("sum_qty_c"))
+        .filter(col("sum_qty_c") > 20000L)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("totalprice_c"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "totalprice_c", "sum_qty_c")
+        .orderBy(col("totalprice_c").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Entity-resolution candidate pairs over the part catalog: block on
     // the head noun (last name token), pair DISTINCT names within each
     // block, match on levenshtein <= 3, and weight each surviving pair
@@ -1449,6 +1540,59 @@ object RelationalQueries extends Registry {
            AND l_quantity < 24
            AND CAST(round(l_discount * 10000) AS BIGINT)
              BETWEEN 500 AND 700""",
+
+    // The correlated form stated literally — DuckDB decorrelates it
+    // itself; the Spark side registers the explicit rewrite.
+    "sql_tpch_q2" ->
+      """WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                       min((CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * 100)
+                           // CAST(round(l_quantity * 100) AS BIGINT))
+                         AS cost_c
+                     FROM lineitem GROUP BY 1, 2),
+          eu AS (SELECT partkey, suppkey, cost_c, s_name, n_name,
+                        CAST(round(s_acctbal * 100) AS BIGINT)
+                          AS acctbal_c
+                 FROM ps JOIN supplier ON suppkey = s_suppkey
+                         JOIN nation ON s_nationkey = n_nationkey
+                         JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE')
+          SELECT eu.acctbal_c AS s_acctbal_c, eu.s_name, eu.n_name,
+                 p.p_partkey
+          FROM eu JOIN part p ON eu.partkey = p.p_partkey
+          WHERE p.p_size = 15
+            AND eu.cost_c = (SELECT min(e2.cost_c) FROM eu e2
+                             WHERE e2.partkey = eu.partkey)
+          ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+          LIMIT 100""",
+
+    "sql_tpch_q13" ->
+      """WITH oc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                     FROM customer LEFT OUTER JOIN orders
+                       ON c_custkey = o_custkey
+                      AND o_orderpriority NOT LIKE '1-%'
+                     GROUP BY c_custkey)
+          SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          FROM oc GROUP BY c_count
+          ORDER BY custdist DESC, c_count DESC""",
+
+    "sql_tpch_q18" ->
+      """WITH l AS (SELECT l_orderkey,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+                    FROM lineitem),
+          big AS (SELECT l_orderkey,
+                    CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+                  FROM l GROUP BY 1 HAVING sum(qty_c) > 20000)
+          SELECT c_name, c_custkey, o_orderkey,
+                 CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                   AS o_orderdate,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS totalprice_c,
+                 sum_qty_c
+          FROM big JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+          ORDER BY totalprice_c DESC, o_orderdate, o_orderkey
+          LIMIT 100""",
 
     "sql_tpch_q3" ->
       """WITH c AS (SELECT c_custkey FROM customer

@@ -61,12 +61,19 @@ class RelationalQueriesSpec extends SparkSpec {
     // the pareto sweep are histogram windows + joins, not quadratic
     // NOT-EXISTS anti-joins
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q4",
+        "sql_tpch_q2", "sql_tpch_q13", "sql_tpch_q18",
         "skyline_parts")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
     }
+    // Q13's semantics hinge on the predicate living IN the outer join:
+    // the plan must keep a LeftOuter join (a WHERE would let Spark
+    // reduce it to inner and silently drop zero-order customers)
+    val q13 = RelationalQueries.defs("sql_tpch_q13")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q13.contains("LeftOuter"), q13)
     // sales_pareto's one nested-loop is the 1-row scalar total
     // attached via crossJoin(broadcast(...)) — allowed; what must NOT
     // appear is an unbroadcast cartesian, and the value-histogram
@@ -76,7 +83,8 @@ class RelationalQueriesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!pareto.contains("CartesianProduct"), pareto)
     assert(pareto.contains("windowspecdefinition(bucket"), pareto)
-    for (name <- Seq("sql_tpch_q3", "sql_tpch_q5")) {
+    for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q2",
+        "sql_tpch_q18")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
