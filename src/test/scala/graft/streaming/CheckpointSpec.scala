@@ -44,4 +44,37 @@ class CheckpointSpec extends SparkSpec {
       counts shouldBe Map("a" -> 3L, "b" -> 3L, "c" -> 3L)
     } finally q2.stop()
   }
+
+  test("bounded top-K (mapGroupsWithState) resumes exactly across stop + restart") {
+    // the kill-and-restart assertion for the third state/output mode
+    // (CraneStream.startTopKBounded): per-key counts live in
+    // mapGroupsWithState, the sink holds a K-row snapshot. After a
+    // mid-stream stop, the restarted query must restore the keyed state
+    // — if it were lost, the monotone-merge argument breaks and the
+    // resumed counts undercount part1.
+    val root = Files.createTempDirectory("ckpt2")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val store = VersionedStore(root.resolve("store").toString)
+    val ckpt = root.resolve("ckpt").toString
+
+    def start() = CraneStream.startTopKBounded(
+      CraneStream.fileLines(spark, inDir.toString), "wordCount", store,
+      checkpointDir = ckpt, k = 2, period = "0 seconds")
+
+    writeFile(inDir, "part1.txt", Seq("a a b", "c a"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    writeFile(inDir, "part2.txt", Seq("b b b c", "c c"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val snap = store.get(spark, "wordCount_topk").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // exact totals a=3 b=4 c=4 over part1 ∪ part2; the bounded
+      // snapshot holds exactly the top-2 (count desc, key asc), with
+      // 'a' correctly evicted by the newly-risen keys
+      snap shouldBe Map("b" -> 4L, "c" -> 4L)
+    } finally q2.stop()
+  }
 }
