@@ -157,15 +157,27 @@ object Bench {
     }
     val loadEnd = loadavg()
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (v < 0) "null" else v.toString)
+      s"\"" + k + "\":" + (if (v < 0) "null" else f"$v%.3f")
     }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rts = retried.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadStart,$loadEnd],"retried":$rts}"""
-    println(line)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadStart,$loadEnd],"retried":$rts}"""
+    // ONE atomic write on the raw stdout fd: a buffered PrintStream
+    // flushes a multi-KB line in 8 KiB chunks, and a chunk boundary is
+    // exactly where a capture harness can interleave another stream's
+    // bytes into the record (BENCH_r06 captured a valid-looking line
+    // whose bytes did not parse). Per-query values are rounded to ms
+    // (plenty for the history medians) to keep the line small; the
+    // same line is persisted to bench_full_latest.json below, so round
+    // records never need the scraped stdout at all.
+    System.out.flush(); System.err.flush()
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write(("\n" + line + "\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    raw.flush()
     // stdout gets tail-truncated by capture harnesses once the registry is
     // large, losing the alphabetically-early per-query timings — persist
     // the complete record in-repo: latest run overwritten at a stable
