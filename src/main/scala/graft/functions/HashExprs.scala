@@ -120,6 +120,85 @@ object HashExprs {
     sig
   }
 
+  private val detSignCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Integer]
+
+  /** md5-Rademacher sign for LSH plane (t, p) at dimension `dim`: +1
+    * iff the first hex digit of md5("t:p:dim") is >= '8' (top bit of
+    * the first digest byte) — identical to the SQL replay's
+    * substring(md5(...), 1, 1) >= '8' test. The tiny tables×bits×d
+    * sign space is memoized per JVM (each triple digests once). */
+  def detSign(t: Int, p: Int, dim: Int): Int = {
+    val key = Integer.valueOf((t << 20) | (p << 14) | dim)
+    var s = detSignCache.get(key)
+    if (s == null) {
+      val md = md5Local.get(); md.reset()
+      val d = md.digest(
+        (t.toString + ":" + p.toString + ":" + dim.toString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s = Integer.valueOf(if ((d(0) & 0x80) != 0) 1 else -1)
+      detSignCache.put(key, s)
+    }
+    s.intValue()
+  }
+
+  /** Per-table det-LSH bucket assignment, one pass per row: coordinate
+    * i snaps to the integer micro-unit floor(x·1e6 + 0.5), each
+    * (table, plane) accumulates the exact integer dot against the
+    * [[detSign]] Rademacher direction, and table t's bucket is its
+    * sign word. Element t of the result is table t's bucket —
+    * bit-identical to the relational/SQL form (integer addition is
+    * order-free), at none of its docs×dims×planes shuffle cost. */
+  def detLshBucketsKernel(arr: ArrayData, bits: Int,
+                          tables: Int): ArrayData = {
+    val n = arr.numElements()
+    val planes = tables * bits
+    val dots = new Array[Long](planes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val xi = math.floor(arr.getDouble(i) * 1000000.0 + 0.5).toLong
+        if (xi != 0L) {
+          var t = 0
+          while (t < tables) {
+            var p = 0
+            while (p < bits) {
+              dots(t * bits + p) += detSign(t, p, i) * xi
+              p += 1
+            }
+            t += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        if (dots(t * bits + p) >= 0L) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class DetLshBuckets(child: Expression, bits: Int, tables: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      detLshBucketsKernel(input.asInstanceOf[ArrayData], bits, tables)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.detLshBucketsKernel($c, $bits, $tables)")
+    override protected def withNewChildInternal(c: Expression): DetLshBuckets =
+      copy(child = c)
+  }
+
   case class SimHashMd560(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any =
@@ -382,6 +461,8 @@ object HashExprs {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def simhash_md5_60(tokens: Column): Column =
     column(SimHashMd560(expression(tokens)))
+  def det_lsh_buckets(vec: Column, bits: Int, tables: Int): Column =
+    column(DetLshBuckets(expression(vec), bits, tables))
   def ngram_shingles(tokens: Column, n: Int): Column =
     column(NgramShingles(expression(tokens), n))
   def minhash(shingles: Column, numPerms: Int): Column =

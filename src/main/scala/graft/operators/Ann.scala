@@ -154,31 +154,21 @@ object Ann {
 
   /** Per-(vector, table) det-LSH bucket assignment over (id, v):
     * md5-Rademacher sign planes on integer micro-unit coordinates (see
-    * [[knnGraphLshDet]]); the sign depends only on (table, plane, dim),
-    * so the tiny tables×bits×d sign table materializes once and
-    * broadcasts. Returns (id, t, bucket). */
+    * [[knnGraphLshDet]]), computed by the codegen'd
+    * [[HashExprs.detLshBucketsKernel]] in ONE pass per row — nothing
+    * but (id, table, bucket) ever crosses a shuffle (the first-cut
+    * relational form exploded docs×dims×planes rows through two
+    * aggregations; the kernel is bit-identical — integer addition is
+    * order-free and the signs are the same md5 bits the oracle SQL
+    * recomputes — at none of that cost). Empty vectors are dropped to
+    * match the relational/SQL replay, whose explode yields them no
+    * rows. Returns (id, t, bucket). */
   private def lshDetBuckets(v: DataFrame, bits: Int,
-                            tables: Int): DataFrame = {
-    val dims = v
-      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("id"), col("dim"),
-        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
-    val signs = dims.select("dim").distinct()
-      .select(col("dim"),
-        explode(sequence(lit(0), lit(tables - 1))).as("t"))
-      .select(col("dim"), col("t"),
-        explode(sequence(lit(0), lit(bits - 1))).as("p"))
-      .withColumn("sgn",
-        when(substring(md5(concat(col("t").cast("string"), lit(":"),
-          col("p").cast("string"), lit(":"),
-          col("dim").cast("string"))), 1, 1) >= "8", lit(1L))
-          .otherwise(lit(-1L)))
-    val dots = dims.join(broadcast(signs), "dim")
-      .groupBy("id", "t", "p").agg(sum(col("sgn") * col("xi")).as("dot"))
-    dots.groupBy("id", "t")
-      .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
-        ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
-  }
+                            tables: Int): DataFrame =
+    v.filter(size(col("v")) > 0)
+      .select(col("id"),
+        posexplode(HashExprs.det_lsh_buckets(col("v"), bits, tables))
+          .as(Seq("t", "bucket")))
 
   /** [[lshCandidatePairs]]' deterministic twin: same mechanics — the
     * bucket self-join carries only (id, table, bucket), pairs dedup
