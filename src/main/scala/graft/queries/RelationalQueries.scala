@@ -1022,6 +1022,65 @@ object RelationalQueries extends Registry {
         .limit(100)
     }),
 
+    // TPC-H Q17 (small-quantity-order revenue): the correlated AVG
+    // subquery shape — lineitems of one brand's parts whose quantity
+    // sits below 20% of that part's average quantity, summed and
+    // divided by 7. Decorrelated: per-part (count, quantity-sum) over
+    // the brand-filtered lineitems (the subquery ranges over ALL
+    // lineitems of the part, and only brand parts can qualify, so the
+    // semi-join-first order is equivalent), joined back; the 0.2·avg
+    // comparison clears to the integer cross-product
+    // 5·qty·n < sum_qty. One output row (RegistrySpec single-row
+    // exemption); cents throughout, truncating DIV of non-negative
+    // operands.
+    "sql_tpch_q17" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#13")
+        .select("p_partkey")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = l.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n"), sum("qty_c").as("sq"))
+      l.join(stats, col("l_partkey") === col("pk"))
+        .filter(col("qty_c") * 5 * col("n") < col("sq"))
+        .agg(expr("CAST(sum(price_c) DIV 7 AS BIGINT)")
+          .as("avg_yearly_c"))
+    }),
+
+    // TPC-H Q22 (global sales opportunity): the anti-join +
+    // scalar-avg-subquery shape — customers of five nations with an
+    // account balance above the average POSITIVE balance of that
+    // cohort and no urgent order (the anti-join predicate; this
+    // generator gives every customer some order, so the reference's
+    // no-orders-at-all test would be vacuous), rolled up per nation.
+    // The average is one truncating integer division of positive
+    // cents; the comparison is exact on both engines.
+    "sql_tpch_q22" -> ((s, d) => {
+      val nsel = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_5",
+          "NATION_7", "NATION_9"))
+        .select("n_nationkey", "n_name")
+      val c = Tables.customer(s, d)
+        .join(broadcast(nsel), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+      val avgPos = c.filter(col("acctbal_c") > 0)
+        .agg(expr("CAST(sum(acctbal_c) DIV count(1) AS BIGINT)")
+          .as("avg_c"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority").startsWith("1-"))
+        .select("o_custkey")
+      c.crossJoin(broadcast(avgPos))
+        .filter(col("acctbal_c") > col("avg_c"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum("acctbal_c").as("totacctbal_c"))
+        .orderBy("n_name")
+    }),
+
     // TPC-H Q13 (customer order-count distribution): the
     // outer-join-with-join-predicate shape the exhibit exists to test —
     // urgent orders are excluded IN the join condition, not a WHERE, so
@@ -1565,6 +1624,41 @@ object RelationalQueries extends Registry {
                              WHERE e2.partkey = eu.partkey)
           ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
           LIMIT 100""",
+
+    // The correlated form stated literally (DuckDB decorrelates).
+    "sql_tpch_q17" ->
+      """WITH l AS (SELECT l_partkey,
+                      CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        AS price_c
+                    FROM lineitem),
+          lb AS (SELECT l.* FROM l
+                 JOIN part ON l_partkey = p_partkey
+                 WHERE p_brand = 'Brand#13')
+          SELECT CAST(sum(price_c) // 7 AS BIGINT) AS avg_yearly_c
+          FROM lb
+          WHERE 5 * qty_c * (SELECT count(*) FROM lb x
+                             WHERE x.l_partkey = lb.l_partkey)
+              < (SELECT sum(qty_c) FROM lb x
+                 WHERE x.l_partkey = lb.l_partkey)""",
+
+    "sql_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, n_name,
+                      CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+                    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    WHERE n_name IN ('NATION_1','NATION_3','NATION_5',
+                                     'NATION_7','NATION_9')),
+          a AS (SELECT CAST(sum(acctbal_c) // count(*) AS BIGINT)
+                  AS avg_c
+                FROM c WHERE acctbal_c > 0)
+          SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                 CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+          FROM c, a
+          WHERE acctbal_c > avg_c
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority LIKE '1-%')
+          GROUP BY n_name ORDER BY n_name""",
 
     "sql_tpch_q13" ->
       """WITH oc AS (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -61,7 +61,7 @@ class RelationalQueriesSpec extends SparkSpec {
     // the pareto sweep are histogram windows + joins, not quadratic
     // NOT-EXISTS anti-joins
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q4",
-        "sql_tpch_q2", "sql_tpch_q13", "sql_tpch_q18",
+        "sql_tpch_q2", "sql_tpch_q13", "sql_tpch_q18", "sql_tpch_q17",
         "skyline_parts")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
