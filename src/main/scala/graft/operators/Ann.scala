@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{HashExprs, TextFunctions => TF}
@@ -496,6 +496,66 @@ object Ann {
   /** IVF-Flat: assign every candidate to its nearest of `nlist` centroids
     * (trained by k-means on a sample, fixed seed), then search each query
     * only in its `nprobe` nearest cells. */
+  /** [[ivfTopK]]'s oracle-checkable twin: the coarse cells come from
+    * per-LABEL centroids in integer micro-units (the ann_centroids /
+    * ann_label_similarity recipe — a deterministic stand-in for the
+    * k-means codebook with the IDENTICAL probe structure: every vector
+    * homes to its nearest cell, queries probe the `nprobe` nearest,
+    * exact integer-bp cosine ranks the probed candidates). Cell
+    * affinity is floor(1e4·dot/(√|v|·√|c|)) over exact integer dots —
+    * the float division is the same expression in both engines on the
+    * same integers, the ann_label_similarity-proven pattern — so the
+    * whole index replays in SQL where the k-means variant's codebook
+    * cannot. `queryPred` selects the probe side from the same corpus.
+    */
+  def ivfDetTopK(embs: DataFrame, idCol: String, vecCol: String,
+                 labelCol: String, queryPred: Column, k: Int,
+                 nprobe: Int = 2): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = e
+      .select(col("id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+    val cent = dims.groupBy("label", "dim")
+      .agg(floor(avg("x") * 1000000.0 + 0.5).cast("long").as("ci"))
+    val cn = cent.groupBy(col("label"))
+      .agg(sum(col("ci") * col("ci")).as("nc"))
+    val vn = dims.groupBy("id").agg(sum(col("xi") * col("xi")).as("nv"))
+    val dots = dims.select("id", "dim", "xi")
+      .join(broadcast(cent), "dim")
+      .groupBy("id", "label").agg(sum(col("xi") * col("ci")).as("dot"))
+    val sims = dots.join(broadcast(cn), "label").join(vn, "id")
+      .select(col("id"), col("label"),
+        floor(lit(10000.0) * col("dot") /
+          (sqrt(col("nv")) * sqrt(col("nc")))).cast("long").as("cell_bp"))
+    val wCell = Window.partitionBy("id")
+      .orderBy(col("cell_bp").desc, col("label").asc)
+    val ranked = sims.withColumn("rk", row_number().over(wCell))
+    val home = ranked.filter(col("rk") === 1)
+      .select(col("id").as("cand_id"), col("label").as("cell"))
+    val probes = ranked.filter(col("rk") <= nprobe)
+      .join(e.filter(queryPred).select(col("id")), "id")
+      .select(col("id").as("query_id"), col("label").as("cell"))
+    val cand = probes.join(home, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    cand
+      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
+  }
+
   def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               sampleSize: Int = 2000, iters: Int = 10,

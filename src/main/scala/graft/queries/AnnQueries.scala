@@ -138,6 +138,14 @@ object AnnQueries extends Registry {
       Ann.ivfTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
 
+    // The oracle-checkable IVF twin (ann_ivf_topk's k-means codebook is
+    // engine-internal): coarse cells from per-label integer-micro-unit
+    // centroids, nprobe=2, exact integer-bp re-ranking — the identical
+    // inverted-file probe structure, fully SQL-replayable.
+    "ann_ivf_det_topk" -> ((s, d) =>
+      Ann.ivfDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", col("id") % 50 === 0, k = 5)),
+
     // IVF-PQ composition (Ann.ivfPqTopK): coarse cells restrict the
     // scan, PQ codes make the per-cell scoring m lookups per pair, exact
     // cosine refines the shortlist — the FAISS production index shape
@@ -1116,7 +1124,53 @@ object AnnQueries extends Registry {
 
     // ann_ivf_topk / ann_pq_topk / ann_ivf_pq_topk: engine-side k-means
     // centroids & codebooks — rows-only driver check; recall vs brute
-    // force asserted in ScalaTest.
+    // force asserted in ScalaTest. ann_ivf_det_topk below is the
+    // hash-checked IVF twin.
+
+    // Replays the det-IVF index end-to-end: per-label micro-unit
+    // centroids, cell affinity floor(1e4*dot/(sqrt*sqrt)) on exact
+    // integer dots, home cell = rank 1, queries probe rank <= 2, exact
+    // integer-bp cosine top-5 on the probed candidates.
+    "ann_ivf_det_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, label, i - 1 AS dim, v[i]::DOUBLE AS x,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent AS (SELECT label, dim,
+                     CAST(floor(avg(x) * 1000000 + 0.5) AS BIGINT) AS ci
+                   FROM d GROUP BY 1, 2),
+          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
+                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
+          smc AS (SELECT vec_id, label,
+                    CAST(floor(10000.0 * dot / (sqrt(nv) * sqrt(nc)))
+                      AS BIGINT) AS cell_bp
+                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
+          rkc AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cell_bp DESC, label ASC) AS rk
+                  FROM smc),
+          home AS (SELECT vec_id AS cand_id, label AS cell
+                   FROM rkc WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, label AS cell
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+          cnd AS (SELECT DISTINCT query_id, cand_id
+                  FROM probes JOIN home USING (cell)
+                  WHERE query_id <> cand_id),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM cnd JOIN e eq ON cnd.query_id = eq.vec_id
+                          JOIN e ec ON cnd.cand_id = ec.vec_id),
+          rk2 AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // Replays the registered det-LSH probe: the shared bucket chain
     // (16 tables, integer-exact autoBits from count(*)), queries =

@@ -237,6 +237,26 @@ class AnnSpec extends SparkSpec {
     assert(rPrb >= 0.9, s"multi-probe recall $rPrb")
   }
 
+  test("ivfDetTopK: <= k exactly-ranked rows per query; sims are true cosines") {
+    // the label cells are random w.r.t. geometry in this synthetic
+    // data (measured 1-NN accuracy ~0.1), so a recall bound would
+    // assert a property of the data, not the operator — what IS the
+    // operator's contract is that candidates are only PRUNED: every
+    // returned similarity equals the exact integer-bp cosine of that
+    // pair, ranks are dense from 1, and no query exceeds k rows
+    val got = Ann.ivfDetTopK(embs, "vec_id", "embedding", "label",
+      col("id") % 50 === 0, k = 5).collect()
+    assert(got.nonEmpty)
+    val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.size <= 5)
+      g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
+    }
+    got.foreach { r =>
+      exactAll((r.getLong(0), r.getLong(2))) shouldBe r.getLong(3)
+    }
+  }
+
   test("IVF top-k recall >= 0.5 vs brute force") {
     val ivf = neighborSet(Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (ivf intersect exact).size.toDouble / exact.size
