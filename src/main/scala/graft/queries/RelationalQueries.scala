@@ -1022,6 +1022,125 @@ object RelationalQueries extends Registry {
         .limit(100)
     }),
 
+    // TPC-H Q7 (volume shipping): the two-paths-to-one-dimension shape
+    // — lineitem reaches nation once through the supplier and once
+    // through the customer, with a disjunctive cross-pair filter and a
+    // year rollup. Adapted: the two "trading nations" become the two
+    // nationkey-parity blocs (a literal nation pair is empty at the
+    // smallest SF's 10 suppliers), keeping both join paths, the
+    // disjunction, and the (supp, cust, year) grouping. Revenue in
+    // exact cent-basis-points.
+    "sql_tpch_q7" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          when(col("n_nationkey") % 2 === 0, "BLOC_EVEN")
+            .otherwise("BLOC_ODD").as("bloc"))
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("bloc").as("cust_bloc"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("bloc").as("supp_bloc"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate").cast("date")).cast("long").as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_bloc") =!= col("cust_bloc"))
+        .groupBy("supp_bloc", "cust_bloc", "l_year")
+        .agg(sum("rev_cbp").as("revenue_cbp"))
+        .orderBy("supp_bloc", "cust_bloc", "l_year")
+    }),
+
+    // TPC-H Q10 (returned-item reporting): customers ranked by the
+    // revenue they returned in one quarter — the
+    // filter-then-join-then-top-N shape. Exact cents/basis points;
+    // c_custkey in the sort keys makes the LIMIT total.
+    "sql_tpch_q10" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("date") >=
+            lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") <
+            lit("1996-04-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_nationkey"))
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("rev_cbp").as("revenue_cbp"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "revenue_cbp", "acctbal_c",
+          "n_name")
+        .orderBy(col("revenue_cbp").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q14 (promotion effect), widened from the reference's single
+    // month to a per-month series: the share of each month's revenue
+    // carried by PROMO-type parts, as one conditional aggregate over
+    // the join — promo_share_bp is an exact integer division of two
+    // cbp sums.
+    "sql_tpch_q14" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          to_date(date_trunc("month", col("l_shipdate"))).cast("string")
+            .as("month"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("month")
+        .agg(sum(when(col("is_promo"), col("rev_cbp")).otherwise(0L))
+            .as("promo_cbp"),
+          sum("rev_cbp").as("total_cbp"))
+        .withColumn("promo_share_bp",
+          expr("(promo_cbp * 10000) DIV total_cbp"))
+        .orderBy("month")
+    }),
+
+    // TPC-H Q15 (top supplier): the view-plus-scalar-max shape — each
+    // supplier's revenue over one quarter, keeping exactly the
+    // supplier(s) attaining the maximum via a broadcast scalar
+    // aggregate (the literal query's correlated MAX subquery,
+    // decorrelated). Integer cbp end-to-end, so "equals the max" is
+    // exact on both engines.
+    "sql_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate").cast("date") >=
+            lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") <
+            lit("1996-04-01").cast("date"))
+        .select(col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+        .groupBy("l_suppkey").agg(sum("rev_cbp").as("total_cbp"))
+      val mx = rev.agg(max("total_cbp").as("max_cbp"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_cbp") === col("max_cbp"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_cbp")
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q17 (small-quantity-order revenue): the correlated AVG
     // subquery shape — lineitems of one brand's parts whose quantity
     // sits below 20% of that part's average quantity, summed and
@@ -1624,6 +1743,85 @@ object RelationalQueries extends Registry {
                              WHERE e2.partkey = eu.partkey)
           ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
           LIMIT 100""",
+
+    "sql_tpch_q7" ->
+      """WITH n AS (SELECT n_nationkey,
+                      CASE WHEN n_nationkey % 2 = 0 THEN 'BLOC_EVEN'
+                           ELSE 'BLOC_ODD' END AS bloc
+                    FROM nation),
+          l AS (SELECT l_orderkey, l_suppkey,
+                  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+                    AS l_year,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                    AS rev_cbp
+                FROM lineitem)
+          SELECT ns.bloc AS supp_bloc, nc.bloc AS cust_bloc, l_year,
+                 CAST(sum(rev_cbp) AS BIGINT) AS revenue_cbp
+          FROM l JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN n nc ON c_nationkey = nc.n_nationkey
+                 JOIN n ns ON s_nationkey = ns.n_nationkey
+          WHERE ns.bloc <> nc.bloc
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "sql_tpch_q10" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+                    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'),
+          l AS (SELECT l_orderkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                    AS rev_cbp
+                FROM lineitem WHERE l_returnflag = 'R'),
+          r AS (SELECT o_custkey,
+                  CAST(sum(rev_cbp) AS BIGINT) AS revenue_cbp
+                FROM l JOIN o ON l_orderkey = o_orderkey
+                GROUP BY 1)
+          SELECT c_custkey, c_name, revenue_cbp,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+                 n_name
+          FROM r JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+          ORDER BY revenue_cbp DESC, c_custkey LIMIT 20""",
+
+    "sql_tpch_q14" ->
+      """WITH l AS (SELECT l_partkey,
+                      CAST(CAST(date_trunc('month', l_shipdate) AS DATE)
+                        AS VARCHAR) AS month,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (10000
+                           - CAST(round(l_discount * 10000) AS BIGINT))
+                        AS rev_cbp
+                    FROM lineitem),
+          j AS (SELECT month, rev_cbp,
+                       (p_type = 'PROMO') AS is_promo
+                FROM l JOIN part ON l_partkey = p_partkey)
+          SELECT month,
+                 CAST(sum(CASE WHEN is_promo THEN rev_cbp ELSE 0 END)
+                   AS BIGINT) AS promo_cbp,
+                 CAST(sum(rev_cbp) AS BIGINT) AS total_cbp,
+                 CAST((sum(CASE WHEN is_promo THEN rev_cbp ELSE 0 END)
+                       * 10000) // sum(rev_cbp) AS BIGINT)
+                   AS promo_share_bp
+          FROM j GROUP BY month ORDER BY month""",
+
+    // The scalar-MAX subquery stated literally.
+    "sql_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+                        CAST(sum(
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (10000 - CAST(round(l_discount * 10000)
+                              AS BIGINT))) AS BIGINT) AS total_cbp
+                      FROM lineitem
+                      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+                      GROUP BY 1)
+          SELECT s_suppkey, s_name, total_cbp
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_cbp = (SELECT max(total_cbp) FROM rev)
+          ORDER BY s_suppkey""",
 
     // The correlated form stated literally (DuckDB decorrelates).
     "sql_tpch_q17" ->

@@ -62,6 +62,7 @@ class RelationalQueriesSpec extends SparkSpec {
     // NOT-EXISTS anti-joins
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q4",
         "sql_tpch_q2", "sql_tpch_q13", "sql_tpch_q18", "sql_tpch_q17",
+        "sql_tpch_q7", "sql_tpch_q10", "sql_tpch_q14",
         "skyline_parts")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -84,7 +85,8 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(!pareto.contains("CartesianProduct"), pareto)
     assert(pareto.contains("windowspecdefinition(bucket"), pareto)
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q2",
-        "sql_tpch_q18")) {
+        "sql_tpch_q18", "sql_tpch_q7", "sql_tpch_q10",
+        "sql_tpch_q14")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
