@@ -156,23 +156,29 @@ object Bench {
       name -> dt
     }
     val loadEnd = loadavg()
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit "0,123" — invalid JSON in every
+    // persisted record
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + (if (v < 0) "null" else f"$v%.3f")
+      s"\"" + k + "\":" + (if (v < 0) "null" else num(v))
     }.mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rts = retried.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadStart,$loadEnd],"retried":$rts}"""
-    // ONE atomic write on the raw stdout fd: a buffered PrintStream
-    // flushes a multi-KB line in 8 KiB chunks, and a chunk boundary is
-    // exactly where a capture harness can interleave another stream's
-    // bytes into the record (BENCH_r06 captured a valid-looking line
-    // whose bytes did not parse). Per-query values are rounded to ms
-    // (plenty for the history medians) to keep the line small; the
-    // same line is persisted to bench_full_latest.json below, so round
-    // records never need the scraped stdout at all.
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadStart,$loadEnd],"retried":$rts}"""
+    // ONE write() on the raw stdout fd: a buffered PrintStream flushes
+    // a multi-KB line in 8 KiB chunks, and a chunk boundary is exactly
+    // where a capture harness can interleave another stream's bytes
+    // into the record (BENCH_r06 captured a valid-looking line whose
+    // bytes did not parse). A single syscall removes the chunking;
+    // note pipes only guarantee atomicity up to PIPE_BUF (~4 KiB), so
+    // the AUTHORITATIVE record is bench_full_latest.json below — the
+    // stdout line is best-effort. Per-query values round to ms (plenty
+    // for the history medians) to keep the line small.
     System.out.flush(); System.err.flush()
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write(("\n" + line + "\n").getBytes(

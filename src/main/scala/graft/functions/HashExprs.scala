@@ -129,6 +129,8 @@ object HashExprs {
     * substring(md5(...), 1, 1) >= '8' test. The tiny tables×bits×d
     * sign space is memoized per JVM (each triple digests once). */
   def detSign(t: Int, p: Int, dim: Int): Int = {
+    require(dim < 16384 && p < 64 && t < 2048,
+      s"det-LSH sign key would collide: t=$t p=$p dim=$dim")
     val key = Integer.valueOf((t << 20) | (p << 14) | dim)
     var s = detSignCache.get(key)
     if (s == null) {
@@ -142,6 +144,38 @@ object HashExprs {
     s.intValue()
   }
 
+  private val detSignArrays =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Int]]
+
+  /** Flat (table, plane, dim) sign array for one (bits, tables, dims)
+    * geometry, memoized per JVM — the per-row kernel indexes this
+    * instead of hashing a boxed key per (dim × table × plane)
+    * element. */
+  private def detSignArray(bits: Int, tables: Int,
+                           dims: Int): Array[Int] = {
+    val key = java.lang.Long.valueOf(
+      (bits.toLong << 40) | (tables.toLong << 20) | dims.toLong)
+    var a = detSignArrays.get(key)
+    if (a == null) {
+      a = new Array[Int](tables * bits * dims)
+      var t = 0
+      while (t < tables) {
+        var p = 0
+        while (p < bits) {
+          var i = 0
+          while (i < dims) {
+            a((t * bits + p) * dims + i) = detSign(t, p, i)
+            i += 1
+          }
+          p += 1
+        }
+        t += 1
+      }
+      detSignArrays.put(key, a)
+    }
+    a
+  }
+
   /** Per-table det-LSH bucket assignment, one pass per row: coordinate
     * i snaps to the integer micro-unit floor(x·1e6 + 0.5), each
     * (table, plane) accumulates the exact integer dot against the
@@ -152,21 +186,22 @@ object HashExprs {
   def detLshBucketsKernel(arr: ArrayData, bits: Int,
                           tables: Int): ArrayData = {
     val n = arr.numElements()
+    // the DuckDB replays index dimensions via range(1, 4097): fail
+    // loudly rather than silently diverge on a wider embedding
+    require(n <= 4096,
+      s"det-LSH oracle replay caps dimensions at 4096, got $n")
     val planes = tables * bits
+    val signs = detSignArray(bits, tables, n)
     val dots = new Array[Long](planes)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val xi = math.floor(arr.getDouble(i) * 1000000.0 + 0.5).toLong
         if (xi != 0L) {
-          var t = 0
-          while (t < tables) {
-            var p = 0
-            while (p < bits) {
-              dots(t * bits + p) += detSign(t, p, i) * xi
-              p += 1
-            }
-            t += 1
+          var pl = 0
+          while (pl < planes) {
+            dots(pl) += signs(pl * n + i) * xi
+            pl += 1
           }
         }
       }

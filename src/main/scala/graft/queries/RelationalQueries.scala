@@ -1109,8 +1109,12 @@ object RelationalQueries extends Registry {
         .agg(sum(when(col("is_promo"), col("rev_cbp")).otherwise(0L))
             .as("promo_cbp"),
           sum("rev_cbp").as("total_cbp"))
-        .withColumn("promo_share_bp",
-          expr("(promo_cbp * 10000) DIV total_cbp"))
+        // decimal(38): promo_cbp*10000 wraps Int64 once monthly revenue
+        // passes ~9e14 cbp (~SF 3) while DuckDB's HUGEINT sum stays
+        // exact — the orders_status_pchart divergence class
+        .withColumn("promo_share_bp", expr(
+          "CAST((CAST(promo_cbp AS DECIMAL(38,0)) * 10000)" +
+            " DIV total_cbp AS BIGINT)"))
         .orderBy("month")
     }),
 

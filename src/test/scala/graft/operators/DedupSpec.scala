@@ -162,6 +162,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("md5-simhash kernel path drops token-less docs like the relational twin") {
+    import spark.implicits._
+    // the kernel would otherwise sign empty docs as 0 and pair them at
+    // Hamming 0, while the explode-based twin (and the shared oracle)
+    // yields them no rows at all
+    val crafted = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val kernel = Dedup.simhashMd5Pairs(crafted, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rel = Dedup.simhashDetPairs(crafted, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    kernel shouldBe rel
+    kernel shouldBe Set((1L, 2L))
+  }
+
   test("deterministic simhash: exact dups at Hamming 0; relation reproducible") {
     import spark.implicits._
     val det = Dedup.simhashDetPairs(docs, "doc_id", "text", maxHamming = 3)
