@@ -163,8 +163,8 @@ object Ann {
     * recomputes — at none of that cost). Empty vectors are dropped to
     * match the relational/SQL replay, whose explode yields them no
     * rows. Returns (id, t, bucket). */
-  private def lshDetBuckets(v: DataFrame, bits: Int,
-                            tables: Int): DataFrame =
+  private[operators] def lshDetBuckets(v: DataFrame, bits: Int,
+                                       tables: Int): DataFrame =
     v.filter(size(col("v")) > 0)
       .select(col("id"),
         posexplode(HashExprs.det_lsh_buckets(col("v"), bits, tables))

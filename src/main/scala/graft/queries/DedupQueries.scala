@@ -181,6 +181,16 @@ object DedupQueries extends Registry {
       Dedup.semdedupFlags(Tables.embeddings(s, d), "vec_id", "embedding",
         eps = 0.2)),
 
+    // The oracle-checkable SemDeDup twin (Dedup.semdedupDetFlags):
+    // cells from one det-LSH sign table, within-cell ranking by
+    // integer-centroid affinity, identical eps keep/drop rule in exact
+    // basis points — the same Σ cell² semantic-dedup shape, fully
+    // SQL-replayable where the k-means quantizer above is
+    // engine-internal.
+    "dedup_semantic_det" -> ((s, d) =>
+      Dedup.semdedupDetFlags(Tables.embeddings(s, d), "vec_id",
+        "embedding", eps = 0.2)),
+
     // Directed n-gram containment (passage-in-document): exact-oracled
     // against an all-pairs DuckDB intersection. Runs off the shared
     // memoized shingle index — only its one-sided prefix + verify are
@@ -663,6 +673,62 @@ object DedupQueries extends Registry {
           JOIN sizes sb ON doc_b = sb.doc_id
           WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)
           ORDER BY doc_a, doc_b""",
+
+    // Replays the det-SemDeDup index: one det-LSH sign table (bits from
+    // the integer-exact autoBits at targetCell = 128), per-cell integer
+    // micro-unit centroids, affinity ranking, and the eps = 0.2
+    // keep/drop rule in exact basis points.
+    "dedup_semantic_det" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          bb AS (SELECT CASE WHEN (count(*) + 127) // 128 <= 1 THEN 1
+                   ELSE least(30, length(printf('%b',
+                     CAST((count(*) + 127) // 128 - 1 AS BIGINT)))) END
+                   AS bits
+                 FROM e),
+          d AS (SELECT vec_id, i - 1 AS dim, v[i]::DOUBLE AS x,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          pl AS (SELECT vec_id, p,
+                   sum(CASE WHEN substring(md5('0:' || p::VARCHAR || ':'
+                         || dim::VARCHAR), 1, 1) >= '8'
+                       THEN xi ELSE -xi END) AS dot
+                 FROM d, range(0, 30) rp(p), bb WHERE p < bits
+                 GROUP BY vec_id, p),
+          b AS (SELECT vec_id,
+                  sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                      ELSE 0 END) AS cell
+                FROM pl GROUP BY vec_id),
+          cent AS (SELECT cell, dim,
+                     CAST(floor(avg(x) * 1000000 + 0.5) AS BIGINT) AS ci
+                   FROM d JOIN b USING (vec_id) GROUP BY 1, 2),
+          cn AS (SELECT cell, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, b.cell, sum(xi * ci) AS dot
+                 FROM d JOIN b USING (vec_id)
+                 JOIN cent ON b.cell = cent.cell AND d.dim = cent.dim
+                 GROUP BY 1, 2),
+          aff AS (SELECT vec_id, cell,
+                    CAST(floor(10000.0 * dot / (sqrt(nv) * sqrt(nc)))
+                      AS BIGINT) AS cent_sim_bp
+                  FROM dt JOIN cn USING (cell) JOIN vn USING (vec_id)),
+          rkd AS (SELECT vec_id, cell, cent_sim_bp,
+                    row_number() OVER (PARTITION BY cell
+                      ORDER BY cent_sim_bp DESC, vec_id ASC) AS rnk
+                  FROM aff),
+          drops AS (SELECT DISTINCT w.vec_id FROM rkd a
+                    JOIN rkd w ON a.cell = w.cell AND a.rnk < w.rnk
+                    JOIN e ea ON a.vec_id = ea.vec_id
+                    JOIN e ew ON w.vec_id = ew.vec_id
+                    WHERE CAST(round(list_cosine_similarity(ea.v, ew.v)
+                        * 10000) AS BIGINT) >= 2000)
+          SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell,
+                 CAST(r.rnk AS BIGINT) AS rnk,
+                 cent_sim_bp,
+                 CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END
+                   AS BIGINT) AS keep
+          FROM rkd r LEFT JOIN drops dr ON r.vec_id = dr.vec_id
+          ORDER BY r.vec_id""",
 
     // dedup_minhash_lsh: md5 permutations -> band membership replays in
     // SQL; the exact-Jaccard verification reuses the shingle CTEs,

@@ -259,6 +259,35 @@ class DedupSpec extends SparkSpec {
     rows.filter(_._3 == 1L).foreach { r => assert(r._4, s"rank-1 dropped: $r") }
   }
 
+  test("semdedupDet: keep/drop decisions match the upper-triangular rule in basis points") {
+    // the det twin's contract, re-derived like the k-means variant
+    // above but with the integer-bp comparison the operator (and its
+    // oracle) actually use
+    val eps = 0.2
+    val embs = Tables.embeddings(spark, sfDir)
+    val flags = Dedup.semdedupDetFlags(embs, "vec_id", "embedding", eps)
+    val rows = flags.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    rows.groupBy(_._2).values.foreach { cell =>
+      cell.map(_._3).sorted.toSeq shouldBe (1L to cell.length)
+    }
+    val withCell = embs.select(col("vec_id"), col("embedding"))
+      .join(flags.select(col("vec_id"), col("cell"), col("rnk")), "vec_id")
+    val sims = withCell.as("a").join(withCell.as("b"),
+        col("a.cell") === col("b.cell") && col("a.rnk") < col("b.rnk"))
+      .select(col("b.vec_id"),
+        round(graft.functions.HashExprs.cosine_sim(
+          col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")) * 10000)
+          .cast("long").as("sim_bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDrops = sims.filter(_._2 >= 2000L).map(_._1).toSet
+    val gotDrops = rows.filter(_._4 == 0L).map(_._1).toSet
+    gotDrops shouldBe expectedDrops
+    rows.filter(_._3 == 1L).foreach(r =>
+      assert(r._4 == 1L, s"rank-1 dropped: $r"))
+  }
+
   test("containment: full containment detected; relation matches brute force") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
