@@ -617,6 +617,75 @@ object Ann {
     *
     * Codebooks are engine-internal state → registered rows-only;
     * AnnSpec bounds recall against the exact baseline. */
+  /** [[pqTopK]]'s oracle-checkable twin — the PQ structure (split
+    * dimensions into 8-wide subspaces, quantize each subvector to a
+    * 16-entry codebook, rank by asymmetric-distance LUT sums, exact
+    * rerank of the shortlist) with a DETERMINISTIC codebook: the
+    * codewords of every subspace are the integer micro-unit subvectors
+    * of the 16 corpus vectors with the smallest md5("pq:" vec_id)
+    * rank — a sampled codebook (no Lloyd iterations; FAISS-style
+    * k-means initialization stopped at its seed step), which keeps the
+    * whole index SQL-replayable. Assignment and LUT entries are exact
+    * integer squared distances, the ADC sum is exact, the shortlist is
+    * totally ordered, and the exact integer-bp cosine rerank emits the
+    * final ranking — so the entire memory-bound path hash-checks.
+    * `queryPred` selects probes from the same corpus. */
+  def pqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, ks: Int = 16,
+                shortlist: Int = 32): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = e
+      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("id"), col("dim"), expr("dim DIV 8").as("j"),
+        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+    val seeds = e.select(col("id"))
+      .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
+      .orderBy(col("r"), col("id")).limit(ks)
+      .withColumn("cw", row_number().over(Window.orderBy("r", "id"))
+        .cast("long"))
+      .select("id", "cw")
+    val cb = dims.join(broadcast(seeds), "id")
+      .select(col("cw"), col("j"), col("dim"), col("xi").as("ci"))
+    // ssd(id, j, cw) = exact integer squared distance of id's j-th
+    // subvector to codeword cw — the candidates' assignment metric AND
+    // (restricted to query ids) the ADC lookup table, one relation
+    val ssd = dims.join(broadcast(cb), Seq("j", "dim"))
+      .groupBy("id", "j", "cw")
+      .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci")))
+        .as("ssd"))
+    val codes = ssd
+      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
+        .orderBy(col("ssd").asc, col("cw").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("cand_id"), col("j"), col("cw"))
+    val qlut = ssd.join(e.filter(queryPred).select(col("id")), "id")
+      .select(col("id").as("query_id"), col("j"), col("cw"),
+        col("ssd").as("lut"))
+    val adc = codes.join(qlut, Seq("j", "cw"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id").agg(sum("lut").as("adc"))
+    val short = adc
+      .withColumn("srk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc").asc, col("cand_id").asc)))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "cand_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    short
+      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
+  }
+
   def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
              rerank: Int = 8, sampleSize: Int = 2000, iters: Int = 10,

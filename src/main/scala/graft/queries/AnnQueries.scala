@@ -146,6 +146,15 @@ object AnnQueries extends Registry {
       Ann.ivfDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", col("id") % 50 === 0, k = 5)),
 
+    // The oracle-checkable PQ twin (ann_pq_topk's per-subspace k-means
+    // codebooks are engine-internal): md5-sampled codebook, exact
+    // integer squared-distance assignment and ADC LUT sums, exact-bp
+    // rerank of the shortlist — the full memory-bound structure,
+    // SQL-replayable.
+    "ann_pq_det_topk" -> ((s, d) =>
+      Ann.pqDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("id") % 50 === 0, k = 5)),
+
     // IVF-PQ composition (Ann.ivfPqTopK): coarse cells restrict the
     // scan, PQ codes make the per-cell scoring m lookups per pair, exact
     // cosine refines the shortlist — the FAISS production index shape
@@ -1126,6 +1135,57 @@ object AnnQueries extends Registry {
     // centroids & codebooks — rows-only driver check; recall vs brute
     // force asserted in ScalaTest. ann_ivf_det_topk below is the
     // hash-checked IVF twin.
+
+    // Replays the det-PQ index end-to-end: md5-ranked 16-vector sampled
+    // codebook, 8-wide subspaces, exact integer squared-distance
+    // assignment, ADC via the query's own (j, cw) LUT rows, 32-deep
+    // shortlist, exact integer-bp rerank.
+    "ann_pq_det_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim, (i - 1) // 8 AS j,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          seeds AS (SELECT vec_id,
+                      CAST(row_number() OVER (
+                        ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id)
+                        AS BIGINT) AS cw
+                    FROM e
+                    ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id
+                    LIMIT 16),
+          cb AS (SELECT cw, j, dim, xi AS ci
+                 FROM d JOIN seeds USING (vec_id)),
+          ssd AS (SELECT d.vec_id, d.j, cb.cw,
+                    sum((xi - ci) * (xi - ci)) AS ssd
+                  FROM d JOIN cb ON d.j = cb.j AND d.dim = cb.dim
+                  GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id AS cand_id, j, cw FROM (
+                      SELECT vec_id, j, cw,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY ssd ASC, cw ASC) AS rk
+                      FROM ssd) x WHERE rk = 1),
+          qlut AS (SELECT vec_id AS query_id, j, cw, ssd AS lut
+                   FROM ssd WHERE vec_id % 50 = 0),
+          adc AS (SELECT query_id, cand_id,
+                    CAST(sum(lut) AS BIGINT) AS adc
+                  FROM codes JOIN qlut USING (j, cw)
+                  WHERE query_id <> cand_id GROUP BY 1, 2),
+          sh AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, cand_id ASC) AS srk
+                   FROM adc) x WHERE srk <= 32),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
+                         JOIN e ec ON sh.cand_id = ec.vec_id),
+          rkp AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // Replays the det-IVF index end-to-end: per-label micro-unit
     // centroids, cell affinity floor(1e4*dot/(sqrt*sqrt)) on exact

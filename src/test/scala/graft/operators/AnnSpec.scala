@@ -257,6 +257,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("pqDetTopK: <= k exactly-ranked rows per query; sims are true cosines") {
+    // same contract as the det-IVF twin: the ADC shortlist only PRUNES
+    // — every surviving similarity is the exact integer-bp cosine,
+    // ranks are dense, no query exceeds k rows
+    val got = Ann.pqDetTopK(embs, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5).collect()
+    assert(got.nonEmpty)
+    val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.size <= 5)
+      g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
+    }
+    got.foreach { r =>
+      exactAll((r.getLong(0), r.getLong(2))) shouldBe r.getLong(3)
+    }
+  }
+
   test("IVF top-k recall >= 0.5 vs brute force") {
     val ivf = neighborSet(Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (ivf intersect exact).size.toDouble / exact.size
