@@ -1145,6 +1145,60 @@ object RelationalQueries extends Registry {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    // OR'd (brand, size-range, quantity-range) conjunct groups over
+    // the lineitem⋈part join — the shape that tests OR-of-ANDs
+    // predicate handling (the part-side conjuncts still prune the
+    // broadcast dim; the mixed l/p residual evaluates post-join).
+    // One output row (RegistrySpec single-row exemption); exact cbp.
+    "sql_tpch_q19" -> ((s, d) => {
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 10)
+            && col("qty_c").between(100L, 2000L)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 25)
+            && col("qty_c").between(1000L, 3500L)) ||
+          (col("p_brand") === "Brand#25" && col("p_size").between(20, 40)
+            && col("qty_c").between(2000L, 5000L)))
+        .agg(sum("rev_cbp").as("revenue_cbp"))
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the
+    // EXISTS + NOT-EXISTS double-correlation shape — a supplier is
+    // charged with an order iff it shipped late (> 60 days after the
+    // order date), some OTHER supplier was also on the order, and NO
+    // other supplier shipped late. Decorrelated into per-order
+    // aggregates (distinct supplier count, distinct LATE supplier
+    // count): charge iff n_supp > 1 and n_late = 1 and the late one is
+    // this supplier — equivalent because "no other late" with this one
+    // late means exactly one late supplier. Integer day arithmetic.
+    "sql_tpch_q21" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")) > 60).as("late"))
+      val perOrder = l.groupBy("l_orderkey")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      l.filter(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+        .join(perOrder.filter(col("n_supp") > 1 && col("n_late") === 1),
+          "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+    }),
+
     // TPC-H Q17 (small-quantity-order revenue): the correlated AVG
     // subquery shape — lineitems of one brand's parts whose quantity
     // sits below 20% of that part's average quantity, summed and
@@ -1826,6 +1880,40 @@ object RelationalQueries extends Registry {
           FROM rev JOIN supplier ON l_suppkey = s_suppkey
           WHERE total_cbp = (SELECT max(total_cbp) FROM rev)
           ORDER BY s_suppkey""",
+
+    "sql_tpch_q19" ->
+      """SELECT CAST(sum(
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+             AS BIGINT) AS revenue_cbp
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                AND CAST(round(l_quantity * 100) AS BIGINT)
+                  BETWEEN 100 AND 2000)
+            OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 25
+                AND CAST(round(l_quantity * 100) AS BIGINT)
+                  BETWEEN 1000 AND 3500)
+            OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 40
+                AND CAST(round(l_quantity * 100) AS BIGINT)
+                  BETWEEN 2000 AND 5000)""",
+
+    // The double-correlated EXISTS/NOT-EXISTS form stated literally.
+    "sql_tpch_q21" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey,
+                      (CAST(l_shipdate AS DATE)
+                       > CAST(o_orderdate AS DATE)
+                         + INTERVAL 60 DAY) AS late
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          lt AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+          SELECT l1.l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+          FROM lt l1
+          WHERE EXISTS (SELECT 1 FROM l l2
+                        WHERE l2.l_orderkey = l1.l_orderkey
+                          AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM lt l3
+                            WHERE l3.l_orderkey = l1.l_orderkey
+                              AND l3.l_suppkey <> l1.l_suppkey)
+          GROUP BY 1 ORDER BY numwait DESC, l_suppkey""",
 
     // The correlated form stated literally (DuckDB decorrelates).
     "sql_tpch_q17" ->
