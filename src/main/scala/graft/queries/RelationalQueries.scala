@@ -1057,6 +1057,95 @@ object RelationalQueries extends Registry {
         .orderBy("supp_bloc", "cust_bloc", "l_year")
     }),
 
+    // TPC-H Q8 (national market share): of the PROMO-part revenue sold
+    // to ASIA-region customers, the share supplied by NATION_3
+    // suppliers, per order year — the two-sided dimension star
+    // (customer → nation → region on one side, supplier → nation on
+    // the other) collapsing to one conditional aggregate; share in
+    // exact integer basis points.
+    "sql_tpch_q8" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val nc = Tables.nation(s, d)
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val c = Tables.customer(s, d)
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        .select("c_custkey")
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"),
+          (col("n_name") === "NATION_3").as("is_target"))
+      val p = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("is_target"), col("rev_cbp")).otherwise(0L))
+            .as("target_cbp"),
+          sum("rev_cbp").as("total_cbp"))
+        .withColumn("mkt_share_bp", expr(
+          "CAST((CAST(target_cbp AS DECIMAL(38,0)) * 10000)" +
+            " DIV total_cbp AS BIGINT)"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 (product-type profit): profit per (supplier nation,
+    // order year) over 'widget' parts, with supply cost derived from
+    // the same lineitem-min unit price as Q2 (this schema has no
+    // partsupp): amount_cbp = rev_cbp − qty_c·cost_c·100 (both sides
+    // exact cent-basis-points; the cost product rescales centi-units ×
+    // cents into cbp). The profit can be negative — sums stay exact
+    // Int64 far past these SFs.
+    "sql_tpch_q9" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("ps_pk"),
+          col("l_suppkey").as("ps_sk"),
+          expr("""(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+                  DIV CAST(round(l_quantity * 100) AS BIGINT)""")
+            .as("unit_c"))
+        .groupBy("ps_pk", "ps_sk").agg(min("unit_c").as("cost_c"))
+      val p = Tables.part(s, d)
+        .filter(col("p_name").contains("widget")).select("p_partkey")
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+            .as("rev_cbp"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_pk") &&
+          col("l_suppkey") === col("ps_sk"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          (col("rev_cbp") - col("qty_c") * col("cost_c") * 100L)
+            .as("amount_cbp"))
+        .groupBy("nation", "o_year")
+        .agg(sum("amount_cbp").as("profit_cbp"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // TPC-H Q10 (returned-item reporting): customers ranked by the
     // revenue they returned in one quarter — the
     // filter-then-join-then-top-N shape. Exact cents/basis points;
@@ -1823,6 +1912,59 @@ object RelationalQueries extends Registry {
                  JOIN n ns ON s_nationkey = ns.n_nationkey
           WHERE ns.bloc <> nc.bloc
           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "sql_tpch_q8" ->
+      """WITH l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (10000
+                           - CAST(round(l_discount * 10000) AS BIGINT))
+                        AS rev_cbp
+                    FROM lineitem),
+          j AS (SELECT year(CAST(o_orderdate AS DATE)) AS o_year,
+                       rev_cbp, (ns.n_name = 'NATION_3') AS is_target
+                FROM l JOIN part ON l_partkey = p_partkey
+                       JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+                       JOIN nation nc ON c_nationkey = nc.n_nationkey
+                       JOIN region ON nc.n_regionkey = r_regionkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+                       JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+          SELECT CAST(o_year AS BIGINT) AS o_year,
+                 CAST(sum(CASE WHEN is_target THEN rev_cbp ELSE 0 END)
+                   AS BIGINT) AS target_cbp,
+                 CAST(sum(rev_cbp) AS BIGINT) AS total_cbp,
+                 CAST((sum(CASE WHEN is_target THEN rev_cbp ELSE 0 END)
+                       * 10000) // sum(rev_cbp) AS BIGINT)
+                   AS mkt_share_bp
+          FROM j GROUP BY 1 ORDER BY 1""",
+
+    "sql_tpch_q9" ->
+      """WITH ps AS (SELECT l_partkey AS ps_pk, l_suppkey AS ps_sk,
+                       min((CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * 100)
+                           // CAST(round(l_quantity * 100) AS BIGINT))
+                         AS cost_c
+                     FROM lineitem GROUP BY 1, 2),
+          l AS (SELECT l_orderkey, l_partkey, l_suppkey,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                    AS rev_cbp
+                FROM lineitem),
+          j AS (SELECT ns.n_name AS nation,
+                       year(CAST(o_orderdate AS DATE)) AS o_year,
+                       rev_cbp - qty_c * cost_c * 100 AS amount_cbp
+                FROM l JOIN part ON l_partkey = p_partkey
+                       JOIN ps ON l_partkey = ps_pk
+                              AND l_suppkey = ps_sk
+                       JOIN orders ON l_orderkey = o_orderkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+                       JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE p_name LIKE '%widget%')
+          SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+                 CAST(sum(amount_cbp) AS BIGINT) AS profit_cbp
+          FROM j GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
 
     "sql_tpch_q10" ->
       """WITH o AS (SELECT o_orderkey, o_custkey FROM orders

@@ -63,7 +63,8 @@ class RelationalQueriesSpec extends SparkSpec {
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q4",
         "sql_tpch_q2", "sql_tpch_q13", "sql_tpch_q18", "sql_tpch_q17",
         "sql_tpch_q7", "sql_tpch_q10", "sql_tpch_q14", "sql_tpch_q19",
-        "sql_tpch_q21", "skyline_parts")) {
+        "sql_tpch_q21", "sql_tpch_q8", "sql_tpch_q9",
+        "skyline_parts")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") &&
