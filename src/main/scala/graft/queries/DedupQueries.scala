@@ -173,6 +173,46 @@ object DedupQueries extends Registry {
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.2)),
 
+    // Cross-method dedup agreement — the audit run before committing a
+    // 100 TB corpus to one near-dup family: the pair-set sizes,
+    // intersections, and pair-set Jaccard (bp) for every pair of the
+    // three hash-checked methods (exact shingle Jaccard >= 0.8, banded
+    // det-MinHash verified at the same threshold, det-SimHash Hamming
+    // <= 3). Composes three independently-verified relations; all
+    // counts integer-exact.
+    "dedup_method_agreement" -> ((s, d) => {
+      val methods = Seq(
+        ("jaccard", jaccardPairs(s, d)),
+        ("minhash", Dedup.minhashLshDetPairs(Tables.documents(s, d),
+          "doc_id", "text", n = 3, numPerms = 32, rowsPerBand = 4,
+          threshold = 0.8)),
+        ("simhash", Dedup.simhashMd5Pairs(Tables.documents(s, d),
+          "doc_id", "text", maxHamming = 3)))
+      val tagged = methods.map { case (m, df) =>
+        df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
+      }.reduce(_ unionByName _)
+      val sz = tagged.groupBy("method").agg(count(lit(1)).as("n"))
+      val iv = tagged.as("a").join(tagged.as("b"),
+          col("a.doc_a") === col("b.doc_a") &&
+            col("a.doc_b") === col("b.doc_b") &&
+            col("a.method") < col("b.method"))
+        .groupBy(col("a.method").as("method_a"),
+          col("b.method").as("method_b"))
+        .agg(count(lit(1)).as("common"))
+      sz.as("sa").join(sz.as("sb"),
+          col("sa.method") < col("sb.method"))
+        .select(col("sa.method").as("method_a"),
+          col("sb.method").as("method_b"),
+          col("sa.n").as("n_a"), col("sb.n").as("n_b"))
+        .join(iv, Seq("method_a", "method_b"), "left")
+        .na.fill(0L, Seq("common"))
+        .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+          col("common").as("n_common"),
+          expr("(10000 * common) DIV (n_a + n_b - common)")
+            .as("agree_bp"))
+        .orderBy("method_a", "method_b")
+    }),
+
     // SemDeDup flags (operators.Dedup.semdedupFlags): cluster-bucketed
     // semantic dedup. No oracle (the k-means quantizer is
     // engine-internal); SemDedupSpec re-derives every keep/drop decision
