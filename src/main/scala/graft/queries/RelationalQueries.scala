@@ -1053,7 +1053,14 @@ object RelationalQueries extends Registry {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .filter(col("supp_bloc") =!= col("cust_bloc"))
         .groupBy("supp_bloc", "cust_bloc", "l_year")
-        .agg(sum("rev_cbp").as("revenue_cbp"))
+        // rev_cbp ~1e11/row: a BIGINT sum wraps silently (non-ANSI)
+        // past ~9e7 rows per (bloc,bloc,year) cell while DuckDB sums
+        // in HUGEINT — accumulate in decimal(38,0) so the sum itself
+        // is exact at any SF; the final BIGINT cast only leaves Int64
+        // once a cell's true revenue tops 9.2e18 cbp (~$9.2e11)
+        .agg(sum(col("rev_cbp").cast("decimal(38,0)")).as("rev_d"))
+        .select(col("supp_bloc"), col("cust_bloc"), col("l_year"),
+          col("rev_d").cast("long").as("revenue_cbp"))
         .orderBy("supp_bloc", "cust_bloc", "l_year")
     }),
 
@@ -1093,12 +1100,15 @@ object RelationalQueries extends Registry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy("o_year")
-        .agg(sum(when(col("is_target"), col("rev_cbp")).otherwise(0L))
-            .as("target_cbp"),
-          sum("rev_cbp").as("total_cbp"))
-        .withColumn("mkt_share_bp", expr(
-          "CAST((CAST(target_cbp AS DECIMAL(38,0)) * 10000)" +
-            " DIV total_cbp AS BIGINT)"))
+        // both sums accumulate in decimal(38,0) — see the q7 comment
+        .agg(sum(when(col("is_target"), col("rev_cbp")).otherwise(0L)
+            .cast("decimal(38,0)")).as("target_d"),
+          sum(col("rev_cbp").cast("decimal(38,0)")).as("total_d"))
+        .select(col("o_year"),
+          col("target_d").cast("long").as("target_cbp"),
+          col("total_d").cast("long").as("total_cbp"),
+          expr("CAST((target_d * 10000) DIV total_d AS BIGINT)")
+            .as("mkt_share_bp"))
         .orderBy("o_year")
     }),
 
@@ -1142,7 +1152,11 @@ object RelationalQueries extends Registry {
           (col("rev_cbp") - col("qty_c") * col("cost_c") * 100L)
             .as("amount_cbp"))
         .groupBy("nation", "o_year")
-        .agg(sum("amount_cbp").as("profit_cbp"))
+        // decimal(38,0) accumulation — see the q7 comment (amounts can
+        // be negative; the sum stays exact either sign)
+        .agg(sum(col("amount_cbp").cast("decimal(38,0)")).as("profit_d"))
+        .select(col("nation"), col("o_year"),
+          col("profit_d").cast("long").as("profit_cbp"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -1169,7 +1183,10 @@ object RelationalQueries extends Registry {
           col("c_nationkey"))
       val n = Tables.nation(s, d).select("n_nationkey", "n_name")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_custkey").agg(sum("rev_cbp").as("revenue_cbp"))
+        .groupBy("o_custkey")
+        // decimal(38,0) accumulation — see the q7 comment
+        .agg(sum(col("rev_cbp").cast("decimal(38,0)")).as("rev_d"))
+        .withColumn("revenue_cbp", col("rev_d").cast("long"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_name", "revenue_cbp", "acctbal_c",
@@ -1195,15 +1212,18 @@ object RelationalQueries extends Registry {
             .as("rev_cbp"))
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy("month")
-        .agg(sum(when(col("is_promo"), col("rev_cbp")).otherwise(0L))
-            .as("promo_cbp"),
-          sum("rev_cbp").as("total_cbp"))
-        // decimal(38): promo_cbp*10000 wraps Int64 once monthly revenue
-        // passes ~9e14 cbp (~SF 3) while DuckDB's HUGEINT sum stays
-        // exact — the orders_status_pchart divergence class
-        .withColumn("promo_share_bp", expr(
-          "CAST((CAST(promo_cbp AS DECIMAL(38,0)) * 10000)" +
-            " DIV total_cbp AS BIGINT)"))
+        // decimal(38,0) end-to-end: both the sums themselves (see the
+        // q7 comment) and the *10000 share product would wrap Int64 at
+        // large SF while DuckDB's HUGEINT stays exact — the
+        // orders_status_pchart divergence class
+        .agg(sum(when(col("is_promo"), col("rev_cbp")).otherwise(0L)
+            .cast("decimal(38,0)")).as("promo_d"),
+          sum(col("rev_cbp").cast("decimal(38,0)")).as("total_d"))
+        .select(col("month"),
+          col("promo_d").cast("long").as("promo_cbp"),
+          col("total_d").cast("long").as("total_cbp"),
+          expr("CAST((promo_d * 10000) DIV total_d AS BIGINT)")
+            .as("promo_share_bp"))
         .orderBy("month")
     }),
 
@@ -1223,14 +1243,19 @@ object RelationalQueries extends Registry {
           (round(col("l_extendedprice") * 100).cast("long") *
             (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
             .as("rev_cbp"))
-        .groupBy("l_suppkey").agg(sum("rev_cbp").as("total_cbp"))
-      val mx = rev.agg(max("total_cbp").as("max_cbp"))
+        .groupBy("l_suppkey")
+        // decimal(38,0) accumulation — see the q7 comment; the max and
+        // the equality filter stay in decimal, so "attains the max" is
+        // exact at any SF
+        .agg(sum(col("rev_cbp").cast("decimal(38,0)")).as("total_d"))
+      val mx = rev.agg(max("total_d").as("max_d"))
       rev.crossJoin(broadcast(mx))
-        .filter(col("total_cbp") === col("max_cbp"))
+        .filter(col("total_d") === col("max_d"))
         .join(broadcast(Tables.supplier(s, d)
           .select("s_suppkey", "s_name")),
           col("l_suppkey") === col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_cbp")
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_d").cast("long").as("total_cbp"))
         .orderBy("s_suppkey")
     }),
 
@@ -1393,6 +1418,135 @@ object RelationalQueries extends Registry {
         .orderBy(col("totalprice_c").desc, col("o_orderdate"),
           col("o_orderkey"))
         .limit(100)
+    }),
+
+    // TPC-H Q11 (important stock identification): per-part inventory
+    // value from the lineitem-derived pseudo-partsupp (this schema has
+    // no partsupp — same derivation as Q2/Q9: per (part, supplier) the
+    // min observed unit price is the supply cost, total shipped
+    // centi-qty the stock), restricted to NATION_3 suppliers, keeping
+    // parts whose value exceeds a scalar fraction (1/10000) of the
+    // grand total — the group-by-vs-scalar-subquery HAVING shape. The
+    // per-pair product value_x (~1e11) is exact Int64; per-part and
+    // grand-total sums accumulate in decimal(38,0) so the HAVING
+    // compare never wraps at any SF, and the scalar total attaches as
+    // a 1-row broadcast, not a recomputation per group.
+    "sql_tpch_q11" -> ((s, d) => {
+      val supN = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          expr("""(CAST(round(l_extendedprice * 100) AS BIGINT) * 100)
+                  DIV CAST(round(l_quantity * 100) AS BIGINT)""")
+            .as("unit_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("unit_c").as("cost_c"), sum("qty_c").as("avail_qc"))
+      val perPart = ps
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (col("cost_c") * col("avail_qc")).as("value_x"))
+        .groupBy("l_partkey")
+        .agg(sum(col("value_x").cast("decimal(38,0)")).as("value_d"))
+      val total = perPart.agg(sum("value_d").as("total_d"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_d") * 10000 > col("total_d"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("value_d").cast("long").as("value_x"))
+        .orderBy(col("value_x").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q12 (shipping modes / order priority): this schema has no
+    // l_shipmode or commit/receipt dates, so the mode is the return
+    // flag (two of three picked, like the query's two ship modes) and
+    // "late" is shipped more than 60 days after the order date. Same
+    // two-level conditional aggregate: per mode, how many late 1996
+    // lines belonged to high-priority orders vs the rest. The date
+    // predicates push into the lineitem scan; orders joins pre-pruned
+    // to two columns.
+    "sql_tpch_q12" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderdate").cast("date").as("odate"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_orderkey"), col("l_returnflag").as("ship_mode"),
+          col("l_shipdate").cast("date").as("sdate"))
+        .filter(col("sdate") >= lit("1996-01-01").cast("date") &&
+          col("sdate") < lit("1997-01-01").cast("date"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("sdate") > date_add(col("odate"), 60))
+        .groupBy("ship_mode")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_mode")
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship): distinct-supplier count
+    // per (brand, type, size) over the lineitem-derived part-supplier
+    // pairs, excluding one brand, a type prefix, a size list, and —
+    // the NOT IN anti-join — suppliers under a complaints proxy
+    // (acctbal below $1000; the schema has no s_comment). The
+    // complaint set is key-only and broadcast, so the anti-join never
+    // shuffles the pair relation; countDistinct partial-aggregates on
+    // (brand,type,size,suppkey) before the final shuffle.
+    "sql_tpch_q16" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#13" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val complaints = Tables.supplier(s, d)
+        .filter(round(col("s_acctbal") * 100).cast("long") < 100000L)
+        .select(col("s_suppkey").as("bad_sk"))
+      Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(complaints), col("l_suppkey") === col("bad_sk"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q20 (potential part promotion): NATION_3 suppliers of
+    // 'rod' parts whose all-time shipped centi-qty (the pseudo
+    // availqty) exceeds twice what they shipped in 1996 — the nested
+    // correlated-aggregate semi-join. The original's
+    // availqty > 0.5 * qty_year comparison is cleared of its half
+    // (avail > 2 * shipped, integer-exact both engines), and the
+    // correlated agg decorrelates into ONE grouped aggregate over the
+    // rod-part lines; qualifying supplier keys then semi-join the
+    // supplier dim, so nothing wider than keys crosses a shuffle.
+    "sql_tpch_q20" -> ((s, d) => {
+      val rods = Tables.part(s, d)
+        .filter(col("p_name").contains("rod")).select("p_partkey")
+      val qualifying = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          (year(col("l_shipdate").cast("date")) === 1996).as("in96"))
+        .join(broadcast(rods), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum("qty_c").as("avail_qc"),
+          sum(when(col("in96"), col("qty_c")).otherwise(0L)).as("qc96"))
+        .filter(col("qc96") > 0L &&
+          col("avail_qc") > lit(2L) * col("qc96"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     }),
 
     // Entity-resolution candidate pairs over the part catalog: block on
@@ -2119,6 +2273,83 @@ object RelationalQueries extends Registry {
                    JOIN customer ON o_custkey = c_custkey
           ORDER BY totalprice_c DESC, o_orderdate, o_orderkey
           LIMIT 100""",
+
+    "sql_tpch_q11" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                       min((CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * 100)
+                           // CAST(round(l_quantity * 100) AS BIGINT))
+                         AS cost_c,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         AS BIGINT) AS avail_qc
+                     FROM lineitem GROUP BY 1, 2),
+          v AS (SELECT l_partkey, cost_c * avail_qc AS value_x
+                FROM ps JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'),
+          pp AS (SELECT l_partkey AS p_partkey,
+                        sum(value_x) AS value_d
+                 FROM v GROUP BY 1)
+          SELECT p_partkey, CAST(value_d AS BIGINT) AS value_x
+          FROM pp
+          WHERE value_d * 10000 > (SELECT sum(value_d) FROM pp)
+          ORDER BY value_x DESC, p_partkey""",
+
+    "sql_tpch_q12" ->
+      """SELECT l_returnflag AS ship_mode,
+                CAST(sum(CASE WHEN o_orderpriority
+                                IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority
+                                IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_returnflag IN ('A', 'R')
+           AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND CAST(l_shipdate AS DATE) >
+               CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+         GROUP BY 1 ORDER BY 1""",
+
+    "sql_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                     FROM lineitem),
+          ok AS (SELECT l_partkey, l_suppkey FROM ps
+                 WHERE l_suppkey NOT IN
+                   (SELECT s_suppkey FROM supplier
+                    WHERE CAST(round(s_acctbal * 100) AS BIGINT)
+                          < 100000))
+          SELECT p_brand, p_type, p_size,
+                 CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                   AS supplier_cnt
+          FROM ok JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#13'
+            AND p_type NOT LIKE 'PROMO%'
+            AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          GROUP BY 1, 2, 3
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "sql_tpch_q20" ->
+      """WITH psq AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                     AS BIGINT) AS avail_qc,
+                   CAST(sum(CASE WHEN year(CAST(l_shipdate AS DATE))
+                                      = 1996
+                                 THEN CAST(round(l_quantity * 100)
+                                   AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS qc96
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%rod%'
+            GROUP BY 1, 2)
+          SELECT s_suppkey, s_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+            AND s_suppkey IN (SELECT l_suppkey FROM psq
+                              WHERE qc96 > 0 AND avail_qc > 2 * qc96)
+          ORDER BY s_suppkey""",
 
     "sql_tpch_q3" ->
       """WITH c AS (SELECT c_custkey FROM customer

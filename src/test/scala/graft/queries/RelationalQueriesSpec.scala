@@ -64,6 +64,7 @@ class RelationalQueriesSpec extends SparkSpec {
         "sql_tpch_q2", "sql_tpch_q13", "sql_tpch_q18", "sql_tpch_q17",
         "sql_tpch_q7", "sql_tpch_q10", "sql_tpch_q14", "sql_tpch_q19",
         "sql_tpch_q21", "sql_tpch_q8", "sql_tpch_q9",
+        "sql_tpch_q12", "sql_tpch_q16", "sql_tpch_q20",
         "skyline_parts")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
@@ -87,10 +88,20 @@ class RelationalQueriesSpec extends SparkSpec {
     assert(pareto.contains("windowspecdefinition(bucket"), pareto)
     for (name <- Seq("sql_tpch_q3", "sql_tpch_q5", "sql_tpch_q2",
         "sql_tpch_q18", "sql_tpch_q7", "sql_tpch_q10",
-        "sql_tpch_q14")) {
+        "sql_tpch_q14", "sql_tpch_q16", "sql_tpch_q20")) {
       val plan = RelationalQueries.defs(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$name:\n$plan")
     }
+    // Q11's scalar-fraction HAVING must attach the grand total as a
+    // 1-row broadcast (crossJoin(broadcast)) — allowed nested-loop —
+    // and never recompute it per group; Q16's NOT IN complaint set
+    // must plan as a broadcast anti-join, not a shuffled one
+    val q11 = RelationalQueries.defs("sql_tpch_q11")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!q11.contains("CartesianProduct"), q11)
+    val q16 = RelationalQueries.defs("sql_tpch_q16")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(q16.contains("LeftAnti"), q16)
   }
 }
