@@ -1,0 +1,141 @@
+package graft.operators
+
+/** Raised when a payload does not parse as the claimed container. */
+final class MediaFormatException(msg: String) extends RuntimeException(msg)
+
+/** Dependency-free, pure-JVM media codecs for the two container formats
+  * that need nothing beyond byte arithmetic: binary PGM (netpbm "P5") for
+  * single-channel images and RIFF/WAVE PCM16 mono for audio. These are
+  * REAL encoders/decoders — the decoder trusts only the bytes (header
+  * dims, chunk walk), never row metadata — so the decode → stats path in
+  * [[Multimodal]] is verifiable end-to-end: a parse bug changes the
+  * emitted statistics and fails the DuckDB oracle.
+  *
+  * Formats are public specs: PGM per the netpbm format description
+  * (magic, ASCII dims/maxval with '#' comments, single whitespace, then
+  * the raster); WAV per the RIFF spec (chunk id + little-endian size,
+  * word-aligned chunks, "fmt " audio format 1 = integer PCM).
+  */
+object MediaCodec {
+
+  // ------------------------------------------------------------- PGM (P5)
+
+  /** Encode an 8-bit grayscale raster as binary PGM. */
+  def encodePgm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"raster ${pixels.length} != $width x $height")
+    val header = s"P5\n$width $height\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(pixels, 0, out, header.length, pixels.length)
+    out
+  }
+
+  /** Decode binary PGM: returns (width, height, raster). Accepts '#'
+    * comments and any whitespace mix in the header; only maxval 255
+    * (1 byte/pixel) is supported. Throws [[MediaFormatException]] on
+    * anything malformed — decode is a correctness gate, not a guess. */
+  def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    def fail(m: String): Nothing = throw new MediaFormatException(s"PGM: $m")
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5')
+      fail("missing P5 magic")
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < bytes.length) {
+        val b = bytes(pos)
+        if (b == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else if (b == ' ' || b == '\n' || b == '\r' || b == '\t') pos += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        if (v > (1 << 24)) fail("header dimension out of range")
+        pos += 1
+        any = true
+      }
+      if (!any) fail("expected integer in header")
+      v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    if (maxval != 255) fail(s"unsupported maxval $maxval")
+    pos += 1 // exactly one whitespace byte separates maxval from raster
+    if (w <= 0 || h <= 0) fail(s"degenerate dims ${w}x$h")
+    if (bytes.length - pos < w.toLong * h) fail("truncated raster")
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
+  }
+
+  // ------------------------------------------------- WAV (RIFF PCM16 mono)
+
+  /** Encode mono 16-bit PCM as a canonical 44-byte-header WAV. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // audio format: integer PCM
+      .putShort(1) // channels: mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { out.putShort(samples(i)); i += 1 }
+    out.array()
+  }
+
+  /** Decode a mono PCM16 WAV: returns (sampleRate, samples). A real
+    * chunk walk — unknown chunks (LIST, fact, …) are skipped with RIFF
+    * word alignment; requires format 1 (PCM), 1 channel, 16 bits.
+    * Throws [[MediaFormatException]] on malformed input. */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    def fail(m: String): Nothing = throw new MediaFormatException(s"WAV: $m")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String =
+      if (o + 4 <= bytes.length) new String(bytes, o, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      fail("missing RIFF/WAVE header")
+    var pos = 12
+    var rate = -1
+    var data: Array[Short] = null
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val sz = u32(pos + 4)
+      val body = pos + 8
+      if (body + sz > bytes.length) fail(s"chunk $id overruns payload")
+      if (id == "fmt ") {
+        if (sz < 16) fail("fmt chunk too short")
+        if (u16(body) != 1) fail(s"unsupported audio format ${u16(body)}")
+        if (u16(body + 2) != 1) fail(s"expected mono, got ${u16(body + 2)}")
+        if (u16(body + 14) != 16) fail(s"expected 16-bit, got ${u16(body + 14)}")
+        rate = u32(body + 4).toInt
+      } else if (id == "data") {
+        val n = (sz / 2).toInt
+        val smp = new Array[Short](n)
+        var i = 0
+        while (i < n) { smp(i) = u16(body + 2 * i).toShort; i += 1 }
+        data = smp
+      }
+      pos = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0) fail("no fmt chunk")
+    if (data == null) fail("no data chunk")
+    (rate, data)
+  }
+}

@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   * dispatch into the planner, and partition size (not row count) bounds
   * executor memory.
   *
-  * ==STUBBED DECODERS==
-  * This container has no image/audio codecs, so `FakeCodec` stands in for
-  * the real decode step: it derives deterministic "content" from the bytes
-  * (seeded by a rolling hash). The Spark-side plumbing — schema, encoder
-  * shapes, partitioning, batch iteration — is real and tested; swapping in
-  * a real codec changes only the marked function bodies.
+  * ==Codecs==
+  * Image and audio payloads are REAL containers decoded by the real
+  * pure-JVM parsers in [[MediaCodec]] (binary PGM; RIFF/WAVE PCM16 mono):
+  * the decoder trusts only the bytes — header dims, chunk walk — so a
+  * parse bug changes the emitted statistics and fails the DuckDB oracle.
+  * Video has no dependency-free pure-JVM codec, so video payloads stay
+  * opaque byte blobs: `decode` emits the byte length with a -1 sentinel
+  * for the content stats (the dead-letter row a real pipeline would
+  * route to a codec-equipped stage), and `extractFeatures` falls back to
+  * a raw-byte histogram — which is also what a dedup pass genuinely does
+  * with undecodable blobs (byte-level identity still holds).
   *
   * Scale notes: payloads never participate in a shuffle key; anything
   * grouped/joined first projects to (id, meta/features). Feature vectors
@@ -30,51 +35,47 @@ object Multimodal {
                          width: Int, height: Int, sample_rate: Int,
                          duration_ms: Long)
 
-  final case class Decoded(media_id: Long, kind: String, n_pixels: Long,
-                           mean_intensity: Double)
+  /** Decoded content statistics. `n_units` = pixels (image), samples
+    * (audio), or raw bytes (video — no codec, sum/mean are -1).
+    * `sum_units` sums pixel values 0..255 / offset samples 0..4095;
+    * `mean_mu` is the mean unit in integer micro-units (floor). */
+  final case class Decoded(media_id: Long, kind: String, n_units: Long,
+                           sum_units: Long, mean_mu: Long)
 
   final case class Features(media_id: Long, feature: Array[Float])
 
   final case class Frame(media_id: Long, frame_idx: Long, frame_ms: Long,
                          frame_bytes: Array[Byte])
 
-  // ---------------------------------------------------------------- stubs
+  /** Internal generator row (public: Spark's generated projections need
+    * constructor access to Encoder target classes). */
+  final case class GenMeta(media_id: Long, kind: String,
+                           text: String, width: Int, height: Int,
+                           sample_rate: Int, duration_ms: Long)
 
-  /** Deterministic stand-ins for real codecs (STUB — see class doc). */
-  private[operators] object FakeCodec {
-    /** FNV-1a 64-bit over the payload: the deterministic "decode seed". */
-    def contentHash(bytes: Array[Byte]): Long = {
-      var h = 0xcbf29ce484222325L
+  // -------------------------------------------------------- unit decoding
+
+  /** Decode a payload to its content "units": pixel values (image),
+    * offset samples 0..4095 (audio), or null for kinds with no codec.
+    * Shared by [[decode]] and [[extractFeatures]] so stats and features
+    * can never disagree about what the bytes contain. */
+  private def decodeUnits(m: Media): Array[Int] = m.kind match {
+    case "image" =>
+      val (w, h, pix) = MediaCodec.decodePgm(m.bytes)
+      val units = new Array[Int](w * h)
       var i = 0
-      while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
-      }
-      h
-    }
-
-    /** STUB decode: pretends the payload decodes to width*height pixels
-      * whose mean intensity is hash-derived. A real impl would call an
-      * image codec here. */
-    def decode(m: Media): Decoded = {
-      val h = contentHash(m.bytes)
-      Decoded(m.media_id, m.kind, m.width.toLong * m.height,
-        ((h >>> 8) % 256).toDouble / 255.0)
-    }
-
-    /** STUB feature extractor: bytes → dim-d unit-ish float vector seeded
-      * by the content hash (a real impl would run a vision/audio model). */
-    def features(m: Media, dim: Int): Features = {
-      var h = contentHash(m.bytes)
-      val v = new Array[Float](dim)
+      while (i < units.length) { units(i) = pix(i) & 0xff; i += 1 }
+      units
+    case "audio" =>
+      val (_, smp) = MediaCodec.decodeWavPcm16(m.bytes)
+      val units = new Array[Int](smp.length)
       var i = 0
-      while (i < dim) {
-        // xorshift64* sequence from the content hash
-        h ^= h >>> 12; h ^= h << 25; h ^= h >>> 27
-        v(i) = ((h * 0x2545F4914F6CDD1DL) >>> 40).toFloat / (1L << 24) - 0.5f
-        i += 1
-      }
-      Features(m.media_id, v)
-    }
+      // offset to unsigned 0..4095 (synthetic samples span -2048..2047)
+      // so downstream sums/means stay non-negative — integer division
+      // then floors identically in Spark and DuckDB
+      while (i < units.length) { units(i) = smp(i) + 2048; i += 1 }
+      units
+    case _ => null
   }
 
   // ------------------------------------------------------------ operators
@@ -85,17 +86,75 @@ object Multimodal {
     df.as[Media]
   }
 
-  /** Batched decode over partitions (STUB body, real plumbing). */
+  /** Batched REAL decode over partitions: parse the container from its
+    * bytes and aggregate content stats. Malformed image/audio payloads
+    * throw ([[MediaFormatException]]) — decode is a correctness gate;
+    * route known-undecodable kinds (video here) to the sentinel row
+    * instead. */
   def decode(media: Dataset[Media])(implicit spark: SparkSession): Dataset[Decoded] = {
     import spark.implicits._
-    media.mapPartitions(_.map(FakeCodec.decode))
+    media.mapPartitions(_.map { m =>
+      val units = decodeUnits(m)
+      if (units == null)
+        Decoded(m.media_id, m.kind, m.bytes.length.toLong, -1L, -1L)
+      else {
+        var sum = 0L
+        var i = 0
+        while (i < units.length) { sum += units(i); i += 1 }
+        Decoded(m.media_id, m.kind, units.length.toLong, sum,
+          sum * 1000000L / units.length)
+      }
+    })
   }
 
-  /** Batched feature extraction; output feeds Ann/Dedup embedding ops. */
+  /** Batched feature extraction: a `dim`-sample DOWNSAMPLED, DC-removed
+    * content profile over the DECODED units — resample the signal to
+    * `dim` slices (slice of unit i is `i·dim/n`) and remove the mean,
+    * the classic perceptual-fingerprint recipe (pHash-style "shrink,
+    * then drop the DC term"): identical content yields identical
+    * features regardless of container framing, while near-uniform but
+    * differently-phased content decorrelates (a plain histogram would
+    * call ALL smooth signals alike). Everything is integer arithmetic —
+    * c[j] = dim·(sum of units in slice j) − (total unit sum) — with
+    * magnitudes < 2^24, so the Float components are exact and the
+    * DuckDB oracle replays them from the generation formulas.
+    * Payloads that do not parse (and kinds with no codec) profile the
+    * raw bytes instead, so dedup over features still sees
+    * byte-identical blobs as identical. Output feeds Ann/Dedup
+    * embedding ops. */
   def extractFeatures(media: Dataset[Media], dim: Int = 64)
                      (implicit spark: SparkSession): Dataset[Features] = {
+    require(dim > 0, s"dim $dim must be positive")
     import spark.implicits._
-    media.mapPartitions(_.map(FakeCodec.features(_, dim)))
+    media.mapPartitions(_.map { m =>
+      val decoded =
+        try decodeUnits(m)
+        catch { case _: MediaFormatException => null }
+      val units =
+        if (decoded != null) decoded
+        else {
+          val raw = new Array[Int](m.bytes.length)
+          var i = 0
+          while (i < raw.length) { raw(i) = m.bytes(i) & 0xff; i += 1 }
+          raw
+        }
+      val n = units.length
+      val slice = new Array[Long](dim)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        slice((i.toLong * dim / n).toInt) += units(i)
+        total += units(i)
+        i += 1
+      }
+      val v = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        v(j) = (dim.toLong * slice(j) - total).toFloat
+        j += 1
+      }
+      Features(m.media_id, v)
+    })
   }
 
   /** Metadata-level resize: rescales dimensions, payload untouched (a real
@@ -116,7 +175,7 @@ object Multimodal {
 
   /** Sample up to `n` evenly-spaced frames per video (explode: 1 → n rows).
     * Frame timestamps are pure arithmetic on duration; frame payloads are
-    * STUB slices of the source bytes. */
+    * byte slices of the (opaque — no video codec) source payload. */
   def sampleFrames(media: Dataset[Media], n: Int)
                   (implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
@@ -137,18 +196,58 @@ object Multimodal {
   // ------------------------------------------------- synthetic media table
 
   /** Deterministic media table derived from the documents table (the
-    * harness ships no real media): payload = UTF-8 bytes of the text,
-    * kind/dimensions are arithmetic on doc_id — reproducible in SQL, so
-    * metadata-level queries stay oracle-checkable. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    * harness ships no real media files): image payloads are REAL binary
+    * PGM thumbnails (dims `id%64+16 × id%48+16`, pixels
+    * `(id%256 + 7i) mod 256`), audio payloads are REAL 16 kHz PCM16 WAVs
+    * (`id%2000+500` samples, sample_i = `(id%256·17 + 13i) mod 4096 −
+    * 2048`), video payloads are the UTF-8 text bytes (no codec — opaque
+    * blob by design). All generation arithmetic is closed-form on
+    * media_id, so the DuckDB oracle can recompute payload lengths AND
+    * per-unit content ground truth without parsing a byte — the Scala
+    * decode path must round-trip encode→bytes→parse exactly to match.
+    * The metadata width/height stay the (larger) claimed dims: decode
+    * reports what the BYTES say, which is the point. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("bytes"),
+      col("text"),
       (col("doc_id") % 640 + 16).cast("int").as("width"),
       (col("doc_id") % 480 + 16).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, lit(16000)).otherwise(lit(0))
         .cast("int").as("sample_rate"),
       (col("doc_id") % 30000 + 1000).as("duration_ms"))
+      .as[GenMeta]
+      .mapPartitions(_.map { g =>
+        val bytes = g.kind match {
+          case "image" =>
+            val pw = (g.media_id % 64 + 16).toInt
+            val ph = (g.media_id % 48 + 16).toInt
+            val seed = (g.media_id % 256).toInt
+            val pix = new Array[Byte](pw * ph)
+            var i = 0
+            while (i < pix.length) {
+              pix(i) = ((seed + 7 * i) % 256).toByte; i += 1
+            }
+            MediaCodec.encodePgm(pw, ph, pix)
+          case "audio" =>
+            val n = (g.media_id % 2000 + 500).toInt
+            val t = (g.media_id % 256).toInt * 17
+            val smp = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              smp(i) = (((t + 13 * i) % 4096) - 2048).toShort; i += 1
+            }
+            MediaCodec.encodeWavPcm16(g.sample_rate, smp)
+          case _ =>
+            g.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        Media(g.media_id, g.kind, bytes, g.width, g.height,
+          g.sample_rate, g.duration_ms)
+      })
+      .toDF()
+  }
 }

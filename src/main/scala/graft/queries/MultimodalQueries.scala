@@ -5,11 +5,13 @@ import graft.core.Tables
 import graft.operators.{Ann, Multimodal}
 
 /** Multimodal queries (operators.Multimodal). The media table is derived
-  * deterministically from documents (payload = UTF-8 text bytes, metadata
-  * arithmetic on doc_id), so metadata-level ops are replayed exactly in
-  * DuckDB via the same CTE. Ops whose output depends on the stubbed codec
-  * (decode, features) are rows-only, with determinism asserted in
-  * ScalaTest.
+  * deterministically from documents: image payloads are REAL binary PGM,
+  * audio payloads REAL PCM16 WAV (encoded and re-parsed by MediaCodec),
+  * video stays an opaque blob (no pure-JVM codec). All generation
+  * arithmetic is closed-form on media_id, so decode stats and content
+  * features are replayed exactly in DuckDB from the formulas — the
+  * Scala path must round-trip encode→bytes→parse to hash-match. Only
+  * the LSH near-dup (engine-internal seeded planes) stays rows-only.
   */
 object MultimodalQueries extends Registry {
 
@@ -39,11 +41,16 @@ object MultimodalQueries extends Registry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // REAL decode: the PGM/WAV parsers in MediaCodec read the actual
+    // payload bytes (header dims, chunk walk) and aggregate content
+    // units; the oracle recomputes the ground truth from the closed-form
+    // generation arithmetic — encode→parse must round-trip exactly.
+    // Video rows (no codec) emit byte length + -1 sentinels.
     "media_decode_stats" -> ((s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       Multimodal.decode(Multimodal.asMedia(media(s, d)))
-        .toDF().select(col("media_id"), col("kind"), col("n_pixels"),
-          round(col("mean_intensity"), 4).as("mean_intensity"))
+        .toDF().select("media_id", "kind", "n_units", "sum_units",
+          "mean_mu")
         .orderBy("media_id")
     }),
 
@@ -96,12 +103,22 @@ object MultimodalQueries extends Registry {
     }),
   )
 
-  /** DuckDB replay of mediaFromDocuments (metadata columns only). */
+  /** DuckDB replay of mediaFromDocuments: metadata columns plus the
+    * closed-form payload byte length (PGM = 9 fixed header bytes +
+    * digits of the two dims + raster; WAV = 44-byte canonical header +
+    * 2 bytes/sample; video = the UTF-8 text bytes) — the oracle never
+    * parses a payload, it recomputes what the encoder must produce. */
   private val mediaCte =
     """media AS (
          SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-                encode(text) AS bytes,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN 9
+                    + length(CAST(doc_id % 64 + 16 AS VARCHAR))
+                    + length(CAST(doc_id % 48 + 16 AS VARCHAR))
+                    + (doc_id % 64 + 16) * (doc_id % 48 + 16)
+                  WHEN 1 THEN 44 + 2 * (doc_id % 2000 + 500)
+                  ELSE octet_length(encode(text)) END AS payload_len,
                 CAST(doc_id % 640 + 16 AS INT) AS width,
                 CAST(doc_id % 480 + 16 AS INT) AS height,
                 doc_id % 30000 + 1000 AS duration_ms
@@ -111,7 +128,7 @@ object MultimodalQueries extends Registry {
     "media_stats" ->
       s"""WITH $mediaCte
           SELECT kind, count(*) AS n,
-                 CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+                 CAST(sum(payload_len) AS BIGINT) AS total_bytes,
                  CAST(sum(width::BIGINT) AS BIGINT) AS sum_w,
                  CAST(sum(height::BIGINT) AS BIGINT) AS sum_h
           FROM media GROUP BY kind ORDER BY kind""",
@@ -142,12 +159,112 @@ object MultimodalQueries extends Registry {
                  CAST(('0x' || substring(md5(media_id::VARCHAR || 'graft'),
                                          1, 4))::BIGINT % 8 AS INT) AS shard,
                  count(*) AS n_items,
-                 CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+                 CAST(sum(payload_len) AS BIGINT) AS total_bytes,
                  CAST(sum(duration_ms) AS BIGINT) AS total_ms
           FROM media GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // media_decode_stats / media_features_knn / media_near_dup:
-    // stub-codec-derived — rows only; determinism, shape, and the
-    // LSH-subset property asserted in MultimodalSpec.
+    // Ground truth for the REAL decode: per media, the unit relation is
+    // recomputed from the generation arithmetic (never from bytes) —
+    // image pixels (s + 7i) mod 256 over pw*ph, audio offset samples
+    // (17s + 13i) mod 4096 over n, video = undecodable sentinel with
+    // the true byte length. The Scala side must parse its own encoder's
+    // output to the same numbers.
+    "media_decode_stats" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+                           CAST(doc_id % 3 AS INT) AS k, text
+                    FROM documents),
+          img AS (SELECT media_id, media_id % 256 AS s,
+                         (media_id % 64 + 16) * (media_id % 48 + 16) AS n
+                  FROM d WHERE k = 0),
+          imgs AS (SELECT media_id, count(*) AS nu,
+                          sum((s + 7 * i) % 256) AS su
+                   FROM (SELECT media_id, s,
+                                unnest(range(0, n)) AS i FROM img)
+                   GROUP BY media_id),
+          aud AS (SELECT media_id, (media_id % 256) * 17 AS t,
+                         media_id % 2000 + 500 AS n
+                  FROM d WHERE k = 1),
+          auds AS (SELECT media_id, count(*) AS nu,
+                          sum((t + 13 * i) % 4096) AS su
+                   FROM (SELECT media_id, t,
+                                unnest(range(0, n)) AS i FROM aud)
+                   GROUP BY media_id),
+          vids AS (SELECT media_id,
+                          octet_length(encode(text)) AS nu
+                   FROM d WHERE k = 2)
+          SELECT media_id, 'image' AS kind, CAST(nu AS BIGINT) AS n_units,
+                 CAST(su AS BIGINT) AS sum_units,
+                 CAST(su * 1000000 // nu AS BIGINT) AS mean_mu
+          FROM imgs
+          UNION ALL
+          SELECT media_id, 'audio', CAST(nu AS BIGINT),
+                 CAST(su AS BIGINT), CAST(su * 1000000 // nu AS BIGINT)
+          FROM auds
+          UNION ALL
+          SELECT media_id, 'video', CAST(nu AS BIGINT),
+                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+          FROM vids
+          ORDER BY media_id""",
+
+    // Ground truth for the feature path: the dim-64 downsampled
+    // DC-removed profiles (c_j = 64·slice_sum − total, slice of unit i
+    // = i·64 // n) are rebuilt in SQL from the same generation
+    // arithmetic (video profiles over the text's codepoints — the
+    // corpus is ASCII, where codepoint = byte; the Scala side profiles
+    // raw bytes), then brute cosine top-3 replays exactly like
+    // ann_brute_topk. All components are integers < 2^24 — exact in
+    // FLOAT and DOUBLE, so both engines rank identical values.
+    "media_features_knn" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+                           CAST(doc_id % 3 AS INT) AS k, text
+                    FROM documents),
+          un AS (SELECT media_id,
+                        (media_id % 64 + 16) * (media_id % 48 + 16) AS n,
+                        i, ((media_id % 256) + 7 * i) % 256 AS u
+                 FROM (SELECT media_id,
+                              unnest(range(0, (media_id % 64 + 16)
+                                              * (media_id % 48 + 16)))
+                                AS i
+                       FROM d WHERE k = 0)
+                 UNION ALL
+                 SELECT media_id, media_id % 2000 + 500 AS n, i,
+                        ((media_id % 256) * 17 + 13 * i) % 4096 AS u
+                 FROM (SELECT media_id,
+                              unnest(range(0, media_id % 2000 + 500))
+                                AS i
+                       FROM d WHERE k = 1)
+                 UNION ALL
+                 SELECT media_id, length(text) AS n, i - 1 AS i,
+                        ord(substring(text, i, 1)) AS u
+                 FROM (SELECT media_id, text,
+                              unnest(range(1, length(text) + 1)) AS i
+                       FROM d WHERE k = 2)),
+          sl AS (SELECT media_id, i * 64 // n AS bin, sum(u) AS sb
+                 FROM un GROUP BY 1, 2),
+          tot AS (SELECT media_id, sum(u) AS s FROM un GROUP BY 1),
+          vecs AS (SELECT t.media_id,
+                          list((64 * COALESCE(sb, 0) - t.s)::DOUBLE
+                               ORDER BY b.bin) AS v
+                   FROM tot t
+                        CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) b
+                        LEFT JOIN sl ON sl.media_id = t.media_id
+                                    AND sl.bin = b.bin
+                   GROUP BY t.media_id),
+          q AS (SELECT media_id AS query_id, v AS qv FROM vecs
+                WHERE media_id % 100 = 0),
+          r AS (SELECT query_id, c.media_id AS cand_id,
+                       list_cosine_similarity(qv, c.v) AS s,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(qv, c.v) DESC,
+                                  c.media_id ASC) AS rank
+                FROM q CROSS JOIN vecs c
+                WHERE query_id <> c.media_id)
+          SELECT query_id, rank, cand_id, round(s, 4) AS sim
+          FROM r WHERE rank <= 3
+          ORDER BY query_id, rank""",
+
+    // media_near_dup: LSH-bucketed pairs over the (real) features use
+    // engine-internal seeded planes — rows only; the subset-of-exact
+    // and exact-dup-recall properties are asserted in MultimodalSpec.
   )
 }

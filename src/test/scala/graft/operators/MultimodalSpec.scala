@@ -5,9 +5,59 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.core.Tables
 
-/** Multimodal plumbing tests: the codec bodies are stubs, but schema,
-  * encoders, partition-batched execution, and determinism are real. */
+/** Multimodal tests: REAL PGM/WAV codecs (round-trip, byte-level header
+  * checks, malformed-input rejection) plus the Spark plumbing — schema,
+  * encoders, partition-batched execution, determinism. */
 class MultimodalSpec extends SparkSpec {
+
+  test("PGM codec round-trips and parses headers from bytes alone") {
+    val pix = Array.tabulate[Byte](6)(i => (40 * i).toByte)
+    val enc = MediaCodec.encodePgm(3, 2, pix)
+    // header is exactly what the oracle's closed-form length assumes
+    new String(enc.take(9), "US-ASCII") shouldBe "P5\n3 2\n25"
+    enc.length shouldBe 9 + 1 + 1 + 6 // "P5\n" + "3 2\n" + "255\n" + raster
+    val (w, h, out) = MediaCodec.decodePgm(enc)
+    (w, h) shouldBe ((3, 2))
+    out.toSeq shouldBe pix.toSeq
+    // comments and mixed whitespace in the header are legal PGM
+    val commented = ("P5\n# a comment\n 3\t2 # dims\n255\n"
+      .getBytes("US-ASCII") ++ pix)
+    val (w2, h2, out2) = MediaCodec.decodePgm(commented)
+    (w2, h2) shouldBe ((3, 2))
+    out2.toSeq shouldBe pix.toSeq
+    // malformed inputs are rejected, not guessed at
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodePgm("P6\n3 2\n255\n".getBytes ++ pix)
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodePgm(MediaCodec.encodePgm(3, 2, pix).dropRight(1))
+  }
+
+  test("WAV codec round-trips; chunk walk skips unknown chunks") {
+    val smp = Array.tabulate[Short](100)(i => (i * 37 - 1850).toShort)
+    val enc = MediaCodec.encodeWavPcm16(16000, smp)
+    enc.length shouldBe 44 + 200
+    new String(enc.take(4), "US-ASCII") shouldBe "RIFF"
+    val (rate, out) = MediaCodec.decodeWavPcm16(enc)
+    rate shouldBe 16000
+    out.toSeq shouldBe smp.toSeq
+    // a LIST chunk between fmt and data must be skipped (real WAVs
+    // carry metadata chunks); rebuild: RIFF hdr + fmt + LIST + data
+    val fmtAndRest = enc.drop(12)
+    val fmt = fmtAndRest.take(24)
+    val data = fmtAndRest.drop(24)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val body = fmt ++ list ++ data
+    val riff = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).array()
+    val (rate2, out2) = MediaCodec.decodeWavPcm16(riff ++ body)
+    rate2 shouldBe 16000
+    out2.toSeq shouldBe smp.toSeq
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodeWavPcm16(enc.take(30))
+  }
 
   private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
   private lazy val media =
@@ -21,14 +71,39 @@ class MultimodalSpec extends SparkSpec {
     media.filter(m => m.bytes.isEmpty).count() shouldBe 0
   }
 
-  test("decode is deterministic and covers every row") {
+  test("decode really parses the payload bytes and covers every row") {
     val a = Multimodal.decode(media).collect().sortBy(_.media_id)
     val b = Multimodal.decode(media).collect().sortBy(_.media_id)
-    a.map(_.mean_intensity).toSeq shouldBe b.map(_.mean_intensity).toSeq
+    a.map(_.sum_units).toSeq shouldBe b.map(_.sum_units).toSeq
     a.length shouldBe media.count()
     a.foreach { d =>
-      assert(d.mean_intensity >= 0.0 && d.mean_intensity <= 1.0)
-      assert(d.n_pixels > 0)
+      assert(d.n_units > 0)
+      d.kind match {
+        case "image" =>
+          // n_units comes from the PARSED P5 header, which must agree
+          // with the generator's thumbnail dims (not the metadata dims)
+          val exp = (d.media_id % 64 + 16) * (d.media_id % 48 + 16)
+          d.n_units shouldBe exp
+          // ground-truth pixel sum from the generation arithmetic
+          val s = (d.media_id % 256).toInt
+          var sum = 0L
+          var i = 0
+          while (i < exp) { sum += (s + 7 * i) % 256; i += 1 }
+          d.sum_units shouldBe sum
+          d.mean_mu shouldBe sum * 1000000L / exp
+        case "audio" =>
+          val n = d.media_id % 2000 + 500
+          d.n_units shouldBe n
+          val t = (d.media_id % 256).toInt * 17
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += (t + 13 * i) % 4096; i += 1 }
+          d.sum_units shouldBe sum
+        case _ =>
+          // video: no codec — byte length + sentinel
+          d.sum_units shouldBe -1L
+          d.mean_mu shouldBe -1L
+      }
     }
   }
 
