@@ -170,6 +170,29 @@ object Ann {
         posexplode(HashExprs.det_lsh_buckets(col("v"), bits, tables))
           .as(Seq("t", "bucket")))
 
+  /** [[Dedup.embeddingCosinePairs]]' 100 TB default path: threshold
+    * cosine pairs over DETERMINISTIC LSH candidates (md5-Rademacher
+    * planes — see [[knnGraphLshDet]]) instead of the exact all-pairs
+    * block scheme. Compute drops from Ω(n²) to Σ bucket², shuffle stays
+    * linear in n·tables, and determinism makes the whole relation —
+    * buckets, candidates, sims — replayable in SQL, so the registered
+    * form hash-checks. Emitted sims are true cosines (the relation is a
+    * SUBSET of the exact one); recall below ~0.9-sim thresholds is < 1
+    * by the sign-plane agreement bound ([[Dedup.embeddingCosinePairs]]'
+    * scaladoc) — keep the exact form as the eval oracle, this as the
+    * default, mirroring the kNN-graph role split. */
+  def cosinePairsLshDet(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int,
+                        tables: Int = 16): DataFrame = {
+    val v = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    lshDetCandidatePairs(v, bits, tables)
+      .withColumn("sim", HashExprs.cosine_sim(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** [[lshCandidatePairs]]' deterministic twin: same mechanics — the
     * bucket self-join carries only (id, table, bucket), pairs dedup
     * across tables BEFORE any vector is touched, vectors join back by

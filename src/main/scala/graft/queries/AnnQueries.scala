@@ -999,15 +999,15 @@ object AnnQueries extends Registry {
       "\nORDER BY query_id, pick_rank"
   }
 
-  /** CTE chain replaying [[knn5Det]]: integer micro-unit coordinates,
-    * md5-Rademacher sign planes (16 tables, bits = integer-exact
-    * autoBits recomputed from count(*) via printf('%b') bit length —
-    * BIGINT cast required, HUGEINT formats wrong), per-table sign-word
-    * buckets, distinct co-bucketed pairs, exact integer-bp cosine on
-    * candidates, mirrored ranking. Ends at `r` (src, dst, sim_bp,
-    * rank); shared by the ann_knn_graph and ann_knn_components
-    * oracles. */
-  private val detGraphCtes: String =
+  /** CTE chain replaying deterministic LSH candidate pairs over the
+    * embeddings table: integer micro-unit coordinates, md5-Rademacher
+    * sign planes (16 tables, bits = integer-exact autoBits recomputed
+    * from count(*) via printf('%b') bit length — BIGINT cast required,
+    * HUGEINT formats wrong), per-table sign-word buckets, distinct
+    * co-bucketed pairs. Ends at `pr` (ia < ib) with `e` (vec_id, v)
+    * in scope; shared by the kNN-graph oracles here and
+    * DedupQueries' dedup_embedding_cosine. */
+  private[queries] val detBucketPairCtes: String =
     """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           bb AS (SELECT CASE WHEN (count(*) + 255) // 256 <= 1 THEN 1
                    ELSE least(30, length(printf('%b',
@@ -1031,7 +1031,14 @@ object AnnQueries extends Registry {
                 FROM pl GROUP BY vec_id, t),
           pr AS (SELECT DISTINCT a.vec_id AS ia, c.vec_id AS ib
                  FROM b a JOIN b c USING (t, bucket)
-                 WHERE a.vec_id < c.vec_id),
+                 WHERE a.vec_id < c.vec_id)"""
+
+  /** [[detBucketPairCtes]] extended with exact integer-bp cosines on
+    * the candidates and the mirrored ranking — replays [[knn5Det]].
+    * Ends at `r` (src, dst, sim_bp, rank); shared by the
+    * ann_knn_graph and ann_knn_components oracles. */
+  private val detGraphCtes: String =
+    detBucketPairCtes + """,
           sm AS (SELECT ia, ib,
                    CAST(round(list_cosine_similarity(ea.v, eb.v) * 10000)
                      AS BIGINT) AS sim_bp

@@ -169,7 +169,22 @@ object DedupQueries extends Registry {
       Dedup.simhashDetPairs(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
 
-    "dedup_embedding_cosine" -> ((s, d) =>
+    // Embedding-cosine near-dup pairs, DEFAULT = deterministic-LSH
+    // candidates (Ann.cosinePairsLshDet: md5-Rademacher buckets, then
+    // exact cosine + threshold on candidates only) — Σ bucket² compute,
+    // linear shuffle; measured exp 0.58 vs the exact form's
+    // output-bound 1.30 (SCALE_r07). The exact all-pairs relation
+    // stays registered as _exact below — the eval oracle the LSH
+    // subset's recall is judged against (same role split as
+    // ann_knn_graph / ann_knn_graph_exact).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Ann.cosinePairsLshDet(e, "vec_id", "embedding",
+        threshold = 0.2,
+        bits = graft.operators.Ann.autoBitsExact(e.count()))
+    }),
+
+    "dedup_embedding_cosine_exact" -> ((s, d) =>
       Dedup.embeddingCosinePairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.2)),
 
@@ -1191,7 +1206,18 @@ object DedupQueries extends Registry {
           JOIN documents db ON doc_b = db.doc_id
           ORDER BY doc_a, doc_b""",
 
+    // Det-LSH candidates (shared CTE chain with the kNN-graph oracles),
+    // then the same unrounded-threshold filter as the exact form.
     "dedup_embedding_cosine" ->
+      s"""WITH ${AnnQueries.detBucketPairCtes}
+          SELECT ia AS id_a, ib AS id_b,
+                 round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+          FROM pr JOIN e ea ON pr.ia = ea.vec_id
+                  JOIN e eb ON pr.ib = eb.vec_id
+          WHERE list_cosine_similarity(ea.v, eb.v) >= 0.2
+          ORDER BY id_a, id_b""",
+
+    "dedup_embedding_cosine_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_cosine_similarity(a.v, b.v), 4) AS sim
          FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
