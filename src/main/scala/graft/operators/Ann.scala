@@ -540,18 +540,32 @@ object Ann {
     val dims = e
       .select(col("id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+    // order-free integer centroid: round-half-up of sum(xi)/cnt over the
+    // SNAPPED coordinates — a double avg() is summation-order-dependent
+    // (Spark partial-agg order varies with partitioning; DuckDB's
+    // parallel avg differs too), so a borderline .5 could flip between
+    // runs/engines. The +2e6 offset keeps the numerator non-negative
+    // (xi ∈ [-1e6, 1e6] for unit-ish coords) because Spark DIV
+    // truncates while DuckDB // floors — they differ on negatives.
     val cent = dims.groupBy("label", "dim")
-      .agg(floor(avg("x") * 1000000.0 + 0.5).cast("long").as("ci"))
+      .agg(expr("CAST((2 * (sum(xi) + 2000000 * count(1)) + count(1))" +
+        " DIV (2 * count(1)) - 2000000 AS BIGINT)").as("ci"))
     val cn = cent.groupBy(col("label"))
       .agg(sum(col("ci") * col("ci")).as("nc"))
     val vn = dims.groupBy("id").agg(sum(col("xi") * col("xi")).as("nv"))
     val dots = dims.select("id", "dim", "xi")
       .join(broadcast(cent), "dim")
       .groupBy("id", "label").agg(sum(col("xi") * col("ci")).as("dot"))
+    // zero-norm guard: affinity is DEFINED as 0 for a zero vector or
+    // all-zero centroid — Spark would cast the NaN silently to 0 while
+    // DuckDB raises on CAST(NaN AS BIGINT), so make the case explicit
+    // and identical in both engines
     val sims = dots.join(broadcast(cn), "label").join(vn, "id")
       .select(col("id"), col("label"),
-        floor(lit(10000.0) * col("dot") /
-          (sqrt(col("nv")) * sqrt(col("nc")))).cast("long").as("cell_bp"))
+        when(col("nv") > 0 && col("nc") > 0,
+          floor(lit(10000.0) * col("dot") /
+            (sqrt(col("nv")) * sqrt(col("nc")))).cast("long"))
+          .otherwise(0L).as("cell_bp"))
     val wCell = Window.partitionBy("id")
       .orderBy(col("cell_bp").desc, col("label").asc)
     val ranked = sims.withColumn("rk", row_number().over(wCell))

@@ -1202,19 +1202,22 @@ object AnnQueries extends Registry {
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                            embedding::DOUBLE[] AS v
                     FROM embeddings),
-          d AS (SELECT vec_id, label, i - 1 AS dim, v[i]::DOUBLE AS x,
+          d AS (SELECT vec_id, label, i - 1 AS dim,
                   CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
                 FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
           cent AS (SELECT label, dim,
-                     CAST(floor(avg(x) * 1000000 + 0.5) AS BIGINT) AS ci
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
                    FROM d GROUP BY 1, 2),
           cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
           vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
           dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
                  FROM d JOIN cent USING (dim) GROUP BY 1, 2),
           smc AS (SELECT vec_id, label,
-                    CAST(floor(10000.0 * dot / (sqrt(nv) * sqrt(nc)))
-                      AS BIGINT) AS cell_bp
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cell_bp
                   FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
           rkc AS (SELECT vec_id, label,
                     row_number() OVER (PARTITION BY vec_id

@@ -741,7 +741,7 @@ object DedupQueries extends Registry {
                      CAST((count(*) + 127) // 128 - 1 AS BIGINT)))) END
                    AS bits
                  FROM e),
-          d AS (SELECT vec_id, i - 1 AS dim, v[i]::DOUBLE AS x,
+          d AS (SELECT vec_id, i - 1 AS dim,
                   CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
                 FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
           pl AS (SELECT vec_id, p,
@@ -755,7 +755,8 @@ object DedupQueries extends Registry {
                       ELSE 0 END) AS cell
                 FROM pl GROUP BY vec_id),
           cent AS (SELECT cell, dim,
-                     CAST(floor(avg(x) * 1000000 + 0.5) AS BIGINT) AS ci
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
                    FROM d JOIN b USING (vec_id) GROUP BY 1, 2),
           cn AS (SELECT cell, sum(ci * ci) AS nc FROM cent GROUP BY 1),
           vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
@@ -764,8 +765,10 @@ object DedupQueries extends Registry {
                  JOIN cent ON b.cell = cent.cell AND d.dim = cent.dim
                  GROUP BY 1, 2),
           aff AS (SELECT vec_id, cell,
-                    CAST(floor(10000.0 * dot / (sqrt(nv) * sqrt(nc)))
-                      AS BIGINT) AS cent_sim_bp
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cent_sim_bp
                   FROM dt JOIN cn USING (cell) JOIN vn USING (vec_id)),
           rkd AS (SELECT vec_id, cell, cent_sim_bp,
                     row_number() OVER (PARTITION BY cell
