@@ -537,6 +537,35 @@ object Ann {
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
+    val ranked = detIvfCellRanks(e)
+    val home = ranked.filter(col("rk") === 1)
+      .select(col("id").as("cand_id"), col("label").as("cell"))
+    val probes = ranked.filter(col("rk") <= nprobe)
+      .join(e.filter(queryPred).select(col("id")), "id")
+      .select(col("id").as("query_id"), col("label").as("cell"))
+    val cand = probes.join(home, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    cand
+      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Det-IVF cell affinity ranking over (id, label, v) — shared by
+    * [[ivfDetTopK]] and [[ivfPqDetTopK]]. Returns (id, label, rk):
+    * rk 1 = the id's home cell, rk <= nprobe = its probe set. */
+  private def detIvfCellRanks(e: DataFrame): DataFrame = {
     val dims = e
       .select(col("id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
@@ -568,7 +597,30 @@ object Ann {
           .otherwise(0L).as("cell_bp"))
     val wCell = Window.partitionBy("id")
       .orderBy(col("cell_bp").desc, col("label").asc)
-    val ranked = sims.withColumn("rk", row_number().over(wCell))
+    sims.withColumn("rk", row_number().over(wCell))
+      .select("id", "label", "rk")
+  }
+
+  /** [[ivfPqTopK]]'s oracle-checkable twin — the composition that closes
+    * the last seeded-only index family: coarse cells from
+    * [[ivfDetTopK]]'s per-label integer centroids (home = rank-1
+    * affinity, queries probe the `nprobe` nearest), fine ranking from
+    * [[pqDetTopK]]'s exact integer ADC LUT over the md5-ranked
+    * codebook, computed ONLY for candidates homed in probed cells — the
+    * real IVF-PQ cost model (ADC work ∝ probed-list size, never corpus
+    * size) — then exact integer-bp cosine rerank of the ADC shortlist.
+    * Every step is integer arithmetic over md5-deterministic structure,
+    * so the full two-level index replays in SQL; the seeded
+    * [[ivfPqTopK]] stays the library path with its AnnSpec recall
+    * bound. */
+  def ivfPqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, queryPred: Column, k: Int,
+                   nprobe: Int = 2, ks: Int = 16,
+                   shortlist: Int = 32): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val ranked = detIvfCellRanks(e)
     val home = ranked.filter(col("rk") === 1)
       .select(col("id").as("cand_id"), col("label").as("cell"))
     val probes = ranked.filter(col("rk") <= nprobe)
@@ -577,9 +629,26 @@ object Ann {
     val cand = probes.join(home, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
+    val ssd = detPqSsd(e.select("id", "v"), ks)
+    val codes = ssd
+      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
+        .orderBy(col("ssd").asc, col("cw").asc)))
+      .filter(col("rk") === 1)
+      .select(col("id").as("cand_id"), col("j"), col("cw"))
+    val qlut = ssd.join(e.filter(queryPred).select(col("id")), "id")
+      .select(col("id").as("query_id"), col("j"), col("cw"),
+        col("ssd").as("lut"))
+    val adc = cand.join(codes, "cand_id")
+      .join(qlut, Seq("query_id", "j", "cw"))
+      .groupBy("query_id", "cand_id").agg(sum("lut").as("adc"))
+    val short = adc
+      .withColumn("srk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adc").asc, col("cand_id").asc)))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "cand_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_bp").desc, col("cand_id").asc)
-    cand
+    short
       .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
         "cand_id")
       .join(e.select(col("id").as("query_id"), col("v").as("qv")),
@@ -667,11 +736,14 @@ object Ann {
     * totally ordered, and the exact integer-bp cosine rerank emits the
     * final ranking — so the entire memory-bound path hash-checks.
     * `queryPred` selects probes from the same corpus. */
-  def pqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
-                queryPred: Column, k: Int, ks: Int = 16,
-                shortlist: Int = 32): DataFrame = {
-    val e = spread(embs).select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+  /** Exact integer sub-vector squared distances of every id to every
+    * codeword of the md5-ranked det codebook — ssd(id, j, cw): the
+    * candidates' assignment metric AND (restricted to query ids) the
+    * ADC lookup table, one relation. Subspaces are 8 dims wide; the
+    * codebook is the first `ks` vectors in md5("pq:"+id) order — a
+    * deterministic pseudo-random sample any engine recomputes. Shared
+    * by [[pqDetTopK]] and [[ivfPqDetTopK]]. */
+  private def detPqSsd(e: DataFrame, ks: Int): DataFrame = {
     val dims = e
       .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
       .select(col("id"), col("dim"), expr("dim DIV 8").as("j"),
@@ -684,13 +756,18 @@ object Ann {
       .select("id", "cw")
     val cb = dims.join(broadcast(seeds), "id")
       .select(col("cw"), col("j"), col("dim"), col("xi").as("ci"))
-    // ssd(id, j, cw) = exact integer squared distance of id's j-th
-    // subvector to codeword cw — the candidates' assignment metric AND
-    // (restricted to query ids) the ADC lookup table, one relation
-    val ssd = dims.join(broadcast(cb), Seq("j", "dim"))
+    dims.join(broadcast(cb), Seq("j", "dim"))
       .groupBy("id", "j", "cw")
       .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci")))
         .as("ssd"))
+  }
+
+  def pqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, ks: Int = 16,
+                shortlist: Int = 32): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val ssd = detPqSsd(e, ks)
     val codes = ssd
       .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
         .orderBy(col("ssd").asc, col("cw").asc)))
