@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{abs, col, concat, count, explode,
-  expr, lit, max, substring}
+  expr, lit, max, substring, when}
 
 import graft.core.{Memo, Tables}
 import graft.operators.Dedup
@@ -10,11 +10,12 @@ import graft.operators.Dedup
 /** Dedup queries over documents/embeddings (see operators.Dedup for the
   * algorithms and scale rationale).
   *
-  * Oracle coverage: exact dedup and n-gram Jaccard are replayed exactly in
-  * DuckDB. MinHash/SimHash signatures hinge on engine-internal hash
-  * functions, so those two get rows-only driver checks — but their outputs
-  * are *verified subsets* of the exact-Jaccard / Hamming relations, and the
-  * ScalaTest suite asserts recall against the exact operators.
+  * Oracle coverage: every registered dedup query is replayed exactly in
+  * DuckDB (exact/Jaccard directly; MinHash/SimHash/LSH/SemDeDup via
+  * their md5-deterministic recipes; the cross-method agreement audit by
+  * composing those same recipes) EXCEPT dedup_semantic, whose k-means
+  * quantizer is engine-internal — it stays rows-only with its
+  * hash-green det twin and SemDedupSpec re-derivation.
   */
 object DedupQueries extends Registry {
 
@@ -206,7 +207,16 @@ object DedupQueries extends Registry {
       val tagged = methods.map { case (m, df) =>
         df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
       }.reduce(_ unionByName _)
-      val sz = tagged.groupBy("method").agg(count(lit(1)).as("n"))
+      // method names come from a LITERAL relation, pair counts left-join
+      // onto it — a method that finds zero pairs must still emit its
+      // rows (n=0): "found nothing" has to stay distinguishable from
+      // "not run" or the audit is blind to a broken method
+      import s.implicits._
+      val names = methods.map(_._1).toDF("method")
+      val sz = names.join(
+          tagged.groupBy("method").agg(count(lit(1)).as("n")),
+          Seq("method"), "left")
+        .na.fill(0L, Seq("n"))
       val iv = tagged.as("a").join(tagged.as("b"),
           col("a.doc_a") === col("b.doc_a") &&
             col("a.doc_b") === col("b.doc_b") &&
@@ -223,7 +233,10 @@ object DedupQueries extends Registry {
         .na.fill(0L, Seq("common"))
         .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
           col("common").as("n_common"),
-          expr("(10000 * common) DIV (n_a + n_b - common)")
+          // union size 0 (both methods empty) would divide by zero:
+          // Spark DIV yields NULL where DuckDB raises — define 0
+          when(col("n_a") + col("n_b") - col("common") === 0, 0L)
+            .otherwise(expr("(10000 * common) DIV (n_a + n_b - common)"))
             .as("agree_bp"))
         .orderBy("method_a", "method_b")
     }),
@@ -644,33 +657,40 @@ object DedupQueries extends Registry {
           UNION
           SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)"""
 
+  /** md5-60 SimHash pair CTE fragment ending at `spairs` (doc_a <
+    * doc_b, hamming). CTE names are s-prefixed so the fragment composes
+    * with [[shingleCtes]] in one WITH (dedup_method_agreement). */
+  private val simhashPairCtes: String =
+    s"""st AS (SELECT doc_id, $toks AS toks FROM documents),
+        stok AS (SELECT doc_id, unnest(toks) AS tok FROM st),
+        sth AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+                    AS h
+                FROM stok),
+        sbits AS (SELECT doc_id, j,
+                    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS s
+                  FROM sth, range(0, 60) r(j) GROUP BY doc_id, j),
+        ssg AS (SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                      ELSE 0 END) AS sig
+                FROM sbits GROUP BY doc_id),
+        sbanded AS (SELECT doc_id, sig, b AS band,
+                      (sig >> (b * 15)) & 32767 AS bv
+                    FROM ssg, range(0, 4) r(b)),
+        spairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     bit_count(xor(a.sig, b.sig)) AS hamming
+                   FROM sbanded a JOIN sbanded b
+                     ON a.band = b.band AND a.bv = b.bv
+                       AND a.doc_id < b.doc_id)"""
+
   /** Shared replay of the md5-60 SimHash pair relation: dedup_simhash
     * (codegen kernel) and dedup_simhash_det (relational fan-out)
     * compute the same function and hash against this same SQL. */
   private val simhashDetSql: String =
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-        tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-        th AS (SELECT doc_id,
-                 CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
-               FROM tok),
-        bits AS (SELECT doc_id, j,
-                   sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
-                     AS s
-                 FROM th, range(0, 60) r(j) GROUP BY doc_id, j),
-        sg AS (SELECT doc_id,
-                 sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
-                     ELSE 0 END) AS sig
-               FROM bits GROUP BY doc_id),
-        banded AS (SELECT doc_id, sig, b AS band,
-                     (sig >> (b * 15)) & 32767 AS bv
-                   FROM sg, range(0, 4) r(b)),
-        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                    bit_count(xor(a.sig, b.sig)) AS hamming
-                  FROM banded a JOIN banded b
-                    ON a.band = b.band AND a.bv = b.bv
-                      AND a.doc_id < b.doc_id)
+    s"""WITH $simhashPairCtes
         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+        FROM spairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -813,6 +833,67 @@ object DedupQueries extends Registry {
           JOIN sizes sb ON i.doc_b = sb.doc_id
           WHERE 10000 * i.i >= 8000 * (sa.nsh + sb.nsh - i.i)
           ORDER BY doc_a, doc_b""",
+
+    // Composed replay of the cross-method audit: the three pair
+    // relations (shingle Jaccard >= 0.8; 32-perm/4-row banded
+    // det-MinHash verified at 0.8; md5-60 SimHash Hamming <= 3) are
+    // each byte-identical to their own oracles' recipes, then the
+    // literal method seed, union sizes, and pair-keyed intersection
+    // replay the audit arithmetic — so the agreement query itself
+    // hash-checks instead of merely composing hash-checked inputs.
+    "dedup_method_agreement" ->
+      s"""WITH $shingleCtes,
+          jp AS (SELECT doc_a, doc_b FROM inter
+                 JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+                 WHERE 10000 * i >= 8000 * (sa.nsh + sb.nsh - i)),
+          mh AS (SELECT doc_id, p,
+                   min(CAST(('0x' || substring(
+                     md5(p::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT))
+                     AS mh
+                 FROM sh, range(0, 32) r(p) GROUP BY doc_id, p),
+          bands AS (SELECT doc_id, p // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+                    FROM mh GROUP BY doc_id, p // 4),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id),
+          mp AS (SELECT i.doc_a, i.doc_b
+                 FROM inter i
+                 JOIN cand USING (doc_a, doc_b)
+                 JOIN sizes sa ON i.doc_a = sa.doc_id
+                 JOIN sizes sb ON i.doc_b = sb.doc_id
+                 WHERE 10000 * i.i >= 8000 * (sa.nsh + sb.nsh - i.i)),
+          $simhashPairCtes,
+          allp AS (SELECT 'jaccard' AS method, doc_a, doc_b FROM jp
+                   UNION ALL SELECT 'minhash', doc_a, doc_b FROM mp
+                   UNION ALL SELECT 'simhash', doc_a, doc_b
+                             FROM spairs WHERE hamming <= 3),
+          meth AS (SELECT unnest(['jaccard', 'minhash', 'simhash'])
+                     AS method),
+          sz AS (SELECT m.method, count(p.doc_a) AS n
+                 FROM meth m LEFT JOIN allp p ON m.method = p.method
+                 GROUP BY 1),
+          iv AS (SELECT a.method AS method_a, b.method AS method_b,
+                   count(*) AS common
+                 FROM allp a JOIN allp b
+                   ON a.doc_a = b.doc_a AND a.doc_b = b.doc_b
+                  AND a.method < b.method
+                 GROUP BY 1, 2)
+          SELECT sa.method AS method_a, sb.method AS method_b,
+                 CAST(sa.n AS BIGINT) AS n_a,
+                 CAST(sb.n AS BIGINT) AS n_b,
+                 CAST(coalesce(iv.common, 0) AS BIGINT) AS n_common,
+                 CAST(CASE WHEN sa.n + sb.n - coalesce(iv.common, 0) = 0
+                   THEN 0
+                   ELSE (10000 * coalesce(iv.common, 0))
+                        // (sa.n + sb.n - coalesce(iv.common, 0)) END
+                   AS BIGINT) AS agree_bp
+          FROM sz sa JOIN sz sb ON sa.method < sb.method
+          LEFT JOIN iv ON iv.method_a = sa.method
+                      AND iv.method_b = sb.method
+          ORDER BY method_a, method_b""",
 
     // dedup_simhash and dedup_simhash_det compute the SAME md5-60
     // signature (codegen kernel vs relational fan-out) and replay
