@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Ann, Dedup}
+import graft.plans.AsOfNative
+
+/** Second-decade scale evidence for the DETERMINISTIC index families —
+  * the registered 100 TB defaults: det-MinHash, det-SimHash, det-LSH
+  * kNN graph, det-IVF, det-PQ, det-IVF-PQ, det-LSH cosine pairs, plus
+  * the native as-of join as the event-family representative. Each op
+  * runs at three rungs a decade apart (base sf0.1 → ×10 → ×100:
+  * 5k/50k/500k docs, 2k/20k/200k vecs, 100k/1M/10M events), so the
+  * ladder yields TWO per-decade exponents — a trend, not a point.
+  * Synthetic copy construction matches [[ScaleTrend]]'s (suffix-disjoint
+  * token spaces, per-copy direction perturbation, disjoint user spaces)
+  * so output growth models a grown corpus, not result-size explosion.
+  *
+  * Methodology mirrors Bench/ScaleTrend: one warmup pass absorbs
+  * codegen/JIT, each measurement clears caches and GCs first, count()
+  * forces execution. Writes the markdown table to /tmp/scale_deep.md.
+  */
+object ScaleTrendDeep {
+
+  private def timed(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf01 = "/root/testdata/sf0.1"
+
+    /** n suffix-disjoint copies of the sf0.1 documents. */
+    def docsNx(n: Int): DataFrame = (0 until n).map { i =>
+      val base = Tables.documents(spark, sf01).select("doc_id", "text")
+      if (i == 0) base
+      else base.select(
+        (col("doc_id") + i * 10000000L).as("doc_id"),
+        array_join(
+          transform(split(col("text"), "\\s+"), t => concat(t, lit(s"_$i"))),
+          " ").as("text"))
+    }.reduce(_ unionByName _)
+
+    /** n direction-perturbed copies of the sf0.1 embeddings (label kept
+      * for the det-IVF cell structure; copies reuse the base labels, so
+      * cells grow in membership like a real corpus). */
+    def embNx(n: Int): DataFrame = (0 until n).map { i =>
+      val base = Tables.embeddings(spark, sf01)
+        .select("vec_id", "embedding", "label")
+      if (i == 0) base
+      else base.select(
+        (col("vec_id") + i * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => x + ((lit(i) * 31 + j) % 7).cast("float") * lit(0.03f)
+            - lit(0.09f)).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+    /** n disjoint-user copies of the sf0.1 events. */
+    def eventsNx(n: Int): DataFrame = (0 until n).map { i =>
+      val base = Tables.events(spark, sf01)
+        .select("event_id", "user_id", "ts", "event_type")
+      if (i == 0) base
+      else base.select(
+        (col("event_id") + i * 1000000000L).as("event_id"),
+        (col("user_id") + i * 1000000000L).as("user_id"),
+        col("ts"), col("event_type"))
+    }.reduce(_ unionByName _)
+
+    val docInputs = Seq(
+      ("docs_5k", docsNx(1)), ("docs_50k", docsNx(10)),
+      ("docs_500k", docsNx(100)))
+    val embInputs = Seq(
+      ("emb_2k", embNx(1)), ("emb_20k", embNx(10)),
+      ("emb_200k", embNx(100)))
+    val evInputs = Seq(
+      ("events_100k", eventsNx(1)), ("events_1m", eventsNx(10)),
+      ("events_10m", eventsNx(100)))
+
+    // the registered det defaults, parameterized exactly as the registry
+    // registers them (bits from the corpus-sized integer autoBits;
+    // queries = id % 50 == 0)
+    def minhashDet(d: DataFrame) =
+      Dedup.minhashDetPairs(d, "doc_id", "text", n = 3, numPerms = 16,
+        rowsPerBand = 4)
+    def simhashDet(d: DataFrame) =
+      Dedup.simhashMd5Pairs(d, "doc_id", "text", maxHamming = 3)
+    def knnDet(e: DataFrame) =
+      Ann.knnGraphLshDet(e, "vec_id", "embedding", k = 5,
+        bits = Ann.autoBitsExact(e.count()))
+    def ivfDet(e: DataFrame) =
+      Ann.ivfDetTopK(e, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5)
+    def pqDet(e: DataFrame) =
+      Ann.pqDetTopK(e, "vec_id", "embedding", col("id") % 50 === 0, k = 5)
+    def ivfPqDet(e: DataFrame) =
+      Ann.ivfPqDetTopK(e, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5)
+    def cosLshDet(e: DataFrame) =
+      Ann.cosinePairsLshDet(e, "vec_id", "embedding", threshold = 0.2,
+        bits = Ann.autoBitsExact(e.count()))
+    def purchases(ev: DataFrame) = ev
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    def clicks(ev: DataFrame) = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    def asofNative(ev: DataFrame) =
+      AsOfNative.join(purchases(ev), clicks(ev), Seq("user_id"), "ts", "ts",
+        Seq("click_id"))
+
+    // warmup: smallest rung through every op once (codegen/JIT)
+    val wd = docInputs.head._2.limit(200)
+    val we = embInputs.head._2.limit(200)
+    val wv = evInputs.head._2.limit(500)
+    Seq(minhashDet(wd), simhashDet(wd), knnDet(we), ivfDet(we), pqDet(we),
+      ivfPqDet(we), cosLshDet(we), asofNative(wv))
+      .foreach(df => try df.count() catch { case _: Throwable => () })
+
+    val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
+      Seq(
+        ("dedup_minhash_det", docInputs, minhashDet),
+        ("dedup_simhash", docInputs, simhashDet),
+        ("ann_knn_graph(det)", embInputs, knnDet),
+        ("ann_ivf_det_topk", embInputs, ivfDet),
+        ("ann_pq_det_topk", embInputs, pqDet),
+        ("ann_ivf_pq_det_topk", embInputs, ivfPqDet),
+        ("dedup_embedding_cosine(lsh)", embInputs, cosLshDet),
+        ("join_asof_native", evInputs, asofNative))
+
+    val sb = new StringBuilder
+    sb.append("| operator | input | rows in | secs | rows out |\n")
+    sb.append("|---|---|---:|---:|---:|\n")
+    for ((opName, inputs, op) <- ops; (label, in) <- inputs) {
+      spark.catalog.clearCache()
+      System.gc()
+      val nIn = in.count()
+      val (secs, nOut) = timed(op(in).count())
+      val row = f"| $opName | $label | $nIn | $secs%.2f | $nOut |"
+      println(row)
+      sb.append(row).append('\n')
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/scale_deep.md"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

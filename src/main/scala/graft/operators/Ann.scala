@@ -145,10 +145,9 @@ object Ann {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val pairs = lshDetCandidatePairs(v, bits, tables)
+    val pairs = lshDetPairSims(v, bits, tables)
       .select(col("id_a"), col("id_b"),
-        round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
-          .cast("long").as("sim_bp"))
+        round(col("sim") * 10000).cast("long").as("sim_bp"))
     mirroredTopK(pairs, k)
   }
 
@@ -186,26 +185,43 @@ object Ann {
                         tables: Int = 16): DataFrame = {
     val v = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    lshDetCandidatePairs(v, bits, tables)
-      .withColumn("sim", HashExprs.cosine_sim(col("va"), col("vb")))
+    lshDetPairSims(v, bits, tables)
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
       .orderBy("id_a", "id_b")
   }
 
-  /** [[lshCandidatePairs]]' deterministic twin: same mechanics — the
-    * bucket self-join carries only (id, table, bucket), pairs dedup
-    * across tables BEFORE any vector is touched, vectors join back by
-    * id — but buckets come from [[lshDetBuckets]]. */
-  private def lshDetCandidatePairs(v: DataFrame, bits: Int,
-                                   tables: Int): DataFrame = {
-    val buckets = lshDetBuckets(v, bits, tables)
+  /** Deterministic-LSH candidate pairs WITH their cosines —
+    * (id_a < id_b, sim), each pair once. The cosine is computed INSIDE
+    * the bucket self-join (vectors ride the n·tables bucket rows) and
+    * duplicates across tables collapse in a 24-byte-per-row (long,
+    * long, double) aggregation — first() is exact because every table
+    * collision computes the identical double.
+    *
+    * Why not dedup pairs first and join vectors back (the previous
+    * shape): the second-decade scale ladder measured it spilling
+    * unboundedly — the pair←vector join-back shuffles the FULL
+    * candidate-pair relation with both vectors attached (~1 KB/row; at
+    * 200k×64d that is ~300 GB of shuffle and it filled the bench
+    * host's disk), while this shape's only wide shuffle is the bucket
+    * relation itself (n·tables rows, one vector each) and the pair
+    * shuffle carries 24-byte triplets — ~20× less I/O for at most
+    * `tables`× redundant cosine evals, which are embarrassingly
+    * parallel CPU inside whole-stage codegen. Same output, same
+    * oracles. */
+  private def lshDetPairSims(v: DataFrame, bits: Int,
+                             tables: Int): DataFrame = {
+    // buckets carry the vector from the same one-pass kernel projection
+    // (no join-back): n·tables rows, one vector each
+    val buckets = v.filter(size(col("v")) > 0)
+      .select(col("id"), col("v"),
+        posexplode(HashExprs.det_lsh_buckets(col("v"), bits, tables))
+          .as(Seq("t", "bucket")))
     buckets.as("a").join(buckets.as("b"), Seq("t", "bucket"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        HashExprs.cosine_sim(col("a.v"), col("b.v")).as("sim"))
+      .groupBy("id_a", "id_b").agg(first("sim").as("sim"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
@@ -256,9 +272,10 @@ object Ann {
         col("vb").cast("array<double>").as("v"))))
     val sides = a.select(col("a_id").as("id"), lit(true).as("is_a"))
       .unionByName(b.select(col("b_id").as("id"), lit(false).as("is_a")))
-    // orient BEFORE the cosine (cosine is symmetric, so only the ids
-    // swap) — within-cohort collisions drop without paying a dot product
-    val pairs = lshDetCandidatePairs(u, bits, tables)
+    // orientation only swaps ids (cosine is symmetric); within-cohort
+    // collisions drop after the 24-byte pair-sim relation, never paying
+    // a vector shuffle
+    val pairs = lshDetPairSims(u, bits, tables)
       .join(sides.select(col("id").as("id_a"), col("is_a").as("a_is_a")),
         "id_a")
       .join(sides.select(col("id").as("id_b"), col("is_a").as("b_is_a")),
@@ -267,8 +284,7 @@ object Ann {
       .select(
         when(col("a_is_a"), col("id_a")).otherwise(col("id_b")).as("a_id"),
         when(col("a_is_a"), col("id_b")).otherwise(col("id_a")).as("b_id"),
-        round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
-          .cast("long").as("sim_bp"))
+        round(col("sim") * 10000).cast("long").as("sim_bp"))
     marginScore(pairs, k)
   }
 

@@ -101,6 +101,23 @@ object MultimodalQueries extends Registry {
         bits = graft.operators.Ann.autoBits(media(s, d).count(),
           targetBucket = 16))
     }),
+
+    // The hash-checked near-dup twin: the same banded-candidate shape
+    // over the same real content features, but on the md5-Rademacher
+    // det planes (Ann.cosinePairsLshDet) — buckets, candidates, and
+    // sims all replay in SQL from the feature-generation arithmetic.
+    // The seeded form above stays the library path (engine-internal
+    // Gaussian planes); this is the registered verification surface,
+    // mirroring the dedup_embedding_cosine role split.
+    "media_near_dup_det" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
+        .toDF().withColumnRenamed("feature", "embedding")
+      graft.operators.Ann.cosinePairsLshDet(
+        feats, "media_id", "embedding", threshold = 0.95,
+        bits = graft.operators.Ann.autoBitsExact(
+          Tables.documents(s, d).count()))
+    }),
   )
 
   /** DuckDB replay of mediaFromDocuments: metadata columns plus the
@@ -123,6 +140,47 @@ object MultimodalQueries extends Registry {
                 CAST(doc_id % 480 + 16 AS INT) AS height,
                 doc_id % 30000 + 1000 AS duration_ms
          FROM documents)"""
+
+  /** The dim-64 feature-profile CTE chain (see media_features_knn's
+    * oracle comment): ends at `vecs` (media_id, v DOUBLE[64]) with
+    * `d`, `sl` (slice sums), `tot` (total sums) in scope. Shared by
+    * media_features_knn and media_near_dup_det. */
+  private val featureCtes =
+    """d AS (SELECT doc_id AS media_id,
+                    CAST(doc_id % 3 AS INT) AS k, text
+             FROM documents),
+          un AS (SELECT media_id,
+                        (media_id % 64 + 16) * (media_id % 48 + 16) AS n,
+                        i, ((media_id % 256) + 7 * i) % 256 AS u
+                 FROM (SELECT media_id,
+                              unnest(range(0, (media_id % 64 + 16)
+                                              * (media_id % 48 + 16)))
+                                AS i
+                       FROM d WHERE k = 0)
+                 UNION ALL
+                 SELECT media_id, media_id % 2000 + 500 AS n, i,
+                        ((media_id % 256) * 17 + 13 * i) % 4096 AS u
+                 FROM (SELECT media_id,
+                              unnest(range(0, media_id % 2000 + 500))
+                                AS i
+                       FROM d WHERE k = 1)
+                 UNION ALL
+                 SELECT media_id, length(text) AS n, i - 1 AS i,
+                        ord(substring(text, i, 1)) AS u
+                 FROM (SELECT media_id, text,
+                              unnest(range(1, length(text) + 1)) AS i
+                       FROM d WHERE k = 2)),
+          sl AS (SELECT media_id, i * 64 // n AS bin, sum(u) AS sb
+                 FROM un GROUP BY 1, 2),
+          tot AS (SELECT media_id, sum(u) AS s FROM un GROUP BY 1),
+          vecs AS (SELECT t.media_id,
+                          list((64 * COALESCE(sb, 0) - t.s)::DOUBLE
+                               ORDER BY b.bin) AS v
+                   FROM tot t
+                        CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) b
+                        LEFT JOIN sl ON sl.media_id = t.media_id
+                                    AND sl.bin = b.bin
+                   GROUP BY t.media_id)"""
 
   val oracles: Map[String, String] = Map(
     "media_stats" ->
@@ -215,41 +273,7 @@ object MultimodalQueries extends Registry {
     // ann_brute_topk. All components are integers < 2^24 — exact in
     // FLOAT and DOUBLE, so both engines rank identical values.
     "media_features_knn" ->
-      """WITH d AS (SELECT doc_id AS media_id,
-                           CAST(doc_id % 3 AS INT) AS k, text
-                    FROM documents),
-          un AS (SELECT media_id,
-                        (media_id % 64 + 16) * (media_id % 48 + 16) AS n,
-                        i, ((media_id % 256) + 7 * i) % 256 AS u
-                 FROM (SELECT media_id,
-                              unnest(range(0, (media_id % 64 + 16)
-                                              * (media_id % 48 + 16)))
-                                AS i
-                       FROM d WHERE k = 0)
-                 UNION ALL
-                 SELECT media_id, media_id % 2000 + 500 AS n, i,
-                        ((media_id % 256) * 17 + 13 * i) % 4096 AS u
-                 FROM (SELECT media_id,
-                              unnest(range(0, media_id % 2000 + 500))
-                                AS i
-                       FROM d WHERE k = 1)
-                 UNION ALL
-                 SELECT media_id, length(text) AS n, i - 1 AS i,
-                        ord(substring(text, i, 1)) AS u
-                 FROM (SELECT media_id, text,
-                              unnest(range(1, length(text) + 1)) AS i
-                       FROM d WHERE k = 2)),
-          sl AS (SELECT media_id, i * 64 // n AS bin, sum(u) AS sb
-                 FROM un GROUP BY 1, 2),
-          tot AS (SELECT media_id, sum(u) AS s FROM un GROUP BY 1),
-          vecs AS (SELECT t.media_id,
-                          list((64 * COALESCE(sb, 0) - t.s)::DOUBLE
-                               ORDER BY b.bin) AS v
-                   FROM tot t
-                        CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) b
-                        LEFT JOIN sl ON sl.media_id = t.media_id
-                                    AND sl.bin = b.bin
-                   GROUP BY t.media_id),
+      s"""WITH $featureCtes,
           q AS (SELECT media_id AS query_id, v AS qv FROM vecs
                 WHERE media_id % 100 = 0),
           r AS (SELECT query_id, c.media_id AS cand_id,
@@ -262,6 +286,47 @@ object MultimodalQueries extends Registry {
           SELECT query_id, rank, cand_id, round(s, 4) AS sim
           FROM r WHERE rank <= 3
           ORDER BY query_id, rank""",
+
+    // Replays the det near-dup end-to-end: the same feature profiles,
+    // snapped to integer micro-units, hashed through the 16-table
+    // md5-Rademacher sign planes (bits = the integer-exact autoBits the
+    // Scala side computes from the corpus count), distinct co-bucketed
+    // pairs, exact cosine + threshold on candidates only.
+    "media_near_dup_det" ->
+      s"""WITH $featureCtes,
+          mb AS (SELECT CASE WHEN (count(*) + 255) // 256 <= 1 THEN 1
+                   ELSE least(30, length(printf('%b',
+                     CAST((count(*) + 255) // 256 - 1 AS BIGINT)))) END
+                   AS bits
+                 FROM d),
+          md AS (SELECT t.media_id, b.bin AS dim,
+                   CAST(floor((64 * COALESCE(sb, 0) - t.s)::DOUBLE
+                     * 1000000 + 0.5) AS BIGINT) AS xi
+                 FROM tot t
+                      CROSS JOIN (SELECT unnest(range(0, 64)) AS bin) b
+                      LEFT JOIN sl ON sl.media_id = t.media_id
+                                  AND sl.bin = b.bin),
+          mpl AS (SELECT media_id, tt, p,
+                    sum(CASE WHEN substring(md5(tt::VARCHAR || ':'
+                          || p::VARCHAR || ':' || dim::VARCHAR), 1, 1)
+                          >= '8'
+                        THEN xi ELSE -xi END) AS dot
+                  FROM md, range(0, 16) rt(tt), range(0, 30) rp(p), mb
+                  WHERE p < bits
+                  GROUP BY media_id, tt, p),
+          mbk AS (SELECT media_id, tt,
+                    sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS bucket
+                  FROM mpl GROUP BY media_id, tt),
+          mpr AS (SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+                  FROM mbk a JOIN mbk c USING (tt, bucket)
+                  WHERE a.media_id < c.media_id)
+          SELECT id_a, id_b,
+                 round(list_cosine_similarity(va.v, vb.v), 4) AS sim
+          FROM mpr JOIN vecs va ON mpr.id_a = va.media_id
+                   JOIN vecs vb ON mpr.id_b = vb.media_id
+          WHERE list_cosine_similarity(va.v, vb.v) >= 0.95
+          ORDER BY id_a, id_b""",
 
     // media_near_dup: LSH-bucketed pairs over the (real) features use
     // engine-internal seeded planes — rows only; the subset-of-exact
