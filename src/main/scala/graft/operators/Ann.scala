@@ -562,19 +562,27 @@ object Ann {
     val cand = probes.join(home, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    // exact rerank of the probed candidates: candidate vectors join by
+    // cand_id (the only vector shuffle — 1 row per probed candidate),
+    // query vectors ride in as a broadcast, and the k-bounded
+    // TopKByScore partial agg means only k rows per (query, partition)
+    // — never the queries × probed-list scored relation — cross the
+    // final shuffle. Selection is identical to the row_number window
+    // (sim_bp DESC, cand_id ASC).
+    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
     cand
       .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
         "cand_id")
-      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
+      .join(broadcast(e.filter(queryPred)
+        .select(col("id").as("query_id"), col("v").as("qv"))),
         "query_id")
-      .withColumn("sim_bp",
+      .select(col("query_id"), col("cand_id"),
         round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
-          .cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+          .cast("long").as("sim_bp"))
+      .groupBy("query_id").agg(topk(col("sim_bp"), col("cand_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("cand_id"), col("col._1").as("sim_bp"))
       .orderBy("query_id", "rank")
   }
 
@@ -646,22 +654,16 @@ object Ann {
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id").distinct()
     val ssd = detPqSsd(e.select("id", "v"), ks)
-    val codes = ssd
-      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
-        .orderBy(col("ssd").asc, col("cw").asc)))
-      .filter(col("rk") === 1)
-      .select(col("id").as("cand_id"), col("j"), col("cw"))
-    val qlut = ssd.join(e.filter(queryPred).select(col("id")), "id")
-      .select(col("id").as("query_id"), col("j"), col("cw"),
-        col("ssd").as("lut"))
-    val adc = cand.join(codes, "cand_id")
-      .join(qlut, Seq("query_id", "j", "cw"))
-      .groupBy("query_id", "cand_id").agg(sum("lut").as("adc"))
-    val short = adc
-      .withColumn("srk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("adc").asc, col("cand_id").asc)))
-      .filter(col("srk") <= shortlist)
-      .select("query_id", "cand_id")
+    val (codesW, qlutW) =
+      detPqWide(ssd, e.filter(queryPred).select(col("id")))
+    // ADC only over IVF-probed candidates: the pair relation carries
+    // 8-codeword rows (codes join) + the broadcast per-query LUT, and
+    // the shortlist partial agg bounds the shuffle — see detPqWide's
+    // scaladoc for why ADC must never be a shuffled LUT-match join
+    val pairsAdc = cand.join(codesW, "cand_id")
+      .join(broadcast(qlutW), "query_id")
+      .select(col("query_id"), col("cand_id"), adcColumn.as("adc"))
+    val short = adcShortlist(pairsAdc, shortlist)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_bp").desc, col("cand_id").asc)
     short
@@ -778,28 +780,75 @@ object Ann {
         .as("ssd"))
   }
 
+  /** Per-candidate code-word vector (codes[j] = the j-th subspace's
+    * argmin-ssd codeword, j-ascending) and per-query flattened ADC LUT
+    * (element j·m + cw = that (subspace, codeword) squared distance) —
+    * ONE ROW per id each. This is the layout that lets ADC run
+    * MAP-SIDE against a broadcast LUT: the second-decade scale ladder
+    * measured the previous (j, cw)-join form spilling >79 GB at 200k
+    * vectors, because it shuffled the q×n×m LUT-match relation — but
+    * flat ADC is by definition a per-query corpus SCAN, and a scan
+    * must be a pipelined map, never a shuffle (the FAISS cost model:
+    * LUT in registers, codes streamed). */
+  private def detPqWide(ssd: DataFrame,
+                        queryIds: DataFrame): (DataFrame, DataFrame) = {
+    val codesW = ssd
+      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
+        .orderBy(col("ssd").asc, col("cw").asc)))
+      .filter(col("rk") === 1)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cw)))," +
+        " s -> s.cw)").as("codes"))
+      .select(col("id").as("cand_id"), col("codes"))
+    val qlutW = ssd.join(queryIds, "id")
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
+        " s -> s.ssd)").as("lut"))
+      .select(col("id").as("query_id"), col("lut"))
+    (codesW, qlutW)
+  }
+
+  /** Exact integer ADC over the wide layout: adc = Σ_j lut[j·m +
+    * codes[j]] (element_at is 1-based and codewords are 1-based, so the
+    * offsets line up; m is recovered from the array sizes so undersized
+    * codebooks — corpora smaller than ks — stay correct). */
+  private def adcColumn: Column = expr(
+    """aggregate(
+         transform(codes, (c, j) ->
+           element_at(lut, CAST(j * (size(lut) DIV size(codes)) + c
+                           AS INT))),
+         CAST(0 AS BIGINT), (a, x) -> a + x)""")
+
+  /** k-bounded ADC shortlist: TopKByScore partial-aggregates per
+    * (query, map partition), so only `shortlist` rows per partition —
+    * not the q×n ADC relation — cross the one shuffle. Selection is
+    * identical to ORDER BY adc ASC, cand_id ASC LIMIT shortlist. */
+  private def adcShortlist(pairsAdc: DataFrame,
+                           shortlist: Int): DataFrame = {
+    val mink = udaf(
+      new graft.functions.CraneAggregators.TopKByScore(shortlist))
+    pairsAdc.groupBy("query_id")
+      .agg(mink(-col("adc"), col("cand_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("cand_id"))
+  }
+
   def pqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int, ks: Int = 16,
                 shortlist: Int = 32): DataFrame = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val ssd = detPqSsd(e, ks)
-    val codes = ssd
-      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
-        .orderBy(col("ssd").asc, col("cw").asc)))
-      .filter(col("rk") === 1)
-      .select(col("id").as("cand_id"), col("j"), col("cw"))
-    val qlut = ssd.join(e.filter(queryPred).select(col("id")), "id")
-      .select(col("id").as("query_id"), col("j"), col("cw"),
-        col("ssd").as("lut"))
-    val adc = codes.join(qlut, Seq("j", "cw"))
+    val (codesW, qlutW) =
+      detPqWide(ssd, e.filter(queryPred).select(col("id")))
+    // flat PQ: every query scans every candidate's codes — as a
+    // broadcast nested-loop over the tiny LUT relation, pipelined into
+    // the ADC expression and the k-bounded partial agg (no shuffle ever
+    // carries the q×n relation)
+    val pairsAdc = codesW.crossJoin(broadcast(qlutW))
       .filter(col("query_id") =!= col("cand_id"))
-      .groupBy("query_id", "cand_id").agg(sum("lut").as("adc"))
-    val short = adc
-      .withColumn("srk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("adc").asc, col("cand_id").asc)))
-      .filter(col("srk") <= shortlist)
-      .select("query_id", "cand_id")
+      .select(col("query_id"), col("cand_id"), adcColumn.as("adc"))
+    val short = adcShortlist(pairsAdc, shortlist)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_bp").desc, col("cand_id").asc)
     short
