@@ -31,7 +31,9 @@ FIXED_INPUT = {
 # explicit overrides; everything else maps by prefix below
 OVERRIDES = {
     "dedup_embedding_cosine": "embeddings",
+    "dedup_embedding_cosine_exact": "embeddings",
     "dedup_semantic": "embeddings",
+    "dedup_semantic_det": "embeddings",
     "twitter_top5": "events",
     "sql_asof_window": "events",
     "er_blocked_pairs": "part",
@@ -62,6 +64,9 @@ JUSTIFIED = {
         "eval-oracle twin of the LSH candidate paths",
     "ann_knn_graph_exact": "the exact n^2 graph, re-registered round 7 "
         "as the eval oracle; the registered default is the LSH path",
+    "dedup_embedding_cosine_exact": "the exact block-scheme pair "
+        "relation, re-registered round 8 as the eval oracle; the "
+        "registered default consumes det-LSH candidates",
     "ann_margin_bitext": "exact |A|x|B| miner kept as the oracle; "
         "ann_margin_bitext_lsh is the registered scale path",
     "ann_recall_eval": "consumes the brute-force oracle relation by "
@@ -160,7 +165,8 @@ def main():
 
     results.sort(key=lambda r: (-(r[3] if r[3] is not None else -99)))
     with open(out, "w") as f:
-        f.write("# SCALE_r07 - measured per-query scaling exponents\n\n")
+        title = out.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        f.write(f"# {title} - measured per-query scaling exponents\n\n")
         f.write(__doc__.split("Method:")[1].replace("\n", " ")
                 .strip() + "\n\n")
         f.write("Runs: " + ", ".join(
