@@ -269,6 +269,15 @@ object DedupQueries extends Registry {
 
     "dedup_components" -> ((s, d) => jaccardComps(s, d)),
 
+    // Same labels via alternating large-star/small-star contraction
+    // (Dedup.componentsTwoStar) — the O(log² n)-round path for
+    // chain-like graphs where min-label propagation's O(diameter)
+    // bound breaks down. Hash-checked against the SAME closure oracle
+    // as dedup_components: the two algorithms' equivalence is verified
+    // by the driver, not just asserted by a spec.
+    "dedup_components_twostar" -> ((s, d) =>
+      Dedup.componentsTwoStar(jaccardPairs(s, d), "doc_a", "doc_b")),
+
     // Cluster-size distribution of the near-dup components — the report
     // that says whether dedup is removing scattered pairs or collapsing
     // giant boilerplate clusters (each shape wants a different keep
@@ -989,6 +998,13 @@ object DedupQueries extends Registry {
           FROM j GROUP BY 1 ORDER BY 1""",
 
     "dedup_components" ->
+      s"""WITH RECURSIVE $closureCtes
+          SELECT a AS doc_id, min(b) AS component
+          FROM reach GROUP BY a ORDER BY doc_id""",
+
+    // identical closure oracle: two-star must produce the exact same
+    // (doc_id, component) relation as label propagation
+    "dedup_components_twostar" ->
       s"""WITH RECURSIVE $closureCtes
           SELECT a AS doc_id, min(b) AS component
           FROM reach GROUP BY a ORDER BY doc_id""",

@@ -95,6 +95,47 @@ object EventQueries extends Registry {
             <= col("exact_users") * 5).cast("long").as("within_5pct"))
         .orderBy("event_type")),
 
+    // KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002):
+    // keep the k=64 smallest 60-bit md5 hashes of the distinct keys per
+    // group; the estimator (k-1)·2^60 DIV h_(k) is replayed BIT-FOR-BIT
+    // by the DuckDB oracle — a hash-checked sketch, where the HLL in
+    // events_approx_distinct can only be flag-checked (Spark's HLL
+    // internals aren't portable). Scale shape: the distinct pass is the
+    // same shuffle countDistinct pays; the k minima come from the
+    // TopKByScore PARTIAL aggregate (score = -hash), so at most k rows
+    // per (group, partition) reach the reducer and per-group final
+    // state is 64 longs — no per-group sort of the full hash set. The
+    // numerator 63·2^60 overflows Int64, so the division runs in
+    // decimal(38,0) here and HUGEINT in the oracle, truncating
+    // identically (both operands non-negative).
+    "events_kmv_distinct" -> ((s, d) => {
+      val k = 64
+      val h = Tables.events(s, d)
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
+      h.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_users"),
+          topk(-col("h"), col("h")).as("mins"))
+        // mins is sorted by score desc = hash asc; element k is h_(k).
+        // greatest(·,1): a hash of exactly 0 (p = 2^-60 per key) must
+        // not crash either engine's division
+        .withColumn("hk",
+          greatest(try_element_at(col("mins"), lit(k))("_2"), lit(1L)))
+        .withColumn("kmv_est",
+          when(col("exact_users") < k, col("exact_users"))
+            .otherwise(expr(
+              s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                "CAST(1152921504606846976 AS DECIMAL(38,0)) AS " +
+                "DECIMAL(38,0)) div hk")))
+        .withColumn("err_bp",
+          expr("abs(kmv_est - exact_users) * 10000 div exact_users"))
+        .select("event_type", "exact_users", "kmv_est", "err_bp")
+        .orderBy("event_type")
+    }),
+
     // MERGEABLE sketch rollup — the pre-aggregated distinct-count
     // pattern at 100 TB: build one DataSketches HLL per day ONCE
     // (hll_sketch_agg), then answer any date range by UNIONING the
@@ -123,6 +164,59 @@ object EventQueries extends Registry {
           col("exact_users"),
           (abs(col("est_users") - col("exact_users")) * 100
             <= col("exact_users") * 5).cast("long").as("within_5pct"))
+        .orderBy("week")
+    }),
+
+    // KMV mergeability — the pre-aggregated distinct-count pattern with
+    // a BIT-EXACT oracle: build one 64-minimum sketch per (week, day),
+    // merge the day sketches into a weekly sketch (union the min-sets,
+    // re-take the 64 smallest — exactly the k smallest of the union,
+    // since any union minimum is a minimum of its own day), estimate
+    // from the merged kth minimum. events_hll_weekly_rollup is this
+    // rollup on DataSketches HLL (engine-internal, flag-checked); here
+    // every intermediate is md5-deterministic so the oracle replays the
+    // merged ESTIMATE itself. State: 64 longs per day, 64 per week —
+    // at 100 TB the day sketches are what you persist, and re-deriving
+    // a week / month / all-time estimate never rescans events.
+    // When the union carries < 64 hashes every contributing day was
+    // exhaustive, so the union IS the exact weekly hash set — the
+    // estimator degrades to exact, identically in both engines.
+    "events_kmv_weekly_union" -> ((s, d) => {
+      val k = 64
+      val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
+      val ev = Tables.events(s, d)
+      val h = ev.select(
+          to_date(date_trunc("week", col("ts"))).as("week"),
+          to_date(col("ts")).as("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .distinct()
+      val daily = h.groupBy("week", "day")
+        .agg(topk(-col("h"), col("h")).as("mins"))
+      val nDays = daily.groupBy("week").agg(count(lit(1)).as("n_days"))
+      val unioned = daily
+        .select(col("week"), explode(col("mins")).as("m"))
+        .select(col("week"), col("m._2").as("h"))
+        .distinct() // same user on several days = same hash in >1 sketch
+      val wk = unioned.groupBy("week")
+        .agg(count(lit(1)).as("n_union"),
+          topk(-col("h"), col("h")).as("mins"))
+        .withColumn("hk",
+          greatest(try_element_at(col("mins"), lit(k))("_2"), lit(1L)))
+      val exact = ev
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      wk.join(exact, "week").join(nDays, "week")
+        .withColumn("kmv_est",
+          when(col("n_union") < k, col("n_union"))
+            .otherwise(expr(
+              s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                "CAST(1152921504606846976 AS DECIMAL(38,0)) AS " +
+                "DECIMAL(38,0)) div hk")))
+        .withColumn("err_bp",
+          expr("abs(kmv_est - exact_users) * 10000 div exact_users"))
+        .select(col("week").cast("string").as("week"), col("n_days"),
+          col("exact_users"), col("kmv_est"), col("err_bp"))
         .orderBy("week")
     }),
 
@@ -1058,12 +1152,70 @@ object EventQueries extends Registry {
                 CAST(1 AS BIGINT) AS within_5pct
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    "events_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+                      ('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+                        ::BIGINT AS h
+                    FROM events),
+          nd AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                          AS exact_users
+                 FROM h GROUP BY 1),
+          rk AS (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY h) AS r
+                 FROM h),
+          kk AS (SELECT event_type, greatest(max(h), 1) AS hk
+                 FROM rk WHERE r <= 64 GROUP BY 1),
+          es AS (SELECT n.event_type, n.exact_users,
+                   CAST(CASE WHEN n.exact_users < 64 THEN n.exact_users
+                        ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+                             // k.hk END AS BIGINT) AS kmv_est
+                 FROM nd n JOIN kk k ON n.event_type = k.event_type)
+          SELECT event_type, exact_users, kmv_est,
+                 CAST(abs(kmv_est - exact_users) * 10000 // exact_users
+                   AS BIGINT) AS err_bp
+          FROM es ORDER BY event_type""",
+
     "events_hll_weekly_rollup" ->
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
                 count(DISTINCT ts::DATE) AS n_days,
                 count(DISTINCT user_id) AS exact_users,
                 CAST(1 AS BIGINT) AS within_5pct
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "events_kmv_weekly_union" ->
+      """WITH h AS (SELECT DISTINCT date_trunc('week', ts)::DATE AS week,
+                      ts::DATE AS day,
+                      ('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+                        ::BIGINT AS h
+                    FROM events),
+          rk AS (SELECT week, day, h,
+                   row_number() OVER (PARTITION BY week, day
+                     ORDER BY h) AS r
+                 FROM h),
+          dm AS (SELECT DISTINCT week, h FROM rk WHERE r <= 64),
+          nu AS (SELECT week, CAST(count(*) AS BIGINT) AS n_union
+                 FROM dm GROUP BY 1),
+          r2 AS (SELECT week, h,
+                   row_number() OVER (PARTITION BY week ORDER BY h) AS r
+                 FROM dm),
+          kk AS (SELECT week, greatest(max(h), 1) AS hk
+                 FROM r2 WHERE r <= 64 GROUP BY 1),
+          nd AS (SELECT date_trunc('week', ts)::DATE AS week,
+                   CAST(count(DISTINCT ts::DATE) AS BIGINT) AS n_days,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+                 FROM events GROUP BY 1),
+          es AS (SELECT nd.week, nd.n_days, nd.exact_users,
+                   CAST(CASE WHEN nu.n_union < 64 THEN nu.n_union
+                        ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+                             // kk.hk END AS BIGINT) AS kmv_est
+                 FROM nd JOIN nu ON nd.week = nu.week
+                         JOIN kk ON nd.week = kk.week)
+          SELECT strftime(week, '%Y-%m-%d') AS week, n_days, exact_users,
+                 kmv_est,
+                 CAST(abs(kmv_est - exact_users) * 10000 // exact_users
+                   AS BIGINT) AS err_bp
+          FROM es ORDER BY week""",
 
     // the oracle recomputes the published totals from scratch — equality
     // with the Spark side's merged partials is the IVM correctness proof

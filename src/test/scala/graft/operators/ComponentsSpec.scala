@@ -27,4 +27,36 @@ class ComponentsSpec extends SparkSpec {
     val m = comps(pairs)
     pairs.foreach { case (a, b) => m(a) shouldBe m(b) }
   }
+
+  private def twoStar(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.componentsTwoStar(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two-star matches propagation on a deep chain (diameter 60 > " +
+      "propagation's default round budget)") {
+    // a 61-node path: min-label propagation advances one hop per round
+    // and would need 60 rounds; the star contraction collapses it in a
+    // logarithmic handful. Descending ids exercise the non-trivial
+    // orientation.
+    val pairs = (1L to 60L).map(i => (100L - i, 101L - i))
+    twoStar(pairs) shouldBe (40L to 100L).map(_ -> 40L).toMap
+  }
+
+  test("two-star matches propagation on mixed clusters, self-pairs " +
+      "and duplicates") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (4L, 6L), (6L, 8L), (2L, 9L),
+      (10L, 11L), (12L, 12L), (8L, 4L))
+    twoStar(pairs) shouldBe comps(pairs)
+  }
+
+  test("two-star matches propagation on a pseudo-random graph") {
+    // deterministic LCG pairs over 200 ids: plenty of merges, several
+    // components, no dependence on java.util.Random defaults
+    var x = 7L
+    def next(): Long = { x = (x * 1103515245L + 12345L) % 997L; x % 200L }
+    val pairs = Seq.fill(150)((next(), next())).filter(p => p._1 != p._2)
+    twoStar(pairs) shouldBe comps(pairs)
+  }
 }
