@@ -81,6 +81,20 @@ object ScaleTrendDeep {
         col("ts"), col("event_type"))
     }.reduce(_ unionByName _)
 
+    /** n-node path graph: the adversarial case for min-label
+      * propagation (diameter = n-1, one round per hop — structurally
+      * excluded from this ladder), and exactly the shape two-star's
+      * logarithmic round bound is for: each large-star round halves
+      * every remaining distance to the component minimum. */
+    def chainPairs(n: Long): DataFrame =
+      spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+
+    val chainInputs = Seq(
+      ("chain_10k", chainPairs(10000L)),
+      ("chain_100k", chainPairs(100000L)),
+      ("chain_1m", chainPairs(1000000L)))
+
     val docInputs = Seq(
       ("docs_5k", docsNx(1)), ("docs_50k", docsNx(10)),
       ("docs_500k", docsNx(100)))
@@ -127,7 +141,8 @@ object ScaleTrendDeep {
     val we = embInputs.head._2.limit(200)
     val wv = evInputs.head._2.limit(500)
     Seq(minhashDet(wd), simhashDet(wd), knnDet(we), ivfDet(we), pqDet(we),
-      ivfPqDet(we), cosLshDet(we), asofNative(wv))
+      ivfPqDet(we), cosLshDet(we), asofNative(wv),
+      Dedup.componentsTwoStar(chainPairs(100L), "a", "b"))
       .foreach(df => try df.count() catch { case _: Throwable => () })
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
@@ -139,12 +154,20 @@ object ScaleTrendDeep {
         ("ann_pq_det_topk", embInputs, pqDet),
         ("ann_ivf_pq_det_topk", embInputs, ivfPqDet),
         ("dedup_embedding_cosine(lsh)", embInputs, cosLshDet),
-        ("join_asof_native", evInputs, asofNative))
+        ("join_asof_native", evInputs, asofNative),
+        ("components_twostar(chain)", chainInputs,
+          d => Dedup.componentsTwoStar(d, "a", "b")))
 
+    // subset filter for iterating on one family without the full
+    // ~20-minute ladder (comma-separated op-name prefixes)
+    val deepOnly = sys.env.get("SPARK_GRAFT_DEEP_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")
     sb.append("|---|---|---:|---:|---:|\n")
-    for ((opName, inputs, op) <- ops; (label, in) <- inputs) {
+    for ((opName, inputs, op) <- ops
+           if deepOnly.forall(_.exists(opName.startsWith));
+         (label, in) <- inputs) {
       spark.catalog.clearCache()
       System.gc()
       val nIn = in.count()
