@@ -433,6 +433,45 @@ object RelationalQueries extends Registry {
         .orderBy("l_returnflag")
     }),
 
+    // Sampling-based quantile estimation with an exact error audit —
+    // the 100 TB quantile pattern: ranking the full relation per group
+    // (what stats_percentiles does) needs a per-group sort of
+    // everything; a deterministic md5 1/16 sample ranks 1/16 of it and
+    // the estimate's error is MEASURED, not assumed. Everything is
+    // engine-portable (md5 membership rule, integer cents, rank picks),
+    // so unlike t-digest/GK sketches the sampled estimate itself
+    // hash-matches the oracle. err_bp columns are the audit: basis
+    // points of relative error per quantile, integer division.
+    "stats_sampled_percentiles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        conv(substring(md5(concat_ws("_", col("l_orderkey"),
+          col("l_linenumber"), lit("pctl"))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      def picks(df: org.apache.spark.sql.DataFrame, suffix: String) = {
+        val w = Window.partitionBy("l_returnflag").orderBy("cents")
+        def pick(p: Double) =
+          max(when(col("rn") === ceil(col("n") * p), col("cents")))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("l_returnflag")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as(s"n_$suffix"),
+            pick(0.5).as(s"p50_$suffix"), pick(0.9).as(s"p90_$suffix"),
+            pick(0.99).as(s"p99_$suffix"))
+      }
+      picks(li, "exact")
+        .join(picks(li.filter(col("h") % 256 < 16), "sample"),
+          "l_returnflag")
+        .withColumn("err50_bp",
+          expr("abs(p50_sample - p50_exact) * 10000 div p50_exact"))
+        .withColumn("err90_bp",
+          expr("abs(p90_sample - p90_exact) * 10000 div p90_exact"))
+        .withColumn("err99_bp",
+          expr("abs(p99_sample - p99_exact) * 10000 div p99_exact"))
+        .orderBy("l_returnflag")
+    }),
+
     // Custom typed Aggregator through the udaf() surface (SURVEY §2.7:
     // the reference's App join/mergeCache pair): quantity-weighted mean
     // price. The oracle is the plain SQL ratio — the custom accumulator
@@ -1611,6 +1650,51 @@ object RelationalQueries extends Registry {
                 max(CASE WHEN rn = ceil(0.9 * n) THEN l_extendedprice END) AS p90,
                 max(CASE WHEN rn = ceil(0.99 * n) THEN l_extendedprice END) AS p99
          FROM r GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "stats_sampled_percentiles" ->
+      """WITH li AS (SELECT l_returnflag,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                ('0x' || substring(md5(l_orderkey::VARCHAR || '_' ||
+                   l_linenumber::VARCHAR || '_' || 'pctl'), 1, 15))
+                  ::BIGINT AS h
+              FROM lineitem),
+          r AS (SELECT l_returnflag, cents,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY cents) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM li),
+          ex AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_exact,
+                   max(CASE WHEN rn = ceil(0.5 * n) THEN cents END)
+                     AS p50_exact,
+                   max(CASE WHEN rn = ceil(0.9 * n) THEN cents END)
+                     AS p90_exact,
+                   max(CASE WHEN rn = ceil(0.99 * n) THEN cents END)
+                     AS p99_exact
+                 FROM r GROUP BY 1),
+          r2 AS (SELECT l_returnflag, cents,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+                 FROM li WHERE h % 256 < 16),
+          sm AS (SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_sample,
+                   max(CASE WHEN rn = ceil(0.5 * n) THEN cents END)
+                     AS p50_sample,
+                   max(CASE WHEN rn = ceil(0.9 * n) THEN cents END)
+                     AS p90_sample,
+                   max(CASE WHEN rn = ceil(0.99 * n) THEN cents END)
+                     AS p99_sample
+                 FROM r2 GROUP BY 1)
+          SELECT e.l_returnflag, n_exact, p50_exact, p90_exact, p99_exact,
+                 n_sample, p50_sample, p90_sample, p99_sample,
+                 CAST(abs(p50_sample - p50_exact) * 10000 // p50_exact
+                   AS BIGINT) AS err50_bp,
+                 CAST(abs(p90_sample - p90_exact) * 10000 // p90_exact
+                   AS BIGINT) AS err90_bp,
+                 CAST(abs(p99_sample - p99_exact) * 10000 // p99_exact
+                   AS BIGINT) AS err99_bp
+          FROM ex e JOIN sm s ON e.l_returnflag = s.l_returnflag
+          ORDER BY e.l_returnflag""",
 
     "join_broadcast_agg" ->
       """SELECT c_mktsegment, count(*) AS cnt,
