@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{abs, col, concat, count, explode,
-  expr, lit, max, substring, when}
+  expr, lit, max, substring, sum, when}
 
 import graft.core.{Memo, Tables}
 import graft.operators.Dedup
@@ -268,6 +268,32 @@ object DedupQueries extends Registry {
         prebuiltPrefix = Some(prefix08(s, d)))),
 
     "dedup_components" -> ((s, d) => jaccardComps(s, d)),
+
+    // The business readout of the whole dedup pipeline: per-source
+    // kept/dropped docs and tokens under keep-the-representative
+    // (keep = singleton, or component minimum). This is the number a
+    // pipeline owner actually reports — "dedup saves X bp of training
+    // tokens from source Y" — and it composes two memoized relations
+    // (component labels + token counts) with one partial agg to
+    // #sources rows, so it is free at any scale once dedup itself ran.
+    "corpus_dedup_savings" -> ((s, d) => {
+      val TF = graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("nt"))
+      docs.join(jaccardComps(s, d), Seq("doc_id"), "left")
+        .withColumn("dropped",
+          (col("component").isNotNull &&
+            col("component") =!= col("doc_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          sum(col("dropped")).as("n_dropped_docs"),
+          sum(col("dropped") * col("nt")).as("tokens_dropped"))
+        .withColumn("savings_bp",
+          expr("tokens_dropped * 10000 div n_tokens"))
+        .orderBy("source")
+    }),
 
     // Same labels via alternating large-star/small-star contraction
     // (Dedup.componentsTwoStar) — the O(log² n)-round path for
@@ -1001,6 +1027,24 @@ object DedupQueries extends Registry {
       s"""WITH RECURSIVE $closureCtes
           SELECT a AS doc_id, min(b) AS component
           FROM reach GROUP BY a ORDER BY doc_id""",
+
+    "corpus_dedup_savings" ->
+      s"""WITH RECURSIVE $closureCtes,
+          cc AS (SELECT a AS doc_id, min(b) AS component
+                 FROM reach GROUP BY a),
+          f AS (SELECT d.source, len(t.toks)::BIGINT AS nt,
+                  CASE WHEN cc.component IS NOT NULL
+                        AND cc.component <> t.doc_id
+                       THEN 1 ELSE 0 END AS dropped
+                FROM t JOIN documents d ON t.doc_id = d.doc_id
+                LEFT JOIN cc ON t.doc_id = cc.doc_id)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nt) AS BIGINT) AS n_tokens,
+                 CAST(sum(dropped) AS BIGINT) AS n_dropped_docs,
+                 CAST(sum(dropped * nt) AS BIGINT) AS tokens_dropped,
+                 CAST(sum(dropped * nt) * 10000 // sum(nt) AS BIGINT)
+                   AS savings_bp
+          FROM f GROUP BY source ORDER BY source""",
 
     // identical closure oracle: two-star must produce the exact same
     // (doc_id, component) relation as label propagation

@@ -12,6 +12,47 @@ import graft.functions.{TextFunctions => TF}
 object TextQueries extends Registry {
 
   val defs: Map[String, QueryFn] = Map(
+    // Feature hashing (the hashing trick, Weinberger et al. 2009):
+    // project each source's bag-of-words into a FIXED 64-dim signed
+    // profile — dim = md5(token) % 64, sign = md5 parity — then compare
+    // sources by integer cosine. The point at 100 TB: a vocabulary-free
+    // text embedding with constant-size per-group state (64 longs, like
+    // the KMV sketch) and no vocabulary shuffle — the profile build is
+    // one partial-aggregated groupBy over (source, dim), and the
+    // pairwise stage touches #sources × 64 rows, never tokens. Every
+    // step is md5/integer so the oracle replays the cosines exactly
+    // (the ann_label_similarity float pattern: integer dots + one
+    // final floor(1e4·dot/√·√)).
+    "text_hashing_trick" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("tok"))
+      val f = tok.select(col("source"),
+          conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+            .as("h"))
+        .select(col("source"), (col("h") % 64).as("dim"),
+          when(col("h") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      val prof = f.groupBy("source", "dim").agg(sum("sgn").as("v"))
+      // nn = 0 (every signed count cancelling) would divide by zero —
+      // NaN->0L here but a CAST error in DuckDB; filter symmetrically
+      val norms = prof.groupBy("source")
+        .agg(sum(col("v") * col("v")).as("nn")).filter(col("nn") > 0)
+      val a = prof.select(col("source").as("sa"), col("dim"),
+        col("v").as("va"))
+      val b = prof.select(col("source").as("sb"), col("dim"),
+        col("v").as("vb"))
+      a.join(b, Seq("dim")).filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(sum(col("va") * col("vb")).as("dot"))
+        .join(broadcast(norms.select(col("source").as("sa"),
+          col("nn").as("na"))), "sa")
+        .join(broadcast(norms.select(col("source").as("sb"),
+          col("nn").as("nb"))), "sb")
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          floor(lit(10000.0) * col("dot") /
+            (sqrt(col("na")) * sqrt(col("nb")))).cast("long")
+            .as("sim_bp"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
@@ -919,6 +960,31 @@ object TextQueries extends Registry {
     """list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"""
 
   val oracles: Map[String, String] = Map(
+    "text_hashing_trick" ->
+      s"""WITH t AS (SELECT source, unnest($toks) AS tok FROM documents),
+          hh AS (SELECT source,
+                   ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+                 FROM t),
+          f AS (SELECT source, h % 64 AS dim,
+                  CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn
+                FROM hh),
+          prof AS (SELECT source, dim, CAST(sum(sgn) AS BIGINT) AS v
+                   FROM f GROUP BY 1, 2),
+          norms AS (SELECT source, sum(v * v) AS nn
+                    FROM prof GROUP BY 1 HAVING sum(v * v) > 0),
+          dots AS (SELECT a.source AS sa, b.source AS sb,
+                     sum(a.v * b.v) AS dot
+                   FROM prof a
+                   JOIN prof b ON a.dim = b.dim AND a.source < b.source
+                   GROUP BY 1, 2)
+          SELECT sa AS source_a, sb AS source_b,
+                 CAST(floor(10000.0 * dot /
+                   (sqrt(na.nn) * sqrt(nb.nn))) AS BIGINT) AS sim_bp
+          FROM dots
+          JOIN norms na ON dots.sa = na.source
+          JOIN norms nb ON dots.sb = nb.source
+          ORDER BY source_a, source_b""",
+
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
           sh AS (SELECT DISTINCT doc_id,
