@@ -75,15 +75,18 @@ object Bench {
       "ann_brute_topk", "ann_hard_negatives", "ann_knn_graph_exact",
       "ann_margin_bitext", "ann_recall_eval", "ann_knn_classify",
       "ann_label_propagation", "dedup_ngram_jaccard",
-      "dedup_embedding_cosine_exact")
+      "dedup_embedding_cosine_exact", "media_features_knn")
     val quadGate = sys.env.get("SPARK_GRAFT_BENCH_QUAD_GATE") match {
       case Some("0") => false
       case Some("1") => true
       case _ =>
-        val docs =
-          try spark.read.parquet(s"$sfDir/documents.parquet").count()
+        def rows(t: String): Long =
+          try spark.read.parquet(s"$sfDir/$t.parquet").count()
           catch { case _: Throwable => 0L }
-        docs > 50000L
+        // both envelopes: the document-family oracles (jaccard, media
+        // feature kNN) scale with documents, the ann_* ones with
+        // embeddings
+        rows("documents") > 50000L || rows("embeddings") > 20000L
     }
     val selected =
       if (!quadGate) preselected

@@ -553,15 +553,7 @@ object Ann {
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
-    val ranked = detIvfCellRanks(e)
-    val home = ranked.filter(col("rk") === 1)
-      .select(col("id").as("cand_id"), col("label").as("cell"))
-    val probes = ranked.filter(col("rk") <= nprobe)
-      .join(e.filter(queryPred).select(col("id")), "id")
-      .select(col("id").as("query_id"), col("label").as("cell"))
-    val cand = probes.join(home, "cell")
-      .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
+    val cand = detIvfCandidates(e, queryPred, nprobe)
     // exact rerank of the probed candidates: candidate vectors join by
     // cand_id (the only vector shuffle — 1 row per probed candidate),
     // query vectors ride in as a broadcast, and the k-bounded
@@ -584,6 +576,26 @@ object Ann {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("cand_id"), col("col._1").as("sim_bp"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Det-IVF probed candidate pairs over (id, label, v): homes every
+    * vector to its rk=1 cell, probes the query set's `nprobe` nearest
+    * cells, and joins the two on cell — the (query_id, cand_id)
+    * relation BOTH det-IVF families rerank. Factored so probe
+    * semantics (tie handling, self-exclusion, dedup) cannot drift
+    * between [[ivfDetTopK]] and [[ivfPqDetTopK]], whose oracles share
+    * the one DuckDB cell CTE chain. */
+  private def detIvfCandidates(e: DataFrame, queryPred: Column,
+                               nprobe: Int): DataFrame = {
+    val ranked = detIvfCellRanks(e)
+    val home = ranked.filter(col("rk") === 1)
+      .select(col("id").as("cand_id"), col("label").as("cell"))
+    val probes = ranked.filter(col("rk") <= nprobe)
+      .join(e.filter(queryPred).select(col("id")), "id")
+      .select(col("id").as("query_id"), col("label").as("cell"))
+    probes.join(home, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
   }
 
   /** Det-IVF cell affinity ranking over (id, label, v) — shared by
@@ -644,15 +656,7 @@ object Ann {
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
-    val ranked = detIvfCellRanks(e)
-    val home = ranked.filter(col("rk") === 1)
-      .select(col("id").as("cand_id"), col("label").as("cell"))
-    val probes = ranked.filter(col("rk") <= nprobe)
-      .join(e.filter(queryPred).select(col("id")), "id")
-      .select(col("id").as("query_id"), col("label").as("cell"))
-    val cand = probes.join(home, "cell")
-      .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
+    val cand = detIvfCandidates(e, queryPred, nprobe)
     val ssd = detPqSsd(e.select("id", "v"), ks)
     val (codesW, qlutW) =
       detPqWide(ssd, e.filter(queryPred).select(col("id")))

@@ -68,7 +68,14 @@ object MediaCodec {
     val h = readInt()
     val maxval = readInt()
     if (maxval != 255) fail(s"unsupported maxval $maxval")
-    pos += 1 // exactly one whitespace byte separates maxval from raster
+    // exactly one whitespace byte separates maxval from raster — and it
+    // must BE whitespace: consuming an arbitrary byte here would shift
+    // the raster by one and emit wrong pixel stats instead of failing
+    if (pos >= bytes.length ||
+        !(bytes(pos) == ' ' || bytes(pos) == '\n' ||
+          bytes(pos) == '\r' || bytes(pos) == '\t'))
+      fail("maxval not followed by a whitespace separator")
+    pos += 1
     if (w <= 0 || h <= 0) fail(s"degenerate dims ${w}x$h")
     if (bytes.length - pos < w.toLong * h) fail("truncated raster")
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))

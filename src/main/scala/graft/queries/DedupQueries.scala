@@ -290,8 +290,12 @@ object DedupQueries extends Registry {
           sum("nt").as("n_tokens"),
           sum(col("dropped")).as("n_dropped_docs"),
           sum(col("dropped") * col("nt")).as("tokens_dropped"))
+        // a source of all-empty docs has n_tokens = 0: define savings
+        // as 0 instead of dividing by zero (Spark ANSI throws, DuckDB
+        // errors — the dedup_method_agreement guard class)
         .withColumn("savings_bp",
-          expr("tokens_dropped * 10000 div n_tokens"))
+          expr("CASE WHEN n_tokens > 0 " +
+            "THEN tokens_dropped * 10000 div n_tokens ELSE 0 END"))
         .orderBy("source")
     }),
 
@@ -1042,8 +1046,9 @@ object DedupQueries extends Registry {
                  CAST(sum(nt) AS BIGINT) AS n_tokens,
                  CAST(sum(dropped) AS BIGINT) AS n_dropped_docs,
                  CAST(sum(dropped * nt) AS BIGINT) AS tokens_dropped,
-                 CAST(sum(dropped * nt) * 10000 // sum(nt) AS BIGINT)
-                   AS savings_bp
+                 CAST(CASE WHEN sum(nt) > 0
+                      THEN sum(dropped * nt) * 10000 // sum(nt)
+                      ELSE 0 END AS BIGINT) AS savings_bp
           FROM f GROUP BY source ORDER BY source""",
 
     // identical closure oracle: two-star must produce the exact same

@@ -110,14 +110,15 @@ object EventQueries extends Registry {
     // identically (both operands non-negative).
     "events_kmv_distinct" -> ((s, d) => {
       val k = 64
-      val h = Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val h = ev
         .select(col("event_type"),
           conv(substring(md5(col("user_id").cast("string")), 1, 15),
             16, 10).cast("long").as("h"))
         .distinct()
       val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
-      h.groupBy("event_type")
-        .agg(count(lit(1)).as("exact_users"),
+      val sk = h.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hashes"),
           topk(-col("h"), col("h")).as("mins"))
         // mins is sorted by score desc = hash asc; element k is h_(k).
         // greatest(·,1): a hash of exactly 0 (p = 2^-60 per key) must
@@ -125,11 +126,17 @@ object EventQueries extends Registry {
         .withColumn("hk",
           greatest(try_element_at(col("mins"), lit(k))("_2"), lit(1L)))
         .withColumn("kmv_est",
-          when(col("exact_users") < k, col("exact_users"))
+          when(col("n_hashes") < k, col("n_hashes"))
             .otherwise(expr(
               s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * " +
                 "CAST(1152921504606846976 AS DECIMAL(38,0)) AS " +
                 "DECIMAL(38,0)) div hk")))
+      // the audit baseline is TRUE distinct users (like the weekly
+      // twin), not distinct 60-bit hashes — an md5 collision must show
+      // up as estimator error, not silently deflate the ground truth
+      val nd = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      sk.join(nd, "event_type")
         .withColumn("err_bp",
           expr("abs(kmv_est - exact_users) * 10000 div exact_users"))
         .select("event_type", "exact_users", "kmv_est", "err_bp")
@@ -1157,8 +1164,7 @@ object EventQueries extends Registry {
                       ('0x' || substring(md5(user_id::VARCHAR), 1, 15))
                         ::BIGINT AS h
                     FROM events),
-          nd AS (SELECT event_type, CAST(count(*) AS BIGINT)
-                          AS exact_users
+          nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes
                  FROM h GROUP BY 1),
           rk AS (SELECT event_type, h,
                    row_number() OVER (PARTITION BY event_type
@@ -1166,11 +1172,16 @@ object EventQueries extends Registry {
                  FROM h),
           kk AS (SELECT event_type, greatest(max(h), 1) AS hk
                  FROM rk WHERE r <= 64 GROUP BY 1),
-          es AS (SELECT n.event_type, n.exact_users,
-                   CAST(CASE WHEN n.exact_users < 64 THEN n.exact_users
+          nd AS (SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+                 FROM events GROUP BY 1),
+          es AS (SELECT n.event_type, nd.exact_users,
+                   CAST(CASE WHEN n.n_hashes < 64 THEN n.n_hashes
                         ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
                              // k.hk END AS BIGINT) AS kmv_est
-                 FROM nd n JOIN kk k ON n.event_type = k.event_type)
+                 FROM nh n
+                 JOIN kk k ON n.event_type = k.event_type
+                 JOIN nd ON n.event_type = nd.event_type)
           SELECT event_type, exact_users, kmv_est,
                  CAST(abs(kmv_est - exact_users) * 10000 // exact_users
                    AS BIGINT) AS err_bp

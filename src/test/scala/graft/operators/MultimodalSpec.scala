@@ -30,6 +30,11 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decodePgm("P6\n3 2\n255\n".getBytes ++ pix)
     an[MediaFormatException] should be thrownBy
       MediaCodec.decodePgm(MediaCodec.encodePgm(3, 2, pix).dropRight(1))
+    // maxval followed by a non-whitespace byte: rejecting it (rather
+    // than consuming it as the separator) prevents a one-byte raster
+    // shift that would silently emit wrong pixel stats
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodePgm("P5\n3 2\n255".getBytes("US-ASCII") ++ pix)
   }
 
   test("WAV codec round-trips; chunk walk skips unknown chunks") {
@@ -57,6 +62,23 @@ class MultimodalSpec extends SparkSpec {
     out2.toSeq shouldBe smp.toSeq
     an[MediaFormatException] should be thrownBy
       MediaCodec.decodeWavPcm16(enc.take(30))
+  }
+
+  test("fixture corpus satisfies the media-feature oracle " +
+      "preconditions (pure ASCII, under 64 KB per doc)") {
+    // the featureCtes oracle profiles ord(substring(text, i, 1)) per
+    // CHARACTER while Multimodal.extractFeatures profiles raw UTF-8
+    // BYTES — they agree only while every document is pure ASCII; and
+    // the Float feature components are exact only while
+    // 255 * byte_len < 2^24 (docs under ~65 KB). A regenerated corpus
+    // that breaks either assumption should fail HERE, with the cause
+    // named, not as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions.{col, octet_length}
+    import org.apache.spark.sql.{functions => F}
+    Tables.documents(spark, sfDir)
+      .filter(F.length(col("text")) =!= octet_length(col("text")) ||
+        octet_length(col("text")) >= 65536)
+      .count() shouldBe 0L
   }
 
   private implicit lazy val s: org.apache.spark.sql.SparkSession = spark
