@@ -415,9 +415,14 @@ object Corpus {
     * so the map-side combine collapses every (query, doc) group locally
     * and only n_q × n_d pre-summed rows cross the scoring shuffle
     * (measured 7.1 s → 1.5 s at sf0.1, where the synthetic ~31-term
-    * vocabulary makes the fan-out ~21M rows); the query split
-    * broadcasts (a shuffled term join would hash a handful of term
-    * keys — pure skew).
+    * vocabulary makes the fan-out ~21M rows). The two corpus-
+    * proportional relations — the per-term document frequencies and
+    * the query term set (which in the RAG shape is a fixed FRACTION of
+    * the corpus, so it grows without bound) — carry NO broadcast hint:
+    * AQE runtime-broadcasts them while their measured post-shuffle size
+    * is small and falls back to a shuffled (skew-splittable) join when
+    * it isn't, so no plan hint can OOM the driver at 100× the data.
+    * Only the 1-row corpus-stats relation is hint-broadcast.
     *
     * Output: (query_id, rank 1..k, doc_id, score_u), total order. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
@@ -448,7 +453,7 @@ object Corpus {
       .distinct()
     val contribDt = tf
       .join(dlen, "doc_id")
-      .join(broadcast(dfr), "term")
+      .join(dfr, "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs").cast("double") - col("df") + lit(0.5))
@@ -469,7 +474,7 @@ object Corpus {
         col("doc_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_u").desc, col("doc_id").asc)
-    contribDt.join(broadcast(qterms), "term")
+    contribDt.join(qterms, "term")
       .groupBy("query_id", "doc_id")
       .agg(sum("c_u").as("score_u"))
       .withColumn("rank", row_number().over(w))

@@ -258,4 +258,39 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     again shouldBe got.map { case (k, v) => (k, v._2) }
   }
+
+  test("bm25Retrieve: no broadcast hint on corpus-proportional relations") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LogicalPlan, ResolvedHint}
+    val out = Corpus.bm25TopK(docs, "doc_id", "text", k = 3)
+    // The document-frequency relation (vocabulary-sized) and the query
+    // term set (a fixed fraction of the corpus in the RAG shape) both
+    // grow with the data: a plan-time broadcast hint on either is a
+    // driver OOM at 100x. Only a provably 1-row relation (the global
+    // corpus-stats aggregate) may carry a hint; everything else is
+    // AQE's measured runtime decision.
+    def oneRow(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty
+      case _ if p.children.length == 1 => oneRow(p.children.head)
+      case _ => false
+    }
+    out.queryExecution.analyzed.foreach {
+      case h: ResolvedHint =>
+        assert(oneRow(h.child),
+          s"broadcast hint on a corpus-proportional relation:\n$h")
+      case _ =>
+    }
+    // at this (tiny) scale the runtime still picks broadcast joins for
+    // the small sides — dropping the hint costs nothing where it was safe
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin"),
+      s"expected runtime broadcast at test scale:\n$executed")
+    // rank column is a dense 1..k prefix per query
+    val perQuery = rows.groupBy(_.getLong(0))
+    perQuery.values.foreach { rs =>
+      rs.map(_.getInt(1)).sorted.toSeq shouldBe (1 to rs.length)
+    }
+  }
 }
