@@ -3,20 +3,30 @@ package graft.operators
 /** Raised when a payload does not parse as the claimed container. */
 final class MediaFormatException(msg: String) extends RuntimeException(msg)
 
-/** Dependency-free, pure-JVM media codecs for the two container formats
-  * that need nothing beyond byte arithmetic: binary PGM (netpbm "P5") for
-  * single-channel images and RIFF/WAVE PCM16 mono for audio. These are
-  * REAL encoders/decoders — the decoder trusts only the bytes (header
-  * dims, chunk walk), never row metadata — so the decode → stats path in
-  * [[Multimodal]] is verifiable end-to-end: a parse bug changes the
-  * emitted statistics and fails the DuckDB oracle.
+/** Dependency-free, pure-JVM media codecs. Two container families:
   *
-  * Formats are public specs: PGM per the netpbm format description
-  * (magic, ASCII dims/maxval with '#' comments, single whitespace, then
-  * the raster); WAV per the RIFF spec (chunk id + little-endian size,
-  * word-aligned chunks, "fmt " audio format 1 = integer PCM).
+  *  - byte-arithmetic parsers written here from the public specs —
+  *    binary PGM (netpbm "P5") for single-channel images and RIFF/WAVE
+  *    PCM16 mono for audio (magic, ASCII dims/maxval with '#' comments,
+  *    chunk id + little-endian size, word-aligned chunk walk);
+  *  - the real-corpus containers PNG and JPEG, decoded by the JDK's own
+  *    `javax.imageio` readers (pure JDK, no new dependency) behind the
+  *    same strict seam: [[decodeImage]] sniffs the container magic and
+  *    routes to the right decoder, and ANYTHING unrecognized or
+  *    malformed throws [[MediaFormatException]].
+  *
+  * These are REAL encoders/decoders — the decoder trusts only the bytes
+  * (header dims, chunk walk, entropy-coded scan), never row metadata —
+  * so the decode → stats path in [[Multimodal]] is verifiable
+  * end-to-end: a parse bug changes the emitted statistics and fails the
+  * DuckDB oracle.
   */
 object MediaCodec {
+
+  // ImageIO's default InputStream wrapper spools through a temp FILE per
+  // image — per-row disk I/O inside an executor mapPartitions kernel.
+  // Force the in-memory stream implementation once, JVM-wide.
+  javax.imageio.ImageIO.setUseCache(false)
 
   // ------------------------------------------------------------- PGM (P5)
 
@@ -80,6 +90,114 @@ object MediaCodec {
     if (bytes.length - pos < w.toLong * h) fail("truncated raster")
     (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
   }
+
+  // ------------------------------------------- PNG / JPEG (JDK ImageIO)
+
+  /** Sniff the image container from its magic bytes: "pgm" (netpbm P5),
+    * "png" (8-byte PNG signature), or "jpeg" (SOI + marker prefix).
+    * Throws [[MediaFormatException]] for anything else — an image column
+    * holding an unknown container is a data bug, not a shrug. */
+  def sniffImageFormat(bytes: Array[Byte]): String = {
+    def at(i: Int, v: Int): Boolean =
+      i < bytes.length && (bytes(i) & 0xff) == v
+    if (at(0, 'P') && at(1, '5')) "pgm"
+    else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G') &&
+             at(4, 0x0d) && at(5, 0x0a) && at(6, 0x1a) && at(7, 0x0a)) "png"
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) "jpeg"
+    else throw new MediaFormatException(
+      s"unrecognized image container (${bytes.length} bytes, " +
+        bytes.take(4).map(b => f"${b & 0xff}%02x").mkString(" ") + " …)")
+  }
+
+  /** Encode an 8-bit grayscale raster as PNG via the JDK encoder
+    * (lossless: [[decodeImage]] round-trips it to the same raster). */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"raster ${pixels.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos))
+      throw new MediaFormatException("PNG: no JDK encoder registered")
+    bos.toByteArray
+  }
+
+  /** Encode an 8-bit grayscale raster as baseline JPEG at the given
+    * quality (lossy: decode approximates the input raster). */
+  def encodeJpeg(width: Int, height: Int, pixels: Array[Byte],
+                 quality: Float = 0.9f): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"raster ${pixels.length} != $width x $height")
+    require(quality > 0f && quality <= 1f, s"quality $quality")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    if (!writers.hasNext)
+      throw new MediaFormatException("JPEG: no JDK encoder registered")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode ANY supported image container to (width, height, 8-bit
+    * grayscale raster): PGM through the byte-arithmetic parser above,
+    * PNG/JPEG through the JDK `javax.imageio` readers. Non-gray decodes
+    * are collapsed to luma with the fixed integer ITU-R 601 weights
+    * (299·R + 587·G + 114·B, rounded) so the raster is deterministic —
+    * no platform color-management path touches the values. Unknown
+    * containers and malformed payloads throw [[MediaFormatException]]:
+    * decode is a correctness gate, not a guess. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) =
+    sniffImageFormat(bytes) match {
+      case "pgm" => decodePgm(bytes)
+      case fmt =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch {
+            case e: java.io.IOException => throw new MediaFormatException(
+              s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        if (img == null)
+          throw new MediaFormatException(s"$fmt: JDK reader rejected payload")
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0)
+          throw new MediaFormatException(s"$fmt: degenerate dims ${w}x$h")
+        val out = new Array[Byte](w * h)
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          img.getRaster.getDataElements(0, 0, w, h, out)
+        } else {
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                + 114 * (rgb & 0xff) + 500) / 1000
+              out(i) = lum.toByte
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+        }
+        (w, h, out)
+    }
 
   // ------------------------------------------------- WAV (RIFF PCM16 mono)
 

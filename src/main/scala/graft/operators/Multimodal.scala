@@ -61,7 +61,9 @@ object Multimodal {
     * can never disagree about what the bytes contain. */
   private def decodeUnits(m: Media): Array[Int] = m.kind match {
     case "image" =>
-      val (w, h, pix) = MediaCodec.decodePgm(m.bytes)
+      // container-sniffing decode: PGM via the byte-arithmetic parser,
+      // PNG/JPEG via the JDK ImageIO readers — same strict seam
+      val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
       val units = new Array[Int](w * h)
       var i = 0
       while (i < units.length) { units(i) = pix(i) & 0xff; i += 1 }
@@ -206,8 +208,18 @@ object Multimodal {
     * per-unit content ground truth without parsing a byte — the Scala
     * decode path must round-trip encode→bytes→parse exactly to match.
     * The metadata width/height stay the (larger) claimed dims: decode
-    * reports what the BYTES say, which is the point. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    * reports what the BYTES say, which is the point.
+    *
+    * `imageFormat` picks the image CONTAINER — "pgm" (default), "png",
+    * or "jpeg" — over the SAME closed-form raster: PNG is lossless, so
+    * its decode stats replay from the identical formulas (the
+    * container changes, the ground truth doesn't); JPEG is lossy, so
+    * its decoded stats are JDK-decoder outputs, oracle-checked against
+    * pre-extracted literals instead. */
+  def mediaFromDocuments(docs: DataFrame,
+                         imageFormat: String = "pgm"): DataFrame = {
+    require(Set("pgm", "png", "jpeg").contains(imageFormat),
+      s"unsupported imageFormat $imageFormat")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(
@@ -232,7 +244,11 @@ object Multimodal {
             while (i < pix.length) {
               pix(i) = ((seed + 7 * i) % 256).toByte; i += 1
             }
-            MediaCodec.encodePgm(pw, ph, pix)
+            imageFormat match {
+              case "png" => MediaCodec.encodePng(pw, ph, pix)
+              case "jpeg" => MediaCodec.encodeJpeg(pw, ph, pix)
+              case _ => MediaCodec.encodePgm(pw, ph, pix)
+            }
           case "audio" =>
             val n = (g.media_id % 2000 + 500).toInt
             val t = (g.media_id % 256).toInt * 17

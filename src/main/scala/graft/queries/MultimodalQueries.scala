@@ -54,6 +54,39 @@ object MultimodalQueries extends Registry {
         .orderBy("media_id")
     }),
 
+    // Same decode gate over the REAL-CORPUS image container: payloads
+    // are JDK-encoded PNGs of the same closed-form raster, parsed back
+    // through MediaCodec.decodeImage (magic sniff → ImageIO). PNG is
+    // lossless, so the oracle is the identical closed-form ground truth
+    // — a container bug (stride, color model, signature) diverges the
+    // stats and fails the hash.
+    "media_decode_stats_png" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decode(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
+            imageFormat = "png")))
+        .toDF().select("media_id", "kind", "n_units", "sum_units",
+          "mean_mu")
+        .orderBy("media_id")
+    }),
+
+    // JPEG decode exhibit: lossy DCT output cannot be replayed in SQL,
+    // so the query is pinned to the SF-invariant id prefix (doc_id <
+    // 120 exists at every SF) and checked against PRE-EXTRACTED ground
+    // truth — literal rows decoded once by this JDK and committed. A
+    // decoder change (or any parse bug) shifts the pixel sums and
+    // fails the hash.
+    "media_decode_stats_jpeg" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decode(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(
+            Tables.documents(s, d).filter(col("doc_id") < 120),
+            imageFormat = "jpeg")))
+        .toDF().filter(col("kind") === "image")
+        .select("media_id", "n_units", "sum_units", "mean_mu")
+        .orderBy("media_id")
+    }),
+
     "media_features_knn" -> ((s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
@@ -182,6 +215,73 @@ object MultimodalQueries extends Registry {
                                     AND sl.bin = b.bin
                    GROUP BY t.media_id)"""
 
+  /** Shared ground truth for the REAL decode (PGM and PNG containers —
+    * both lossless, so the SAME closed-form unit relation): per media,
+    * the units are recomputed from the generation arithmetic (never
+    * from bytes) — image pixels (s + 7i) mod 256 over pw*ph, audio
+    * offset samples (17s + 13i) mod 4096 over n, video = undecodable
+    * sentinel with the true byte length. The Scala side must parse its
+    * own encoder's output to the same numbers. */
+  private val decodeStatsOracle: String =
+    """WITH d AS (SELECT doc_id AS media_id,
+                         CAST(doc_id % 3 AS INT) AS k, text
+                  FROM documents),
+          img AS (SELECT media_id, media_id % 256 AS s,
+                         (media_id % 64 + 16) * (media_id % 48 + 16) AS n
+                  FROM d WHERE k = 0),
+          imgs AS (SELECT media_id, count(*) AS nu,
+                          sum((s + 7 * i) % 256) AS su
+                   FROM (SELECT media_id, s,
+                                unnest(range(0, n)) AS i FROM img)
+                   GROUP BY media_id),
+          aud AS (SELECT media_id, (media_id % 256) * 17 AS t,
+                         media_id % 2000 + 500 AS n
+                  FROM d WHERE k = 1),
+          auds AS (SELECT media_id, count(*) AS nu,
+                          sum((t + 13 * i) % 4096) AS su
+                   FROM (SELECT media_id, t,
+                                unnest(range(0, n)) AS i FROM aud)
+                   GROUP BY media_id),
+          vids AS (SELECT media_id,
+                          octet_length(encode(text)) AS nu
+                   FROM d WHERE k = 2)
+          SELECT media_id, 'image' AS kind, CAST(nu AS BIGINT) AS n_units,
+                 CAST(su AS BIGINT) AS sum_units,
+                 CAST(su * 1000000 // nu AS BIGINT) AS mean_mu
+          FROM imgs
+          UNION ALL
+          SELECT media_id, 'audio', CAST(nu AS BIGINT),
+                 CAST(su AS BIGINT), CAST(su * 1000000 // nu AS BIGINT)
+          FROM auds
+          UNION ALL
+          SELECT media_id, 'video', CAST(nu AS BIGINT),
+                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+          FROM vids
+          ORDER BY media_id"""
+
+  /** Pre-extracted JPEG decode ground truth (the "fixture oracle"): the
+    * 40 image payloads with media_id < 120 exist identically at every
+    * SF; their JDK-decoded pixel sums were extracted once and committed
+    * as literals. Lossy DCT output has no SQL replay — a decoder/parse
+    * change shifts these sums and fails. */
+  private val jpegDecodeOracle: String =
+    """SELECT CAST(media_id AS BIGINT) AS media_id,
+              CAST(n_units AS BIGINT) AS n_units,
+              CAST(sum_units AS BIGINT) AS sum_units,
+              CAST(CAST(sum_units AS BIGINT) * 1000000 // n_units AS BIGINT) AS mean_mu
+       FROM (VALUES (0,256,32641),(3,361,45570),(6,484,60790),(9,625,79390),
+                    (12,784,98922),(15,961,121682),(18,1156,146592),(21,1369,173801),
+                    (24,1600,203787),(27,1849,234989),(30,2116,270171),(33,2401,305801),
+                    (36,2704,345071),(39,3025,385673),(42,3364,429034),(45,3721,474880),
+                    (48,1024,130450),(51,1273,163063),(54,1540,196090),(57,1825,233035),
+                    (60,2128,270914),(63,2449,312514),(66,612,78859),(69,777,98799),
+                    (72,960,122049),(75,1161,148708),(78,1380,176754),(81,1617,205856),
+                    (84,1872,238646),(87,2145,274428),(90,2436,311373),(93,2745,349856),
+                    (96,768,97949),(99,969,124108),(102,1188,152049),(105,1425,181884),
+                    (108,1680,214398),(111,1953,249495),(114,2244,286386),(117,2553,325778))
+            AS t(media_id, n_units, sum_units)
+       ORDER BY media_id"""
+
   val oracles: Map[String, String] = Map(
     "media_stats" ->
       s"""WITH $mediaCte
@@ -227,42 +327,13 @@ object MultimodalQueries extends Registry {
     // (17s + 13i) mod 4096 over n, video = undecodable sentinel with
     // the true byte length. The Scala side must parse its own encoder's
     // output to the same numbers.
-    "media_decode_stats" ->
-      """WITH d AS (SELECT doc_id AS media_id,
-                           CAST(doc_id % 3 AS INT) AS k, text
-                    FROM documents),
-          img AS (SELECT media_id, media_id % 256 AS s,
-                         (media_id % 64 + 16) * (media_id % 48 + 16) AS n
-                  FROM d WHERE k = 0),
-          imgs AS (SELECT media_id, count(*) AS nu,
-                          sum((s + 7 * i) % 256) AS su
-                   FROM (SELECT media_id, s,
-                                unnest(range(0, n)) AS i FROM img)
-                   GROUP BY media_id),
-          aud AS (SELECT media_id, (media_id % 256) * 17 AS t,
-                         media_id % 2000 + 500 AS n
-                  FROM d WHERE k = 1),
-          auds AS (SELECT media_id, count(*) AS nu,
-                          sum((t + 13 * i) % 4096) AS su
-                   FROM (SELECT media_id, t,
-                                unnest(range(0, n)) AS i FROM aud)
-                   GROUP BY media_id),
-          vids AS (SELECT media_id,
-                          octet_length(encode(text)) AS nu
-                   FROM d WHERE k = 2)
-          SELECT media_id, 'image' AS kind, CAST(nu AS BIGINT) AS n_units,
-                 CAST(su AS BIGINT) AS sum_units,
-                 CAST(su * 1000000 // nu AS BIGINT) AS mean_mu
-          FROM imgs
-          UNION ALL
-          SELECT media_id, 'audio', CAST(nu AS BIGINT),
-                 CAST(su AS BIGINT), CAST(su * 1000000 // nu AS BIGINT)
-          FROM auds
-          UNION ALL
-          SELECT media_id, 'video', CAST(nu AS BIGINT),
-                 CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
-          FROM vids
-          ORDER BY media_id""",
+    "media_decode_stats" -> decodeStatsOracle,
+
+    // PNG round-trips losslessly: the REAL-corpus container decode must
+    // reproduce the exact same closed-form content ground truth.
+    "media_decode_stats_png" -> decodeStatsOracle,
+
+    "media_decode_stats_jpeg" -> jpegDecodeOracle,
 
     // Ground truth for the feature path: the dim-64 downsampled
     // DC-removed profiles (c_j = 64·slice_sum − total, slice of unit i

@@ -37,6 +37,61 @@ class MultimodalSpec extends SparkSpec {
       MediaCodec.decodePgm("P5\n3 2\n255".getBytes("US-ASCII") ++ pix)
   }
 
+  test("PNG codec round-trips losslessly through the ImageIO seam") {
+    val pix = Array.tabulate[Byte](31 * 17)(i => (7 * i % 256).toByte)
+    val enc = MediaCodec.encodePng(31, 17, pix)
+    // real PNG container: 8-byte signature, sniffed as such
+    MediaCodec.sniffImageFormat(enc) shouldBe "png"
+    val (w, h, out) = MediaCodec.decodeImage(enc)
+    (w, h) shouldBe ((31, 17))
+    out.toSeq shouldBe pix.toSeq
+    // PGM payloads route through the same seam unchanged
+    val pgm = MediaCodec.encodePgm(31, 17, pix)
+    MediaCodec.sniffImageFormat(pgm) shouldBe "pgm"
+    MediaCodec.decodeImage(pgm)._3.toSeq shouldBe pix.toSeq
+    // strictness: unknown container and truncated PNG are rejected
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodeImage(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9))
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodeImage(enc.take(enc.length / 2))
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodeImage(Array.empty[Byte])
+  }
+
+  test("PNG decode collapses non-gray content to deterministic luma") {
+    // hand-build an RGB image; the decoder must apply the fixed integer
+    // ITU-R 601 weights, not a platform color-management path
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red
+    img.setRGB(1, 0, 0x0000ff) // pure blue
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, out) = MediaCodec.decodeImage(bos.toByteArray)
+    (w, h) shouldBe ((2, 1))
+    // luma = (299*r + 587*g + 114*b + 500) / 1000
+    (out(0) & 0xff) shouldBe (299 * 255 + 500) / 1000
+    (out(1) & 0xff) shouldBe (114 * 255 + 500) / 1000
+  }
+
+  test("JPEG codec: exact dims from bytes, deterministic decode, " +
+       "bounded reconstruction error") {
+    val pix = Array.tabulate[Byte](48 * 32)(i => (3 * i % 256).toByte)
+    val enc = MediaCodec.encodeJpeg(48, 32, pix, quality = 0.9f)
+    MediaCodec.sniffImageFormat(enc) shouldBe "jpeg"
+    val (w, h, out) = MediaCodec.decodeImage(enc)
+    (w, h) shouldBe ((48, 32))
+    // decode is deterministic (the fixture-oracle precondition)
+    MediaCodec.decodeImage(enc)._3.toSeq shouldBe out.toSeq
+    // lossy but recognizable: mean abs error bounded well below random
+    val mae = pix.indices.map(i =>
+      math.abs((pix(i) & 0xff) - (out(i) & 0xff))).sum.toDouble / pix.length
+    assert(mae < 32.0, s"JPEG mean abs error $mae")
+    // truncated scan is rejected, not guessed at
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodeImage(enc.take(24))
+  }
+
   test("WAV codec round-trips; chunk walk skips unknown chunks") {
     val smp = Array.tabulate[Short](100)(i => (i * 37 - 1850).toShort)
     val enc = MediaCodec.encodeWavPcm16(16000, smp)
