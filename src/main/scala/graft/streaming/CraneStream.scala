@@ -24,6 +24,27 @@ import graft.sources.VersionedStore
   */
 object CraneStream {
 
+  /** The built-in RocksDB state store provider — the 100 TB streaming
+    * story. The default (HDFS-backed) provider keeps EVERY key's state
+    * on the executor heap between checkpoints, so running counts or
+    * open sessions over a high-cardinality key space are memory-bound;
+    * RocksDB keeps state on local disk behind a bounded block cache,
+    * so state size is disk-bound and the executor heap holds only the
+    * working set. Provider choice is recorded in the checkpoint and
+    * must stay consistent across restarts of the same query — the
+    * stateful entry points below pin it BEFORE start so a restarted
+    * query always reopens the same store format. */
+  // the provider class is private[spark]; its FQCN is the public
+  // configuration surface (Structured Streaming programming guide)
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Pin the session's streaming state store to RocksDB (see
+    * [[RocksDbProvider]]); applies to queries STARTED after this call. */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+
   /** Unbounded line stream from files appearing under `dir`
     * (the spout's file source, S1). */
   def fileLines(spark: SparkSession, dir: String,
@@ -100,6 +121,9 @@ object CraneStream {
   def startUpdateMode(lines: DataFrame, app: String, store: VersionedStore,
                       checkpointDir: String,
                       period: String = "10 seconds"): StreamingQuery = {
+    // update mode exists FOR high-cardinality key spaces — pair it with
+    // the disk-backed store or the state itself becomes the memory bound
+    useRocksDbStateStore(lines.sparkSession)
     val counts = StreamApps.apps(app)(lines)
     val key = StreamApps.keyCol(app)
     val name = s"${app}_counts"
@@ -109,15 +133,23 @@ object CraneStream {
       .trigger(Trigger.ProcessingTime(period))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val prior = store.versions(spark, name).filter(_ < batchId)
-        val merged =
-          if (prior.isEmpty) batch
-          else {
-            val prev = spark.read.parquet(
-              s"${store.root}/$name/version=${prior.last}")
-            prev.join(batch, Seq(key), "left_anti").unionByName(batch)
-          }
-        store.putVersion(name, batchId, merged)
+        // the merge references `batch` twice (anti-join + union); persist
+        // so the stateful scan behind it executes once per trigger — the
+        // documented foreachBatch pattern, and required under RocksDB's
+        // exclusive per-instance acquire (a re-executed state scan would
+        // contend for the same store within the trigger)
+        batch.persist()
+        try {
+          val prior = store.versions(spark, name).filter(_ < batchId)
+          val merged =
+            if (prior.isEmpty) batch
+            else {
+              val prev = spark.read.parquet(
+                s"${store.root}/$name/version=${prior.last}")
+              prev.join(batch, Seq(key), "left_anti").unionByName(batch)
+            }
+          store.putVersion(name, batchId, merged)
+        } finally batch.unpersist()
         ()
       }
       .start()
@@ -153,6 +185,7 @@ object CraneStream {
                        period: String = "10 seconds"): StreamingQuery = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val spark0 = lines.sparkSession
+    useRocksDbStateStore(spark0)
     import spark0.implicits._
     val key = StreamApps.keyCol(app)
     val name = s"${app}_topk"
@@ -171,16 +204,21 @@ object CraneStream {
       .trigger(Trigger.ProcessingTime(period))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val prior = store.versions(spark, name).filter(_ < batchId)
-        val candidates =
-          if (prior.isEmpty) batch
-          else {
-            val prev = spark.read.parquet(
-              s"${store.root}/$name/version=${prior.last}")
-            // changed keys win on collision (their counts are newer)
-            prev.join(batch, Seq(key), "left_anti").unionByName(batch)
-          }
-        store.putVersion(name, batchId, StreamApps.topK(candidates, k))
+        // persist: see startUpdateMode — one execution of the keyed-state
+        // scan per trigger, mandatory under the RocksDB provider
+        batch.persist()
+        try {
+          val prior = store.versions(spark, name).filter(_ < batchId)
+          val candidates =
+            if (prior.isEmpty) batch
+            else {
+              val prev = spark.read.parquet(
+                s"${store.root}/$name/version=${prior.last}")
+              // changed keys win on collision (their counts are newer)
+              prev.join(batch, Seq(key), "left_anti").unionByName(batch)
+            }
+          store.putVersion(name, batchId, StreamApps.topK(candidates, k))
+        } finally batch.unpersist()
         ()
       }
       .start()

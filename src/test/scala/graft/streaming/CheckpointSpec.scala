@@ -77,4 +77,99 @@ class CheckpointSpec extends SparkSpec {
       snap shouldBe Map("b" -> 4L, "c" -> 4L)
     } finally q2.stop()
   }
+
+  /** True iff some completed trigger ran its stateful operator on the
+    * RocksDB provider (the provider surfaces rocksdb* custom metrics). */
+  private def ranOnRocksDb(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+    import scala.jdk.CollectionConverters._
+    q.recentProgress.exists(_.stateOperators.exists(
+      _.customMetrics.keySet().asScala.exists(_.contains("rocksdb"))))
+  }
+
+  test("update-mode counts run on RocksDB state and survive restart") {
+    // the 100 TB state path: startUpdateMode pins the disk-backed
+    // RocksDB provider before start; kill/restart must reopen the same
+    // store format and resume exactly (no double counting)
+    val root = Files.createTempDirectory("ckpt3")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val store = VersionedStore(root.resolve("store").toString)
+    val ckpt = root.resolve("ckpt").toString
+
+    def start() = CraneStream.startUpdateMode(
+      CraneStream.fileLines(spark, inDir.toString), "wordCount", store,
+      checkpointDir = ckpt, period = "0 seconds")
+
+    writeFile(inDir, "part1.txt", Seq("a a b", "c"))
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(ranOnRocksDb(q1), "expected RocksDB state store metrics")
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass") shouldBe
+        CraneStream.RocksDbProvider
+    } finally q1.stop()
+
+    writeFile(inDir, "part2.txt", Seq("a b b", "c c"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ranOnRocksDb(q2), "restart must reopen the RocksDB store")
+      val counts = store.get(spark, "wordCount_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts shouldBe Map("a" -> 3L, "b" -> 3L, "c" -> 3L)
+    } finally q2.stop()
+  }
+
+  test("sessionize keyed state on RocksDB resumes across stop + restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val prior =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    CraneStream.useRocksDbStateStore(spark)
+    try {
+      val root4 = Files.createTempDirectory("ckpt4")
+      val ckpt = root4.resolve("c").toString
+      val outDir = root4.resolve("out").toString
+      val in = MemoryStream[EventTimeOps.Ev]
+      // file sink, not memory sink: recovery from checkpoint is the
+      // thing under test, and the memory sink refuses to recover
+      def start() = EventTimeOps.sessionize(in.toDS(),
+          gapMs = 30 * 60000L, lateness = "10 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+      // open a session for user 1, then kill with the session pending
+      in.addData(EventTimeOps.Ev(1L, ts(100)), EventTimeOps.Ev(1L, ts(105)))
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        assert(ranOnRocksDb(q1), "expected RocksDB state store metrics")
+      } finally q1.stop()
+      // restart: the pending session must come back from RocksDB state —
+      // push the watermark past its gap and the timeout must emit it
+      // with the PRE-restart extents
+      in.addData(EventTimeOps.Ev(2L, ts(340)))
+      in.addData(EventTimeOps.Ev(2L, ts(341)))
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(ranOnRocksDb(q2), "restart must reopen the RocksDB store")
+        val s1 = spark.read.parquet(outDir)
+          .as[EventTimeOps.Session].collect().filter(_.user_id == 1L)
+        s1.length shouldBe 1
+        s1.head.n_events shouldBe 2L
+        s1.head.session_start shouldBe ts(100)
+        s1.head.session_end shouldBe ts(105)
+      } finally q2.stop()
+    } finally prior match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
