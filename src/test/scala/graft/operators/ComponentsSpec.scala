@@ -44,6 +44,18 @@ class ComponentsSpec extends SparkSpec {
     twoStar(pairs) shouldBe (40L to 100L).map(_ -> 40L).toMap
   }
 
+  test("default entry point survives diameter > maxIter via the " +
+      "two-star fallback") {
+    import spark.implicits._
+    // a 61-node path with maxIter 10: propagation cannot converge, so
+    // components() must log and hand the pair relation to the star
+    // contraction instead of throwing — callers stay diameter-robust
+    val pairs = (1L to 60L).map(i => (100L - i, 101L - i))
+    val got = Dedup.components(pairs.toDF("a", "b"), "a", "b", maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe (40L to 100L).map(_ -> 40L).toMap
+  }
+
   test("two-star matches propagation on mixed clusters, self-pairs " +
       "and duplicates") {
     val pairs = Seq((1L, 2L), (2L, 1L), (4L, 6L), (6L, 8L), (2L, 9L),
