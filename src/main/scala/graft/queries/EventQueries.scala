@@ -130,7 +130,10 @@ object EventQueries extends Registry {
             .otherwise(expr(
               s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * " +
                 "CAST(1152921504606846976 AS DECIMAL(38,0)) AS " +
-                "DECIMAL(38,0)) div hk")))
+                "DECIMAL(38,0)) div hk"))
+            // cast the decimal(38,0) quotient back to long so the Spark
+            // schema agrees with the oracle's BIGINT by construction
+            .cast("long"))
       // the audit baseline is TRUE distinct users (like the weekly
       // twin), not distinct 60-bit hashes — an md5 collision must show
       // up as estimator error, not silently deflate the ground truth
@@ -219,7 +222,10 @@ object EventQueries extends Registry {
             .otherwise(expr(
               s"CAST(CAST(${k - 1} AS DECIMAL(38,0)) * " +
                 "CAST(1152921504606846976 AS DECIMAL(38,0)) AS " +
-                "DECIMAL(38,0)) div hk")))
+                "DECIMAL(38,0)) div hk"))
+            // cast the decimal(38,0) quotient back to long so the Spark
+            // schema agrees with the oracle's BIGINT by construction
+            .cast("long"))
         .withColumn("err_bp",
           expr("abs(kmv_est - exact_users) * 10000 div exact_users"))
         .select(col("week").cast("string").as("week"), col("n_days"),

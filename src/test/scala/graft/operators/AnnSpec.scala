@@ -19,6 +19,27 @@ class AnnSpec extends SparkSpec {
   private lazy val exact =
     neighborSet(Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5))
 
+  test("fixture embeddings satisfy the integer-centroid offset " +
+       "precondition (every coordinate in (-2, 2))") {
+    // The order-free integer centroid (Ann.scala / Dedup
+    // .embeddingCosinePairs and their DuckDB oracles) computes
+    // (2*(sum(xi) + 2e6*cnt) + cnt) DIV (2*cnt) - 2e6 over micro-unit
+    // coords xi = floor(x*1e6 + 0.5). Spark DIV truncates while DuckDB
+    // // floors, so parity REQUIRES the numerator to stay non-negative
+    // — guaranteed when every coordinate is > -2.0 (and the symmetric
+    // bound keeps sums far from overflow). A regenerated fixture with
+    // larger-magnitude coords would silently diverge the two engines
+    // instead of failing with a named cause; this pins the assumption
+    // the same way MultimodalSpec pins the ASCII/64KB corpus bounds.
+    val mm = embs.select(explode(col("embedding")).as("x"))
+      .agg(min("x").as("lo"), max("x").as("hi")).head()
+    val (lo, hi) = (mm.getFloat(0), mm.getFloat(1))
+    assert(lo > -2.0f && hi < 2.0f,
+      s"embedding coords [$lo, $hi] outside the (-2, 2) envelope the " +
+        "integer-centroid offset assumes — widen the 2e6 offset in " +
+        "Ann/Dedup AND their oracles before regenerating fixtures")
+  }
+
   test("brute force returns exactly k ranked neighbors per query") {
     val res = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
     val perQuery = res.groupBy("query_id").count().collect()

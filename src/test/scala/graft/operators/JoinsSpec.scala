@@ -287,8 +287,28 @@ class JoinsSpec extends SparkSpec {
       // QueryExecution, leaving THIS one un-executed (isFinalPlan=false,
       // no adaptive re-plan to inspect)
       joined.collect().length shouldBe 200000
-      val plan = joined.queryExecution.executedPlan.toString
-      plan should include("skew=true")
+      // assert on the plan TREE (SortMergeJoinExec.isSkewJoin), not the
+      // "skew=true" string rendering, which is Spark-version-specific
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // query stages (ResultQueryStage, ShuffleQueryStage) are leaf
+      // wrappers — recurse through their materialized plans explicitly
+      def findSmj(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.joins.SortMergeJoinExec] =
+        p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            findSmj(q.plan)
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            j +: j.children.flatMap(findSmj)
+          case other => other.children.flatMap(findSmj)
+        }
+      val smjs = findSmj(finalPlan)
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$finalPlan")
+      assert(smjs.exists(_.isSkewJoin),
+        s"AQE did not mark the join as a skew join:\n$finalPlan")
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _))
     }
