@@ -158,6 +158,37 @@ object ScaleTrendDeep {
         ("components_twostar(chain)", chainInputs,
           d => Dedup.componentsTwoStar(d, "a", "b")))
 
+    /** Facts-family second decade: a ×n sfDir where the FACT tables
+      * (orders, lineitem) get n orderkey-shifted copies — transaction
+      * history grows — while every dimension table is copied verbatim
+      * (dims do not grow 10× when facts do; that is the realistic
+      * 100 TB shape AND what keeps the broadcast sides broadcastable).
+      * The REGISTERED TPC-H queries then run unchanged over the dir,
+      * so the ladder times the exact registered plans. Materialized
+      * once under /tmp and reused across runs. */
+    def factsDir(n: Int): String = {
+      val dir = s"/tmp/graft_deep_facts_${n}x"
+      val marker = java.nio.file.Paths.get(dir, "_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        Seq("region", "nation", "customer", "supplier", "part")
+          .foreach { t =>
+            spark.read.parquet(s"$sf01/$t.parquet")
+              .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+          }
+        def copies(base: DataFrame, key: String): DataFrame =
+          (0 until n).map { i =>
+            if (i == 0) base
+            else base.withColumn(key, col(key) + i * 1000000000L)
+          }.reduce(_ unionByName _)
+        copies(spark.read.parquet(s"$sf01/orders.parquet"), "o_orderkey")
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        copies(spark.read.parquet(s"$sf01/lineitem.parquet"), "l_orderkey")
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        java.nio.file.Files.createFile(marker)
+      }
+      dir
+    }
+
     // subset filter for iterating on one family without the full
     // ~20-minute ladder (comma-separated op-name prefixes)
     val deepOnly = sys.env.get("SPARK_GRAFT_DEEP_ONLY")
@@ -175,6 +206,31 @@ object ScaleTrendDeep {
       val row = f"| $opName | $label | $nIn | $secs%.2f | $nOut |"
       println(row)
       sb.append(row).append('\n')
+    }
+
+    // the 5 heaviest registered TPC-H shapes over the facts ladder
+    // (each derives its partsupp from lineitem, so the 6M rung
+    // exercises the derived-relation aggregation, the multi-join, and
+    // the decimal accumulations at 10× the fact volume)
+    val tpchDeep = Seq("sql_tpch_q21", "sql_tpch_q9", "sql_tpch_q2",
+      "sql_tpch_q11", "sql_tpch_q18")
+    if (tpchDeep.exists(q => deepOnly.forall(_.exists(q.startsWith)))) {
+      // warmup through each shape once at the smallest SF
+      tpchDeep.foreach { q =>
+        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+      val factRungs = Seq(("facts_600k", sf01), ("facts_6m", factsDir(10)))
+      for (q <- tpchDeep if deepOnly.forall(_.exists(q.startsWith));
+           (label, dir) <- factRungs) {
+        spark.catalog.clearCache()
+        System.gc()
+        val nIn = spark.read.parquet(s"$dir/lineitem.parquet").count()
+        val (secs, nOut) = timed(SparkEntry.queries(q)(spark, dir).count())
+        val row = f"| $q | $label | $nIn | $secs%.2f | $nOut |"
+        println(row)
+        sb.append(row).append('\n')
+      }
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/scale_deep.md"),
