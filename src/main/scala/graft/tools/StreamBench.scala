@@ -65,33 +65,105 @@ object StreamBench {
     }
 
     val runs = Seq(
-      // (label, app, corpus file, bounded-top-K instead of complete)
-      ("wordCount", "wordCount", "shakespear", false),
-      ("twitter", "twitter", "twitter", false),
-      ("hothttp", "hothttp", "calgary", false),
-      ("wordCount_topk_bounded", "wordCount", "shakespear", true),
+      // (label, app, corpus file, state/output mode)
+      ("wordCount", "wordCount", "shakespear", "complete"),
+      ("twitter", "twitter", "twitter", "complete"),
+      ("hothttp", "hothttp", "calgary", "complete"),
+      ("wordCount_topk_bounded", "wordCount", "shakespear", "bounded"),
+      // update mode = only changed keys per trigger, keyed state on the
+      // RocksDB provider (startUpdateMode pins it) — the
+      // high-cardinality band the 100 TB streaming story runs on
+      ("wordCount_update_rocksdb", "wordCount", "shakespear", "update"),
     )
-    val results = runs.map { case (label, app, file, bounded) =>
+    val results = runs.map { case (label, app, file, mode) =>
       val lines = corpus(file)
       // hold total drained lines roughly comparable across corpora
       val nCopies = math.max(1, (copies.toLong * 2309 / lines.length).toInt)
       val tmp = Files.createTempDirectory(s"streambench_$label").toString
       val store = VersionedStore(s"$tmp/store")
-      val (rate, total) = drain(lines, nCopies, in =>
-        if (bounded)
+      val (rate, total) = drain(lines, nCopies, in => mode match {
+        case "bounded" =>
           CraneStream.startTopKBounded(in.toDF(), app, store,
             checkpointDir = s"$tmp/ckpt", k = 5, period = "0 seconds")
-        else
+        case "update" =>
+          CraneStream.startUpdateMode(in.toDF(), app, store,
+            checkpointDir = s"$tmp/ckpt", period = "0 seconds")
+        case _ =>
           CraneStream.start(in.toDF(), app, store,
-            checkpointDir = s"$tmp/ckpt", k = 5, period = "0 seconds"))
-      val suffix = if (bounded) "topk" else "result"
-      val top = store.get(spark, s"${app}_$suffix").collect()
+            checkpointDir = s"$tmp/ckpt", k = 5, period = "0 seconds")
+      })
+      val suffix = mode match {
+        case "bounded" => "topk"
+        case "update" => "counts"
+        case _ => "result"
+      }
+      val top = store.get(spark, s"${app}_$suffix")
+        .orderBy(org.apache.spark.sql.functions.col("count").desc,
+          org.apache.spark.sql.functions.col(
+            graft.streaming.StreamApps.keyCol(app)))
+        .limit(5).collect()
         .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
       (label, rate, total, top)
     }
-    val apps = results
-      .map { case (label, rate, total, _) =>
-        f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" }
+
+    // ---- event-time topologies (EventTimeOps): the watermarked
+    // stream-stream interval join and flatMapGroupsWithState
+    // sessionization — spec-tested since r6, banded here. Synthetic
+    // deterministic events: 10k users, per-user inter-arrival spread so
+    // watermark advance continually closes state (eviction is the cost
+    // being measured, not just ingestion).
+    val nEvents = copies * 2500
+    def evTs(i: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(86400000L + (i / 10000).toLong * 60000L)
+
+    def drainEvents(label: String,
+                    build: () => (Seq[java.sql.Timestamp => Unit],
+                      org.apache.spark.sql.DataFrame)): (String, Double, Long) = {
+      val (feeds, out) = build()
+      val tmp = Files.createTempDirectory(s"streambench_$label").toString
+      val q = out.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      val t0 = System.nanoTime()
+      try {
+        // one far-future flush event per feed closes all pending state
+        feeds.foreach(_(new java.sql.Timestamp(86400000L * 30)))
+        q.processAllAvailable()
+      } finally q.stop()
+      (label, nEvents / ((System.nanoTime() - t0) / 1e9), nEvents.toLong)
+    }
+
+    val evResults = Seq(
+      drainEvents("interval_join", () => {
+        val views = MemoryStream[(Long, java.sql.Timestamp)]
+        val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+        val half = nEvents / 2
+        views.addData((0 until half).map(i =>
+          ((i % 10000).toLong, evTs(i))))
+        clicks.addData((0 until half).map(i =>
+          ((i % 10000).toLong,
+            new java.sql.Timestamp(evTs(i).getTime + 10000L))))
+        val joined = graft.streaming.EventTimeOps.intervalJoin(
+          views.toDF().toDF("user_id", "view_ts"),
+          clicks.toDF().toDF("user_id", "click_ts"),
+          "user_id", "view_ts", "click_ts",
+          horizon = "2 minutes", lateness = "5 minutes")
+        (Seq(t => views.addData((0L, t)), t => clicks.addData((0L, t))),
+          joined)
+      }),
+      drainEvents("sessionize", () => {
+        implicit val sp: SparkSession = spark
+        val in = MemoryStream[graft.streaming.EventTimeOps.Ev]
+        in.addData((0 until nEvents).map(i =>
+          graft.streaming.EventTimeOps.Ev((i % 10000).toLong, evTs(i))))
+        (Seq(t => in.addData(graft.streaming.EventTimeOps.Ev(0L, t))),
+          graft.streaming.EventTimeOps.sessionize(in.toDS(),
+            gapMs = 30000L, lateness = "5 minutes").toDF())
+      }))
+
+    val apps = (results.map { case (label, rate, total, _) =>
+      f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" } ++
+      evResults.map { case (label, rate, total) =>
+        f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
       .mkString(",")
     val (_, wcRate, wcTotal, wcTop) = results.find(_._1 == "wordCount").get
     println(f"""{"metric":"stream_lines_per_sec","value":$wcRate%.0f,"lines":$wcTotal,"apps":{$apps},"top5":"$wcTop"}""")
