@@ -169,21 +169,34 @@ object Bench {
             false
         }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // drop caches/broadcasts a query pinned and let GC settle, so
-      // queries are timed independently instead of under the previous
-      // query's memory pressure (all-pairs queries otherwise bleed
-      // multi-second pauses into whatever runs next)
+      // drop caches/broadcasts the run pinned, so the next measurement
+      // reads cold data instead of this run's in-memory blocks
       spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(200)
       dt
     }
+    // between QUERIES (not between paired runs of one query): let GC
+    // settle so queries are timed independently instead of under the
+    // previous query's memory pressure (all-pairs queries otherwise
+    // bleed multi-second pauses into whatever runs next)
+    def settle(): Unit = { System.gc(); Thread.sleep(200) }
+    // Fixed-floor mitigation (r8 verdict #7): a query's FIRST execution
+    // pays plan analysis + whole-stage-codegen compilation (~0.2-0.3 s)
+    // that at sf0.001 is ~30% of the total and flattens every fitted
+    // slope. For floor-dominated measurements (< 1 s) re-run once with
+    // the generated-code caches warm — memoized intermediates built by
+    // the first run are dropped first, so the SAME cold-data plan
+    // re-executes — and keep the minimum: the steady-state cost a
+    // resident session would see, which is what the cross-SF scale fits
+    // should slope over. Disable with SPARK_GRAFT_BENCH_MIN2=0.
+    val min2Enabled = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN2", "1") != "0"
     var retried = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val memoBefore = graft.core.Memo.keys(spark)
       val first = timeOnce(name, fn)
       val med = historyMedian.get(name)
-      val dt =
+      def dropNewMemo(): Unit = graft.core.Memo.clearKeys(spark,
+        graft.core.Memo.keys(spark) -- memoBefore)
+      val afterOutlier =
         if (retryEnabled && first > 0 && med.exists(m => first > 2 * m)) {
           // if the first run BUILT memoized intermediates, the retry
           // would read them warm and measure a cheaper plan than the
@@ -191,8 +204,8 @@ object Bench {
           // (and only those: clearing the whole session memo made one
           // noisy query cascade cold rebuilds into every later memo
           // consumer, distorting the record the retry exists to protect)
-          graft.core.Memo.clearKeys(spark,
-            graft.core.Memo.keys(spark) -- memoBefore)
+          dropNewMemo()
+          settle()
           val second = timeOnce(name, fn)
           if (second > 0) {
             retried ::= name
@@ -202,6 +215,13 @@ object Bench {
             math.min(first, second)
           } else first
         } else first
+      val dt =
+        if (min2Enabled && afterOutlier > 0 && afterOutlier < 1.0) {
+          dropNewMemo()
+          val rerun = timeOnce(name, fn)
+          if (rerun > 0) math.min(afterOutlier, rerun) else afterOutlier
+        } else afterOutlier
+      settle()
       name -> dt
     }
     val loadEnd = loadavg()
