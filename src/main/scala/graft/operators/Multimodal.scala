@@ -159,8 +159,56 @@ object Multimodal {
     })
   }
 
-  /** Metadata-level resize: rescales dimensions, payload untouched (a real
-    * impl would re-encode in the same mapPartitions pass). */
+  /** CONTENT resize for image payloads: decode the container
+    * ([[MediaCodec.decodeImage]] — PGM/PNG/JPEG), nearest-neighbor
+    * resample so the long side is <= `maxSide`, and re-encode in the
+    * SAME container the payload arrived in. All index math is integer
+    * floor division (src = dst·srcDim/dstDim), so the resampled raster
+    * is deterministic and — for the lossless containers — replayable
+    * closed-form by the DuckDB oracle. Non-image rows and already-small
+    * images pass through untouched. The real thumbnailing kernel of a
+    * multimodal ingest pipeline: payload bytes stay inside the
+    * partition-batched kernel, never in a shuffle key. */
+  def resizeContent(media: Dataset[Media], maxSide: Int)
+                   (implicit spark: SparkSession): Dataset[Media] = {
+    require(maxSide > 0, s"maxSide $maxSide must be positive")
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "image") m
+      else {
+        val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
+        val side = math.max(w, h)
+        if (side <= maxSide) m
+        else {
+          val ow = math.max(1, w * maxSide / side)
+          val oh = math.max(1, h * maxSide / side)
+          val out = new Array[Byte](ow * oh)
+          var y = 0
+          var i = 0
+          while (y < oh) {
+            val sy = y * h / oh
+            var x = 0
+            while (x < ow) {
+              out(i) = pix(sy * w + x * w / ow)
+              i += 1
+              x += 1
+            }
+            y += 1
+          }
+          val bytes = MediaCodec.sniffImageFormat(m.bytes) match {
+            case "png" => MediaCodec.encodePng(ow, oh, out)
+            case "jpeg" => MediaCodec.encodeJpeg(ow, oh, out)
+            case _ => MediaCodec.encodePgm(ow, oh, out)
+          }
+          m.copy(bytes = bytes, width = ow, height = oh)
+        }
+      }
+    })
+  }
+
+  /** Metadata-level resize: rescales dimensions, payload untouched (the
+    * content form above re-encodes; this one is the cheap planning pass
+    * a pipeline runs to SIZE the real resize). */
   def resizeMeta(media: Dataset[Media], maxSide: Int)
                 (implicit spark: SparkSession): Dataset[Media] = {
     import spark.implicits._

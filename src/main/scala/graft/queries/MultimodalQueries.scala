@@ -87,6 +87,21 @@ object MultimodalQueries extends Registry {
         .orderBy("media_id")
     }),
 
+    // REAL content resize: decode -> nearest-neighbor resample to long
+    // side <= 24 -> re-encode in the same container -> decode AGAIN and
+    // aggregate stats. The oracle replays the integer resample
+    // closed-form (src index = dst·srcDim/dstDim, floor), so a stride,
+    // rounding, or re-encode bug anywhere in the two decode passes or
+    // the resampler shifts the pixel sums and fails the hash.
+    "media_resize_decode_stats" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decode(Multimodal.resizeContent(
+          Multimodal.asMedia(media(s, d)), maxSide = 24))
+        .toDF().filter(col("kind") === "image")
+        .select("media_id", "n_units", "sum_units", "mean_mu")
+        .orderBy("media_id")
+    }),
+
     "media_features_knn" -> ((s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
@@ -334,6 +349,40 @@ object MultimodalQueries extends Registry {
     "media_decode_stats_png" -> decodeStatsOracle,
 
     "media_decode_stats_jpeg" -> jpegDecodeOracle,
+
+    // Closed-form replay of decode -> nearest-neighbor resample -> decode:
+    // output dims ow/oh from the integer long-side rule, pixel (x, y) of
+    // the thumb = source pixel (x*pw/ow, y*ph/oh), source pixel value
+    // from the generation formula — all floor division on non-negative
+    // ints, identical in both engines.
+    "media_resize_decode_stats" ->
+      """WITH d AS (SELECT doc_id AS media_id FROM documents
+                    WHERE doc_id % 3 = 0),
+          dims AS (SELECT media_id, media_id % 256 AS s,
+                          media_id % 64 + 16 AS pw,
+                          media_id % 48 + 16 AS ph,
+                          greatest(media_id % 64 + 16,
+                                   media_id % 48 + 16) AS side
+                   FROM d),
+          od AS (SELECT media_id, s, pw, ph,
+                        CASE WHEN side <= 24 THEN pw
+                             ELSE greatest(1, pw * 24 // side) END AS ow,
+                        CASE WHEN side <= 24 THEN ph
+                             ELSE greatest(1, ph * 24 // side) END AS oh
+                 FROM dims),
+          px AS (SELECT media_id, s, pw, ph, ow, oh,
+                        unnest(range(0, ow * oh)) AS i
+                 FROM od),
+          u AS (SELECT media_id, ow * oh AS n,
+                       (s + 7 * (((i // ow) * ph // oh) * pw
+                                 + (i % ow) * pw // ow)) % 256 AS v
+                FROM px)
+          SELECT media_id, CAST(max(n) AS BIGINT) AS n_units,
+                 CAST(sum(v) AS BIGINT) AS sum_units,
+                 CAST(CAST(sum(v) AS BIGINT) * 1000000 // max(n)
+                   AS BIGINT) AS mean_mu
+          FROM u GROUP BY media_id
+          ORDER BY media_id""",
 
     // Ground truth for the feature path: the dim-64 downsampled
     // DC-removed profiles (c_j = 64·slice_sum − total, slice of unit i

@@ -219,6 +219,35 @@ class MultimodalSpec extends SparkSpec {
     f.map(_.feature.toSeq).distinct.length should be > 1
   }
 
+  test("resizeContent: hand-checked nearest-neighbor thumb, container " +
+       "preserved, small/non-image rows untouched") {
+    import spark.implicits._
+    // 4x2 source, maxSide 2 -> ow=2, oh=1; nearest-neighbor picks
+    // source pixels (0,0) and (2,0)
+    val pix = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val pgm = Multimodal.Media(1L, "image", MediaCodec.encodePgm(4, 2, pix),
+      4, 2, 0, 0L)
+    val png = Multimodal.Media(2L, "image", MediaCodec.encodePng(4, 2, pix),
+      4, 2, 0, 0L)
+    val small = Multimodal.Media(3L, "image",
+      MediaCodec.encodePgm(2, 1, Array[Byte](9, 9)), 2, 1, 0, 0L)
+    val vid = Multimodal.Media(4L, "video", Array[Byte](1, 2, 3),
+      0, 0, 0, 5000L)
+    val out = Multimodal.resizeContent(
+      Seq(pgm, png, small, vid).toDS(), maxSide = 2).collect()
+      .map(m => m.media_id -> m).toMap
+    val (w1, h1, p1) = MediaCodec.decodeImage(out(1L).bytes)
+    (w1, h1) shouldBe ((2, 1))
+    p1.toSeq shouldBe Seq[Byte](10, 30)
+    MediaCodec.sniffImageFormat(out(1L).bytes) shouldBe "pgm"
+    // PNG in -> PNG out, same resampled raster
+    MediaCodec.sniffImageFormat(out(2L).bytes) shouldBe "png"
+    MediaCodec.decodeImage(out(2L).bytes)._3.toSeq shouldBe Seq[Byte](10, 30)
+    // already-small image and non-image rows pass through byte-identical
+    out(3L).bytes.toSeq shouldBe small.bytes.toSeq
+    out(4L).bytes.toSeq shouldBe vid.bytes.toSeq
+  }
+
   test("resizeMeta caps the long side, preserves small items") {
     val r = Multimodal.resizeMeta(media, maxSide = 256).collect()
     val orig = media.collect().map(m => m.media_id -> m).toMap
