@@ -159,6 +159,35 @@ object Multimodal {
     })
   }
 
+  /** Content-identity fingerprint: md5 over the DECODED content (dims +
+    * pixel/sample units), not the container bytes — the same raster
+    * stored as a PGM master and its PNG export fingerprints EQUAL, so
+    * exact dedup survives lossless container migration/re-encoding.
+    * Raw-byte fingerprints (the [[Dedup]] text path) would call those
+    * distinct. Kinds with no codec fall back to the raw payload bytes
+    * (byte-identity still dedups). Only the 16-byte digest leaves the
+    * kernel — downstream grouping shuffles digests, never payloads. */
+  def contentFingerprint(media: Dataset[Media])
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val payload: Array[Byte] = m.kind match {
+        case "image" =>
+          val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
+          s"img:$w:$h:${pix.map(_ & 0xff).mkString(",")}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case "audio" =>
+          val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
+          s"aud:$rate:${smp.mkString(",")}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        case _ => m.bytes
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (m.media_id, m.kind,
+        md.digest(payload).map("%02x".format(_)).mkString)
+    }).toDF("media_id", "kind", "content_fp")
+  }
+
   /** CONTENT resize for image payloads: decode the container
     * ([[MediaCodec.decodeImage]] — PGM/PNG/JPEG), nearest-neighbor
     * resample so the long side is <= `maxSide`, and re-encode in the

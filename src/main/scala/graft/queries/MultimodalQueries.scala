@@ -87,6 +87,28 @@ object MultimodalQueries extends Registry {
         .orderBy("media_id")
     }),
 
+    // Cross-container exact dedup: the corpus stored TWICE — once with
+    // PGM image payloads, once with the same rasters exported as PNG
+    // (ids offset) — deduped by the md5 of the DECODED content.
+    // Byte-level dedup would call every pgm/png pair distinct; the
+    // content fingerprint groups them, plus any ids whose generation
+    // arithmetic collides (images repeat every lcm(256,64,48)=768 ids).
+    // The oracle replays the content-equivalence classes closed-form
+    // and expects every group to hold BOTH containers' copies.
+    "media_content_dedup" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val docs = Tables.documents(s, d)
+      val pgm = Multimodal.mediaFromDocuments(docs)
+      val png = Multimodal.mediaFromDocuments(docs, imageFormat = "png")
+        .withColumn("media_id", col("media_id") + 10000000L)
+      Multimodal.contentFingerprint(
+          Multimodal.asMedia(pgm.unionByName(png)))
+        .groupBy("content_fp")
+        .agg(min("media_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        .select("doc_id", "n_dups")
+        .orderBy("doc_id")
+    }),
+
     // REAL content resize: decode -> nearest-neighbor resample to long
     // side <= 24 -> re-encode in the same container -> decode AGAIN and
     // aggregate stats. The oracle replays the integer resample
@@ -349,6 +371,26 @@ object MultimodalQueries extends Registry {
     "media_decode_stats_png" -> decodeStatsOracle,
 
     "media_decode_stats_jpeg" -> jpegDecodeOracle,
+
+    // Content-equivalence classes closed-form: image content is fully
+    // determined by (id%256, id%64, id%48) (seed + dims), audio by
+    // (id%256, id%2000) (tone + length; rate constant), video by the
+    // text itself. Each class appears once per container copy, so
+    // n_dups = 2 x class size and the representative is the smallest
+    // un-offset id.
+    "media_content_dedup" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k, text
+                    FROM documents),
+          g AS (SELECT doc_id,
+                       CASE WHEN k = 0 THEN 'i:' || (doc_id % 256) || ':'
+                                 || (doc_id % 64) || ':' || (doc_id % 48)
+                            WHEN k = 1 THEN 'a:' || (doc_id % 256) || ':'
+                                 || (doc_id % 2000)
+                            ELSE 'v:' || md5(text) END AS gk
+                FROM d)
+          SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                 CAST(2 * count(*) AS BIGINT) AS n_dups
+          FROM g GROUP BY gk ORDER BY doc_id""",
 
     // Closed-form replay of decode -> nearest-neighbor resample -> decode:
     // output dims ow/oh from the integer long-side rule, pixel (x, y) of

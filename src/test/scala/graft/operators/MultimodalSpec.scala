@@ -219,6 +219,25 @@ class MultimodalSpec extends SparkSpec {
     f.map(_.feature.toSeq).distinct.length should be > 1
   }
 
+  test("contentFingerprint: equal across lossless containers, " +
+       "sensitive to dims and values") {
+    import spark.implicits._
+    val pix = Array.tabulate[Byte](12)(i => (11 * i).toByte)
+    def m(id: Long, bytes: Array[Byte]) =
+      Multimodal.Media(id, "image", bytes, 0, 0, 0, 0L)
+    val rows = Seq(
+      m(1L, MediaCodec.encodePgm(4, 3, pix)),
+      m(2L, MediaCodec.encodePng(4, 3, pix)), // same raster, other container
+      m(3L, MediaCodec.encodePgm(3, 4, pix)), // same bytes, other shape
+      m(4L, MediaCodec.encodePgm(4, 3,
+        pix.updated(5, 99.toByte)))) // one pixel differs
+    val fp = Multimodal.contentFingerprint(rows.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    fp(1L) shouldBe fp(2L) // container-invariant
+    fp(1L) should not be fp(3L) // shape is content
+    fp(1L) should not be fp(4L) // values are content
+  }
+
   test("resizeContent: hand-checked nearest-neighbor thumb, container " +
        "preserved, small/non-image rows untouched") {
     import spark.implicits._
