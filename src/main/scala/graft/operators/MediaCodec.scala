@@ -164,39 +164,49 @@ object MediaCodec {
     sniffImageFormat(bytes) match {
       case "pgm" => decodePgm(bytes)
       case fmt =>
-        val img =
-          try javax.imageio.ImageIO.read(
+        // the whole decode+extract runs under one NonFatal barrier: JDK
+        // ImageIO readers surface many malformed payloads as
+        // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+        // CMMException, ...), not just IIOException — every one of them
+        // is "the bytes are not a valid image" and must exit through
+        // the typed seam, never as an opaque executor crash
+        try {
+          val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          catch {
-            case e: java.io.IOException => throw new MediaFormatException(
-              s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          }
-        if (img == null)
-          throw new MediaFormatException(s"$fmt: JDK reader rejected payload")
-        val w = img.getWidth
-        val h = img.getHeight
-        if (w <= 0 || h <= 0)
-          throw new MediaFormatException(s"$fmt: degenerate dims ${w}x$h")
-        val out = new Array[Byte](w * h)
-        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
-          img.getRaster.getDataElements(0, 0, w, h, out)
-        } else {
-          var y = 0
-          var i = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-                + 114 * (rgb & 0xff) + 500) / 1000
-              out(i) = lum.toByte
-              i += 1
-              x += 1
+          if (img == null)
+            throw new MediaFormatException(
+              s"$fmt: JDK reader rejected payload")
+          val w = img.getWidth
+          val h = img.getHeight
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28))
+            throw new MediaFormatException(s"$fmt: bad dims ${w}x$h")
+          val out = new Array[Byte](w * h)
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+            img.getRaster.getDataElements(0, 0, w, h, out)
+          } else {
+            var y = 0
+            var i = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff)
+                  + 587 * ((rgb >> 8) & 0xff)
+                  + 114 * (rgb & 0xff) + 500) / 1000
+                out(i) = lum.toByte
+                i += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
           }
+          (w, h, out)
+        } catch {
+          case m: MediaFormatException => throw m
+          case e if scala.util.control.NonFatal(e) =>
+            throw new MediaFormatException(
+              s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
-        (w, h, out)
     }
 
   // ------------------------------------------------- WAV (RIFF PCM16 mono)

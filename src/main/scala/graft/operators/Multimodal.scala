@@ -171,20 +171,28 @@ object Multimodal {
                         (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val payload: Array[Byte] = m.kind match {
+      // stream binary straight into the digest — no per-row decimal
+      // String materialization (a megapixel image would otherwise
+      // allocate MBs of transient garbage to feed a 16-byte MD5)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def i32(v: Int): Unit = {
+        md.update((v >> 24).toByte); md.update((v >> 16).toByte)
+        md.update((v >> 8).toByte); md.update(v.toByte)
+      }
+      m.kind match {
         case "image" =>
           val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
-          s"img:$w:$h:${pix.map(_ & 0xff).mkString(",")}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          md.update('I'.toByte); i32(w); i32(h); md.update(pix)
         case "audio" =>
           val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
-          s"aud:$rate:${smp.mkString(",")}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        case _ => m.bytes
+          md.update('A'.toByte); i32(rate); i32(smp.length)
+          val bb = java.nio.ByteBuffer.allocate(smp.length * 2)
+          smp.foreach(bb.putShort)
+          md.update(bb.array())
+        case _ => md.update(m.bytes)
       }
-      val md = java.security.MessageDigest.getInstance("MD5")
       (m.media_id, m.kind,
-        md.digest(payload).map("%02x".format(_)).mkString)
+        md.digest().map("%02x".format(_)).mkString)
     }).toDF("media_id", "kind", "content_fp")
   }
 
@@ -207,7 +215,11 @@ object Multimodal {
       else {
         val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
         val side = math.max(w, h)
-        if (side <= maxSide) m
+        // pass-through rows still get the DECODED dims stamped: every
+        // row this operator emits reports what its bytes actually say,
+        // never a (possibly inflated) upstream metadata claim — so a
+        // consumer checking width <= maxSide sees the truth either way
+        if (side <= maxSide) m.copy(width = w, height = h)
         else {
           val ow = math.max(1, w * maxSide / side)
           val oh = math.max(1, h * maxSide / side)

@@ -45,6 +45,24 @@ object CraneStream {
     spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
 
+  /** Start a query under the RocksDB provider WITHOUT leaking the
+    * session-global conf to queries started later: the provider class
+    * is one of the confs Spark captures into the query's offset
+    * metadata at first start (and reapplies on every restart from that
+    * checkpoint), so the started query keeps RocksDB for life while
+    * the session conf reverts for everyone else. */
+  private def startOnRocksDb(spark: SparkSession)
+                            (start: => StreamingQuery): StreamingQuery = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDbProvider)
+    try start
+    finally prior match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Unbounded line stream from files appearing under `dir`
     * (the spout's file source, S1). */
   def fileLines(spark: SparkSession, dir: String,
@@ -121,12 +139,12 @@ object CraneStream {
   def startUpdateMode(lines: DataFrame, app: String, store: VersionedStore,
                       checkpointDir: String,
                       period: String = "10 seconds"): StreamingQuery = {
-    // update mode exists FOR high-cardinality key spaces — pair it with
-    // the disk-backed store or the state itself becomes the memory bound
-    useRocksDbStateStore(lines.sparkSession)
     val counts = StreamApps.apps(app)(lines)
     val key = StreamApps.keyCol(app)
     val name = s"${app}_counts"
+    // update mode exists FOR high-cardinality key spaces — pair it with
+    // the disk-backed store or the state itself becomes the memory bound
+    startOnRocksDb(lines.sparkSession) {
     counts.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -153,6 +171,7 @@ object CraneStream {
         ()
       }
       .start()
+    }
   }
 
   /** Bounded-SNAPSHOT top-K for high-cardinality key spaces (SURVEY §7.5's
@@ -185,7 +204,6 @@ object CraneStream {
                        period: String = "10 seconds"): StreamingQuery = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val spark0 = lines.sparkSession
-    useRocksDbStateStore(spark0)
     import spark0.implicits._
     val key = StreamApps.keyCol(app)
     val name = s"${app}_topk"
@@ -198,6 +216,7 @@ object CraneStream {
           state.update(n)
           (word, n)
       }
+    startOnRocksDb(spark0) {
     updates.toDF(key, "count").writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
@@ -222,5 +241,6 @@ object CraneStream {
         ()
       }
       .start()
+    }
   }
 }

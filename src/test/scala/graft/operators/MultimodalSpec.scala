@@ -262,8 +262,10 @@ class MultimodalSpec extends SparkSpec {
     // PNG in -> PNG out, same resampled raster
     MediaCodec.sniffImageFormat(out(2L).bytes) shouldBe "png"
     MediaCodec.decodeImage(out(2L).bytes)._3.toSeq shouldBe Seq[Byte](10, 30)
-    // already-small image and non-image rows pass through byte-identical
+    // already-small image and non-image rows pass through byte-identical;
+    // the small image's metadata is re-stamped with its decoded dims
     out(3L).bytes.toSeq shouldBe small.bytes.toSeq
+    (out(3L).width, out(3L).height) shouldBe ((2, 1))
     out(4L).bytes.toSeq shouldBe vid.bytes.toSeq
   }
 

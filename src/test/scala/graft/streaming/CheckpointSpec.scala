@@ -101,12 +101,15 @@ class CheckpointSpec extends SparkSpec {
       checkpointDir = ckpt, period = "0 seconds")
 
     writeFile(inDir, "part1.txt", Seq("a a b", "c"))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorConf = spark.conf.getOption(confKey)
     val q1 = start()
     try {
       q1.processAllAvailable()
       assert(ranOnRocksDb(q1), "expected RocksDB state store metrics")
-      spark.conf.get("spark.sql.streaming.stateStore.providerClass") shouldBe
-        CraneStream.RocksDbProvider
+      // the provider is pinned PER QUERY (captured into its offset
+      // metadata), not leaked into the session conf for later queries
+      spark.conf.getOption(confKey) shouldBe priorConf
     } finally q1.stop()
 
     writeFile(inDir, "part2.txt", Seq("a b b", "c c"))
