@@ -47,10 +47,20 @@ object MediaCodec {
     * (1 byte/pixel) is supported. Throws [[MediaFormatException]] on
     * anything malformed — decode is a correctness gate, not a guess. */
   def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, pix, _) = parsePgmAt(bytes, 0)
+    (w, h, pix)
+  }
+
+  /** Parse one P5 image starting at `start`; returns (w, h, raster,
+    * position of the first byte AFTER the raster) — the primitive the
+    * multi-image stream decoder walks with. */
+  private def parsePgmAt(bytes: Array[Byte],
+                         start: Int): (Int, Int, Array[Byte], Int) = {
     def fail(m: String): Nothing = throw new MediaFormatException(s"PGM: $m")
-    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '5')
-      fail("missing P5 magic")
-    var pos = 2
+    if (bytes.length < start + 2 || bytes(start) != 'P' ||
+        bytes(start + 1) != '5')
+      fail(s"missing P5 magic at offset $start")
+    var pos = start + 2
     def skipWs(): Unit = {
       var done = false
       while (!done && pos < bytes.length) {
@@ -88,7 +98,46 @@ object MediaCodec {
     pos += 1
     if (w <= 0 || h <= 0) fail(s"degenerate dims ${w}x$h")
     if (bytes.length - pos < w.toLong * h) fail("truncated raster")
-    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h))
+    (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + w * h),
+      pos + w * h)
+  }
+
+  // ------------------------------------------- PGM stream (multi-image P5)
+
+  /** Encode a frame sequence as a netpbm P5 STREAM — the public netpbm
+    * convention that "a file may contain more than one image"
+    * (concatenated rasters, each with its own header). The poor man's
+    * video container: real enough that frame extraction must walk real
+    * per-frame headers, dependency-free enough to decode anywhere. */
+  def encodePgmStream(frames: Seq[(Int, Int, Array[Byte])]): Array[Byte] = {
+    require(frames.nonEmpty, "a PGM stream needs at least one frame")
+    val encoded = frames.map { case (w, h, pix) => encodePgm(w, h, pix) }
+    val out = new Array[Byte](encoded.map(_.length).sum)
+    var off = 0
+    encoded.foreach { e =>
+      System.arraycopy(e, 0, out, off, e.length); off += e.length
+    }
+    out
+  }
+
+  /** Decode a P5 stream to its frame sequence: strict header+raster walk
+    * per frame until the payload is exhausted. Trailing garbage, a
+    * truncated raster, or a malformed header anywhere in the stream
+    * throws [[MediaFormatException]] — a frame boundary off by one byte
+    * must fail loudly, not resynchronize silently. */
+  def decodePgmStream(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
+    var pos = 0
+    var n = 0
+    while (pos < bytes.length) {
+      val (w, h, pix, next) = parsePgmAt(bytes, pos)
+      frames += ((w, h, pix))
+      pos = next
+      n += 1
+      if (n > (1 << 20))
+        throw new MediaFormatException("PGM stream: frame count out of range")
+    }
+    frames.result()
   }
 
   // ------------------------------------------- PNG / JPEG (JDK ImageIO)

@@ -47,6 +47,16 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Long, frame_ms: Long,
                          frame_bytes: Array[Byte])
 
+  /** Per-frame content statistics from a REAL multi-frame decode. */
+  final case class FrameStats(media_id: Long, frame_idx: Long, width: Int,
+                              height: Int, n_pix: Long, sum_pix: Long,
+                              mean_mu: Long)
+
+  /** Per-window audio features from a REAL PCM decode: integer signal
+    * energy (sum of squared signed samples) and zero-crossing count. */
+  final case class AudioWindow(media_id: Long, win_idx: Long, n_samp: Long,
+                               energy: Long, crossings: Long)
+
   /** Internal generator row (public: Spark's generated projections need
     * constructor access to Encoder target classes). */
   final case class GenMeta(media_id: Long, kind: String,
@@ -284,6 +294,75 @@ object Multimodal {
     }
   }
 
+  /** CONTENT frame sampling over a REAL multi-frame container: decode
+    * the P5 stream ([[MediaCodec.decodePgmStream]] — per-frame header +
+    * raster walk), take up to `n` evenly-spaced frames by stream
+    * position (`p_j = j·f/k`, the same floor spacing [[sampleFrames]]
+    * uses on timestamps), and aggregate each sampled frame's pixel
+    * stats. This is [[sampleFrames]]'s metadata arithmetic made real:
+    * the frame boundaries come from parsed headers, so an off-by-one in
+    * the stream walk shifts every downstream stat and fails the oracle.
+    * Non-video rows are filtered; a video payload that is not a P5
+    * stream throws [[MediaFormatException]] — an undecodable frame
+    * source is a data bug, not a shrug. */
+  def sampleFramesContent(media: Dataset[Media], n: Int)
+                         (implicit spark: SparkSession): Dataset[FrameStats] = {
+    require(n > 0, s"n $n must be positive")
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val frames = MediaCodec.decodePgmStream(m.bytes)
+      val f = frames.length
+      val k = math.min(n, f)
+      (0 until k).map { j =>
+        val p = j * f / k
+        val (w, h, pix) = frames(p)
+        var sum = 0L
+        var i = 0
+        while (i < pix.length) { sum += pix(i) & 0xff; i += 1 }
+        FrameStats(m.media_id, p.toLong, w, h, pix.length.toLong, sum,
+          sum * 1000000L / pix.length)
+      }
+    })
+  }
+
+  /** Windowed audio feature extraction over the REAL PCM decode: frame
+    * the signed sample stream into fixed `win`-sample windows
+    * (`win_idx = i / win`, tail window partial) and emit per window the
+    * integer signal energy (sum of squared samples — exact in Long:
+    * 2048² per sample) and the zero-crossing count (sign flips between
+    * ADJACENT samples within the window; the boundary pair belongs to
+    * neither window, so windows are independently recomputable). The
+    * classic cheap audio featurization (energy ≈ loudness, crossings ≈
+    * dominant frequency) with every value integer-exact, so the DuckDB
+    * oracle replays it from the generation formulas. Non-audio rows are
+    * filtered; a malformed WAV throws [[MediaFormatException]]. */
+  def audioFeatures(media: Dataset[Media], win: Int = 256)
+                   (implicit spark: SparkSession): Dataset[AudioWindow] = {
+    require(win > 0, s"win $win must be positive")
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val (_, smp) = MediaCodec.decodeWavPcm16(m.bytes)
+      val out = Seq.newBuilder[AudioWindow]
+      var start = 0
+      while (start < smp.length) {
+        val end = math.min(start + win, smp.length)
+        var energy = 0L
+        var crossings = 0L
+        var i = start
+        while (i < end) {
+          val s = smp(i).toLong
+          energy += s * s
+          if (i > start && ((smp(i) >= 0) != (smp(i - 1) >= 0))) crossings += 1
+          i += 1
+        }
+        out += AudioWindow(m.media_id, (start / win).toLong,
+          (end - start).toLong, energy, crossings)
+        start = end
+      }
+      out.result()
+    })
+  }
+
   // ------------------------------------------------- synthetic media table
 
   /** Deterministic media table derived from the documents table (the
@@ -304,11 +383,21 @@ object Multimodal {
     * its decode stats replay from the identical formulas (the
     * container changes, the ground truth doesn't); JPEG is lossy, so
     * its decoded stats are JDK-decoder outputs, oracle-checked against
-    * pre-extracted literals instead. */
+    * pre-extracted literals instead.
+    *
+    * `videoFormat` picks the video payload: "text" (default — opaque
+    * UTF-8 blob, the historical shape every byte-level oracle replays)
+    * or "pgmstream" — a REAL multi-frame netpbm P5 stream
+    * (`id%12+2` frames of `id%32+8 × id%24+8`, frame j pixel i =
+    * `(id%256 + 31j + 7i) mod 256`), closed-form like everything else,
+    * so content frame sampling is oracle-checkable end to end. */
   def mediaFromDocuments(docs: DataFrame,
-                         imageFormat: String = "pgm"): DataFrame = {
+                         imageFormat: String = "pgm",
+                         videoFormat: String = "text"): DataFrame = {
     require(Set("pgm", "png", "jpeg").contains(imageFormat),
       s"unsupported imageFormat $imageFormat")
+    require(Set("text", "pgmstream").contains(videoFormat),
+      s"unsupported videoFormat $videoFormat")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(
@@ -347,6 +436,19 @@ object Multimodal {
               smp(i) = (((t + 13 * i) % 4096) - 2048).toShort; i += 1
             }
             MediaCodec.encodeWavPcm16(g.sample_rate, smp)
+          case _ if videoFormat == "pgmstream" =>
+            val f = (g.media_id % 12 + 2).toInt
+            val fw = (g.media_id % 32 + 8).toInt
+            val fh = (g.media_id % 24 + 8).toInt
+            val seed = (g.media_id % 256).toInt
+            MediaCodec.encodePgmStream((0 until f).map { j =>
+              val pix = new Array[Byte](fw * fh)
+              var i = 0
+              while (i < pix.length) {
+                pix(i) = ((seed + 31 * j + 7 * i) % 256).toByte; i += 1
+              }
+              (fw, fh, pix)
+            })
           case _ =>
             g.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         }

@@ -188,6 +188,35 @@ object MultimodalQueries extends Registry {
         bits = graft.operators.Ann.autoBitsExact(
           Tables.documents(s, d).count()))
     }),
+
+    // REAL frame sampling: the video corpus stored as multi-frame
+    // netpbm P5 streams, frame boundaries parsed from per-frame
+    // headers, up to 4 evenly-spaced frames sampled by stream position
+    // and aggregated to pixel stats. The oracle replays frame
+    // selection (p = j·f/k, floor) and pixel sums closed-form — a
+    // one-byte error in the stream walk shifts a frame boundary and
+    // fails the hash.
+    "media_video_frames" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.sampleFramesContent(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
+            videoFormat = "pgmstream")), n = 4)
+        .toDF().select("media_id", "frame_idx", "width", "height",
+          "n_pix", "sum_pix", "mean_mu")
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Windowed audio featurization over the REAL PCM decode: 256-sample
+    // windows, integer signal energy + zero-crossing count per window.
+    // Every value is integer-exact, so the oracle replays the features
+    // from the sample-generation formula (window framing included).
+    "media_audio_features" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.audioFeatures(Multimodal.asMedia(media(s, d)), win = 256)
+        .toDF().select("media_id", "win_idx", "n_samp", "energy",
+          "crossings")
+        .orderBy("media_id", "win_idx")
+    }),
   )
 
   /** DuckDB replay of mediaFromDocuments: metadata columns plus the
@@ -493,5 +522,54 @@ object MultimodalQueries extends Registry {
     // media_near_dup: LSH-bucketed pairs over the (real) features use
     // engine-internal seeded planes — rows only; the subset-of-exact
     // and exact-dup-recall properties are asserted in MultimodalSpec.
+
+    // Frame-sample ground truth closed-form: f = id%12+2 frames of
+    // (id%32+8) x (id%24+8), sampled positions p = j*f/k (k = min(4,f)),
+    // frame p pixel i = (id%256 + 31p + 7i) mod 256. The Scala side must
+    // walk real per-frame P5 headers to land on the same rasters.
+    "media_video_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, doc_id % 256 AS s,
+                           doc_id % 12 + 2 AS f,
+                           CAST(doc_id % 32 + 8 AS INT) AS w,
+                           CAST(doc_id % 24 + 8 AS INT) AS h
+                    FROM documents WHERE doc_id % 3 = 2),
+          fr AS (SELECT media_id, s, w, h, w * h AS n, (j * f) // k AS p
+                 FROM (SELECT *, unnest(range(0, least(4, f))) AS j,
+                              least(4, f) AS k
+                       FROM v)),
+          px AS (SELECT media_id, p, w, h, n,
+                        sum((s + 31 * p + 7 * i) % 256) AS su
+                 FROM (SELECT *, unnest(range(0, n)) AS i FROM fr)
+                 GROUP BY media_id, p, w, h, n)
+          SELECT media_id, CAST(p AS BIGINT) AS frame_idx, w AS width,
+                 h AS height, CAST(n AS BIGINT) AS n_pix,
+                 CAST(su AS BIGINT) AS sum_pix,
+                 CAST(su * 1000000 // n AS BIGINT) AS mean_mu
+          FROM px ORDER BY media_id, frame_idx""",
+
+    // Audio-window ground truth closed-form: signed samples
+    // s_i = ((17·(id%256) + 13i) mod 4096) − 2048 over n = id%2000+500,
+    // framed at 256 (tail partial); energy = Σ s², crossings = sign
+    // flips between adjacent samples with both ends inside the window
+    // (i % 256 != 0 excludes the boundary pair).
+    "media_audio_features" ->
+      """WITH a AS (SELECT doc_id AS media_id, (doc_id % 256) * 17 AS t,
+                           doc_id % 2000 + 500 AS n
+                    FROM documents WHERE doc_id % 3 = 1),
+          smp AS (SELECT media_id, i, i // 256 AS win_idx,
+                         ((t + 13 * i) % 4096) - 2048 AS s
+                  FROM (SELECT *, unnest(range(0, n)) AS i FROM a)),
+          lagged AS (SELECT media_id, win_idx, i, s,
+                            lag(s) OVER (PARTITION BY media_id
+                                         ORDER BY i) AS prev
+                     FROM smp)
+          SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
+                 CAST(count(*) AS BIGINT) AS n_samp,
+                 CAST(sum(s * s) AS BIGINT) AS energy,
+                 CAST(sum(CASE WHEN i % 256 <> 0
+                               AND ((s >= 0) <> (prev >= 0))
+                          THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+          FROM lagged GROUP BY media_id, win_idx
+          ORDER BY media_id, win_idx""",
   )
 }

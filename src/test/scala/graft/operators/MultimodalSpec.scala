@@ -296,6 +296,84 @@ class MultimodalSpec extends SparkSpec {
     frames.map(_.media_id).distinct.length shouldBe vids.size
   }
 
+  test("PGM stream codec: multi-frame round-trip, strict stream walk") {
+    val f0 = (2, 2, Array[Byte](1, 2, 3, 4))
+    val f1 = (3, 1, Array[Byte](9, 8, 7))
+    val f2 = (1, 4, Array[Byte](5, 5, 5, 5))
+    val enc = MediaCodec.encodePgmStream(Seq(f0, f1, f2))
+    val dec = MediaCodec.decodePgmStream(enc)
+    dec.length shouldBe 3
+    dec.zip(Seq(f0, f1, f2)).foreach { case ((w, h, pix), (ew, eh, ep)) =>
+      (w, h) shouldBe ((ew, eh))
+      pix.toSeq shouldBe ep.toSeq
+    }
+    // a single image is a 1-frame stream (netpbm files ARE streams)
+    MediaCodec.decodePgmStream(MediaCodec.encodePgm(2, 2, f0._3))
+      .length shouldBe 1
+    // trailing garbage and mid-stream truncation fail loudly — the walk
+    // must never resynchronize past a bad boundary
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodePgmStream(enc :+ 0x7f.toByte)
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodePgmStream(enc.dropRight(1))
+  }
+
+  test("sampleFramesContent: parsed frame boundaries, even spacing, " +
+      "pixel stats from the bytes") {
+    val vids = Multimodal.asMedia(Multimodal.mediaFromDocuments(
+      Tables.documents(spark, sfDir), videoFormat = "pgmstream"))
+    val stats = Multimodal.sampleFramesContent(vids, n = 4).collect()
+      .groupBy(_.media_id)
+    stats.foreach { case (id, fs) =>
+      val f = (id % 12 + 2).toInt
+      val k = math.min(4, f)
+      fs.length shouldBe k
+      fs.map(_.frame_idx).sorted.toSeq shouldBe
+        (0 until k).map(j => (j * f / k).toLong)
+      fs.foreach { st =>
+        st.width shouldBe (id % 32 + 8).toInt
+        st.height shouldBe (id % 24 + 8).toInt
+        st.n_pix shouldBe st.width.toLong * st.height
+        // closed-form pixel sum for the sampled frame
+        val seed = (id % 256).toInt
+        val expected = (0 until st.n_pix.toInt)
+          .map(i => (seed + 31 * st.frame_idx.toInt + 7 * i) % 256)
+          .map(_.toLong).sum
+        st.sum_pix shouldBe expected
+      }
+    }
+    // a video corpus that is NOT a P5 stream fails loudly
+    an[org.apache.spark.SparkException] should be thrownBy
+      Multimodal.sampleFramesContent(media, n = 4).collect()
+  }
+
+  test("audioFeatures: hand-checked windows, energy and crossings " +
+      "from the decoded samples") {
+    import spark.implicits._
+    // 5 samples, window 3: win0 = (100, 50, -25) -> 1 crossing at the
+    // 50 -> -25 edge; win1 = (-50, 25) -> 1 crossing; the boundary pair
+    // (-25, -50) belongs to neither window (and is not a flip anyway)
+    val wav = MediaCodec.encodeWavPcm16(16000,
+      Array[Short](100, 50, -25, -50, 25))
+    val one = Seq(Multimodal.Media(7L, "audio", wav, 0, 0, 16000, 0L)).toDS()
+    val wins = Multimodal.audioFeatures(one, win = 3).collect()
+      .sortBy(_.win_idx)
+    wins.map(w => (w.win_idx, w.n_samp, w.energy, w.crossings)).toSeq shouldBe
+      Seq((0L, 3L, 100L * 100 + 50 * 50 + 25 * 25, 1L),
+        (1L, 2L, 50L * 50 + 25 * 25, 1L))
+    // corpus-level: every audio row covered, windows tile the sample
+    // count exactly, all values non-negative
+    val all = Multimodal.audioFeatures(media, win = 256).collect()
+      .groupBy(_.media_id)
+    all.size shouldBe media.filter(_.kind == "audio").count()
+    all.foreach { case (id, ws) =>
+      val n = (id % 2000 + 500)
+      ws.map(_.n_samp).sum shouldBe n
+      ws.map(_.win_idx).sorted.toSeq shouldBe (0L until ws.length.toLong)
+      ws.foreach { w => assert(w.energy >= 0 && w.crossings >= 0) }
+    }
+  }
+
   test("features compose with ANN: k neighbors per query id") {
     val feats = Multimodal.extractFeatures(media).toDF()
       .withColumnRenamed("feature", "embedding")
