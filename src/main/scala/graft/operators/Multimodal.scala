@@ -57,6 +57,13 @@ object Multimodal {
   final case class AudioWindow(media_id: Long, win_idx: Long, n_samp: Long,
                                energy: Long, crossings: Long)
 
+  /** Adjacent-frame difference from a REAL multi-frame decode:
+    * `abs_diff` = Σ|p_j(i) − p_{j−1}(i)| over the raster, `diff_mu` the
+    * per-pixel mean in integer micro-units, `is_cut` the thresholded
+    * scene-cut verdict (cross-multiplied, no division rounding). */
+  final case class FrameDiff(media_id: Long, frame_idx: Long, n_pix: Long,
+                             abs_diff: Long, diff_mu: Long, is_cut: Int)
+
   /** Internal generator row (public: Spark's generated projections need
     * constructor access to Encoder target classes). */
   final case class GenMeta(media_id: Long, kind: String,
@@ -360,6 +367,42 @@ object Multimodal {
         start = end
       }
       out.result()
+    })
+  }
+
+  /** Temporal frame-difference analysis — the scene-cut primitive — over
+    * the REAL multi-frame decode: for every adjacent frame pair (j−1, j)
+    * emit the total absolute pixel difference and a thresholded cut
+    * verdict (`diff_mu ≥ cutMu`, decided by cross-multiplication
+    * `abs_diff·10⁶ ≥ cutMu·n_pix` so no division rounding is in the
+    * decision path). All arithmetic is integer-exact, so the DuckDB
+    * oracle replays the diffs from the generation formulas — a one-byte
+    * slip in the stream walk shifts a frame boundary and every diff
+    * after it. Adjacent frames with different dimensions fail loudly:
+    * a raster-size change mid-stream is a data bug in this corpus, not
+    * a resolution switch to paper over. */
+  def frameDiffs(media: Dataset[Media], cutMu: Long)
+                (implicit spark: SparkSession): Dataset[FrameDiff] = {
+    require(cutMu >= 0, s"cutMu $cutMu must be non-negative")
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val frames = MediaCodec.decodePgmStream(m.bytes)
+      (1 until frames.length).iterator.map { j =>
+        val (w0, h0, p0) = frames(j - 1)
+        val (w1, h1, p1) = frames(j)
+        if (w0 != w1 || h0 != h1)
+          throw new MediaFormatException(
+            s"media ${m.media_id}: frame $j dims ${w1}x$h1 differ from " +
+              s"${w0}x$h0 — diff undefined across a raster-size change")
+        var d = 0L
+        var i = 0
+        while (i < p0.length) {
+          d += math.abs((p1(i) & 0xff) - (p0(i) & 0xff)); i += 1
+        }
+        val n = p0.length.toLong
+        FrameDiff(m.media_id, j.toLong, n, d, d * 1000000L / n,
+          if (d * 1000000L >= cutMu * n) 1 else 0)
+      }
     })
   }
 

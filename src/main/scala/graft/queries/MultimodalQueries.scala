@@ -206,6 +206,21 @@ object MultimodalQueries extends Registry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Temporal scene-cut analysis: adjacent-frame absolute pixel
+    // difference over the REAL multi-frame decode, with the cut verdict
+    // decided by integer cross-multiplication. The oracle replays every
+    // per-pixel diff from the generation formulas — frame boundaries,
+    // diff sums, and the threshold comparison all hash-checked.
+    "media_scene_cuts" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.frameDiffs(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
+            videoFormat = "pgmstream")), cutMu = 54500000L)
+        .toDF().select("media_id", "frame_idx", "n_pix", "abs_diff",
+          "diff_mu", "is_cut")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Windowed audio featurization over the REAL PCM decode: 256-sample
     // windows, integer signal energy + zero-crossing count per window.
     // Every value is integer-exact, so the oracle replays the features
@@ -545,6 +560,30 @@ object MultimodalQueries extends Registry {
                  h AS height, CAST(n AS BIGINT) AS n_pix,
                  CAST(su AS BIGINT) AS sum_pix,
                  CAST(su * 1000000 // n AS BIGINT) AS mean_mu
+          FROM px ORDER BY media_id, frame_idx""",
+
+    // Adjacent-frame diff ground truth closed-form: frame j pixel i =
+    // (s + 31j + 7i) mod 256, so diff_i = |((s+31j+7i) mod 256) −
+    // (s+31(j−1)+7i mod 256)| — replayed generically per pixel (the
+    // oracle does NOT use the 31-or-225 algebraic shortcut; it must
+    // agree with the decoded bytes, not with the builder's algebra).
+    // Cut verdict by the same cross-multiplication as the Scala side.
+    "media_scene_cuts" ->
+      """WITH v AS (SELECT doc_id AS media_id, doc_id % 256 AS s,
+                           doc_id % 12 + 2 AS f,
+                           (doc_id % 32 + 8) * (doc_id % 24 + 8) AS n
+                    FROM documents WHERE doc_id % 3 = 2),
+          pr AS (SELECT media_id, s, n, unnest(range(1, f)) AS j FROM v),
+          px AS (SELECT media_id, j, n,
+                        sum(abs(((s + 31 * j + 7 * i) % 256)
+                              - ((s + 31 * (j - 1) + 7 * i) % 256))) AS d
+                 FROM (SELECT *, unnest(range(0, n)) AS i FROM pr)
+                 GROUP BY media_id, j, n)
+          SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+                 CAST(n AS BIGINT) AS n_pix, CAST(d AS BIGINT) AS abs_diff,
+                 CAST(d * 1000000 // n AS BIGINT) AS diff_mu,
+                 CAST(CASE WHEN d * 1000000 >= 54500000 * n
+                      THEN 1 ELSE 0 END AS INT) AS is_cut
           FROM px ORDER BY media_id, frame_idx""",
 
     // Audio-window ground truth closed-form: signed samples

@@ -374,6 +374,51 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameDiffs: hand-checked adjacent diffs, threshold verdict, " +
+      "loud failure on a raster-size change") {
+    import spark.implicits._
+    // 3 frames of 2x2: diffs f0->f1 = |5-1|+|5-2|+|5-3|+|5-4| = 10,
+    // f1->f2 = |0-5|*3 + |255-5| = 265
+    val stream = MediaCodec.encodePgmStream(Seq(
+      (2, 2, Array[Byte](1, 2, 3, 4)),
+      (2, 2, Array[Byte](5, 5, 5, 5)),
+      (2, 2, Array[Byte](0, 0, 0, 0xff.toByte))))
+    val one = Seq(Multimodal.Media(3L, "video", stream, 0, 0, 0, 0L)).toDS()
+    // threshold between the two pair means (2.5 and 66.25 per pixel)
+    val ds = Multimodal.frameDiffs(one, cutMu = 10000000L).collect()
+      .sortBy(_.frame_idx)
+    ds.map(d => (d.frame_idx, d.n_pix, d.abs_diff, d.diff_mu, d.is_cut))
+      .toSeq shouldBe Seq((1L, 4L, 10L, 2500000L, 0),
+        (2L, 4L, 265L, 66250000L, 1))
+    // adjacent frames with different dims fail loudly, never diff
+    val bad = MediaCodec.encodePgmStream(Seq(
+      (2, 2, Array[Byte](1, 2, 3, 4)), (4, 1, Array[Byte](1, 2, 3, 4))))
+    val badDs = Seq(Multimodal.Media(4L, "video", bad, 0, 0, 0, 0L)).toDS()
+    an[org.apache.spark.SparkException] should be thrownBy
+      Multimodal.frameDiffs(badDs, cutMu = 0L).collect()
+  }
+
+  test("frameDiffs corpus coverage: f-1 diffs per video, closed-form sums") {
+    val vids = Multimodal.asMedia(Multimodal.mediaFromDocuments(
+      Tables.documents(spark, sfDir), videoFormat = "pgmstream"))
+    val byId = Multimodal.frameDiffs(vids, cutMu = 54500000L).collect()
+      .groupBy(_.media_id)
+    byId.foreach { case (id, ds) =>
+      val f = (id % 12 + 2).toInt
+      ds.length shouldBe f - 1
+      ds.map(_.frame_idx).sorted.toSeq shouldBe (1L until f.toLong)
+      val seed = (id % 256).toInt
+      ds.foreach { d =>
+        // generator algebra: per-pixel diff is 31, or 225 on wraparound
+        val expected = (0 until d.n_pix.toInt).map { i =>
+          val prev = (seed + 31 * (d.frame_idx.toInt - 1) + 7 * i) % 256
+          if (prev >= 225) 225L else 31L
+        }.sum
+        d.abs_diff shouldBe expected
+      }
+    }
+  }
+
   test("features compose with ANN: k neighbors per query id") {
     val feats = Multimodal.extractFeatures(media).toDF()
       .withColumnRenamed("feature", "embedding")
