@@ -57,6 +57,12 @@ object Multimodal {
   final case class AudioWindow(media_id: Long, win_idx: Long, n_samp: Long,
                                energy: Long, crossings: Long)
 
+  /** One-pass content profile: decode stats + content fingerprint from
+    * a single parse of the payload (see [[contentProfile]]). */
+  final case class ContentProfile(media_id: Long, kind: String,
+                                  content_fp: String, n_units: Long,
+                                  sum_units: Long, mean_mu: Long)
+
   /** Adjacent-frame difference from a REAL multi-frame decode:
     * `abs_diff` = Σ|p_j(i) − p_{j−1}(i)| over the raster, `diff_mu` the
     * per-pixel mean in integer micro-units, `is_cut` the thresholded
@@ -367,6 +373,58 @@ object Multimodal {
         start = end
       }
       out.result()
+    })
+  }
+
+  /** One-decode-pass content profile: stats AND fingerprint from a
+    * single parse. The media-prep pipeline needs both a quality gate
+    * (stats) and a dedup key (fingerprint); running [[decode]] then
+    * [[contentFingerprint]] would decode every payload twice and —
+    * worse — force a payload-carrying join to line the two up. This
+    * kernel emits `(id, kind, content_fp, n_units, sum_units, mean_mu)`
+    * in one partition-local pass, after which the pipeline is pure
+    * column algebra: the binary column never appears downstream.
+    * Fingerprint bytes are digested identically to
+    * [[contentFingerprint]] (same 'I'/'A' domain tags, dims, raw
+    * payload for undecodable kinds), so the two operators can never
+    * disagree about content identity. */
+  def contentProfile(media: Dataset[Media])
+                    (implicit spark: SparkSession): Dataset[ContentProfile] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def i32(v: Int): Unit = {
+        md.update((v >> 24).toByte); md.update((v >> 16).toByte)
+        md.update((v >> 8).toByte); md.update(v.toByte)
+      }
+      var n = 0L
+      var sum = -1L
+      m.kind match {
+        case "image" =>
+          val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
+          md.update('I'.toByte); i32(w); i32(h); md.update(pix)
+          n = pix.length.toLong
+          sum = 0L
+          var i = 0
+          while (i < pix.length) { sum += (pix(i) & 0xff); i += 1 }
+        case "audio" =>
+          val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
+          md.update('A'.toByte); i32(rate); i32(smp.length)
+          val bb = java.nio.ByteBuffer.allocate(smp.length * 2)
+          smp.foreach(bb.putShort)
+          md.update(bb.array())
+          n = smp.length.toLong
+          sum = 0L
+          var i = 0
+          // offset to 0..4095 exactly as decodeUnits does
+          while (i < smp.length) { sum += smp(i) + 2048; i += 1 }
+        case _ =>
+          md.update(m.bytes)
+          n = m.bytes.length.toLong
+      }
+      ContentProfile(m.media_id, m.kind,
+        md.digest().map("%02x".format(_)).mkString, n, sum,
+        if (sum < 0) -1L else sum * 1000000L / n)
     })
   }
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Ann, Multimodal}
+import graft.operators.{Ann, Corpus, Multimodal}
 
 /** Multimodal queries (operators.Multimodal). The media table is derived
   * deterministically from documents: image payloads are REAL binary PGM,
@@ -204,6 +204,39 @@ object MultimodalQueries extends Registry {
         .toDF().select("media_id", "frame_idx", "width", "height",
           "n_pix", "sum_pix", "mean_mu")
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // Multimodal corpus-prep flagship: mixed-container corpus (every
+    // item stored once as PGM/text and once as PNG/text under offset
+    // ids) -> ONE decode pass producing stats + content fingerprint
+    // (contentProfile) -> integer quality gates -> content dedup
+    // keeping the smallest id -> content-hash shard manifest. After the
+    // profile kernel the plan is pure column algebra: the binary
+    // payload never joins, groups, or shuffles. The oracle replays
+    // gates, equivalence classes, representatives, and shard hashes
+    // closed-form end to end.
+    "pipeline_media_prep" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val docs = Tables.documents(s, d)
+      val pgm = Multimodal.mediaFromDocuments(docs)
+      val png = Multimodal.mediaFromDocuments(docs, imageFormat = "png")
+        .withColumn("media_id", col("media_id") + 10000000L)
+      val prof = Multimodal.contentProfile(
+        Multimodal.asMedia(pgm.unionByName(png))).toDF()
+      val kept = prof.filter(
+        (col("kind") === "image" && col("n_units") >= 400 &&
+          col("mean_mu").between(120000000L, 135000000L)) ||
+        (col("kind") === "audio" && col("n_units") >= 800) ||
+        (col("kind") === "video" && col("n_units") >= 200))
+      val reps = kept.groupBy("kind", "content_fp")
+        .agg(min("media_id").as("rep_id"),
+          count(lit(1)).as("n_copies"), max("n_units").as("n_units"))
+      reps.withColumn("shard", Corpus.shardExpr(col("rep_id"), 8))
+        .groupBy("kind", "shard")
+        .agg(count(lit(1)).as("n_items"),
+          sum("n_units").as("total_units"),
+          sum("n_copies").as("n_copies"))
+        .orderBy("kind", "shard")
     }),
 
     // Temporal scene-cut analysis: adjacent-frame absolute pixel
@@ -561,6 +594,59 @@ object MultimodalQueries extends Registry {
                  CAST(su AS BIGINT) AS sum_pix,
                  CAST(su * 1000000 // n AS BIGINT) AS mean_mu
           FROM px ORDER BY media_id, frame_idx""",
+
+    // Media-prep pipeline ground truth: since both container copies of
+    // a doc have identical content, the whole pipeline replays on
+    // doc_ids — image stats unnested from the generation formula (the
+    // only gate needing per-pixel replay), audio/video gates from their
+    // closed-form lengths, content classes via the same keys as
+    // media_content_dedup, representative = min un-offset id, n_copies
+    // = 2 x class size, shard = first 4 md5 hex of (rep || 'graft').
+    "pipeline_media_prep" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS k, text
+                    FROM documents),
+          img AS (SELECT doc_id, doc_id % 256 AS s,
+                         (doc_id % 64 + 16) * (doc_id % 48 + 16) AS n
+                  FROM d WHERE k = 0),
+          imgs AS (SELECT doc_id, count(*) AS nu,
+                          sum((s + 7 * i) % 256) AS su
+                   FROM (SELECT doc_id, s, unnest(range(0, n)) AS i
+                         FROM img)
+                   GROUP BY doc_id),
+          it AS (SELECT doc_id, 'image' AS kind, CAST(nu AS BIGINT) AS nu,
+                        CAST(su * 1000000 // nu AS BIGINT) AS mu,
+                        'i:' || (doc_id % 256) || ':' || (doc_id % 64)
+                          || ':' || (doc_id % 48) AS gk
+                 FROM imgs
+                 UNION ALL
+                 SELECT doc_id, 'audio',
+                        CAST(doc_id % 2000 + 500 AS BIGINT),
+                        CAST(NULL AS BIGINT),
+                        'a:' || (doc_id % 256) || ':' || (doc_id % 2000)
+                 FROM d WHERE k = 1
+                 UNION ALL
+                 SELECT doc_id, 'video',
+                        CAST(octet_length(encode(text)) AS BIGINT),
+                        CAST(NULL AS BIGINT), 'v:' || md5(text)
+                 FROM d WHERE k = 2),
+          gated AS (SELECT * FROM it
+                    WHERE (kind = 'image' AND nu >= 400
+                           AND mu BETWEEN 120000000 AND 135000000)
+                       OR (kind = 'audio' AND nu >= 800)
+                       OR (kind = 'video' AND nu >= 200)),
+          cls AS (SELECT kind, gk, min(doc_id) AS rep_id, max(nu) AS nu,
+                         2 * count(*) AS n_copies
+                  FROM gated GROUP BY kind, gk),
+          sh AS (SELECT kind,
+                        CAST(('0x' || substring(
+                            md5(rep_id::VARCHAR || 'graft'), 1, 4))::BIGINT
+                          % 8 AS INT) AS shard,
+                        nu, n_copies
+                 FROM cls)
+          SELECT kind, shard, CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(nu) AS BIGINT) AS total_units,
+                 CAST(sum(n_copies) AS BIGINT) AS n_copies
+          FROM sh GROUP BY kind, shard ORDER BY kind, shard""",
 
     // Adjacent-frame diff ground truth closed-form: frame j pixel i =
     // (s + 31j + 7i) mod 256, so diff_i = |((s+31j+7i) mod 256) −

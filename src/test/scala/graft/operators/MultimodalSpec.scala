@@ -419,6 +419,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("contentProfile: one pass agrees with decode AND contentFingerprint") {
+    val prof = Multimodal.contentProfile(media).collect()
+      .map(p => p.media_id -> p).toMap
+    val dec = Multimodal.decode(media).collect()
+    val fps = Multimodal.contentFingerprint(media).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    dec.foreach { d =>
+      val p = prof(d.media_id)
+      (p.kind, p.n_units, p.sum_units, p.mean_mu) shouldBe
+        ((d.kind, d.n_units, d.sum_units, d.mean_mu))
+    }
+    prof.values.foreach { p =>
+      p.content_fp shouldBe fps(p.media_id)
+    }
+  }
+
   test("features compose with ANN: k neighbors per query id") {
     val feats = Multimodal.extractFeatures(media).toDF()
       .withColumnRenamed("feature", "embedding")
