@@ -232,6 +232,40 @@ object ScaleTrendDeep {
         sb.append(row).append('\n')
       }
     }
+    /** Media-family second rung: a ×n documents dir (suffix-disjoint
+      * copies, id-offset so the generation arithmetic yields new dims /
+      * tones / frame counts per copy) over which the REGISTERED media
+      * content queries run unchanged — encode + real container decode
+      * are both in the timed path, exactly as a corpus read would be. */
+    def mediaDir(n: Int): String = {
+      val dir = s"/tmp/graft_deep_media_${n}x"
+      val marker = java.nio.file.Paths.get(dir, "_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        docsNx(n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        java.nio.file.Files.createFile(marker)
+      }
+      dir
+    }
+    val mediaDeep = Seq("media_video_frames", "media_audio_features",
+      "media_scene_cuts", "pipeline_media_prep")
+    if (mediaDeep.exists(q => deepOnly.forall(_.exists(q.startsWith)))) {
+      mediaDeep.foreach { q =>
+        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+      val mediaRungs = Seq(("media_5k", sf01), ("media_50k", mediaDir(10)))
+      for (q <- mediaDeep if deepOnly.forall(_.exists(q.startsWith));
+           (label, dir) <- mediaRungs) {
+        spark.catalog.clearCache()
+        System.gc()
+        val nIn = spark.read.parquet(s"$dir/documents.parquet").count()
+        val (secs, nOut) = timed(SparkEntry.queries(q)(spark, dir).count())
+        val row = f"| $q | $label | $nIn | $secs%.2f | $nOut |"
+        println(row)
+        sb.append(row).append('\n')
+      }
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/scale_deep.md"),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
