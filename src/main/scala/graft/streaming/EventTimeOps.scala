@@ -180,6 +180,22 @@ object EventTimeOps {
     streamDedup(gated, Seq("fp"), tsCol, lateness)
   }
 
+  /** Incremental corpus ingest against an EXISTING corpus: the
+    * [[corpusIngest]] gates + in-stream dedup, then a stream-static
+    * LEFT ANTI join against the historical corpus's fingerprint
+    * relation — a new document identical to one already in the corpus
+    * never reaches the sink. This is the streaming form of
+    * `Dedup.incremental` (new-batch-vs-corpus), and the shape matters
+    * at 100 TB: the static side is the (16-byte fp) projection of the
+    * corpus, NOT the corpus — Spark re-plans the static side per
+    * micro-batch, so the anti join stays a digest-only hash join and
+    * document bodies appear on neither side of the shuffle. */
+  def corpusIngestIncremental(docs: DataFrame, corpusFps: DataFrame,
+                              tsCol: String, textCol: String,
+                              lateness: String): DataFrame =
+    corpusIngest(docs, tsCol, textCol, lateness)
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+
   final case class Ev(user_id: Long, ts: Timestamp)
 
   final case class SessionState(start: Long, end: Long, n: Long)

@@ -250,6 +250,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusIngestIncremental: stream docs colliding with the static " +
+      "corpus never reach the sink") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val TF = graft.functions.TextFunctions
+    val known = "the quick brown fox jumps over the lazy dog and runs home"
+    val fresh1 = "a cat sat on the mat and the dog sat on the log today"
+    val fresh2 = "the sun rose over the hill and the birds began to sing"
+    // historical corpus fingerprint relation: 16-byte digests only
+    val corpusFps = Seq(known).toDF("text")
+      .select(TF.fingerprint(col("text")).as("fp"))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(id: Long, txt: String, s: Int) =
+      (id, new java.sql.Timestamp(t0.getTime + s * 1000L), txt)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = EventTimeOps.corpusIngestIncremental(
+      in.toDF().toDF("doc_id", "ts", "text"), corpusFps,
+      "ts", "text", "10 minutes")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ingest_inc").start()
+    try {
+      in.addData(row(1, known, 0),   // already in the corpus -> dropped
+        row(2, fresh1, 1),           // new -> kept
+        row(3, fresh1, 2))           // in-stream dup -> dropped
+      q.processAllAvailable()
+      in.addData(row(4, fresh2, 3),  // new -> kept
+        row(5, known, 4))            // corpus dup again, later batch
+      q.processAllAvailable()
+      spark.table("ingest_inc").collect()
+        .map(_.getAs[Long]("doc_id")).toSet shouldBe Set(2L, 4L)
+    } finally q.stop()
+  }
+
   test("CraneStream end-to-end: versioned top-K snapshot per trigger") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
