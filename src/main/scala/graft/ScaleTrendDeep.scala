@@ -44,12 +44,15 @@ object ScaleTrendDeep {
 
     val sf01 = "/root/testdata/sf0.1"
 
-    /** n suffix-disjoint copies of the sf0.1 documents. */
+    /** n suffix-disjoint copies of the sf0.1 documents. The copy offset
+      * is 100M, NOT 10M: pipeline_media_prep internally offsets its PNG
+      * copy ids by 10M, so a 10M ladder offset would collide copy i's
+      * PNG ids with copy i+1's PGM ids and break media_id uniqueness. */
     def docsNx(n: Int): DataFrame = (0 until n).map { i =>
       val base = Tables.documents(spark, sf01).select("doc_id", "text")
       if (i == 0) base
       else base.select(
-        (col("doc_id") + i * 10000000L).as("doc_id"),
+        (col("doc_id") + i * 100000000L).as("doc_id"),
         array_join(
           transform(split(col("text"), "\\s+"), t => concat(t, lit(s"_$i"))),
           " ").as("text"))

@@ -125,8 +125,12 @@ object MediaCodec {
     * truncated raster, or a malformed header anywhere in the stream
     * throws [[MediaFormatException]] — a frame boundary off by one byte
     * must fail loudly, not resynchronize silently. */
-  def decodePgmStream(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
-    val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
+  def decodePgmStream(bytes: Array[Byte]): IndexedSeq[(Int, Int, Array[Byte])] = {
+    if (bytes.isEmpty)
+      throw new MediaFormatException("PGM stream: empty payload")
+    // IndexedSeq: consumers walk adjacent frame pairs positionally — a
+    // linked Seq would make that walk quadratic in frame count
+    val frames = Vector.newBuilder[(Int, Int, Array[Byte])]
     var pos = 0
     var n = 0
     while (pos < bytes.length) {
@@ -311,6 +315,10 @@ object MediaCodec {
         rate = u32(body + 4).toInt
       } else if (id == "data") {
         val n = (sz / 2).toInt
+        // zero samples would make every downstream content stat a
+        // division by zero — reject at the gate, like any other
+        // undecodable payload
+        if (n == 0) fail("zero-sample data chunk")
         val smp = new Array[Short](n)
         var i = 0
         while (i < n) { smp(i) = u16(body + 2 * i).toShort; i += 1 }

@@ -194,29 +194,52 @@ object Multimodal {
                         (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      // stream binary straight into the digest — no per-row decimal
-      // String materialization (a megapixel image would otherwise
-      // allocate MBs of transient garbage to feed a 16-byte MD5)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def i32(v: Int): Unit = {
-        md.update((v >> 24).toByte); md.update((v >> 16).toByte)
-        md.update((v >> 8).toByte); md.update(v.toByte)
-      }
-      m.kind match {
-        case "image" =>
-          val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
-          md.update('I'.toByte); i32(w); i32(h); md.update(pix)
-        case "audio" =>
-          val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
-          md.update('A'.toByte); i32(rate); i32(smp.length)
-          val bb = java.nio.ByteBuffer.allocate(smp.length * 2)
-          smp.foreach(bb.putShort)
-          md.update(bb.array())
-        case _ => md.update(m.bytes)
-      }
-      (m.media_id, m.kind,
-        md.digest().map("%02x".format(_)).mkString)
+      val (fp, _, _) = digestAndStats(m)
+      (m.media_id, m.kind, fp)
     }).toDF("media_id", "kind", "content_fp")
+  }
+
+  /** One decode pass producing the content digest AND the content stats
+    * — the single definition of content identity shared by
+    * [[contentFingerprint]] and [[contentProfile]], so the two
+    * operators cannot drift. Returns (fp, n_units, sum_units) with
+    * sum = -1 for kinds with no codec. The payload streams straight
+    * into the digest — no per-row decimal String materialization (a
+    * megapixel image would otherwise allocate MBs of transient garbage
+    * to feed a 16-byte MD5); the stat accumulation rides the same pass
+    * at the cost of one integer add per unit. */
+  private def digestAndStats(m: Media): (String, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def i32(v: Int): Unit = {
+      md.update((v >> 24).toByte); md.update((v >> 16).toByte)
+      md.update((v >> 8).toByte); md.update(v.toByte)
+    }
+    var n = 0L
+    var sum = -1L
+    m.kind match {
+      case "image" =>
+        val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
+        md.update('I'.toByte); i32(w); i32(h); md.update(pix)
+        n = pix.length.toLong
+        sum = 0L
+        var i = 0
+        while (i < pix.length) { sum += (pix(i) & 0xff); i += 1 }
+      case "audio" =>
+        val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
+        md.update('A'.toByte); i32(rate); i32(smp.length)
+        val bb = java.nio.ByteBuffer.allocate(smp.length * 2)
+        smp.foreach(bb.putShort)
+        md.update(bb.array())
+        n = smp.length.toLong
+        sum = 0L
+        var i = 0
+        // offset to 0..4095 exactly as decodeUnits does
+        while (i < smp.length) { sum += smp(i) + 2048; i += 1 }
+      case _ =>
+        md.update(m.bytes)
+        n = m.bytes.length.toLong
+    }
+    (md.digest().map("%02x".format(_)).mkString, n, sum)
   }
 
   /** CONTENT resize for image payloads: decode the container
@@ -384,46 +407,15 @@ object Multimodal {
     * kernel emits `(id, kind, content_fp, n_units, sum_units, mean_mu)`
     * in one partition-local pass, after which the pipeline is pure
     * column algebra: the binary column never appears downstream.
-    * Fingerprint bytes are digested identically to
-    * [[contentFingerprint]] (same 'I'/'A' domain tags, dims, raw
-    * payload for undecodable kinds), so the two operators can never
-    * disagree about content identity. */
+    * Digest and stats both come from [[digestAndStats]] — the single
+    * definition of content identity [[contentFingerprint]] also uses,
+    * so the two operators cannot disagree. */
   def contentProfile(media: Dataset[Media])
                     (implicit spark: SparkSession): Dataset[ContentProfile] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def i32(v: Int): Unit = {
-        md.update((v >> 24).toByte); md.update((v >> 16).toByte)
-        md.update((v >> 8).toByte); md.update(v.toByte)
-      }
-      var n = 0L
-      var sum = -1L
-      m.kind match {
-        case "image" =>
-          val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
-          md.update('I'.toByte); i32(w); i32(h); md.update(pix)
-          n = pix.length.toLong
-          sum = 0L
-          var i = 0
-          while (i < pix.length) { sum += (pix(i) & 0xff); i += 1 }
-        case "audio" =>
-          val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
-          md.update('A'.toByte); i32(rate); i32(smp.length)
-          val bb = java.nio.ByteBuffer.allocate(smp.length * 2)
-          smp.foreach(bb.putShort)
-          md.update(bb.array())
-          n = smp.length.toLong
-          sum = 0L
-          var i = 0
-          // offset to 0..4095 exactly as decodeUnits does
-          while (i < smp.length) { sum += smp(i) + 2048; i += 1 }
-        case _ =>
-          md.update(m.bytes)
-          n = m.bytes.length.toLong
-      }
-      ContentProfile(m.media_id, m.kind,
-        md.digest().map("%02x".format(_)).mkString, n, sum,
+      val (fp, n, sum) = digestAndStats(m)
+      ContentProfile(m.media_id, m.kind, fp, n, sum,
         if (sum < 0) -1L else sum * 1000000L / n)
     })
   }
@@ -441,7 +433,11 @@ object Multimodal {
     * a resolution switch to paper over. */
   def frameDiffs(media: Dataset[Media], cutMu: Long)
                 (implicit spark: SparkSession): Dataset[FrameDiff] = {
-    require(cutMu >= 0, s"cutMu $cutMu must be non-negative")
+    // diff_mu is bounded by 255e6, so any larger threshold means "never
+    // cut" — and bounding it keeps the cross-multiplication cutMu·n_pix
+    // inside Long for every raster a 2 GiB payload can hold
+    require(cutMu >= 0 && cutMu <= 256000000L,
+      s"cutMu $cutMu outside [0, 256e6] (diff_mu is bounded by 255e6)")
     import spark.implicits._
     media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
       val frames = MediaCodec.decodePgmStream(m.bytes)

@@ -117,6 +117,11 @@ class MultimodalSpec extends SparkSpec {
     out2.toSeq shouldBe smp.toSeq
     an[MediaFormatException] should be thrownBy
       MediaCodec.decodeWavPcm16(enc.take(30))
+    // zero samples would make every content stat divide by zero — the
+    // gate rejects it like any other undecodable payload
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodeWavPcm16(
+        MediaCodec.encodeWavPcm16(16000, Array.emptyShortArray))
   }
 
   test("fixture corpus satisfies the media-feature oracle " +
@@ -310,6 +315,9 @@ class MultimodalSpec extends SparkSpec {
     // a single image is a 1-frame stream (netpbm files ARE streams)
     MediaCodec.decodePgmStream(MediaCodec.encodePgm(2, 2, f0._3))
       .length shouldBe 1
+    // an empty payload is an undecodable stream, not a 0-frame one
+    an[MediaFormatException] should be thrownBy
+      MediaCodec.decodePgmStream(Array.emptyByteArray)
     // trailing garbage and mid-stream truncation fail loudly — the walk
     // must never resynchronize past a bad boundary
     an[MediaFormatException] should be thrownBy
