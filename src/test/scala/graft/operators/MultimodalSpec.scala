@@ -443,6 +443,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_media_prep plan: the binary payload never crosses a " +
+      "shuffle") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.BinaryType
+    val df = graft.queries.MultimodalQueries
+      .defs("pipeline_media_prep")(spark, sfDir)
+    // collect(), not count(): count() builds its own QueryExecution,
+    // leaving this one un-executed
+    assert(df.collect().nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case q: QueryStageExec => exchanges(q.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(finalPlan)
+    // the dedup groupBy and the manifest groupBy must shuffle...
+    assert(ex.nonEmpty, s"expected shuffles in:\n$finalPlan")
+    // ...but only profile columns — a payload-carrying exchange would
+    // move the corpus itself through the shuffle at 100 TB
+    ex.foreach { e =>
+      val binary = e.output.filter(_.dataType == BinaryType)
+      assert(binary.isEmpty,
+        s"binary column(s) ${binary.map(_.name)} cross a shuffle:\n$e")
+    }
+  }
+
   test("features compose with ANN: k neighbors per query id") {
     val feats = Multimodal.extractFeatures(media).toDF()
       .withColumnRenamed("feature", "embedding")
