@@ -160,9 +160,38 @@ object StreamBench {
             gapMs = 30000L, lateness = "5 minutes").toDF())
       }))
 
+    // ---- multimodal ingest: REAL container decode rate through the
+    // streaming engine — Media rows (PGM / WAV / P5-stream payloads
+    // from the closed-form generator) through the one-pass
+    // contentProfile kernel (decode + stats + fingerprint), append
+    // mode, stateless. items/s here is decode-bound CPU, the number a
+    // media ingest pipeline provisions against.
+    val mediaResult = {
+      implicit val sp: SparkSession = spark
+      val items = graft.operators.Multimodal.asMedia(
+        graft.operators.Multimodal.mediaFromDocuments(
+          graft.core.Tables.documents(spark, "/root/testdata/sf0.001"),
+          videoFormat = "pgmstream")).collect()
+      val in = MemoryStream[graft.operators.Multimodal.Media]
+      val prof = graft.operators.Multimodal.contentProfile(in.toDS()).toDF()
+      val tmp = Files.createTempDirectory("streambench_media").toString
+      val q = prof.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      val nCopies = math.max(1, copies / 4)
+      val total = nCopies.toLong * items.length
+      val t0 = System.nanoTime()
+      try {
+        var i = 0
+        while (i < nCopies) { in.addData(items.toSeq); i += 1 }
+        q.processAllAvailable()
+      } finally q.stop()
+      ("media_ingest_profile",
+        total / ((System.nanoTime() - t0) / 1e9), total)
+    }
+
     val apps = (results.map { case (label, rate, total, _) =>
       f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" } ++
-      evResults.map { case (label, rate, total) =>
+      (evResults :+ mediaResult).map { case (label, rate, total) =>
         f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
       .mkString(",")
     val (_, wcRate, wcTotal, wcTop) = results.find(_._1 == "wordCount").get
