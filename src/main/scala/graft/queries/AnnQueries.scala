@@ -245,6 +245,23 @@ object AnnQueries extends Registry {
     // AnnSpec additionally bounds its edge recall vs the exact graph.
     "ann_knn_graph" -> ((s, d) => knn5Det(s, d)),
 
+    // Embedding-quality diagnostic: the distribution of nearest-neighbor
+    // similarity across the corpus (rank-1 edges of the registered
+    // det-LSH kNN graph, memoized — this query reads the same relation
+    // the graph queries share), bucketed to 500-bp bins. A healthy
+    // embedding space shows a right-shifted unimodal histogram; a
+    // collapsed one piles into the top bin. Bucket floor is computed on
+    // the +10000-shifted value so Spark DIV (truncate) and DuckDB //
+    // (floor) agree for negative cosines.
+    "ann_sim_histogram" -> ((s, d) =>
+      knn5Det(s, d).filter(col("rank") === 1)
+        .withColumn("bucket_lo_bp",
+          expr("((sim_bp + 10000) DIV 500) * 500 - 10000"))
+        .groupBy("bucket_lo_bp")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("sim_bp").as("min_bp"), max("sim_bp").as("max_bp"))
+        .orderBy("bucket_lo_bp")),
+
     // The exact n² baseline (Ann.knnGraph: block-pair sims, every
     // unordered pair computed once) — the EVAL ORACLE the approximate
     // paths' recall bounds are measured against, like ann_brute_topk
@@ -1449,6 +1466,18 @@ object AnnQueries extends Registry {
                  dst AS neighbor_id
           FROM r WHERE rank <= 5
           ORDER BY vec_id, rank""",
+
+    // Nearest-neighbor similarity histogram over the same det-LSH graph
+    // relation: +10000 shift keeps the 500-bp bucket floor identical
+    // under Spark DIV (truncate) and DuckDB // (floor).
+    "ann_sim_histogram" ->
+      s"""WITH $detGraphCtes
+          SELECT CAST((sim_bp + 10000) // 500 * 500 - 10000 AS BIGINT)
+                   AS bucket_lo_bp,
+                 CAST(count(*) AS BIGINT) AS n_vecs,
+                 min(sim_bp) AS min_bp, max(sim_bp) AS max_bp
+          FROM r WHERE rank = 1
+          GROUP BY 1 ORDER BY 1""",
 
     "ann_knn_graph_exact" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
