@@ -80,19 +80,21 @@ object Bench {
       case Some("0") => false
       case Some("1") => true
       case _ =>
-        // a failed probe must not silently read as "small corpus" (which
-        // would run the n^2 oracles at ANY scale — the exact silent-cap
-        // failure mode this gate exists to prevent): print the failure
-        // so the gate decision is visible in the bench log
+        // a failed probe must not read as "small corpus" (which would
+        // run the n^2 oracles at ANY scale — the exact silent-cap
+        // failure mode this gate exists to prevent): FAIL CLOSED — a
+        // probe error gates the quads OFF and says so; a genuinely
+        // small corpus can force them back with the env override
         def rows(t: String): Long =
           try spark.read.parquet(s"$sfDir/$t.parquet").count()
           catch {
             case e: Throwable =>
               System.err.println(
                 s"[bench] WARNING: quad-gate row probe failed for $t " +
-                s"($e); treating as small corpus — override with " +
-                "SPARK_GRAFT_BENCH_QUAD_GATE=1 if this is a large run")
-              0L
+                s"($e); failing CLOSED (skipping design-quadratic " +
+                "oracles) — override with SPARK_GRAFT_BENCH_QUAD_GATE=0 " +
+                "to force them on a known-small corpus")
+              Long.MaxValue
           }
         // both envelopes: the document-family oracles (jaccard, media
         // feature kNN) scale with documents, the ann_* ones with

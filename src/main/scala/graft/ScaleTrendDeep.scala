@@ -211,30 +211,40 @@ object ScaleTrendDeep {
       sb.append(row).append('\n')
     }
 
+    /** Run REGISTERED queries unchanged over a pair of sfDir rungs:
+      * warm each shape once at the smallest SF, then time each
+      * (query, rung) with caches cleared. `rungs` is by-name so a
+      * DEEP_ONLY run that skips the family never materializes its
+      * synthetic dir. */
+    def runRegisteredRungs(queries: Seq[String],
+                           rungs: => Seq[(String, String)],
+                           inputTable: String): Unit =
+      if (queries.exists(q => deepOnly.forall(_.exists(q.startsWith)))) {
+        queries.foreach { q =>
+          try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+          catch { case _: Throwable => () }
+        }
+        val materialized = rungs
+        for (q <- queries if deepOnly.forall(_.exists(q.startsWith));
+             (label, dir) <- materialized) {
+          spark.catalog.clearCache()
+          System.gc()
+          val nIn = spark.read.parquet(s"$dir/$inputTable.parquet").count()
+          val (secs, nOut) = timed(SparkEntry.queries(q)(spark, dir).count())
+          val row = f"| $q | $label | $nIn | $secs%.2f | $nOut |"
+          println(row)
+          sb.append(row).append('\n')
+        }
+      }
+
     // the 5 heaviest registered TPC-H shapes over the facts ladder
     // (each derives its partsupp from lineitem, so the 6M rung
     // exercises the derived-relation aggregation, the multi-join, and
     // the decimal accumulations at 10× the fact volume)
     val tpchDeep = Seq("sql_tpch_q21", "sql_tpch_q9", "sql_tpch_q2",
       "sql_tpch_q11", "sql_tpch_q18")
-    if (tpchDeep.exists(q => deepOnly.forall(_.exists(q.startsWith)))) {
-      // warmup through each shape once at the smallest SF
-      tpchDeep.foreach { q =>
-        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () }
-      }
-      val factRungs = Seq(("facts_600k", sf01), ("facts_6m", factsDir(10)))
-      for (q <- tpchDeep if deepOnly.forall(_.exists(q.startsWith));
-           (label, dir) <- factRungs) {
-        spark.catalog.clearCache()
-        System.gc()
-        val nIn = spark.read.parquet(s"$dir/lineitem.parquet").count()
-        val (secs, nOut) = timed(SparkEntry.queries(q)(spark, dir).count())
-        val row = f"| $q | $label | $nIn | $secs%.2f | $nOut |"
-        println(row)
-        sb.append(row).append('\n')
-      }
-    }
+    runRegisteredRungs(tpchDeep,
+      Seq(("facts_600k", sf01), ("facts_6m", factsDir(10))), "lineitem")
     /** Media-family second rung: a ×n documents dir (suffix-disjoint
       * copies, id-offset so the generation arithmetic yields new dims /
       * tones / frame counts per copy) over which the REGISTERED media
@@ -251,23 +261,8 @@ object ScaleTrendDeep {
     }
     val mediaDeep = Seq("media_video_frames", "media_audio_features",
       "media_scene_cuts", "pipeline_media_prep")
-    if (mediaDeep.exists(q => deepOnly.forall(_.exists(q.startsWith)))) {
-      mediaDeep.foreach { q =>
-        try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () }
-      }
-      val mediaRungs = Seq(("media_5k", sf01), ("media_50k", mediaDir(10)))
-      for (q <- mediaDeep if deepOnly.forall(_.exists(q.startsWith));
-           (label, dir) <- mediaRungs) {
-        spark.catalog.clearCache()
-        System.gc()
-        val nIn = spark.read.parquet(s"$dir/documents.parquet").count()
-        val (secs, nOut) = timed(SparkEntry.queries(q)(spark, dir).count())
-        val row = f"| $q | $label | $nIn | $secs%.2f | $nOut |"
-        println(row)
-        sb.append(row).append('\n')
-      }
-    }
+    runRegisteredRungs(mediaDeep,
+      Seq(("media_5k", sf01), ("media_50k", mediaDir(10))), "documents")
 
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/scale_deep.md"),

@@ -47,7 +47,16 @@ object MediaCodec {
     * (1 byte/pixel) is supported. Throws [[MediaFormatException]] on
     * anything malformed — decode is a correctness gate, not a guess. */
   def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-    val (w, h, pix, _) = parsePgmAt(bytes, 0)
+    val (w, h, pix, next) = parsePgmAt(bytes, 0)
+    // the strict-gate contract decodePgmStream enforces applies here
+    // too: trailing bytes after the raster mean this is NOT a single
+    // image (a mis-kinded multi-frame stream, or appended garbage) —
+    // silently decoding frame 0 would emit wrong stats and collapse
+    // byte-distinct payloads to one content fingerprint
+    if (next != bytes.length)
+      throw new MediaFormatException(
+        s"PGM: ${bytes.length - next} trailing bytes after the raster " +
+          "(multi-image payload? decode it as a stream)")
     (w, h, pix)
   }
 
@@ -237,12 +246,18 @@ object MediaCodec {
           if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
             img.getRaster.getDataElements(0, 0, w, h, out)
           } else {
+            // bulk row fetch: per-pixel getRGB(x, y) dispatches through
+            // the ColorModel once per pixel — an order of magnitude
+            // slower in the executor hot path than pulling a row at a
+            // time into a reused buffer (identical ARGB values)
+            val row = new Array[Int](w)
             var y = 0
             var i = 0
             while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = row(x)
                 val lum = (299 * ((rgb >> 16) & 0xff)
                   + 587 * ((rgb >> 8) & 0xff)
                   + 114 * (rgb & 0xff) + 500) / 1000

@@ -227,14 +227,26 @@ object Multimodal {
       case "audio" =>
         val (rate, smp) = MediaCodec.decodeWavPcm16(m.bytes)
         md.update('A'.toByte); i32(rate); i32(smp.length)
-        val bb = java.nio.ByteBuffer.allocate(smp.length * 2)
-        smp.foreach(bb.putShort)
-        md.update(bb.array())
-        n = smp.length.toLong
+        // stream the samples into the digest through a fixed chunk —
+        // a whole-array ByteBuffer would allocate a second full copy
+        // of the payload per row; byte order is big-endian per sample,
+        // bit-identical to the historical ByteBuffer.putShort layout
+        val chunk = new Array[Byte](8192)
         sum = 0L
         var i = 0
-        // offset to 0..4095 exactly as decodeUnits does
-        while (i < smp.length) { sum += smp(i) + 2048; i += 1 }
+        var c = 0
+        while (i < smp.length) {
+          val s = smp(i)
+          chunk(c) = (s >> 8).toByte
+          chunk(c + 1) = s.toByte
+          c += 2
+          if (c == chunk.length) { md.update(chunk, 0, c); c = 0 }
+          // offset to 0..4095 exactly as decodeUnits does
+          sum += s + 2048
+          i += 1
+        }
+        if (c > 0) md.update(chunk, 0, c)
+        n = smp.length.toLong
       case _ =>
         md.update(m.bytes)
         n = m.bytes.length.toLong

@@ -50,18 +50,29 @@ object CraneStream {
     * is one of the confs Spark captures into the query's offset
     * metadata at first start (and reapplies on every restart from that
     * checkpoint), so the started query keeps RocksDB for life while
-    * the session conf reverts for everyone else. */
+    * the session conf reverts for everyone else.
+    *
+    * The set/start/restore window mutates SESSION-global state, so
+    * concurrent `start`s on the same session could capture the wrong
+    * provider into a checkpoint for life; the lock serializes every
+    * graft entry point that starts a stateful query. (A query started
+    * concurrently by code OUTSIDE this object during the window is
+    * still exposed — callers sharing a session with foreign streaming
+    * code should pin the provider explicitly via
+    * [[useRocksDbStateStore]] instead.) */
+  private val startLock = new Object
   private def startOnRocksDb(spark: SparkSession)
-                            (start: => StreamingQuery): StreamingQuery = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, RocksDbProvider)
-    try start
-    finally prior match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
+                            (start: => StreamingQuery): StreamingQuery =
+    startLock.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, RocksDbProvider)
+      try start
+      finally prior match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   /** Unbounded line stream from files appearing under `dir`
     * (the spout's file source, S1). */

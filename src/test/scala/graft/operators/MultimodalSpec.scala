@@ -318,6 +318,10 @@ class MultimodalSpec extends SparkSpec {
     // an empty payload is an undecodable stream, not a 0-frame one
     an[MediaFormatException] should be thrownBy
       MediaCodec.decodePgmStream(Array.emptyByteArray)
+    // the SINGLE-image decoder holds the same strict contract: a
+    // multi-image payload (or trailing garbage) must not silently
+    // decode as frame 0
+    an[MediaFormatException] should be thrownBy MediaCodec.decodePgm(enc)
     // trailing garbage and mid-stream truncation fail loudly — the walk
     // must never resynchronize past a bad boundary
     an[MediaFormatException] should be thrownBy
