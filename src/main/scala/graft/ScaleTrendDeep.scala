@@ -264,6 +264,44 @@ object ScaleTrendDeep {
     runRegisteredRungs(mediaDeep,
       Seq(("media_5k", sf01), ("media_50k", mediaDir(10))), "documents")
 
+    /** THIRD decade for the document dedup family: 5,000,000 documents
+      * (SPARK_GRAFT_DEEP_DECADE3=1 — off by default, the rung is
+      * minutes). Built in two materialized levels so no plan ever
+      * unions 1,000 relations: docsNx(100) (a 100-way union, same as
+      * the 500k rung) is written to parquet once, then the 5M corpus is
+      * a 10-way union over THAT parquet with a second-level disjoint
+      * token suffix and id offset — growth stays corpus-like (new
+      * vocabulary, new ids), reads stream from disk instead of holding
+      * 5M documents in one in-memory plan. */
+    if (sys.env.get("SPARK_GRAFT_DEEP_DECADE3").contains("1")) {
+      val d500k = "/tmp/graft_deep_docs_100x"
+      val marker = java.nio.file.Paths.get(d500k, "_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        docsNx(100).write.mode("overwrite").parquet(s"$d500k/documents.parquet")
+        java.nio.file.Files.createFile(marker)
+      }
+      def docs5m: DataFrame = (0 until 10).map { i =>
+        val base = spark.read.parquet(s"$d500k/documents.parquet")
+        if (i == 0) base
+        else base.select(
+          (col("doc_id") + i * 100000000000L).as("doc_id"),
+          array_join(
+            transform(split(col("text"), "\\s+"),
+              t => concat(t, lit(s"_d$i"))), " ").as("text"))
+      }.reduce(_ unionByName _)
+      for ((opName, op) <- Seq[(String, DataFrame => DataFrame)](
+             ("dedup_minhash_det", minhashDet), ("dedup_simhash", simhashDet))) {
+        spark.catalog.clearCache()
+        System.gc()
+        val in = docs5m
+        val nIn = in.count()
+        val (secs, nOut) = timed(op(in).count())
+        val row = f"| $opName | docs_5m | $nIn | $secs%.2f | $nOut |"
+        println(row)
+        sb.append(row).append('\n')
+      }
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/scale_deep.md"),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
