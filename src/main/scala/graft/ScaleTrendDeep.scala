@@ -300,6 +300,32 @@ object ScaleTrendDeep {
         println(row)
         sb.append(row).append('\n')
       }
+
+      // temporal family third decade: 100,000,000 events through the
+      // native as-of join — same two-level construction (10M-event
+      // parquet rung, then a 10-way disjoint-user union over it)
+      val e10m = "/tmp/graft_deep_events_100x"
+      val eMarker = java.nio.file.Paths.get(e10m, "_DONE")
+      if (!java.nio.file.Files.exists(eMarker)) {
+        eventsNx(100).write.mode("overwrite").parquet(s"$e10m/events.parquet")
+        java.nio.file.Files.createFile(eMarker)
+      }
+      def events100m: DataFrame = (0 until 10).map { i =>
+        val base = spark.read.parquet(s"$e10m/events.parquet")
+        if (i == 0) base
+        else base.select(
+          (col("event_id") + i * 1000000000000L).as("event_id"),
+          (col("user_id") + i * 1000000000000L).as("user_id"),
+          col("ts"), col("event_type"))
+      }.reduce(_ unionByName _)
+      spark.catalog.clearCache()
+      System.gc()
+      val evIn = events100m
+      val nEvIn = evIn.count()
+      val (evSecs, nEvOut) = timed(asofNative(evIn).count())
+      val evRow = f"| join_asof_native | events_100m | $nEvIn | $evSecs%.2f | $nEvOut |"
+      println(evRow)
+      sb.append(evRow).append('\n')
     }
 
     java.nio.file.Files.write(
