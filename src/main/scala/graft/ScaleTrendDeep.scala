@@ -139,14 +139,32 @@ object ScaleTrendDeep {
       AsOfNative.join(purchases(ev), clicks(ev), Seq("user_id"), "ts", "ts",
         Seq("click_id"))
 
-    // warmup: smallest rung through every op once (codegen/JIT)
+    // subset filter for iterating on one family without the full
+    // ~20-minute ladder (comma-separated op-name prefixes); applied to
+    // warmups too — warming an op the timed loop skips is pure waste
+    // in subset iteration runs
+    val deepOnly = sys.env.get("SPARK_GRAFT_DEEP_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def wanted(opName: String): Boolean =
+      deepOnly.forall(_.exists(opName.startsWith))
+
+    // warmup: smallest rung through every SELECTED op once (codegen/JIT)
     val wd = docInputs.head._2.limit(200)
     val we = embInputs.head._2.limit(200)
     val wv = evInputs.head._2.limit(500)
-    Seq(minhashDet(wd), simhashDet(wd), knnDet(we), ivfDet(we), pqDet(we),
-      ivfPqDet(we), cosLshDet(we), asofNative(wv),
-      Dedup.componentsTwoStar(chainPairs(100L), "a", "b"))
-      .foreach(df => try df.count() catch { case _: Throwable => () })
+    Seq[(String, () => DataFrame)](
+      ("dedup_minhash_det", () => minhashDet(wd)),
+      ("dedup_simhash", () => simhashDet(wd)),
+      ("ann_knn_graph(det)", () => knnDet(we)),
+      ("ann_ivf_det_topk", () => ivfDet(we)),
+      ("ann_pq_det_topk", () => pqDet(we)),
+      ("ann_ivf_pq_det_topk", () => ivfPqDet(we)),
+      ("dedup_embedding_cosine(lsh)", () => cosLshDet(we)),
+      ("join_asof_native", () => asofNative(wv)),
+      ("components_twostar(chain)",
+        () => Dedup.componentsTwoStar(chainPairs(100L), "a", "b")))
+      .foreach { case (n, df) =>
+        if (wanted(n)) try df().count() catch { case _: Throwable => () } }
 
     val ops: Seq[(String, Seq[(String, DataFrame)], DataFrame => DataFrame)] =
       Seq(
@@ -161,6 +179,30 @@ object ScaleTrendDeep {
         ("components_twostar(chain)", chainInputs,
           d => Dedup.componentsTwoStar(d, "a", "b")))
 
+    /** Materialize a synthetic corpus dir once per GENERATION FORMULA:
+      * the `_DONE` marker stores `params` (every formula input — copy
+      * count, id offsets, suffix scheme version), and a marker whose
+      * content does not match triggers a rebuild. A bare existence
+      * check silently reused corpora built under a superseded formula
+      * (the r9 docsNx offset change 10M→100M would have kept serving
+      * any pre-change dir). Pre-params empty markers mismatch ""≠params
+      * and rebuild exactly once. */
+    def materializedDir(dir: String, params: String)
+                       (build: String => Unit): String = {
+      val marker = java.nio.file.Paths.get(dir, "_DONE")
+      val current =
+        try java.nio.file.Files.exists(marker) &&
+          new String(java.nio.file.Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8) == params
+        catch { case _: Throwable => false }
+      if (!current) {
+        build(dir)
+        java.nio.file.Files.write(marker, params.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      dir
+    }
+
     /** Facts-family second decade: a ×n sfDir where the FACT tables
       * (orders, lineitem) get n orderkey-shifted copies — transaction
       * history grows — while every dimension table is copied verbatim
@@ -169,10 +211,9 @@ object ScaleTrendDeep {
       * The REGISTERED TPC-H queries then run unchanged over the dir,
       * so the ladder times the exact registered plans. Materialized
       * once under /tmp and reused across runs. */
-    def factsDir(n: Int): String = {
-      val dir = s"/tmp/graft_deep_facts_${n}x"
-      val marker = java.nio.file.Paths.get(dir, "_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
+    def factsDir(n: Int): String =
+      materializedDir(s"/tmp/graft_deep_facts_${n}x",
+        s"facts:n=$n:keyOff=1000000000:src=$sf01:v=1") { dir =>
         Seq("region", "nation", "customer", "supplier", "part")
           .foreach { t =>
             spark.read.parquet(s"$sf01/$t.parquet")
@@ -187,20 +228,12 @@ object ScaleTrendDeep {
           .write.mode("overwrite").parquet(s"$dir/orders.parquet")
         copies(spark.read.parquet(s"$sf01/lineitem.parquet"), "l_orderkey")
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        java.nio.file.Files.createFile(marker)
       }
-      dir
-    }
 
-    // subset filter for iterating on one family without the full
-    // ~20-minute ladder (comma-separated op-name prefixes)
-    val deepOnly = sys.env.get("SPARK_GRAFT_DEEP_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")
     sb.append("|---|---|---:|---:|---:|\n")
-    for ((opName, inputs, op) <- ops
-           if deepOnly.forall(_.exists(opName.startsWith));
+    for ((opName, inputs, op) <- ops if wanted(opName);
          (label, in) <- inputs) {
       spark.catalog.clearCache()
       System.gc()
@@ -219,13 +252,15 @@ object ScaleTrendDeep {
     def runRegisteredRungs(queries: Seq[String],
                            rungs: => Seq[(String, String)],
                            inputTable: String): Unit =
-      if (queries.exists(q => deepOnly.forall(_.exists(q.startsWith)))) {
-        queries.foreach { q =>
+      if (queries.exists(wanted)) {
+        // warm only the shapes the timed loop will run: the warmup's
+        // cost is per-query codegen, wasted on DEEP_ONLY-excluded ones
+        queries.filter(wanted).foreach { q =>
           try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
           catch { case _: Throwable => () }
         }
         val materialized = rungs
-        for (q <- queries if deepOnly.forall(_.exists(q.startsWith));
+        for (q <- queries if wanted(q);
              (label, dir) <- materialized) {
           spark.catalog.clearCache()
           System.gc()
@@ -250,15 +285,11 @@ object ScaleTrendDeep {
       * tones / frame counts per copy) over which the REGISTERED media
       * content queries run unchanged — encode + real container decode
       * are both in the timed path, exactly as a corpus read would be. */
-    def mediaDir(n: Int): String = {
-      val dir = s"/tmp/graft_deep_media_${n}x"
-      val marker = java.nio.file.Paths.get(dir, "_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
+    def mediaDir(n: Int): String =
+      materializedDir(s"/tmp/graft_deep_media_${n}x",
+        s"docsNx:n=$n:idOff=100000000:suffix=_i:src=$sf01:v=2") { dir =>
         docsNx(n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        java.nio.file.Files.createFile(marker)
       }
-      dir
-    }
     val mediaDeep = Seq("media_video_frames", "media_audio_features",
       "media_scene_cuts", "pipeline_media_prep")
     runRegisteredRungs(mediaDeep,
@@ -274,11 +305,9 @@ object ScaleTrendDeep {
       * vocabulary, new ids), reads stream from disk instead of holding
       * 5M documents in one in-memory plan. */
     if (sys.env.get("SPARK_GRAFT_DEEP_DECADE3").contains("1")) {
-      val d500k = "/tmp/graft_deep_docs_100x"
-      val marker = java.nio.file.Paths.get(d500k, "_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
-        docsNx(100).write.mode("overwrite").parquet(s"$d500k/documents.parquet")
-        java.nio.file.Files.createFile(marker)
+      val d500k = materializedDir("/tmp/graft_deep_docs_100x",
+        s"docsNx:n=100:idOff=100000000:suffix=_i:src=$sf01:v=2") { dir =>
+        docsNx(100).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
       def docs5m: DataFrame = (0 until 10).map { i =>
         val base = spark.read.parquet(s"$d500k/documents.parquet")
@@ -291,7 +320,7 @@ object ScaleTrendDeep {
       }.reduce(_ unionByName _)
       for ((opName, op) <- Seq[(String, DataFrame => DataFrame)](
              ("dedup_minhash_det", minhashDet), ("dedup_simhash", simhashDet))
-           if deepOnly.forall(_.exists(opName.startsWith))) {
+           if wanted(opName)) {
         spark.catalog.clearCache()
         System.gc()
         val in = docs5m
@@ -305,12 +334,9 @@ object ScaleTrendDeep {
       // temporal family third decade: 100,000,000 events through the
       // native as-of join — same two-level construction (10M-event
       // parquet rung, then a 10-way disjoint-user union over it)
-      val e10m = "/tmp/graft_deep_events_100x"
-      val eMarker = java.nio.file.Paths.get(e10m, "_DONE")
-      if (deepOnly.forall(_.exists("join_asof_native".startsWith)) &&
-          !java.nio.file.Files.exists(eMarker)) {
-        eventsNx(100).write.mode("overwrite").parquet(s"$e10m/events.parquet")
-        java.nio.file.Files.createFile(eMarker)
+      lazy val e10m = materializedDir("/tmp/graft_deep_events_100x",
+        s"eventsNx:n=100:idOff=1000000000:src=$sf01:v=1") { dir =>
+        eventsNx(100).write.mode("overwrite").parquet(s"$dir/events.parquet")
       }
       def events100m: DataFrame = (0 until 10).map { i =>
         val base = spark.read.parquet(s"$e10m/events.parquet")
@@ -320,7 +346,7 @@ object ScaleTrendDeep {
           (col("user_id") + i * 1000000000000L).as("user_id"),
           col("ts"), col("event_type"))
       }.reduce(_ unionByName _)
-      if (deepOnly.forall(_.exists("join_asof_native".startsWith))) {
+      if (wanted("join_asof_native")) {
         spark.catalog.clearCache()
         System.gc()
         val evIn = events100m
@@ -337,13 +363,12 @@ object ScaleTrendDeep {
       // be the decade's cost, not the plan's). Query set stays the
       // ladder convention (id % 50 == 0, so 40k queries — per-query
       // cost is the honest read, as in the 200k-rung analysis).
-      if (deepOnly.forall(_.exists("ann_ivf_det_topk".startsWith))) {
-        val m200k = "/tmp/graft_deep_emb_100x"
-        val mMarker = java.nio.file.Paths.get(m200k, "_DONE")
-        if (!java.nio.file.Files.exists(mMarker)) {
-          embNx(100).write.mode("overwrite")
-            .parquet(s"$m200k/embeddings.parquet")
-          java.nio.file.Files.createFile(mMarker)
+      if (wanted("ann_ivf_det_topk")) {
+        val m200k = materializedDir("/tmp/graft_deep_emb_100x",
+          s"embNx:n=100:idOff=10000000:perturb=31-7-0.03:src=$sf01:v=1") {
+          dir =>
+            embNx(100).write.mode("overwrite")
+              .parquet(s"$dir/embeddings.parquet")
         }
         def emb2m: DataFrame = (0 until 10).map { i =>
           val base = spark.read.parquet(s"$m200k/embeddings.parquet")

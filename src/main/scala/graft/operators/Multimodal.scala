@@ -194,7 +194,7 @@ object Multimodal {
                         (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val (fp, _, _) = digestAndStats(m)
+      val (fp, _, _, _) = digestAndStats(m)
       (m.media_id, m.kind, fp)
     }).toDF("media_id", "kind", "content_fp")
   }
@@ -208,7 +208,12 @@ object Multimodal {
     * megapixel image would otherwise allocate MBs of transient garbage
     * to feed a 16-byte MD5); the stat accumulation rides the same pass
     * at the cost of one integer add per unit. */
-  private def digestAndStats(m: Media): (String, Long, Long) = {
+  /** Returns (digest, n_units, sum_units, hasCodec). `hasCodec` is the
+    * explicit "a decoder ran" flag: the old `sum < 0` convention would
+    * misread a real audio payload whose mean sample sits below -2048
+    * (total Σ(s+2048) < 0) as "no codec", silently zapping its mean —
+    * a boolean cannot collide with any legal sum. */
+  private def digestAndStats(m: Media): (String, Long, Long, Boolean) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def i32(v: Int): Unit = {
       md.update((v >> 24).toByte); md.update((v >> 16).toByte)
@@ -216,6 +221,7 @@ object Multimodal {
     }
     var n = 0L
     var sum = -1L
+    var hasCodec = true
     m.kind match {
       case "image" =>
         val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
@@ -250,8 +256,9 @@ object Multimodal {
       case _ =>
         md.update(m.bytes)
         n = m.bytes.length.toLong
+        hasCodec = false
     }
-    (md.digest().map("%02x".format(_)).mkString, n, sum)
+    (md.digest().map("%02x".format(_)).mkString, n, sum, hasCodec)
   }
 
   /** CONTENT resize for image payloads: decode the container
@@ -426,9 +433,11 @@ object Multimodal {
                     (implicit spark: SparkSession): Dataset[ContentProfile] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val (fp, n, sum) = digestAndStats(m)
+      val (fp, n, sum, hasCodec) = digestAndStats(m)
+      // mean_mu is computed whenever a codec ran — matching decode()'s
+      // unconditional sum*1e6/n — and -1 marks ONLY the no-codec case
       ContentProfile(m.media_id, m.kind, fp, n, sum,
-        if (sum < 0) -1L else sum * 1000000L / n)
+        if (hasCodec && n > 0) sum * 1000000L / n else -1L)
     })
   }
 

@@ -447,6 +447,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("contentProfile: a real WAV with mean sample below -2048 gets its " +
+      "true (negative-sum) mean, not the no-codec sentinel") {
+    // Σ(s+2048) < 0 here — under the old `sum < 0` convention this row
+    // read as "no codec ran" and its mean was silently zapped to -1
+    import spark.implicits._
+    val smp = Array.fill[Short](80)(-3000)
+    val loud = Multimodal.Media(1L, "audio",
+      MediaCodec.encodeWavPcm16(16000, smp), 0, 0, 16000, 5L)
+    val ds = spark.createDataset(Seq(loud))
+    val p = Multimodal.contentProfile(ds).collect().head
+    val d = Multimodal.decode(ds).collect().head
+    p.sum_units shouldBe (-3000 + 2048).toLong * 80
+    assert(p.sum_units < 0)
+    p.mean_mu shouldBe d.mean_mu
+    p.mean_mu should not be -1L
+    // and the no-codec kind still reports the sentinel
+    val video = Multimodal.Media(2L, "binary-blob", Array[Byte](1, 2, 3),
+      0, 0, 0, 0L)
+    val q = Multimodal.contentProfile(spark.createDataset(Seq(video)))
+      .collect().head
+    (q.sum_units, q.mean_mu) shouldBe ((-1L, -1L))
+  }
+
   test("pipeline_media_prep plan: the binary payload never crosses a " +
       "shuffle") {
     import org.apache.spark.sql.execution.SparkPlan
