@@ -185,6 +185,22 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** Encode a packed-RGB raster (0xRRGGBB per pixel) as PNG via the JDK
+    * encoder. PNG true-color is lossless, and the JDK writer embeds no
+    * ICC profile for a plain TYPE_INT_RGB image, so
+    * [[decodeImageRgb]] round-trips the exact channel values. */
+  def encodePngRgb(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height,
+      s"raster ${rgb.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos))
+      throw new MediaFormatException("PNG: no JDK encoder registered")
+    bos.toByteArray
+  }
+
   /** Encode an 8-bit grayscale raster as baseline JPEG at the given
     * quality (lossy: decode approximates the input raster). */
   def encodeJpeg(width: Int, height: Int, pixels: Array[Byte],
@@ -226,22 +242,9 @@ object MediaCodec {
     sniffImageFormat(bytes) match {
       case "pgm" => decodePgm(bytes)
       case fmt =>
-        // the whole decode+extract runs under one NonFatal barrier: JDK
-        // ImageIO readers surface many malformed payloads as
-        // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
-        // CMMException, ...), not just IIOException — every one of them
-        // is "the bytes are not a valid image" and must exit through
-        // the typed seam, never as an opaque executor crash
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes))
-          if (img == null)
-            throw new MediaFormatException(
-              s"$fmt: JDK reader rejected payload")
+        imageioDecode(fmt, bytes) { img =>
           val w = img.getWidth
           val h = img.getHeight
-          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28))
-            throw new MediaFormatException(s"$fmt: bad dims ${w}x$h")
           val out = new Array[Byte](w * h)
           if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
             img.getRaster.getDataElements(0, 0, w, h, out)
@@ -269,12 +272,64 @@ object MediaCodec {
             }
           }
           (w, h, out)
-        } catch {
-          case m: MediaFormatException => throw m
-          case e if scala.util.control.NonFatal(e) =>
-            throw new MediaFormatException(
-              s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
+    }
+
+  /** Decode ANY supported image container to its PER-CHANNEL content:
+    * (width, height, packed 0xRRGGBB per pixel). PGM is single-channel
+    * by definition — its gray value is replicated into all three
+    * channels (the color-space identity: gray g IS rgb(g,g,g)) — while
+    * PNG/JPEG surface the channels the JDK reader decoded, with the
+    * alpha byte masked off. The color-aware sibling of [[decodeImage]]:
+    * same strict sniffing seam, same typed failure contract. */
+  def decodeImageRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+    sniffImageFormat(bytes) match {
+      case "pgm" =>
+        val (w, h, pix) = decodePgm(bytes)
+        val out = new Array[Int](pix.length)
+        var i = 0
+        while (i < pix.length) {
+          val g = pix(i) & 0xff
+          out(i) = (g << 16) | (g << 8) | g
+          i += 1
+        }
+        (w, h, out)
+      case fmt =>
+        imageioDecode(fmt, bytes) { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Int](w * h)
+          img.getRGB(0, 0, w, h, out, 0, w)
+          var i = 0
+          while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+          (w, h, out)
+        }
+    }
+
+  /** Shared ImageIO read + dims gate + NonFatal barrier for the
+    * PNG/JPEG decode paths: JDK ImageIO readers surface many malformed
+    * payloads as RuntimeExceptions (ArrayIndexOutOfBounds,
+    * NegativeArraySize, CMMException, ...), not just IIOException —
+    * every one of them is "the bytes are not a valid image" and must
+    * exit through the typed seam, never as an opaque executor crash. */
+  private def imageioDecode[A](fmt: String, bytes: Array[Byte])
+                              (extract: java.awt.image.BufferedImage => A): A =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new MediaFormatException(
+          s"$fmt: JDK reader rejected payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28))
+        throw new MediaFormatException(s"$fmt: bad dims ${w}x$h")
+      extract(img)
+    } catch {
+      case m: MediaFormatException => throw m
+      case e if scala.util.control.NonFatal(e) =>
+        throw new MediaFormatException(
+          s"$fmt: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
   // ------------------------------------------------- WAV (RIFF PCM16 mono)

@@ -57,6 +57,13 @@ object Multimodal {
   final case class AudioWindow(media_id: Long, win_idx: Long, n_samp: Long,
                                energy: Long, crossings: Long)
 
+  /** Per-channel content statistics from a REAL color decode: channel
+    * sums over the raster and integer micro-unit channel means. */
+  final case class ColorStats(media_id: Long, width: Int, height: Int,
+                              n_pix: Long, sum_r: Long, sum_g: Long,
+                              sum_b: Long, mean_r_mu: Long, mean_g_mu: Long,
+                              mean_b_mu: Long)
+
   /** One-pass content profile: decode stats + content fingerprint from
     * a single parse of the payload (see [[contentProfile]]). */
   final case class ContentProfile(media_id: Long, kind: String,
@@ -441,6 +448,37 @@ object Multimodal {
     })
   }
 
+  /** Per-channel (RGB) content stats over the image rows — the
+    * color-aware decode gate a real image corpus needs (channel
+    * imbalance screens, tint detection, per-channel normalization
+    * constants). Decodes through [[MediaCodec.decodeImageRgb]]: PNG/JPEG
+    * surface the channels the container actually carries, PGM replicates
+    * its gray value (gray g IS rgb(g,g,g)), so one operator covers a
+    * mixed-container corpus. All sums are integer-exact; means are
+    * integer micro-units (floor), so a lossless container's stats replay
+    * closed-form in the DuckDB oracle. Non-image rows are excluded by
+    * definition — channels of a WAV are not a thing this operator should
+    * invent. */
+  def colorStats(media: Dataset[Media])
+                (implicit spark: SparkSession): Dataset[ColorStats] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val (w, h, rgb) = MediaCodec.decodeImageRgb(m.bytes)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < rgb.length) {
+        val p = rgb(i)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        i += 1
+      }
+      val n = rgb.length.toLong
+      ColorStats(m.media_id, w, h, n, sr, sg, sb,
+        sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n)
+    })
+  }
+
   /** Temporal frame-difference analysis — the scene-cut primitive — over
     * the REAL multi-frame decode: for every adjacent frame pair (j−1, j)
     * emit the total absolute pixel difference and a thresholded cut
@@ -497,7 +535,10 @@ object Multimodal {
     * reports what the BYTES say, which is the point.
     *
     * `imageFormat` picks the image CONTAINER — "pgm" (default), "png",
-    * or "jpeg" — over the SAME closed-form raster: PNG is lossless, so
+    * "jpeg", or "png_rgb" — over the SAME closed-form raster ("png_rgb"
+    * swaps in a TRUE-COLOR raster: R_i = (s+7i) mod 256 — the gray
+    * formula — G_i = (s+11i+3) mod 256, B_i = (s+5i+1) mod 256, still
+    * closed-form per channel): PNG is lossless, so
     * its decode stats replay from the identical formulas (the
     * container changes, the ground truth doesn't); JPEG is lossy, so
     * its decoded stats are JDK-decoder outputs, oracle-checked against
@@ -512,7 +553,7 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame,
                          imageFormat: String = "pgm",
                          videoFormat: String = "text"): DataFrame = {
-    require(Set("pgm", "png", "jpeg").contains(imageFormat),
+    require(Set("pgm", "png", "jpeg", "png_rgb").contains(imageFormat),
       s"unsupported imageFormat $imageFormat")
     require(Set("text", "pgmstream").contains(videoFormat),
       s"unsupported videoFormat $videoFormat")
@@ -543,6 +584,21 @@ object Multimodal {
             imageFormat match {
               case "png" => MediaCodec.encodePng(pw, ph, pix)
               case "jpeg" => MediaCodec.encodeJpeg(pw, ph, pix)
+              case "png_rgb" =>
+                // TRUE-COLOR payloads: R keeps the gray formula, G and B
+                // get their own closed-form ramps — genuinely distinct
+                // per channel (a tinted corpus, not gray replicated
+                // three times), every value SQL-replayable per unit
+                val rgb = new Array[Int](pw * ph)
+                var j = 0
+                while (j < rgb.length) {
+                  val r = (seed + 7 * j) % 256
+                  val gc = (seed + 11 * j + 3) % 256
+                  val b = (seed + 5 * j + 1) % 256
+                  rgb(j) = (r << 16) | (gc << 8) | b
+                  j += 1
+                }
+                MediaCodec.encodePngRgb(pw, ph, rgb)
               case _ => MediaCodec.encodePgm(pw, ph, pix)
             }
           case "audio" =>

@@ -60,6 +60,35 @@ object MultimodalQueries extends Registry {
     // lossless, so the oracle is the identical closed-form ground truth
     // — a container bug (stride, color model, signature) diverges the
     // stats and fails the hash.
+    // Color-aware decode gate: TRUE-COLOR PNG payloads (per-channel
+    // closed-form ramps), decoded back per channel through
+    // MediaCodec.decodeImageRgb. PNG true-color is lossless, so every
+    // channel sum replays from the generation formulas — a stride or
+    // channel-order bug (RGB vs BGR) swaps sums and fails the hash.
+    "media_color_stats" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.colorStats(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
+            imageFormat = "png_rgb")))
+        .toDF().select("media_id", "n_pix", "sum_r", "sum_g", "sum_b",
+          "mean_r_mu", "mean_g_mu", "mean_b_mu")
+        .orderBy("media_id")
+    }),
+
+    // The GRAY decode path over the SAME non-gray corpus: decode()
+    // must collapse true-color payloads to ITU-R 601 luma — the fixed
+    // integer weights replay per pixel in SQL, so the collapse itself
+    // is hash-checked, not just spec-asserted.
+    "media_decode_stats_png_rgb" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decode(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
+            imageFormat = "png_rgb")))
+        .toDF().filter(col("kind") === "image")
+        .select("media_id", "kind", "n_units", "sum_units", "mean_mu")
+        .orderBy("media_id")
+    }),
+
     "media_decode_stats_png" -> ((s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
       Multimodal.decode(Multimodal.asMedia(
@@ -446,6 +475,49 @@ object MultimodalQueries extends Registry {
     // PNG round-trips losslessly: the REAL-corpus container decode must
     // reproduce the exact same closed-form content ground truth.
     "media_decode_stats_png" -> decodeStatsOracle,
+
+    // Per-channel ground truth for the true-color decode: every channel
+    // value replays from its generation ramp (R gray formula, G/B their
+    // own), summed per unit — never an algebraic shortcut.
+    "media_color_stats" ->
+      """WITH img AS (SELECT doc_id AS media_id, doc_id % 256 AS s,
+                             (doc_id % 64 + 16) * (doc_id % 48 + 16) AS n
+                      FROM documents WHERE doc_id % 3 = 0),
+          u AS (SELECT media_id, s, unnest(range(0, n)) AS i FROM img),
+          c AS (SELECT media_id, count(*) AS np,
+                       sum((s + 7 * i) % 256) AS sr,
+                       sum((s + 11 * i + 3) % 256) AS sg,
+                       sum((s + 5 * i + 1) % 256) AS sb
+                FROM u GROUP BY media_id)
+          SELECT media_id, CAST(np AS BIGINT) AS n_pix,
+                 CAST(sr AS BIGINT) AS sum_r,
+                 CAST(sg AS BIGINT) AS sum_g,
+                 CAST(sb AS BIGINT) AS sum_b,
+                 CAST(sr * 1000000 // np AS BIGINT) AS mean_r_mu,
+                 CAST(sg * 1000000 // np AS BIGINT) AS mean_g_mu,
+                 CAST(sb * 1000000 // np AS BIGINT) AS mean_b_mu
+          FROM c ORDER BY media_id""",
+
+    // Luma-collapse ground truth: per pixel, the ITU-R 601 integer
+    // weights over the three channel ramps — (299R + 587G + 114B + 500)
+    // // 1000, all operands non-negative so Spark DIV and DuckDB //
+    // agree — then the usual sum / micro-unit mean.
+    "media_decode_stats_png_rgb" ->
+      """WITH img AS (SELECT doc_id AS media_id, doc_id % 256 AS s,
+                             (doc_id % 64 + 16) * (doc_id % 48 + 16) AS n
+                      FROM documents WHERE doc_id % 3 = 0),
+          u AS (SELECT media_id, s, unnest(range(0, n)) AS i FROM img),
+          l AS (SELECT media_id,
+                       (299 * ((s + 7 * i) % 256)
+                        + 587 * ((s + 11 * i + 3) % 256)
+                        + 114 * ((s + 5 * i + 1) % 256) + 500) // 1000 AS lum
+                FROM u),
+          a AS (SELECT media_id, count(*) AS nu, sum(lum) AS su
+                FROM l GROUP BY media_id)
+          SELECT media_id, 'image' AS kind, CAST(nu AS BIGINT) AS n_units,
+                 CAST(su AS BIGINT) AS sum_units,
+                 CAST(su * 1000000 // nu AS BIGINT) AS mean_mu
+          FROM a ORDER BY media_id""",
 
     "media_decode_stats_jpeg" -> jpegDecodeOracle,
 

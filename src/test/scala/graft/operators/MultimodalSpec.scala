@@ -447,6 +447,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("RGB PNG: encode→decodeImageRgb round-trips channels exactly; " +
+      "decodeImage collapses the same payload to ITU-R 601 luma") {
+    val (w, h) = (37, 23)
+    val rgb = Array.tabulate(w * h) { i =>
+      (((i * 7 + 5) % 256) << 16) | (((i * 11 + 3) % 256) << 8) |
+        ((i * 5 + 1) % 256)
+    }
+    val enc = MediaCodec.encodePngRgb(w, h, rgb)
+    MediaCodec.sniffImageFormat(enc) shouldBe "png"
+    val (dw, dh, out) = MediaCodec.decodeImageRgb(enc)
+    (dw, dh) shouldBe ((w, h))
+    out.toSeq shouldBe rgb.toSeq // lossless per channel
+    // the single-channel path over the SAME bytes = integer 601 luma
+    val (_, _, gray) = MediaCodec.decodeImage(enc)
+    val expected = rgb.map { p =>
+      ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+        + 114 * (p & 0xff) + 500) / 1000).toByte
+    }
+    gray.toSeq shouldBe expected.toSeq
+    // and a PGM payload through the color path replicates gray into
+    // all three channels: gray g IS rgb(g,g,g)
+    val pix = Array.tabulate(12)(i => (i * 21).toByte)
+    val (_, _, fromPgm) =
+      MediaCodec.decodeImageRgb(MediaCodec.encodePgm(4, 3, pix))
+    fromPgm.toSeq shouldBe pix.map { b =>
+      val g = b & 0xff; (g << 16) | (g << 8) | g
+    }.toSeq
+  }
+
+  test("colorStats: per-channel sums over a non-gray corpus match the " +
+      "generation ramps end-to-end; non-image rows are excluded") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(60)
+    val m = Multimodal.asMedia(
+      Multimodal.mediaFromDocuments(docs, imageFormat = "png_rgb"))
+    val stats = Multimodal.colorStats(m).collect()
+    val imageIds = m.filter(_.kind == "image").collect().map(_.media_id)
+    stats.map(_.media_id).sorted shouldBe imageIds.sorted
+    stats.foreach { st =>
+      val s = (st.media_id % 256).toInt
+      val n = ((st.media_id % 64 + 16) * (st.media_id % 48 + 16)).toInt
+      st.n_pix shouldBe n.toLong
+      val (er, eg, eb) = (0 until n).foldLeft((0L, 0L, 0L)) {
+        case ((r, g, b), i) =>
+          (r + (s + 7 * i) % 256, g + (s + 11 * i + 3) % 256,
+            b + (s + 5 * i + 1) % 256)
+      }
+      (st.sum_r, st.sum_g, st.sum_b) shouldBe ((er, eg, eb))
+      st.mean_g_mu shouldBe eg * 1000000L / n
+    }
+    // the fixture is genuinely non-gray: channel sums differ on most
+    // medias (NOT all — when n_pix is a multiple of 256, each odd-stride
+    // ramp sums the full residue cycle and the three sums coincide)
+    assert(stats.count(st =>
+      st.sum_r != st.sum_g || st.sum_g != st.sum_b) > stats.length / 2)
+  }
+
   test("contentProfile: a real WAV with mean sample below -2048 gets its " +
       "true (negative-sum) mean, not the no-codec sentinel") {
     // Σ(s+2048) < 0 here — under the old `sum < 0` convention this row
