@@ -482,4 +482,72 @@ object Corpus {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_u"))
       .orderBy("query_id", "rank")
   }
+
+  /** Deterministic MIXED-SCRIPT corpus derived from an ASCII corpus:
+    * appends to each document a closed-form non-ASCII suffix — one
+    * space, then `id%5` CJK ideographs (U+4E00+(id+j)%100), `id%7`
+    * Cyrillic capitals (U+0410+(id+j)%32), `id%3` Arabic letters
+    * (U+0627+(id+j)%20), `id%4` ASCII digits — so the per-document
+    * script-class COUNTS replay in SQL (ASCII regex over the original
+    * text + the modular arithmetic) without the oracle ever
+    * constructing a non-ASCII string. The multilingual fixture the
+    * text family was missing: every character stays in the BMP, so
+    * char counts agree across Spark (UTF8String code points), DuckDB,
+    * and Java Strings. */
+  def withScriptSuffix(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sb = new StringBuilder(text)
+        sb.append(' ')
+        var j = 0
+        while (j < (id % 5).toInt) {
+          sb.append((0x4e00 + ((id + j) % 100)).toChar); j += 1
+        }
+        j = 0
+        while (j < (id % 7).toInt) {
+          sb.append((0x0410 + ((id + j) % 32)).toChar); j += 1
+        }
+        j = 0
+        while (j < (id % 3).toInt) {
+          sb.append((0x0627 + ((id + j) % 20)).toChar); j += 1
+        }
+        j = 0
+        while (j < (id % 4).toInt) {
+          sb.append(('0' + ((id + j) % 10)).toChar); j += 1
+        }
+        (id, sb.toString)
+      }
+      .toDF(idCol, textCol)
+  }
+
+  /** Per-document script-mix profile: counts of characters in six
+    * codepoint classes — Latin letters, ASCII digits, CJK ideographs
+    * (U+4E00–U+9FFF), Cyrillic (U+0400–U+04FF), Arabic (U+0600–U+06FF),
+    * ASCII whitespace — plus `other` for everything unclassified. The
+    * language-realism screen an LLM corpus pipeline runs before
+    * routing documents to per-script tokenizers; pure column algebra
+    * (codegen'd regexp_replace length differences), no UDF. BMP-only
+    * by contract: counts are in code POINTS, and the class ranges here
+    * are all in the basic plane (supplementary-plane scripts would
+    * need `\x{...}` surrogate-aware classes). */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val len = length(col(textCol)).cast("long")
+    def cnt(cls: String) =
+      len - length(regexp_replace(col(textCol), cls, "")).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val cjk = cnt("[\\u4e00-\\u9fff]")
+    val cyr = cnt("[\\u0400-\\u04ff]")
+    val arab = cnt("[\\u0600-\\u06ff]")
+    val ws = cnt("[ \t\n\r]")
+    docs.select(col(idCol),
+      latin.as("latin"), digit.as("digit"), cjk.as("cjk"),
+      cyr.as("cyrillic"), arab.as("arabic"), ws.as("whitespace"),
+      (len - latin - digit - cjk - cyr - arab - ws).as("other"))
+  }
 }

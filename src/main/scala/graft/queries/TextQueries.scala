@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{TextFunctions => TF}
+import graft.operators.Corpus
 
 /** Text-analysis queries over the documents table: fingerprinting, token
   * statistics, language ID, quality scoring. Each has an exact DuckDB
@@ -88,6 +89,19 @@ object TextQueries extends Registry {
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Script-mix profile over a MIXED-SCRIPT corpus: the ASCII documents
+    // get a closed-form non-ASCII suffix (CJK/Cyrillic/Arabic/digit
+    // counts by modular arithmetic on doc_id), then the codepoint-range
+    // classifier counts each class. The oracle never builds a non-ASCII
+    // string: it replays the original-text classes with ASCII regex and
+    // adds the suffix arithmetic — a classifier range/UTF-8 bug on the
+    // Spark side breaks the hash.
+    "text_script_mix" -> ((s, d) =>
+      Corpus.scriptProfile(
+          Corpus.withScriptSuffix(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "text")
         .orderBy("doc_id")),
 
     // total token volume per source — the "how big is my corpus" query
@@ -1505,6 +1519,28 @@ object TextQueries extends Registry {
                        least(len(toks), 200)::BIGINT AS m
                 FROM (SELECT doc_id, $toks AS toks FROM documents) t) s
           ORDER BY doc_id""",
+
+    // Expected counts: ASCII classes from the original text (the corpus
+    // is pure ASCII — MultimodalSpec's fixture gate), suffix classes
+    // from the generation arithmetic (1 space + id%5 CJK + id%7
+    // Cyrillic + id%3 Arabic + id%4 digits), other untouched.
+    "text_script_mix" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len0,
+                 length(text) - length(regexp_replace(text,
+                   '[A-Za-z]', '', 'g')) AS latin0,
+                 length(text) - length(regexp_replace(text,
+                   '[0-9]', '', 'g')) AS digit0,
+                 length(text) - length(regexp_replace(text,
+                   '[ \t\n\r]', '', 'g')) AS ws0
+          FROM documents)
+          SELECT doc_id, CAST(latin0 AS BIGINT) AS latin,
+                 CAST(digit0 + doc_id % 4 AS BIGINT) AS digit,
+                 CAST(doc_id % 5 AS BIGINT) AS cjk,
+                 CAST(doc_id % 7 AS BIGINT) AS cyrillic,
+                 CAST(doc_id % 3 AS BIGINT) AS arabic,
+                 CAST(ws0 + 1 AS BIGINT) AS whitespace,
+                 CAST(len0 - latin0 - digit0 - ws0 AS BIGINT) AS other
+          FROM c ORDER BY doc_id""",
 
     "text_token_volume" ->
       s"""SELECT source, CAST(sum(len($toks)) AS BIGINT) AS total_tokens,

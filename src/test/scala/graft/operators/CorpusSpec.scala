@@ -293,4 +293,51 @@ class CorpusSpec extends SparkSpec {
       rs.map(_.getInt(1)).sorted.toSeq shouldBe (1 to rs.length)
     }
   }
+
+  test("scriptProfile: hand-crafted mixed-script string classifies " +
+      "every codepoint into the right class") {
+    import spark.implicits._
+    // "ab 你好 Ж ا 3!" — 2 Latin, 2 CJK, 1 Cyrillic, 1 Arabic, 1 digit,
+    // 4 spaces, 1 other
+    val s = "ab 你好 Ж ا 3!"
+    val df = Seq((1L, s)).toDF("doc_id", "text")
+    val row = Corpus.scriptProfile(df, "doc_id", "text").collect().head
+    (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5), row.getLong(6), row.getLong(7)) shouldBe
+      ((2L, 1L, 2L, 1L, 1L, 4L, 1L))
+    // class-range BOUNDARIES: first/last codepoint of each range is in,
+    // the neighbors just outside are 'other'
+    val edges = "一鿿Ѐӿ؀ۿ" // all in
+    val outside = "䷿ꀀϿԀ׿܀" // all out
+    val r2 = Corpus.scriptProfile(
+      Seq((1L, edges + outside)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    (r2.getLong(3), r2.getLong(4), r2.getLong(5), r2.getLong(7)) shouldBe
+      ((2L, 2L, 2L, 6L))
+  }
+
+  test("withScriptSuffix: suffix class counts follow the generation " +
+      "arithmetic and the profile recovers them") {
+    import spark.implicits._
+    val docs = Seq((9L, "hello world"), (10L, "x2!"), (0L, "z"))
+      .toDF("doc_id", "text")
+    val mixed = Corpus.withScriptSuffix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id=0: every modulus is 0 — suffix is the lone space
+    mixed(0L) shouldBe "z "
+    // id=9: 9%5=4 CJK, 9%7=2 Cyrillic, 9%3=0 Arabic, 9%4=1 digit
+    val m9 = mixed(9L)
+    assert(m9.startsWith("hello world "))
+    m9.length shouldBe "hello world ".length + 4 + 2 + 0 + 1
+    val prof = Corpus.scriptProfile(
+        Corpus.withScriptSuffix(docs, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val p9 = prof(9L)
+    (p9.getLong(3), p9.getLong(4), p9.getLong(5)) shouldBe ((4L, 2L, 0L))
+    p9.getLong(2) shouldBe 1L // the one suffix digit; "hello world" has none
+    val p10 = prof(10L)
+    // id=10: text digit '2' + 10%4=2 suffix digits
+    p10.getLong(2) shouldBe 3L
+    (p10.getLong(3), p10.getLong(4), p10.getLong(5)) shouldBe ((0L, 3L, 1L))
+  }
 }
