@@ -578,6 +578,65 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** The det-IVF index's HOME-CELL relation, exposed as its own
+    * operator: every vector's rank-1 cell under the integer-exact
+    * affinity ranking [[ivfDetTopK]] builds on. The relation a vector
+    * store materializes as its routing table, and the batch ground
+    * truth the STREAMING cell assignment
+    * ([[graft.streaming.AnnIngest.assignCells]]) must agree with. */
+  def ivfDetHomeCells(embs: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    detIvfCellRanks(e).filter(col("rk") === 1)
+      .select(col("id").as(idCol), col("label").as("cell"))
+      .orderBy(idCol)
+  }
+
+  /** One cell of the collected det-IVF coarse quantizer: integer
+    * micro-unit centroid coordinates (dense by dim) + the precomputed
+    * centroid norm Σci². */
+  final case class CentroidCell(cell: Long, ci: Array[Long], nc: Long)
+
+  /** Collect the det-IVF integer centroid plane to the driver — the
+    * broadcastable coarse quantizer a STREAMING ingest assigns arriving
+    * vectors against. Cells × dims is index metadata, not corpus data
+    * (a 4096-cell × 1024-dim plane is ~32 MB of longs); `maxCells`
+    * is the hard cap that keeps the collect bounded no matter what
+    * label column it is pointed at. The centroid arithmetic is the
+    * SAME order-free integer expression [[ivfDetTopK]]'s cell ranking
+    * uses, so batch home cells and streaming assignments cannot
+    * drift. */
+  def detIvfCentroidPlane(embs: DataFrame, vecCol: String,
+                          labelCol: String,
+                          maxCells: Int = 65536): Array[CentroidCell] = {
+    val dims = embs
+      .select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+    val cent = dims.groupBy("label", "dim")
+      .agg(expr("CAST((2 * (sum(xi) + 2000000 * count(1)) + count(1))" +
+        " DIV (2 * count(1)) - 2000000 AS BIGINT)").as("ci"))
+    val rows = cent.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("dim"), col("ci"))))
+        .as("cs"))
+      .limit(maxCells + 1)
+      .collect()
+    require(rows.length <= maxCells,
+      s"centroid plane exceeds maxCells=$maxCells — not a coarse " +
+        "quantizer; pick a coarser label column or raise the cap " +
+        "deliberately")
+    rows.map { r =>
+      val cis = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(_.getLong(1)).toArray
+      var nc = 0L
+      var i = 0
+      while (i < cis.length) { nc += cis(i) * cis(i); i += 1 }
+      CentroidCell(r.getLong(0), cis, nc)
+    }.sortBy(_.cell)
+  }
+
   /** Det-IVF probed candidate pairs over (id, label, v): homes every
     * vector to its rk=1 cell, probes the query set's `nprobe` nearest
     * cells, and joins the two on cell — the (query_id, cand_id)

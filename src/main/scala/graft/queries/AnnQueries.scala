@@ -146,6 +146,14 @@ object AnnQueries extends Registry {
       Ann.ivfDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", col("id") % 50 === 0, k = 5)),
 
+    // The det-IVF routing table as its own relation: every vector's
+    // rank-1 cell under the integer-exact affinity ranking. The batch
+    // ground truth the streaming cell assignment (AnnIngest) agrees
+    // with, and the relation a vector store materializes for routing.
+    "ann_ivf_home_cells" -> ((s, d) =>
+      Ann.ivfDetHomeCells(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label")),
+
     // The oracle-checkable PQ twin (ann_pq_topk's per-subspace k-means
     // codebooks are engine-internal): md5-sampled codebook, exact
     // integer squared-distance assignment and ADC LUT sums, exact-bp
@@ -1219,6 +1227,36 @@ object AnnQueries extends Registry {
                   FROM sc)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // The home-cell prefix of the det-IVF chain: per-label integer
+    // centroids, affinity ranking, rank-1 cell per vector.
+    "ann_ivf_home_cells" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, label, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent AS (SELECT label, dim,
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
+                   FROM d GROUP BY 1, 2),
+          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
+                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
+          smc AS (SELECT vec_id, label,
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cell_bp
+                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
+          rkc AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cell_bp DESC, label ASC) AS rk
+                  FROM smc)
+          SELECT vec_id, label AS cell FROM rkc WHERE rk = 1
+          ORDER BY vec_id""",
 
     // Replays the det-IVF index end-to-end: per-label micro-unit
     // centroids, cell affinity floor(1e4*dot/(sqrt*sqrt)) on exact

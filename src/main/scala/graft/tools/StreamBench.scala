@@ -205,10 +205,53 @@ object StreamBench {
             .sampleFramesContent(ds, n = 4).toDF()))
     }
 
+    // ---- streaming ANN ingest: det-IVF cell assignment of arriving
+    // embeddings against the static centroid plane (AnnIngest) — the
+    // vector-side ingest band. Watermark dedup state + map-only
+    // assignment; items/s is routing CPU per vector, the number a
+    // vector-store ingest tier provisions against. Re-delivered copies
+    // carry fresh vec_ids (copy-offset) so dedup state is exercised
+    // without collapsing the workload.
+    val annResults = {
+      implicit val sp: SparkSession = spark
+      import spark.implicits._
+      val embs = graft.core.Tables
+        .embeddings(spark, "/root/testdata/sf0.001")
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val plane = graft.operators.Ann.detIvfCentroidPlane(
+        graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+        "embedding", "label")
+      val in = MemoryStream[graft.streaming.AnnIngest.VecIn]
+      val out = graft.streaming.AnnIngest
+        .assignCells(in.toDS(), plane, lateness = "10 minutes").toDF()
+      val tmp = Files.createTempDirectory("streambench_ann").toString
+      val q = out.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", s"$tmp/ckpt").start()
+      val nCopies = math.max(1, copies / 2)
+      val total = nCopies.toLong * embs.length
+      val t0 = System.nanoTime()
+      try {
+        var i = 0
+        while (i < nCopies) {
+          val off = i.toLong * 10000000L
+          in.addData(embs.zipWithIndex.map { case ((id, v), j) =>
+            graft.streaming.AnnIngest.VecIn(id + off,
+              new java.sql.Timestamp(86400000L + j * 100L), v)
+          }.toSeq)
+          i += 1
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      Seq(("ann_ingest_assign",
+        total / ((System.nanoTime() - t0) / 1e9), total))
+    }
+
     val apps = (results.map { case (label, rate, total, _) =>
       f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" } ++
-      (evResults ++ mediaResults).map { case (label, rate, total) =>
-        f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
+      (evResults ++ mediaResults ++ annResults).map {
+        case (label, rate, total) =>
+          f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
       .mkString(",")
     val (_, wcRate, wcTotal, wcTop) = results.find(_._1 == "wordCount").get
     println(f"""{"metric":"stream_lines_per_sec","value":$wcRate%.0f,"lines":$wcTotal,"apps":{$apps},"top5":"$wcTop"}""")

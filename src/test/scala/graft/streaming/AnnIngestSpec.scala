@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Ann
+
+/** Streaming ANN ingest: incremental det-IVF cell assignment against a
+  * static centroid plane (AnnIngest.assignCells). */
+class AnnIngestSpec extends SparkSpec {
+
+  private def ts(i: Int): Timestamp = new Timestamp(86400000L + i * 1000L)
+
+  test("stream cell assignment agrees with the batch det-IVF home " +
+      "cells on the whole sf corpus") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val plane = Ann.detIvfCentroidPlane(embs, "embedding", "label")
+    assert(plane.length > 1, "expected a multi-cell plane")
+    val batch = Ann.ivfDetHomeCells(embs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val rows = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[AnnIngest.VecIn]
+    val q = AnnIngest.assignCells(in.toDS(), plane, lateness = "10 minutes")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("ann_ingest").start()
+    try {
+      in.addData(rows.zipWithIndex.map { case ((id, v), i) =>
+        AnnIngest.VecIn(id, ts(i), v)
+      }.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ann_ingest").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    streamed.size shouldBe batch.size
+    // every vector routed to exactly the batch index's home cell
+    streamed.foreach { case (id, cell) => cell shouldBe batch(id) }
+  }
+
+  test("re-delivered vector ids inside the lateness horizon are " +
+      "ingested exactly once; dedup=false keeps both") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val plane = Array(
+      Ann.CentroidCell(1L, Array(1000000L, 0L), 1000000L * 1000000L),
+      Ann.CentroidCell(2L, Array(0L, 1000000L), 1000000L * 1000000L))
+    def run(dedup: Boolean, name: String): Seq[(Long, Long)] = {
+      val in = MemoryStream[AnnIngest.VecIn]
+      val q = AnnIngest.assignCells(in.toDS(), plane, "10 minutes",
+          dedup = dedup)
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        in.addData(
+          AnnIngest.VecIn(7L, ts(0), Array(1f, 0f)),
+          AnnIngest.VecIn(7L, ts(1), Array(1f, 0f)))
+        q.processAllAvailable()
+        in.addData(AnnIngest.VecIn(7L, ts(2), Array(0f, 1f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(2)))
+    }
+    val once = run(dedup = true, "ann_ingest_dedup")
+    once.length shouldBe 1
+    once.head shouldBe ((7L, 1L))
+    val all = run(dedup = false, "ann_ingest_nodedup")
+    all.length shouldBe 3
+    all.map(_._2).sorted shouldBe Seq(1L, 1L, 2L)
+  }
+
+  test("assignment semantics: zero vector and exact ties route to the " +
+      "smallest cell; affinity is the integer-bp formula") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val plane = Array(
+      Ann.CentroidCell(5L, Array(1000000L, 1000000L), 2L * 1000000L * 1000000L),
+      Ann.CentroidCell(3L, Array(1000000L, 1000000L), 2L * 1000000L * 1000000L))
+    val in = MemoryStream[AnnIngest.VecIn]
+    val q = AnnIngest.assignCells(in.toDS(), plane, "10 minutes")
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("ann_ingest_ties").start()
+    try {
+      in.addData(
+        AnnIngest.VecIn(1L, ts(0), Array(0f, 0f)), // zero vector
+        AnnIngest.VecIn(2L, ts(1), Array(1f, 1f))) // ties both cells
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann_ingest_ties").orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    got(0) shouldBe ((1L, 3L, 0L)) // zero norm -> bp 0, smallest cell
+    got(1)._2 shouldBe 3L
+    // exact parallel vector: floor(1e4 * cos) = 10000 or 9999 depending
+    // on fp rounding of the sqrt product — the formula is exact-integer
+    // dot over sqrt norms, so for identical direction it lands at 10000
+    got(1)._3 shouldBe 10000L
+  }
+}
