@@ -395,6 +395,15 @@ object ScaleTrendDeep {
         println(emRow)
         sb.append(emRow).append('\n')
       }
+
+      // facts family third decade: 60,000,000 lineitem rows through the
+      // five heaviest REGISTERED TPC-H shapes — facts get 100
+      // orderkey-shifted copies while every dimension stays verbatim
+      // (broadcastable at EVERY decade, the realistic 100 TB shape), so
+      // the ladder times the registered plans' joins/aggregations at
+      // three decades: 600k → 6M → 60M
+      runRegisteredRungs(tpchDeep,
+        Seq(("facts_60m", factsDir(100))), "lineitem")
     }
 
     java.nio.file.Files.write(

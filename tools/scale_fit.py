@@ -92,6 +92,10 @@ JUSTIFIED = {
 
 THRESH_FLAG = 1.30
 NOISE_SECS = 0.5
+# a query whose NET-OF-FLOOR max runtime clears this is fit on its
+# floor-subtracted times instead of being written off as noise-bounded;
+# below it the residual is within the floor estimate's own scatter
+ADJ_NOISE_SECS = 0.20
 
 
 def rows(sf_dir, table):
@@ -122,10 +126,26 @@ def slope(points):
     return sum((p[0] - mx) * (p[1] - my) for p in points) / vx
 
 
+def run_floor(bench):
+    """Per-run fixed-cost estimate: the 25th percentile of the run's
+    per-query times. At the small SFs the majority of the registry does
+    near-zero data work (214 of 298 queries measure < 0.5 s at
+    sf0.001), so a low quartile of the distribution tracks the
+    session's fixed planning/trigger floor; the handful of memoized
+    sub-floor reads below it keep the estimate conservative rather
+    than letting one anomalous 0.0 define it."""
+    ts = sorted(t for t in bench["queries"].values()
+                if t is not None and t > 0)
+    if not ts:
+        return 0.0
+    return ts[min(len(ts) - 1, max(0, int(0.25 * len(ts))))]
+
+
 def main():
     b_paths, out = sys.argv[1:4], sys.argv[4]
     benches = [json.load(open(p)) for p in b_paths]
     sf_dirs = [b["sf"] for b in benches]
+    floors = [run_floor(b) for b in benches]
     tables = ["documents", "embeddings", "events", "lineitem", "orders",
               "part", "customer", "supplier", "nation", "region"]
     nrows = {d: {t: rows(d, t) for t in tables} for d in sf_dirs}
@@ -134,25 +154,52 @@ def main():
     results = []
     for name in names:
         tab = table_of(name)
-        pts, ladder = [], []
-        for b, d in zip(benches, sf_dirs):
+        pts, pts_adj, ladder = [], [], []
+        for b, d, fl in zip(benches, sf_dirs, floors):
             t = b["queries"].get(name)
             if t is None:
                 continue
             r = nrows[d][tab]
             ladder.append((r, t))
             pts.append((math.log(r), math.log(max(t, 1e-3))))
+            pts_adj.append((math.log(r), math.log(max(t - fl, 1e-3))))
         if name in FIXED_INPUT:
             results.append((name, tab, ladder, None, "fixed input "
                 "(checked-in log fixture; sf dir irrelevant by design)"))
             continue
         e = slope(pts) if len(pts) >= 2 else None
+        e_adj = slope(pts_adj) if len(pts_adj) >= 2 else None
         tmax = max((t for _, t in ladder), default=0.0)
+        tmax_adj = max((t - fl for (_, t), fl in
+                        zip(ladder, floors[:len(ladder)])), default=0.0)
         if e is None:
             verdict = "unmeasurable"
         elif tmax < NOISE_SECS:
-            verdict = f"noise-bounded (max {tmax:.2f}s: per-query JVM/" \
-                "planning overhead dominates; slope not meaningful)"
+            # the fixed floor deflates raw slopes here; if the residual
+            # above the floor is still measurable, fit on THAT instead
+            # of writing the row off
+            if tmax_adj >= ADJ_NOISE_SECS and e_adj is not None:
+                # floor subtraction amplifies scatter when the residual
+                # is a few hundred ms (a +-0.05 s floor mis-estimate
+                # moves these slopes by ~+-0.3), so the flag band is
+                # correspondingly wider than the raw-fit one
+                e = e_adj
+                if e_adj <= 1.15:
+                    verdict = "~linear or better (net-of-floor fit)"
+                elif e_adj <= THRESH_FLAG + 0.3:
+                    verdict = ("superlinear-looking but within the "
+                               "floor-subtraction noise band "
+                               "(net-of-floor fit on a sub-second "
+                               "residual)")
+                elif name in JUSTIFIED:
+                    verdict = ("SUPERLINEAR, justified: "
+                               + JUSTIFIED[name])
+                else:
+                    verdict = "SUPERLINEAR - NEEDS REVIEW (net-of-floor)"
+            else:
+                verdict = f"noise-bounded (max {tmax:.2f}s: per-query " \
+                    "JVM/planning overhead dominates; slope not " \
+                    "meaningful even net of the session floor)"
         elif e <= 1.15:
             verdict = "~linear or better"
         elif e <= THRESH_FLAG:
@@ -172,6 +219,20 @@ def main():
         f.write("Runs: " + ", ".join(
             f"{d} ({b['value']:.1f}s total, loadavg {b['loadavg']})"
             for b, d in zip(benches, sf_dirs)) + "\n\n")
+        f.write("Estimated per-query session floors (25th percentile of "
+                "each run's times; subtracted for the net-of-floor fits "
+                "that rescue sub-second rows from the noise-bounded "
+                "bucket): " + ", ".join(
+                    f"{d.rsplit('/', 1)[-1]} = {fl:.2f}s"
+                    for d, fl in zip(sf_dirs, floors)) + "\n\n")
+        f.write("Net-of-floor totals (total minus floor x query count — "
+                "the data-work the run actually did, the honest "
+                "cross-round comparison when the registry grows): "
+                + ", ".join(
+                    f"{d.rsplit('/', 1)[-1]} = "
+                    f"{b['value'] - fl * len(b['queries']):.1f}s"
+                    for b, d, fl in zip(benches, sf_dirs, floors))
+                + "\n\n")
         f.write("| query | input table | secs @ each SF | rows ladder | "
                 "exponent | verdict |\n|---|---|---|---|---:|---|\n")
         for name, tab, ladder, e, verdict in results:
