@@ -494,8 +494,9 @@ object Corpus {
     * text family was missing: every character stays in the BMP, so
     * char counts agree across Spark (UTF8String code points), DuckDB,
     * and Java Strings. */
-  def withScriptSuffix(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame = {
+  def withScriptSuffix(docs: DataFrame, idCol: String, textCol: String,
+                       repeat: Int = 1): DataFrame = {
+    require(repeat >= 1, s"repeat $repeat must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
@@ -503,21 +504,29 @@ object Corpus {
       .map { case (id, text) =>
         val sb = new StringBuilder(text)
         sb.append(' ')
-        var j = 0
-        while (j < (id % 5).toInt) {
-          sb.append((0x4e00 + ((id + j) % 100)).toChar); j += 1
-        }
-        j = 0
-        while (j < (id % 7).toInt) {
-          sb.append((0x0410 + ((id + j) % 32)).toChar); j += 1
-        }
-        j = 0
-        while (j < (id % 3).toInt) {
-          sb.append((0x0627 + ((id + j) % 20)).toChar); j += 1
-        }
-        j = 0
-        while (j < (id % 4).toInt) {
-          sb.append(('0' + ((id + j) % 10)).toChar); j += 1
+        // class counts scale as repeat x (id mod m): repeat = 1 keeps
+        // the suffix a trace amount (profiling fixtures); a large
+        // repeat makes non-Latin classes genuinely dominate some
+        // documents (routing fixtures)
+        var r = 0
+        while (r < repeat) {
+          var j = 0
+          while (j < (id % 5).toInt) {
+            sb.append((0x4e00 + ((id + j) % 100)).toChar); j += 1
+          }
+          j = 0
+          while (j < (id % 7).toInt) {
+            sb.append((0x0410 + ((id + j) % 32)).toChar); j += 1
+          }
+          j = 0
+          while (j < (id % 3).toInt) {
+            sb.append((0x0627 + ((id + j) % 20)).toChar); j += 1
+          }
+          j = 0
+          while (j < (id % 4).toInt) {
+            sb.append(('0' + ((id + j) % 10)).toChar); j += 1
+          }
+          r += 1
         }
         (id, sb.toString)
       }

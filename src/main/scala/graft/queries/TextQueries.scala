@@ -104,6 +104,32 @@ object TextQueries extends Registry {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Dominant-script routing over the mixed corpus: each document goes
+    // to the script class with the most characters (whitespace is
+    // layout, not language — excluded; ties break to the alphabetically
+    // smallest class via an array_min over (-count, class) structs, the
+    // engine-portable argmax). The routing step before per-script
+    // tokenizers in a multilingual pipeline.
+    "text_script_route" -> ((s, d) => {
+      // repeat = 128: suffix classes reach ~768 chars vs a ~250-char
+      // median Latin body, so the corpus routes to a genuine MIX of
+      // scripts (repeat = 1 would trivially route everything latin)
+      val prof = Corpus.scriptProfile(
+        Corpus.withScriptSuffix(Tables.documents(s, d), "doc_id", "text",
+          repeat = 128),
+        "doc_id", "text")
+      val pick = array_min(array(
+        struct((-col("latin")).as("neg"), lit("latin").as("script")),
+        struct((-col("digit")).as("neg"), lit("digit").as("script")),
+        struct((-col("cjk")).as("neg"), lit("cjk").as("script")),
+        struct((-col("cyrillic")).as("neg"), lit("cyrillic").as("script")),
+        struct((-col("arabic")).as("neg"), lit("arabic").as("script")),
+        struct((-col("other")).as("neg"), lit("other").as("script"))))
+      prof.select(pick.getField("script").as("script"))
+        .groupBy("script").agg(count(lit(1)).as("n_docs"))
+        .orderBy("script")
+    }),
+
     // total token volume per source — the "how big is my corpus" query
     "text_token_volume" -> ((s, d) =>
       Tables.documents(s, d)
@@ -1541,6 +1567,38 @@ object TextQueries extends Registry {
                  CAST(ws0 + 1 AS BIGINT) AS whitespace,
                  CAST(len0 - latin0 - digit0 - ws0 AS BIGINT) AS other
           FROM c ORDER BY doc_id""",
+
+    // Same expected counts as text_script_mix, then per-document argmax
+    // (count DESC, class ASC — the array_min struct order) and a group
+    // count per winning class.
+    "text_script_route" ->
+      """WITH c AS (SELECT doc_id,
+                 length(text) - length(regexp_replace(text,
+                   '[A-Za-z]', '', 'g')) AS latin0,
+                 length(text) - length(regexp_replace(text,
+                   '[0-9]', '', 'g')) AS digit0,
+                 length(text) - length(regexp_replace(text,
+                   '[ \t\n\r]', '', 'g')) AS ws0,
+                 length(text) AS len0
+          FROM documents),
+          x AS (SELECT doc_id, latin0 AS latin,
+                       digit0 + 128 * (doc_id % 4) AS digit,
+                       128 * (doc_id % 5) AS cjk,
+                       128 * (doc_id % 7) AS cyrillic,
+                       128 * (doc_id % 3) AS arabic,
+                       len0 - latin0 - digit0 - ws0 AS other
+                FROM c),
+          s AS (SELECT doc_id, 'latin' AS cls, latin AS cnt FROM x
+                UNION ALL SELECT doc_id, 'digit', digit FROM x
+                UNION ALL SELECT doc_id, 'cjk', cjk FROM x
+                UNION ALL SELECT doc_id, 'cyrillic', cyrillic FROM x
+                UNION ALL SELECT doc_id, 'arabic', arabic FROM x
+                UNION ALL SELECT doc_id, 'other', other FROM x),
+          r AS (SELECT doc_id, cls, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, cls ASC) AS rk
+                FROM s)
+          SELECT cls AS script, count(*) AS n_docs
+          FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""",
 
     "text_token_volume" ->
       s"""SELECT source, CAST(sum(len($toks)) AS BIGINT) AS total_tokens,
