@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.operators.Ann.CentroidCell
 
@@ -37,6 +37,100 @@ object AnnIngest {
   /** Routed vector: home cell + its affinity in basis points. */
   final case class CellAssign(vec_id: Long, ts: Timestamp, cell: Long,
                               affinity_bp: Long)
+
+  /** One probed cell of an arriving query vector (the stream side of
+    * the stream-static candidate join). */
+  final case class ProbeRow(query_id: Long, ts: Timestamp, cell: Long,
+                            qv: Array[Double])
+
+  /** Streaming similarity SEARCH against the static det-IVF index: each
+    * arriving query vector probes its `nprobe` nearest cells (computed
+    * against the closure-captured plane, map-only), the probe rows join
+    * the STATIC home-cell relation on cell — a stateless stream-static
+    * hash join that Spark re-plans per micro-batch — and a
+    * watermark-windowed TopKByScore aggregation emits each query's
+    * exact-cosine top-k once its window closes. The query-side mirror
+    * of [[assignCells]]; candidates, scoring (integer-bp cosine), and
+    * selection (sim DESC, cand ASC, k-bounded) are identical to the
+    * batch index [[graft.operators.Ann.ivfDetTopK]] — asserted
+    * stream-vs-batch in AnnIngestSpec.
+    *
+    * Scale shape: only (query_id, cand_id, sim_bp) rows reach the
+    * aggregation shuffle — the vectors are consumed by the codegen'd
+    * cosine right after the join; aggregation state is k rows per
+    * in-flight query window. `corpus` is the (id, vector, label)
+    * relation the index is built over. */
+  def probeTopK(queries: Dataset[VecIn], corpus: DataFrame, idCol: String,
+                vecCol: String, labelCol: String,
+                plane: Array[CentroidCell], k: Int, nprobe: Int = 2,
+                windowLen: String = "1 minute", lateness: String)
+               (implicit spark: SparkSession): DataFrame = {
+    require(plane.nonEmpty, "empty centroid plane")
+    require(k > 0 && nprobe > 0, s"bad k=$k / nprobe=$nprobe")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cells = plane.sortBy(_.cell)
+    val e = corpus.select(col(idCol).cast("long").as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      col(labelCol).cast("long").as("label"))
+    // materialize the static index ONCE at topology build: a
+    // stream-static join re-executes the static side every micro-batch,
+    // and the home-cell derivation is a multi-stage windowed DAG —
+    // recomputing it per batch made retrieval batch-planning-bound
+    // (measured ~5x on the StreamBench band). localCheckpoint truncates
+    // the lineage to the materialized blocks, exactly the Memo pattern.
+    val home = graft.operators.Ann
+      .ivfDetHomeCells(corpus, idCol, vecCol, labelCol)
+      .select(col(idCol).cast("long").as("cand_id"), col("cell"))
+      .join(e.select("cand_id", "cv"), "cand_id")
+      .localCheckpoint(eager = true)
+    val probes = queries.flatMap { v =>
+      val xi = new Array[Long](v.embedding.length)
+      var nv = 0L
+      var i = 0
+      while (i < xi.length) {
+        val s = math.floor(v.embedding(i).toDouble * 1000000.0 + 0.5).toLong
+        xi(i) = s; nv += s * s; i += 1
+      }
+      val qv = new Array[Double](v.embedding.length)
+      i = 0
+      while (i < qv.length) { qv(i) = v.embedding(i).toDouble; i += 1 }
+      // rank every cell by (bp DESC, cell ASC) — the batch tie rule —
+      // and keep the nprobe best
+      cells.map { cell =>
+        val n = math.min(xi.length, cell.ci.length)
+        var dot = 0L
+        var j = 0
+        while (j < n) { dot += xi(j) * cell.ci(j); j += 1 }
+        val bp =
+          if (nv > 0 && cell.nc > 0)
+            math.floor(10000.0 * dot
+              / (math.sqrt(nv.toDouble) * math.sqrt(cell.nc.toDouble)))
+              .toLong
+          else 0L
+        (bp, cell.cell)
+      }.sortBy { case (bp, c) => (-bp, c) }
+        .take(nprobe)
+        .map { case (_, c) => ProbeRow(v.vec_id, v.ts, c, qv) }
+    }
+    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
+    probes.toDF()
+      // the watermark must be (re)declared on the post-flatMap ts
+      // attribute — a typed transform mints new attributes, and the
+      // event-time tag does not transfer through it
+      .withWatermark("ts", lateness)
+      .join(home, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("ts"),
+        round(graft.functions.HashExprs.cosine_sim(col("qv"), col("cv"))
+          * 10000).cast("long").as("sim_bp"),
+        col("cand_id"))
+      .groupBy(window(col("ts"), windowLen), col("query_id"))
+      .agg(topk(col("sim_bp"), col("cand_id")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("cand_id"), col("col._1").as("sim_bp"))
+  }
 
   /** Assign each arriving vector its det-IVF home cell. `lateness`
     * bounds both the dedup state and admissible event-time disorder.

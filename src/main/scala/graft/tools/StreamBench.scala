@@ -243,8 +243,46 @@ object StreamBench {
         }
         q.processAllAvailable()
       } finally q.stop()
-      Seq(("ann_ingest_assign",
-        total / ((System.nanoTime() - t0) / 1e9), total))
+      val assignBand = ("ann_ingest_assign",
+        total / ((System.nanoTime() - t0) / 1e9), total)
+
+      // query-side band: streaming top-k retrieval against the static
+      // det-IVF index (probe cells -> stream-static cell join -> exact
+      // cosine -> windowed top-k). queries/s is the retrieval tier's
+      // provisioning number.
+      val probeBand = {
+        val emb01 = graft.core.Tables
+          .embeddings(spark, "/root/testdata/sf0.001")
+        val qIn = MemoryStream[graft.streaming.AnnIngest.VecIn]
+        val qOut = graft.streaming.AnnIngest.probeTopK(qIn.toDS(), emb01,
+          "vec_id", "embedding", "label", plane, k = 5,
+          lateness = "1 minute")
+        val qTmp = Files.createTempDirectory("streambench_annq").toString
+        val qq = qOut.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$qTmp/ckpt").start()
+        val qCopies = math.max(1, copies / 8)
+        val qTotal = qCopies.toLong * embs.length
+        val t1 = System.nanoTime()
+        try {
+          var i = 0
+          while (i < qCopies) {
+            val off = i.toLong * 10000000L
+            qIn.addData(embs.zipWithIndex.map { case ((id, v), j) =>
+              graft.streaming.AnnIngest.VecIn(id + off,
+                new java.sql.Timestamp(86400000L + j * 100L), v)
+            }.toSeq)
+            i += 1
+          }
+          // far-future flush closes every window so the measured drain
+          // includes actual emission, not just ingestion
+          qIn.addData(graft.streaming.AnnIngest.VecIn(-1L,
+            new java.sql.Timestamp(86400000L * 30), embs.head._2))
+          qq.processAllAvailable()
+        } finally qq.stop()
+        ("ann_probe_topk", qTotal / ((System.nanoTime() - t1) / 1e9),
+          qTotal)
+      }
+      Seq(assignBand, probeBand)
     }
 
     val apps = (results.map { case (label, rate, total, _) =>

@@ -45,6 +45,46 @@ class AnnIngestSpec extends SparkSpec {
     streamed.foreach { case (id, cell) => cell shouldBe batch(id) }
   }
 
+  test("streaming probeTopK returns exactly the batch det-IVF top-k " +
+      "for every arriving query") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val plane = Ann.detIvfCentroidPlane(embs, "embedding", "label")
+    val batch = Ann.ivfDetTopK(embs, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[AnnIngest.VecIn]
+    val q = AnnIngest.probeTopK(in.toDS(), embs, "vec_id", "embedding",
+        "label", plane, k = 5, nprobe = 2, lateness = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ann_probe").start()
+    try {
+      // all queries in one event-time window, then a far-future flush
+      // advances the watermark past it so append emits the results
+      in.addData(queries.map { case (id, v) =>
+        AnnIngest.VecIn(id, ts(0), v)
+      }.toSeq)
+      q.processAllAvailable()
+      in.addData(AnnIngest.VecIn(-1L, new Timestamp(86400000L * 30),
+        queries.head._2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ann_probe")
+      .filter(col("query_id") =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    streamed.size shouldBe batch.size
+    streamed.foreach { case (key, v) => v shouldBe batch(key) }
+  }
+
   test("re-delivered vector ids inside the lateness horizon are " +
       "ingested exactly once; dedup=false keeps both") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
