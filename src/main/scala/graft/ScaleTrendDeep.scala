@@ -291,7 +291,7 @@ object ScaleTrendDeep {
         docsNx(n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
     val mediaDeep = Seq("media_video_frames", "media_audio_features",
-      "media_scene_cuts", "pipeline_media_prep")
+      "media_scene_cuts", "pipeline_media_prep", "media_color_stats")
     runRegisteredRungs(mediaDeep,
       Seq(("media_5k", sf01), ("media_50k", mediaDir(10))), "documents")
 
