@@ -207,10 +207,27 @@ object MediaCodec {
                  quality: Float = 0.9f): Array[Byte] = {
     require(width > 0 && height > 0 && pixels.length == width * height,
       s"raster ${pixels.length} != $width x $height")
-    require(quality > 0f && quality <= 1f, s"quality $quality")
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     img.getRaster.setDataElements(0, 0, width, height, pixels)
+    writeJpeg(img, quality)
+  }
+
+  /** Encode a packed-RGB raster as baseline color JPEG (YCbCr DCT —
+    * lossy in every channel; decode approximates the input). */
+  def encodeJpegRgb(width: Int, height: Int, rgb: Array[Int],
+                    quality: Float = 0.9f): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height,
+      s"raster ${rgb.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    writeJpeg(img, quality)
+  }
+
+  private def writeJpeg(img: java.awt.image.BufferedImage,
+                        quality: Float): Array[Byte] = {
+    require(quality > 0f && quality <= 1f, s"quality $quality")
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
     if (!writers.hasNext)
       throw new MediaFormatException("JPEG: no JDK encoder registered")
@@ -299,9 +316,29 @@ object MediaCodec {
           val w = img.getWidth
           val h = img.getHeight
           val out = new Array[Int](w * h)
-          img.getRGB(0, 0, w, h, out, 0, w)
-          var i = 0
-          while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+          if (img.getColorModel.getNumComponents == 1) {
+            // single-band rasters replicate the RAW sample, matching
+            // the PGM branch and decodeImage's raster read — getRGB
+            // would run the CS_GRAY→sRGB colorspace conversion and
+            // hand back g' != g
+            val raster = img.getRaster
+            var y = 0
+            var i = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = raster.getSample(x, y, 0) & 0xff
+                out(i) = (g << 16) | (g << 8) | g
+                i += 1
+                x += 1
+              }
+              y += 1
+            }
+          } else {
+            img.getRGB(0, 0, w, h, out, 0, w)
+            var i = 0
+            while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+          }
           (w, h, out)
         }
     }

@@ -449,10 +449,13 @@ object Multimodal {
   }
 
   /** Decode-parity audit row: `n_units` from the decoded bytes,
-    * `luma_match` = 1 iff the pipeline decode reproduced the
-    * independent reference read pixel-for-pixel. */
+    * `luma_match` = 1 iff the pipeline GRAY decode reproduced the
+    * independent reference read pixel-for-pixel, `rgb_match` = 1 iff
+    * the pipeline COLOR decode matched its reference AND its per-pixel
+    * 601 luma agrees with the gray path (the two pipeline decodes of
+    * one payload cannot drift apart). */
   final case class DecodeAudit(media_id: Long, n_units: Long,
-                               luma_match: Int)
+                               luma_match: Int, rgb_match: Int)
 
   /** JDK-independent decode audit for the LOSSY image containers: lossy
     * DCT output has no closed-form SQL replay, so instead of pinning
@@ -473,9 +476,10 @@ object Multimodal {
     import spark.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val (w, h, pix) = MediaCodec.decodeImage(m.bytes)
-      // reference read: raw JDK ImageIO + an independent luma loop (per
-      // -pixel getRGB on purpose — slow but trivially correct; this is
-      // an audit, not the hot path)
+      val (wc, hc, rgb) = MediaCodec.decodeImageRgb(m.bytes)
+      // reference read: raw JDK ImageIO + independent per-pixel loops
+      // (deliberately slow and trivially correct; this is an audit,
+      // not the hot path)
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(m.bytes))
       if (img == null)
@@ -484,31 +488,45 @@ object Multimodal {
       // single-band rasters MUST be read as raw samples: getRGB runs
       // the CS_GRAY→sRGB colorspace conversion (not identity), so the
       // reference uses per-pixel Raster.getSample — a different API
-      // path than the pipeline's bulk getDataElements fetch
+      // path than the pipeline's bulk fetches
       val gray = img.getColorModel.getNumComponents == 1
       val raster = img.getRaster
-      var ok = img.getWidth == w && img.getHeight == h
-      if (ok) {
+      var lumaOk = img.getWidth == w && img.getHeight == h
+      var rgbOk = wc == w && hc == h
+      if (lumaOk && rgbOk) {
         var y = 0
         var i = 0
-        while (ok && y < h) {
+        while ((lumaOk || rgbOk) && y < h) {
           var x = 0
-          while (ok && x < w) {
-            val ref =
-              if (gray) raster.getSample(x, y, 0)
-              else {
-                val rgb = img.getRGB(x, y)
-                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-                  + 114 * (rgb & 0xff) + 500) / 1000
-              }
-            ok = (pix(i) & 0xff) == ref
+          while ((lumaOk || rgbOk) && x < w) {
+            val refRgb =
+              if (gray) {
+                val g = raster.getSample(x, y, 0) & 0xff
+                (g << 16) | (g << 8) | g
+              } else img.getRGB(x, y) & 0xffffff
+            val refLum =
+              if (gray) refRgb & 0xff
+              else (299 * ((refRgb >> 16) & 0xff)
+                + 587 * ((refRgb >> 8) & 0xff)
+                + 114 * (refRgb & 0xff) + 500) / 1000
+            if (lumaOk) lumaOk = (pix(i) & 0xff) == refLum
+            if (rgbOk) {
+              val p = rgb(i)
+              // reference parity AND cross-path consistency: the gray
+              // pipeline value must be the 601 luma of the color
+              // pipeline value for the SAME pixel
+              rgbOk = p == refRgb &&
+                (pix(i) & 0xff) == (299 * ((p >> 16) & 0xff)
+                  + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff) + 500) / 1000
+            }
             i += 1
             x += 1
           }
           y += 1
         }
       }
-      DecodeAudit(m.media_id, w.toLong * h, if (ok) 1 else 0)
+      DecodeAudit(m.media_id, w.toLong * h, if (lumaOk) 1 else 0,
+        if (rgbOk) 1 else 0)
     })
   }
 
@@ -617,8 +635,8 @@ object Multimodal {
   def mediaFromDocuments(docs: DataFrame,
                          imageFormat: String = "pgm",
                          videoFormat: String = "text"): DataFrame = {
-    require(Set("pgm", "png", "jpeg", "png_rgb").contains(imageFormat),
-      s"unsupported imageFormat $imageFormat")
+    require(Set("pgm", "png", "jpeg", "png_rgb", "jpeg_rgb")
+      .contains(imageFormat), s"unsupported imageFormat $imageFormat")
     require(Set("text", "pgmstream").contains(videoFormat),
       s"unsupported videoFormat $videoFormat")
     val spark = docs.sparkSession
@@ -648,11 +666,12 @@ object Multimodal {
             imageFormat match {
               case "png" => MediaCodec.encodePng(pw, ph, pix)
               case "jpeg" => MediaCodec.encodeJpeg(pw, ph, pix)
-              case "png_rgb" =>
+              case "png_rgb" | "jpeg_rgb" =>
                 // TRUE-COLOR payloads: R keeps the gray formula, G and B
                 // get their own closed-form ramps — genuinely distinct
                 // per channel (a tinted corpus, not gray replicated
-                // three times), every value SQL-replayable per unit
+                // three times). PNG true-color replays per unit in SQL;
+                // color JPEG is lossy, checked by the parity audit.
                 val rgb = new Array[Int](pw * ph)
                 var j = 0
                 while (j < rgb.length) {
@@ -662,7 +681,9 @@ object Multimodal {
                   rgb(j) = (r << 16) | (gc << 8) | b
                   j += 1
                 }
-                MediaCodec.encodePngRgb(pw, ph, rgb)
+                if (imageFormat == "jpeg_rgb")
+                  MediaCodec.encodeJpegRgb(pw, ph, rgb)
+                else MediaCodec.encodePngRgb(pw, ph, rgb)
               case _ => MediaCodec.encodePgm(pw, ph, pix)
             }
           case "audio" =>

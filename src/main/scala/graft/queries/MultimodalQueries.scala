@@ -121,6 +121,20 @@ object MultimodalQueries extends Registry {
         .orderBy("media_id")
     }),
 
+    // COLOR JPEG (the real-corpus default container): same
+    // JDK-independent audit over true-color YCbCr DCT payloads — gray
+    // path vs reference, color path vs reference, and the two pipeline
+    // decodes' cross-consistency (gray == 601 luma of color, pixel for
+    // pixel).
+    "media_decode_stats_jpeg_rgb" -> ((s, d) => {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.decodeParityAudit(Multimodal.asMedia(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d),
+            imageFormat = "jpeg_rgb")))
+        .toDF().select("media_id", "n_units", "luma_match", "rgb_match")
+        .orderBy("media_id")
+    }),
+
     // Cross-container exact dedup: the corpus stored TWICE — once with
     // PGM image payloads, once with the same rasters exported as PNG
     // (ids offset) — deduped by the md5 of the DECODED content.
@@ -510,6 +524,14 @@ object MultimodalQueries extends Registry {
                 CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT)
                   AS n_units,
                 CAST(1 AS INT) AS luma_match
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+
+    "media_decode_stats_jpeg_rgb" ->
+      """SELECT doc_id AS media_id,
+                CAST((doc_id % 64 + 16) * (doc_id % 48 + 16) AS BIGINT)
+                  AS n_units,
+                CAST(1 AS INT) AS luma_match,
+                CAST(1 AS INT) AS rgb_match
          FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
 
     // Content-equivalence classes closed-form: image content is fully

@@ -66,4 +66,20 @@ class MediaCodecFuzzSpec extends AnyFunSuite with Matchers {
   test("JPEG decode through the sniffing seam: typed failure or success") {
     fuzz("jpeg", MediaCodec.encodeJpeg(3, 2, raster))(MediaCodec.decodeImage)
   }
+
+  private val rgbRaster =
+    Array.tabulate(6)(i => ((i * 37 + 11) % 256) << 16 |
+      ((i * 53 + 5) % 256) << 8 | ((i * 29 + 2) % 256))
+
+  test("true-color PNG through the RGB decode path: typed failure or " +
+      "success") {
+    fuzz("png_rgb", MediaCodec.encodePngRgb(3, 2, rgbRaster))(
+      MediaCodec.decodeImageRgb)
+  }
+
+  test("color JPEG through both decode paths: typed failure or success") {
+    val enc = MediaCodec.encodeJpegRgb(3, 2, rgbRaster)
+    fuzz("jpeg_rgb/gray", enc)(MediaCodec.decodeImage)
+    fuzz("jpeg_rgb/color", enc)(MediaCodec.decodeImageRgb)
+  }
 }

@@ -476,6 +476,32 @@ class MultimodalSpec extends SparkSpec {
     }.toSeq
   }
 
+  test("color JPEG: per-channel decode approximates the source raster " +
+      "and the gray path is exactly its 601 luma") {
+    val (w, h) = (48, 32)
+    val rgb = Array.tabulate(w * h) { i =>
+      (((i * 7 + 5) % 256) << 16) | (((i * 11 + 3) % 256) << 8) |
+        ((i * 5 + 1) % 256)
+    }
+    val enc = MediaCodec.encodeJpegRgb(w, h, rgb, quality = 0.9f)
+    MediaCodec.sniffImageFormat(enc) shouldBe "jpeg"
+    val (dw, dh, out) = MediaCodec.decodeImageRgb(enc)
+    (dw, dh) shouldBe ((w, h))
+    // lossy but recognizable per channel
+    def mae(shift: Int) = rgb.indices.map(i =>
+      math.abs(((rgb(i) >> shift) & 0xff) - ((out(i) >> shift) & 0xff)))
+      .sum.toDouble / rgb.length
+    assert(mae(16) < 48 && mae(8) < 48 && mae(0) < 48,
+      s"channel MAE ${mae(16)}/${mae(8)}/${mae(0)}")
+    // cross-path invariant: gray decode == integer 601 luma of the
+    // color decode, pixel for pixel, on the SAME bytes
+    val (_, _, gray) = MediaCodec.decodeImage(enc)
+    gray.toSeq shouldBe out.map { p =>
+      ((299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+        + 114 * (p & 0xff) + 500) / 1000).toByte
+    }.toSeq
+  }
+
   test("colorStats: per-channel sums over a non-gray corpus match the " +
       "generation ramps end-to-end; non-image rows are excluded") {
     import spark.implicits._
