@@ -75,7 +75,8 @@ object Bench {
       "ann_brute_topk", "ann_hard_negatives", "ann_knn_graph_exact",
       "ann_margin_bitext", "ann_recall_eval", "ann_knn_classify",
       "ann_label_propagation", "dedup_ngram_jaccard",
-      "dedup_embedding_cosine_exact", "media_features_knn")
+      "dedup_embedding_cosine_exact", "media_features_knn",
+      "ann_hamming_topk")
     val quadGate = sys.env.get("SPARK_GRAFT_BENCH_QUAD_GATE") match {
       case Some("0") => false
       case Some("1") => true

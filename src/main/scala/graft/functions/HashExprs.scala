@@ -446,6 +446,36 @@ object HashExprs {
       copy(c)
   }
 
+  /** Static kernel: Unicode NFC normalization (canonical composition)
+    * via the JDK's own java.text.Normalizer — the per-row seam under
+    * text_nfc_audit. The common case in a real corpus is already-NFC
+    * text; Normalizer.isNormalized is a cheap scan that skips the
+    * allocating normalize pass for those rows, so the kernel costs one
+    * verification scan per already-clean string. */
+  def nfcKernel(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Unicode NFC normalization as a codegen'd expression (stays inside
+    * the surrounding whole-stage; a Scala UDF here would box every row
+    * and hide the column from Catalyst). Canonical equivalence is the
+    * first normalization an LLM text pipeline applies before hashing or
+    * tokenizing multilingual text — decomposed "e"+U+0301 and
+    * precomposed U+00E9 must dedup identically. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      nfcKernel(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.nfcKernel($c)")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize =
+      copy(c)
+  }
+
   /** Static kernel: content-defined chunk boundaries from a true O(n)
     * ROLLING polynomial hash (Rabin-Karp update: push the new code
     * point, pop the one leaving the window via its precomputed p^w
@@ -505,6 +535,8 @@ object HashExprs {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
   def code_points(text: Column): Column = column(CodePoints(expression(text)))
+  def nfc_normalize(text: Column): Column =
+    column(NfcNormalize(expression(text)))
   def rolling_chunk_bounds(text: Column, w: Int, p: Long, m: Long,
                            d: Long): Column =
     column(RollingChunkBounds(expression(text), w, p, m, d))

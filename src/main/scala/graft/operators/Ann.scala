@@ -1396,4 +1396,74 @@ object Ann {
     }
     cents
   }
+
+  // --------------------------------------------------------------------
+  // Binary-code (Hamming) ANN: retrieval over compact bit signatures —
+  // the production prefilter when embeddings are binarized (SimHash /
+  // ITQ-style codes). 64x cheaper per comparison than float cosine; the
+  // banded variant is the registered scale path (pigeonhole candidate
+  // generation, k-bounded rerank), the brute form its eval oracle.
+
+  /** Exact top-k by Hamming distance over 64-bit (or narrower) binary
+    * codes. `sigs` is an (id, sig) relation; queries are the rows with
+    * id % queryMod == 0 (the same fixed query plane every ANN eval in
+    * this module uses). Declared-quadratic eval oracle: cost is
+    * O(|queries| x |sigs|) single-word XOR+popcounts — the exact
+    * baseline the banded path is recalled against, not the 100 TB
+    * shape. Ties break (hamming asc, id asc) so the ranking is total. */
+  def hammingTopK(sigs: DataFrame, idCol: String, sigCol: String,
+                  k: Int, queryMod: Long = 50L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = sigs.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("query_id"), col(sigCol).as("qsig"))
+    val c = sigs.select(col(idCol).as("cand_id"), col(sigCol).as("csig"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    // no broadcast hint: the query plane is corpus-proportional (n/50),
+    // so the join strategy is AQE's runtime call (the bm25 lesson)
+    c.join(q, col("query_id") =!= col("cand_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(qsig ^ csig) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Banded Hamming top-k — the scale path: candidates must share at
+    * least one of `nBands` contiguous `bandBits`-bit bands with the
+    * query signature (the SimHash pigeonhole: any pair within Hamming
+    * nBands-1 is guaranteed caught; farther pairs surface only on band
+    * collisions), then the k best survivors rerank by exact Hamming.
+    * Shuffle carries ids x nBands band rows and the collision pairs —
+    * never the full cross product. Same output schema and tie order as
+    * [[hammingTopK]]; recall against it is evaluated in AnnSpec. */
+  def hammingBandedTopK(sigs: DataFrame, idCol: String, sigCol: String,
+                        k: Int, bandBits: Int = 15, nBands: Int = 4,
+                        queryMod: Long = 50L): DataFrame = {
+    require(k >= 1 && bandBits >= 1 && nBands >= 1 &&
+      bandBits * nBands <= 64,
+      s"bad band geometry: $nBands x $bandBits bits")
+    val mask = (1L << bandBits) - 1
+    def banded(rel: DataFrame, idAs: String, sigAs: String) = rel
+      .select(col(idCol).as(idAs), col(sigCol).as(sigAs),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("bv",
+        expr(s"shiftright($sigAs, band * $bandBits) & $mask"))
+    val qb = banded(sigs.filter(col(idCol) % queryMod === 0),
+      "query_id", "qsig")
+    val cb = banded(sigs, "cand_id", "csig")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    qb.join(cb, Seq("band", "bv"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "qsig", "cand_id", "csig")
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(qsig ^ csig) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
 }

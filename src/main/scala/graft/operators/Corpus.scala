@@ -559,4 +559,76 @@ object Corpus {
       cyr.as("cyrillic"), arab.as("arabic"), ws.as("whitespace"),
       (len - latin - digit - cjk - cyr - arab - ws).as("other"))
   }
+
+  /** Deterministic canonical-equivalence fixture: appends to each
+    * document a space and then `id%3` decomposed e+U+0301 pairs, `id%2`
+    * decomposed o+U+0308 pairs, and `id%4` PREcomposed U+00E9 — so NFC
+    * composes exactly `id%3 + id%2` pairs into single code points and
+    * must leave the precomposed run untouched. Mirrors
+    * [[withScriptSuffix]]'s design: the oracle replays the length
+    * arithmetic from the modular formulas without ever constructing a
+    * non-ASCII string, while the engine path normalizes real combining
+    * marks. BMP-only, so code-point counts agree across Spark, DuckDB,
+    * and Java Strings. */
+  def withCombiningSuffix(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sb = new StringBuilder(text)
+        sb.append(' ')
+        var j = 0
+        while (j < (id % 3).toInt) { sb.append('e'); sb.append('\u0301'); j += 1 }
+        j = 0
+        while (j < (id % 2).toInt) { sb.append('o'); sb.append('\u0308'); j += 1 }
+        j = 0
+        while (j < (id % 4).toInt) { sb.append('\u00e9'); j += 1 }
+        (id, sb.toString)
+      }
+      .toDF(idCol, textCol)
+  }
+
+  /** Per-document NFC normalization audit: code-point length before and
+    * after [[graft.functions.HashExprs.nfc_normalize]], and the
+    * composed-pair count (delta). The screen a multilingual corpus
+    * pipeline runs before content hashing — decomposed and precomposed
+    * spellings of the same text must collapse to one canonical form or
+    * every downstream dedup treats them as distinct documents. Pure
+    * map-side column algebra over a codegen'd expression. */
+  def nfcAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("len"),
+      length(graft.functions.HashExprs.nfc_normalize(col(textCol)))
+        .cast("long").as("nfc_len"))
+      .withColumn("delta", col("len") - col("nfc_len"))
+
+  /** Unicode-aware token profile: tokens are maximal `[\p{L}\p{N}]+`
+    * runs (letters and digits of ANY script — the tokenizer CJK/RTL
+    * text needs, where the ASCII `\s+` split sees one giant "word"),
+    * each classified by the script class of its first code point.
+    * Output: per class, token count and total token code points. The
+    * routing statistic a multilingual pipeline reads before choosing
+    * per-script tokenizers; regexp extraction and classification are
+    * codegen'd column algebra, no UDF. BMP-only classes like
+    * [[scriptProfile]]. */
+  def unicodeTokenProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(
+      explode(expr(s"regexp_extract_all($textCol, '[\\\\p{L}\\\\p{N}]+', 0)"))
+        .as("tok"))
+    val first = substring(col("tok"), 1, 1)
+    toks
+      .withColumn("script",
+        when(first.rlike("[A-Za-z]"), lit("latin"))
+          .when(first.rlike("[0-9]"), lit("digit"))
+          .when(first.rlike("[\\u4e00-\\u9fff]"), lit("cjk"))
+          .when(first.rlike("[\\u0400-\\u04ff]"), lit("cyrillic"))
+          .when(first.rlike("[\\u0600-\\u06ff]"), lit("arabic"))
+          .otherwise(lit("other")))
+      .groupBy("script")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("total_chars"))
+      .orderBy("script")
+  }
 }

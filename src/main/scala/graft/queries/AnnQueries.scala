@@ -113,10 +113,59 @@ object AnnQueries extends Registry {
       .orderBy("query_id", "rank")
   }
 
+  /** 60-bit md5 SimHash codes over the documents table — the binary
+    * signatures the Hamming-ANN pair retrieves over. Token-less docs
+    * drop BEFORE signing (the dedup_simhash contract: the kernel would
+    * give them sig = 0, the relational oracle explodes tokens and never
+    * sees them). */
+  private def simhashCodes(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    Tables.documents(s, d)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), HashExprs.simhash_md5_60(col("toks")).as("sig"))
+  }
+
+  /** Shared replay of the md5-60 SimHash code relation over documents
+    * (the dedup_simhash signature CTE, verbatim semantics): token
+    * explode → per-occurrence md5-60 hash → ±1 bit votes → sign
+    * signature. Both Hamming-ANN oracles build on `ssg`. */
+  private val simhashCodeCtes: String =
+    """st AS (SELECT doc_id,
+                list_filter(string_split_regex(trim(text), '\s+'),
+                  x -> x <> '') AS toks
+              FROM documents),
+        stok AS (SELECT doc_id, unnest(toks) AS tok FROM st),
+        sth AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+                    AS h
+                FROM stok),
+        sbits AS (SELECT doc_id, j,
+                    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                      AS s
+                  FROM sth, range(0, 60) r(j) GROUP BY doc_id, j),
+        ssg AS (SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                      ELSE 0 END) AS sig
+                FROM sbits GROUP BY doc_id)"""
+
   val defs: Map[String, QueryFn] = Map(
     "ann_brute_topk" -> ((s, d) =>
       Ann.bruteForceTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
+
+    // Binary-code ANN over md5-60 SimHash document signatures: the
+    // brute form is the declared-quadratic eval oracle (every query
+    // scans every code — one XOR+popcount per pair), the banded form
+    // the registered scale path (4x15-bit pigeonhole candidates,
+    // k-bounded rerank). Both replay bit-for-bit in SQL because the
+    // signature is the md5-60 kernel and Hamming is bit_count(xor).
+    "ann_hamming_topk" -> ((s, d) =>
+      Ann.hammingTopK(simhashCodes(s, d), "doc_id", "sig", k = 5)),
+
+    "ann_hamming_lsh_topk" -> ((s, d) =>
+      Ann.hammingBandedTopK(simhashCodes(s, d), "doc_id", "sig", k = 5)),
 
     // bits scale with the corpus (Ann.autoBits: ~log2(n/targetBucket)),
     // so bucket size — and with it per-bucket compute and recall — stays
@@ -1437,6 +1486,38 @@ object AnnQueries extends Registry {
                  FROM sc)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "ann_hamming_topk" ->
+      s"""WITH $simhashCodeCtes,
+          r AS (SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+                  CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming,
+                  row_number() OVER (PARTITION BY q.doc_id
+                    ORDER BY bit_count(xor(q.sig, c.sig)) ASC,
+                             c.doc_id ASC) AS rank
+                FROM ssg q JOIN ssg c ON c.doc_id <> q.doc_id
+                WHERE q.doc_id % 50 = 0)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, hamming
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "ann_hamming_lsh_topk" ->
+      s"""WITH $simhashCodeCtes,
+          sbanded AS (SELECT doc_id, sig, b AS band,
+                        (sig >> (b * 15)) & 32767 AS bv
+                      FROM ssg, range(0, 4) r(b)),
+          cand AS (SELECT DISTINCT q.doc_id AS query_id, q.sig AS qsig,
+                     c.doc_id AS cand_id, c.sig AS csig
+                   FROM sbanded q JOIN sbanded c
+                     ON q.band = c.band AND q.bv = c.bv
+                       AND c.doc_id <> q.doc_id
+                   WHERE q.doc_id % 50 = 0),
+          r AS (SELECT query_id, cand_id,
+                  CAST(bit_count(xor(qsig, csig)) AS BIGINT) AS hamming,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY bit_count(xor(qsig, csig)) ASC,
+                             cand_id ASC) AS rank
+                FROM cand)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, hamming
+          FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "ann_lsh_det_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -104,6 +104,32 @@ object TextQueries extends Registry {
           "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Unicode-aware tokenization over the same mixed corpus: tokens are
+    // [\p{L}\p{N}]+ runs (any script), classified by the script of
+    // their first code point. The ASCII whitespace tokenizer sees the
+    // whole non-Latin suffix as part of one "word"; this is the token
+    // surface CJK/RTL text actually needs. Oracle: base text is pure
+    // [a-z ] (verified corpus-wide), so its tokens replay with an
+    // ASCII regex, and the suffix contributes exactly one token per
+    // document with closed-form class and length.
+    "text_unicode_tokens" -> ((s, d) =>
+      Corpus.unicodeTokenProfile(
+        Corpus.withScriptSuffix(Tables.documents(s, d), "doc_id", "text"),
+        "text")),
+
+    // NFC canonical-equivalence audit over a corpus with deterministic
+    // decomposed (e+U+0301, o+U+0308) and precomposed (U+00E9) runs:
+    // the engine path runs the real JDK normalizer (codegen'd
+    // expression), the oracle replays the composed-pair arithmetic.
+    // delta > 0 rows are the documents whose content hash would change
+    // under canonicalization — the pre-dedup normalization gate.
+    "text_nfc_audit" -> ((s, d) =>
+      Corpus.nfcAudit(
+          Corpus.withCombiningSuffix(Tables.documents(s, d), "doc_id",
+            "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Dominant-script routing over the mixed corpus: each document goes
     // to the script class with the most characters (whitespace is
     // layout, not language — excluded; ties break to the alphabetically
@@ -1567,6 +1593,49 @@ object TextQueries extends Registry {
                  CAST(ws0 + 1 AS BIGINT) AS whitespace,
                  CAST(len0 - latin0 - digit0 - ws0 AS BIGINT) AS other
           FROM c ORDER BY doc_id""",
+
+    // Base tokens replay with an ASCII regex (text is pure [a-z ],
+    // verified corpus-wide at generation); the suffix is one
+    // all-letters-and-digits run per document whose class and length
+    // are modular arithmetic on doc_id. The oracle never constructs a
+    // non-ASCII string.
+    "text_unicode_tokens" ->
+      """WITH b AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+')
+                      AS ts
+                    FROM documents),
+          lat AS (SELECT CAST(sum(len(ts)) AS BIGINT) AS n_tokens,
+                    CAST(sum(list_sum(list_transform(ts,
+                      t -> length(t)))) AS BIGINT) AS total_chars
+                  FROM b),
+          sfx AS (SELECT doc_id,
+                    doc_id % 5 + doc_id % 7 + doc_id % 3 + doc_id % 4
+                      AS l,
+                    CASE WHEN doc_id % 5 > 0 THEN 'cjk'
+                         WHEN doc_id % 7 > 0 THEN 'cyrillic'
+                         WHEN doc_id % 3 > 0 THEN 'arabic'
+                         WHEN doc_id % 4 > 0 THEN 'digit' END AS cls
+                  FROM documents),
+          s2 AS (SELECT cls AS script,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(l) AS BIGINT) AS total_chars
+                 FROM sfx WHERE l > 0 GROUP BY cls)
+          SELECT script, n_tokens, total_chars FROM (
+            SELECT 'latin' AS script, n_tokens, total_chars FROM lat
+            UNION ALL SELECT script, n_tokens, total_chars FROM s2)
+          ORDER BY script""",
+
+    // Replays withCombiningSuffix's arithmetic: the suffix adds one
+    // space, id%3 two-code-point e+U+0301 pairs, id%2 o+U+0308 pairs,
+    // id%4 precomposed U+00E9; NFC composes exactly the decomposed
+    // pairs (delta = id%3 + id%2) and must not touch the rest.
+    "text_nfc_audit" ->
+      """SELECT doc_id,
+                CAST(length(text) + 1 + 2 * (doc_id % 3)
+                     + 2 * (doc_id % 2) + (doc_id % 4) AS BIGINT) AS len,
+                CAST(length(text) + 1 + (doc_id % 3)
+                     + (doc_id % 2) + (doc_id % 4) AS BIGINT) AS nfc_len,
+                CAST((doc_id % 3) + (doc_id % 2) AS BIGINT) AS delta
+         FROM documents ORDER BY doc_id""",
 
     // Same expected counts as text_script_mix, then per-document argmax
     // (count DESC, class ASC — the array_min struct order) and a group

@@ -102,4 +102,32 @@ class HashExprsSpec extends SparkSpec {
     }
     viaDf(2L)._1.take(4) shouldBe Seq('c'.toInt, 'a'.toInt, 'f'.toInt, 0xe9)
   }
+
+  test("nfc_normalize: composes decomposed pairs, leaves NFC text " +
+       "untouched, codegen matches the kernel") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301 o\u0308 plain"
+    val composed = "caf\u00e9 \u00f6 plain"
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "ascii only"),
+      (4L, "")).toDF("id", "t")
+    val got = df.select(col("id"),
+        HashExprs.nfc_normalize(col("t")).as("n"),
+        org.apache.spark.sql.functions.length(col("t")).as("len"),
+        org.apache.spark.sql.functions.length(
+          HashExprs.nfc_normalize(col("t"))).as("nlen"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    got(1L)._1 shouldBe composed
+    got(2L)._1 shouldBe composed // idempotent on already-NFC text
+    got(3L)._1 shouldBe "ascii only"
+    got(4L)._1 shouldBe ""
+    // two combining pairs composed: length drops by exactly 2
+    (got(1L)._2 - got(1L)._3) shouldBe 2
+    (got(2L)._2 - got(2L)._3) shouldBe 0
+    // kernel agrees with the DataFrame (codegen) path
+    import org.apache.spark.unsafe.types.UTF8String
+    HashExprs.nfcKernel(UTF8String.fromString(decomposed)).toString shouldBe
+      composed
+  }
 }

@@ -340,4 +340,45 @@ class CorpusSpec extends SparkSpec {
     p10.getLong(2) shouldBe 3L
     (p10.getLong(3), p10.getLong(4), p10.getLong(5)) shouldBe ((0L, 3L, 1L))
   }
+
+  test("withCombiningSuffix + nfcAudit: composed-pair arithmetic holds " +
+      "and precomposed runs survive NFC untouched") {
+    import spark.implicits._
+    // id=5: 5%3=2 e+U+0301 pairs, 5%2=1 o+U+0308 pair, 5%4=1 U+00E9;
+    // id=0: bare trailing space; id=4: 4%3=1, 4%2=0, 4%4=0
+    val docs = Seq((5L, "abc"), (0L, "xy"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val suffixed = Corpus.withCombiningSuffix(docs, "doc_id", "text")
+    val byId = suffixed.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byId(0L) shouldBe "xy "
+    byId(5L) shouldBe "abc e\u0301e\u0301o\u0308\u00e9"
+    byId(4L) shouldBe "q e\u0301"
+    val rows = Corpus.nfcAudit(suffixed, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // id=5: len = 3 + 1 + 2*2 + 2*1 + 1 = 11; NFC composes 3 pairs
+    rows(5L) shouldBe ((11L, 8L, 3L))
+    rows(0L) shouldBe ((3L, 3L, 0L))
+    // id=4: "q " + one decomposed pair
+    rows(4L) shouldBe ((4L, 3L, 1L))
+  }
+
+  test("unicodeTokenProfile: hand-crafted multilingual tokens classify " +
+      "and count by script of the first code point") {
+    import spark.implicits._
+    // tokens of doc 1: hello / U+4E16U+754C (cjk) / ok / 42x (digit-led)
+    // / U+0410U+0431U+0432 (cyrillic); punctuation splits tokens
+    val docs = Seq(
+      (1L, "hello \u4e16\u754c, ok 42x \u0410\u0431\u0432!"),
+      (2L, "plain text")).toDF("doc_id", "text")
+    val prof = Corpus.unicodeTokenProfile(docs, "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    prof("latin") shouldBe ((4L, 16L)) // hello ok plain text
+    prof("cjk") shouldBe ((1L, 2L))
+    prof("digit") shouldBe ((1L, 3L)) // "42x" counts whole-token chars
+    prof("cyrillic") shouldBe ((1L, 3L))
+    prof.get("other") shouldBe None
+  }
 }

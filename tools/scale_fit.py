@@ -78,6 +78,9 @@ JUSTIFIED = {
     "dedup_ngram_jaccard": "output-bound: the near-dup pair relation "
         "itself grows superlinearly in this corpus; candidate "
         "generation is the df-capped shingle index, never all-pairs",
+    "ann_hamming_topk": "exact query x corpus Hamming scan kept as the "
+        "eval oracle; ann_hamming_lsh_topk (banded pigeonhole "
+        "candidates) is the registered scale path",
     "dedup_minhash_calibration": "joins the exact Jaccard relation "
         "(above) onto the sketch candidates - audit query",
     "dedup_edit_distance": "Levenshtein verify on blocked candidate "
