@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Graph}
 import graft.plans.AsOfNative
 
 /** Second-decade scale evidence for the DETERMINISTIC index families —
@@ -98,6 +98,28 @@ object ScaleTrendDeep {
       ("chain_100k", chainPairs(100000L)),
       ("chain_1m", chainPairs(1000000L)))
 
+    /** Synthetic uniform-attachment graph with GROWING node count — the
+      * registered graph family runs on the fixed 25-node nation graph
+      * (its edges scale, its vertex set doesn't), so this rung is the
+      * evidence the graph OPERATORS scale in |V|: every node i >= 1
+      * drops 3 md5-derived edges onto earlier nodes (connected by
+      * construction, ~log-distributed in-degrees, O(log n) diameter —
+      * the shape a web/citation corpus takes). Generated in-plan from
+      * range(): no parquet materialization, the operators' shuffles
+      * dominate. */
+    def graphEdges(n: Long): DataFrame =
+      spark.range(1L, n)
+        .select(col("id"), explode(sequence(lit(0), lit(2))).as("j"))
+        .select(col("id").as("src"),
+          (conv(substring(md5(concat(col("id").cast("string"), lit(":"),
+            col("j").cast("string"))), 1, 15), 16, 10).cast("long")
+            % col("id")).as("dst"))
+
+    val graphInputs = Seq(
+      ("graph_100k", graphEdges(100000L)),
+      ("graph_1m", graphEdges(1000000L)),
+      ("graph_10m", graphEdges(10000000L)))
+
     val docInputs = Seq(
       ("docs_5k", docsNx(1)), ("docs_50k", docsNx(10)),
       ("docs_500k", docsNx(100)))
@@ -162,7 +184,13 @@ object ScaleTrendDeep {
       ("dedup_embedding_cosine(lsh)", () => cosLshDet(we)),
       ("join_asof_native", () => asofNative(wv)),
       ("components_twostar(chain)",
-        () => Dedup.componentsTwoStar(chainPairs(100L), "a", "b")))
+        () => Dedup.componentsTwoStar(chainPairs(100L), "a", "b")),
+      ("graph_pagerank(synth)",
+        () => Graph.pagerankInt(graphEdges(500L), "src", "dst", iters = 5)),
+      ("graph_components(synth)",
+        () => Dedup.componentsTwoStar(graphEdges(500L), "src", "dst")),
+      ("graph_triangles(synth)",
+        () => Graph.triangles(graphEdges(500L), "src", "dst")))
       .foreach { case (n, df) =>
         if (wanted(n)) try df().count() catch { case _: Throwable => () } }
 
@@ -177,7 +205,13 @@ object ScaleTrendDeep {
         ("dedup_embedding_cosine(lsh)", embInputs, cosLshDet),
         ("join_asof_native", evInputs, asofNative),
         ("components_twostar(chain)", chainInputs,
-          d => Dedup.componentsTwoStar(d, "a", "b")))
+          d => Dedup.componentsTwoStar(d, "a", "b")),
+        ("graph_pagerank(synth)", graphInputs,
+          e => Graph.pagerankInt(e, "src", "dst", iters = 5)),
+        ("graph_components(synth)", graphInputs,
+          e => Dedup.componentsTwoStar(e, "src", "dst")),
+        ("graph_triangles(synth)", graphInputs,
+          e => Graph.triangles(e, "src", "dst")))
 
     /** Materialize a synthetic corpus dir once per GENERATION FORMULA:
       * the `_DONE` marker stores `params` (every formula input — copy
