@@ -329,6 +329,13 @@ object ScaleTrendDeep {
     runRegisteredRungs(mediaDeep,
       Seq(("media_5k", sf01), ("media_50k", mediaDir(10))), "documents")
 
+    // the registered banded-Hamming retrieval over a x10 document
+    // corpus (the media dir IS a x10 documents dir): signature build is
+    // one kernel pass per doc, candidates only from band collisions,
+    // rerank k-bounded — the binary-code analogue of the det-LSH rung
+    runRegisteredRungs(Seq("ann_hamming_lsh_topk"),
+      Seq(("docs_5k", sf01), ("docs_50k", mediaDir(10))), "documents")
+
     /** THIRD decade for the document dedup family: 5,000,000 documents
       * (SPARK_GRAFT_DEEP_DECADE3=1 — off by default, the rung is
       * minutes). Built in two materialized levels so no plan ever

@@ -34,6 +34,10 @@ OVERRIDES = {
     "dedup_embedding_cosine_exact": "embeddings",
     "dedup_semantic": "embeddings",
     "dedup_semantic_det": "embeddings",
+    # Hamming ANN retrieves over SimHash codes of DOCUMENTS, not the
+    # embeddings table the ann_ prefix would imply
+    "ann_hamming_topk": "documents",
+    "ann_hamming_lsh_topk": "documents",
     "twitter_top5": "events",
     "sql_asof_window": "events",
     "er_blocked_pairs": "part",
