@@ -951,6 +951,36 @@ object EventQueries extends Registry {
           ((col("n_types") - 1) * (col("n_dows") - 1)).as("df"))
     }),
 
+    // Cramér's V over the same type x day-of-week contingency: the
+    // chi-squared statistic normalized to [0, 1] effect size
+    // (sqrt(chi2 / (n * min(r-1, c-1)))) — the comparable-across-
+    // tables association strength a profiling pass reports. Same
+    // broadcast-joined expected-count relation as events_chi2_type_dow;
+    // identical double arithmetic on both engines before one rounding.
+    "events_cramers_v" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          (expr("weekday(ts)") + 1).cast("long").as("dow"))
+      val obs = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy("event_type").agg(sum("o").as("rt"))
+      val colT = obs.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = obs.agg(sum("o").as("n"))
+      obs.join(broadcast(rowT), "event_type").join(broadcast(colT), "dow")
+        .crossJoin(broadcast(tot))
+        .agg(
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("dow")).as("n_dows"),
+          max(col("n")).as("n"),
+          sum(pow(col("o") - col("rt") * col("ct") / col("n"), 2) /
+            (col("rt") * col("ct") / col("n"))).as("chi2raw"))
+        .select(
+          round(sqrt(col("chi2raw") / (col("n") *
+            least(col("n_types") - 1, col("n_dows") - 1))), 4)
+            .as("cramers_v"),
+          col("n"),
+          least(col("n_types") - 1, col("n_dows") - 1).as("min_dim"))
+    }),
+
     // Data-profiling audit: per-column null counts + exact distinct
     // cardinalities in one statement (Spark plans the multi-distinct
     // aggregate as a single Expand — one shuffle). The 100 TB form
@@ -1778,6 +1808,27 @@ object EventQueries extends Registry {
                      (count(DISTINCT obs.dow) - 1) AS BIGINT) AS df
          FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
          CROSS JOIN n""",
+
+    // same contingency CTEs; chi2 left unrounded until the one final
+    // rounded effect-size
+    "events_cramers_v" ->
+      """WITH obs AS (SELECT event_type, isodow(ts) AS dow,
+                             count(*) AS o
+                      FROM events GROUP BY 1, 2),
+          rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+          ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY 1),
+          n AS (SELECT sum(o) AS n FROM obs),
+          x AS (SELECT sum(pow(o - rt.rt * ct.ct / n.n, 2) /
+                           (rt.rt * ct.ct / n.n)) AS chi2raw,
+                       max(n.n) AS n,
+                       least(count(DISTINCT obs.event_type) - 1,
+                             count(DISTINCT obs.dow) - 1) AS min_dim
+                FROM obs JOIN rt USING (event_type)
+                JOIN ct USING (dow) CROSS JOIN n)
+         SELECT round(sqrt(chi2raw / (n * min_dim)), 4) AS cramers_v,
+                CAST(n AS BIGINT) AS n,
+                CAST(min_dim AS BIGINT) AS min_dim
+         FROM x""",
 
     "events_profile" ->
       """SELECT * FROM (

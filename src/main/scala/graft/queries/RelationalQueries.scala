@@ -498,6 +498,34 @@ object RelationalQueries extends Registry {
             .as("slope_pq"))
         .orderBy("l_returnflag")),
 
+    // Spearman rank correlation per return flag: Pearson corr over
+    // tie-averaged ranks, the monotone-association screen that is
+    // robust to the price outliers stats_corr is not. Average ranks
+    // stay INTEGERS by doubling: 2*avg_rank = 2*rank() + n_ties - 1
+    // (corr is scale-invariant, so the doubled ranks give the same
+    // rho), which removes every engine-specific fractional-rank
+    // concern before the one rounded corr. Shape: two in-group sorts
+    // (rank is a total order within the group — the honest cost of
+    // any rank statistic) and a tie-count window, then one
+    // partial-aggregated co-moment.
+    "stats_spearman" -> ((s, d) => {
+      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .withColumn("r2q", lit(2L) * rank().over(wq)
+          + count(lit(1)).over(Window.partitionBy("l_returnflag",
+            "l_quantity")) - 1)
+        .withColumn("r2p", lit(2L) * rank().over(wp)
+          + count(lit(1)).over(Window.partitionBy("l_returnflag",
+            "l_extendedprice")) - 1)
+        .groupBy("l_returnflag")
+        .agg(round(corr("r2q", "r2p"), 4).as("spearman_qp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Full outer join on pre-aggregated sides: per-nation customer
     // counts vs supplier counts over a FILTERED supplier subset (every
     // third nation), so unmatched rows genuinely occur and the null-fill
@@ -1831,6 +1859,23 @@ object RelationalQueries extends Registry {
                 round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
                 round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_pq
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // identical doubled tie-averaged ranks (2*rank + ties - 1, exact
+    // integers) feed the same rounded corr on both engines
+    "stats_spearman" ->
+      """WITH r AS (SELECT l_returnflag,
+                 2 * rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity)
+                   + count(*) OVER (PARTITION BY l_returnflag,
+                                    l_quantity) - 1 AS r2q,
+                 2 * rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice)
+                   + count(*) OVER (PARTITION BY l_returnflag,
+                                    l_extendedprice) - 1 AS r2p
+          FROM lineitem)
+          SELECT l_returnflag, round(corr(r2q, r2p), 4) AS spearman_qp,
+                 count(*) AS n
+          FROM r GROUP BY 1 ORDER BY 1""",
 
     "join_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT)

@@ -75,6 +75,27 @@ class HammingAnnSpec extends SparkSpec {
       "fixture has no hamming <= 3 neighbor pairs; pigeonhole test vacuous")
   }
 
+  test("banded plan shape: equi-join on (band, bv), never a nested " +
+       "loop or cartesian; the brute form is nested-loop by design") {
+    // the 100 TB contract: candidate generation must be a hash/merge
+    // join on the band keys (shuffle volume = band collisions), not an
+    // all-pairs comparison — a regression to a nested loop here is the
+    // exact quadratic shape the banded path exists to avoid
+    val bandedPlan = Ann.hammingBandedTopK(codes, "doc_id", "sig", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!bandedPlan.contains("BroadcastNestedLoopJoin") &&
+      !bandedPlan.contains("CartesianProduct"),
+      s"banded Hamming plan degenerated to all-pairs:\n$bandedPlan")
+    assert(bandedPlan.contains("Join"), s"no join found:\n$bandedPlan")
+    // the exact scan is DECLARED all-pairs (quad-gated in Bench): its
+    // non-equi self-join has no key to hash on
+    val brutePlan = Ann.hammingTopK(codes, "doc_id", "sig", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoopJoin") ||
+      brutePlan.contains("CartesianProduct"),
+      s"expected the declared all-pairs shape:\n$brutePlan")
+  }
+
   test("band geometry widens the guarantee: 8x7-bit bands recover " +
        "every brute entry within Hamming 7 and recall at least the " +
        "4x15 configuration") {
