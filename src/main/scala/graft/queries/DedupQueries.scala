@@ -75,6 +75,21 @@ object DedupQueries extends Registry {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Canonical-equivalence dedup over the combining-suffix corpus:
+    // the REAL JDK NFC runs inside the fingerprint, so docs whose
+    // suffixes differ only as decomposed-vs-precomposed spellings of
+    // the same composed string merge (i%2=0 makes the e-acute runs
+    // adjacent: "é"^(i%3+i%4) — different (i%3, i%4) splits with one
+    // sum collide; i%2=1 interposes an ö, so both counts must match).
+    // The oracle replays that case analysis as pure key arithmetic on
+    // the ORIGINAL text + doc_id — never constructing non-ASCII.
+    "dedup_exact_nfc" -> ((s, d) =>
+      Dedup.exactGroupsCanonical(
+          graft.operators.Corpus.withCombiningSuffix(
+            Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     "dedup_exact_stats" -> ((s, d) =>
       Dedup.exactStats(Tables.documents(s, d), "text")),
 
@@ -743,6 +758,24 @@ object DedupQueries extends Registry {
                 count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
                   AS n_distinct
          FROM documents""",
+
+    // canonical form = normalized base + a suffix determined by
+    // (doc_id%2, %3, %4) AFTER NFC composition: when %2 = 0 the é runs
+    // are adjacent and only their SUM survives; when %2 = 1 the ö
+    // separates them and both counts matter. Replayed as key algebra.
+    "dedup_exact_nfc" ->
+      """WITH b AS (SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS bfp,
+                doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4
+              FROM documents),
+          k AS (SELECT doc_id,
+                bfp || ':' || m2 || ':' ||
+                CASE WHEN m2 = 0 THEN 's' || (m3 + m4)
+                     ELSE 'p' || m3 || '_' || m4 END AS key
+              FROM b)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+         FROM k GROUP BY key ORDER BY doc_id""",
 
     "dedup_incremental" ->
       """WITH base AS (SELECT doc_id, text,

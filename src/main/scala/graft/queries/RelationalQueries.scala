@@ -501,25 +501,36 @@ object RelationalQueries extends Registry {
     // Spearman rank correlation per return flag: Pearson corr over
     // tie-averaged ranks, the monotone-association screen that is
     // robust to the price outliers stats_corr is not. Average ranks
-    // stay INTEGERS by doubling: 2*avg_rank = 2*rank() + n_ties - 1
+    // stay INTEGERS by doubling: 2*avg_rank = 2*rank + n_ties - 1
     // (corr is scale-invariant, so the doubled ranks give the same
     // rho), which removes every engine-specific fractional-rank
-    // concern before the one rounded corr. Shape: two in-group sorts
-    // (rank is a total order within the group — the honest cost of
-    // any rank statistic) and a tie-count window, then one
-    // partial-aggregated co-moment.
+    // concern before the one rounded corr. Scale shape: a naive
+    // rank() window partitions by 3 flags — a row-sized in-group sort
+    // with parallelism 3. Instead rank comes from the VALUE-frequency
+    // relation (distinct (flag, value) with counts, rank = 1 +
+    // running count of strictly-smaller values): the window runs over
+    // distinct values — orders of magnitude smaller than rows — and
+    // rows get their ranks back through two keyed equi-joins AQE can
+    // size (same result, identical ties arithmetic).
     "stats_spearman" -> ((s, d) => {
-      val wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-      val wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      def doubledRanks(valueCol: String, outCol: String) = {
+        val w = Window.partitionBy("l_returnflag").orderBy(valueCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", valueCol)
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+          // rank = below + 1; doubled avg rank = 2*rank + cnt - 1
+          .select(col("l_returnflag"), col(valueCol),
+            (lit(2L) * (col("below") + 1) + col("cnt") - 1).as(outCol))
+      }
       Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"))
-        .withColumn("r2q", lit(2L) * rank().over(wq)
-          + count(lit(1)).over(Window.partitionBy("l_returnflag",
-            "l_quantity")) - 1)
-        .withColumn("r2p", lit(2L) * rank().over(wp)
-          + count(lit(1)).over(Window.partitionBy("l_returnflag",
-            "l_extendedprice")) - 1)
+        .join(doubledRanks("l_quantity", "r2q"),
+          Seq("l_returnflag", "l_quantity"))
+        .join(doubledRanks("l_extendedprice", "r2p"),
+          Seq("l_returnflag", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(round(corr("r2q", "r2p"), 4).as("spearman_qp"),
           count(lit(1)).as("n"))
