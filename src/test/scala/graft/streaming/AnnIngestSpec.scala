@@ -145,4 +145,51 @@ class AnnIngestSpec extends SparkSpec {
     // dot over sqrt norms, so for identical direction it lands at 10000
     got(1)._3 shouldBe 10000L
   }
+
+  test("ingest survives stop + restart exactly-once: offsets, dedup " +
+      "state, and the parquet sink log all resume") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ann_ckpt")
+    val inDir = java.nio.file.Files.createDirectory(root.resolve("in"))
+      .toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val embs = Tables.embeddings(spark, sfDir)
+    val plane = Ann.detIvfCentroidPlane(embs, "embedding", "label")
+    val batch = Ann.ivfDetHomeCells(embs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => AnnIngest.VecIn(id, ts(id.toInt), v) }
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+
+    def start() = AnnIngest.assignCells(
+        spark.readStream.schema(implicitly[
+            org.apache.spark.sql.Encoder[AnnIngest.VecIn]].schema)
+          .parquet(inDir).as[AnnIngest.VecIn],
+        plane, lateness = "10 minutes")
+      .toDF().writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+    spark.createDataset(half1.toSeq).write.mode("append").parquet(inDir)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // "failure": the query is gone; the second half arrives while it is
+    // down, INCLUDING a re-delivery of a first-half id (same event) —
+    // the dedup state must survive the restart and drop it
+    spark.createDataset((half2 :+ half1.head).toSeq)
+      .write.mode("append").parquet(inDir)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell"))
+    // exactly one routing row per distinct vector — no loss across the
+    // restart, no double emission of the re-delivered id
+    out.length shouldBe rows.length
+    out.toMap.foreach { case (id, cell) => cell shouldBe batch(id) }
+  }
 }
