@@ -660,20 +660,28 @@ object Ann {
   /** Det-IVF cell affinity ranking over (id, label, v) — shared by
     * [[ivfDetTopK]] and [[ivfPqDetTopK]]. Returns (id, label, rk):
     * rk 1 = the id's home cell, rk <= nprobe = its probe set. */
-  private def detIvfCellRanks(e: DataFrame): DataFrame = {
-    val dims = e
-      .select(col("id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
-    // order-free integer centroid: round-half-up of sum(xi)/cnt over the
-    // SNAPPED coordinates — a double avg() is summation-order-dependent
-    // (Spark partial-agg order varies with partitioning; DuckDB's
-    // parallel avg differs too), so a borderline .5 could flip between
-    // runs/engines. The +2e6 offset keeps the numerator non-negative
-    // (xi ∈ [-1e6, 1e6] for unit-ish coords) because Spark DIV
-    // truncates while DuckDB // floors — they differ on negatives.
-    val cent = dims.groupBy("label", "dim")
+  /** Micro-unit coordinate explode shared by the det-IVF relations:
+    * (id, label, dim, xi) with xi = floor(x·10⁶ + 0.5). */
+  private def detDims(e: DataFrame): DataFrame = e
+    .select(col("id"), col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+    .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+
+  /** Integer per-(cell, dim) centroid relation over detDims rows —
+    * order-free: round-half-up of sum(xi)/cnt over the SNAPPED
+    * coordinates (a double avg() is summation-order-dependent — Spark
+    * partial-agg order varies with partitioning; DuckDB's parallel avg
+    * differs too — so a borderline .5 could flip between
+    * runs/engines). The +2e6 offset keeps the numerator non-negative
+    * (xi ∈ [-1e6, 1e6] for unit-ish coords) because Spark DIV
+    * truncates while DuckDB // floors — they differ on negatives. */
+  private def detIvfCentroids(dims: DataFrame): DataFrame =
+    dims.groupBy("label", "dim")
       .agg(expr("CAST((2 * (sum(xi) + 2000000 * count(1)) + count(1))" +
         " DIV (2 * count(1)) - 2000000 AS BIGINT)").as("ci"))
+
+  private def detIvfCellRanks(e: DataFrame): DataFrame = {
+    val dims = detDims(e)
+    val cent = detIvfCentroids(dims)
     val cn = cent.groupBy(col("label"))
       .agg(sum(col("ci") * col("ci")).as("nc"))
     val vn = dims.groupBy("id").agg(sum(col("xi") * col("xi")).as("nv"))
@@ -726,6 +734,111 @@ object Ann {
     val pairsAdc = cand.join(codesW, "cand_id")
       .join(broadcast(qlutW), "query_id")
       .select(col("query_id"), col("cand_id"), adcColumn.as("adc"))
+    val short = adcShortlist(pairsAdc, shortlist)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    short
+      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[ivfPqDetTopK]] with RESIDUAL encoding — the actual FAISS IVF-PQ
+    * construction: every vector is PQ-coded as its residual against its
+    * home-cell centroid (ri = xi − ci, exact integer subtraction over
+    * micro-units), the md5-seed codebook is built from the seeds' OWN
+    * residuals, and each query builds one ADC LUT PER PROBED CELL from
+    * its residual against THAT cell's centroid. Residuals concentrate
+    * the coded distribution around zero, which is why FAISS encodes
+    * them instead of raw vectors; here the point is that even the
+    * two-level residual geometry stays bit-replayable in SQL (integer
+    * residuals of integer centroids). Candidates in cell c are scored
+    * with the query's cell-c LUT only — the per-(query, cell) LUT
+    * relation is queries × nprobe rows of m·ks longs (index metadata,
+    * broadcast like [[ivfPqDetTopK]]'s LUT), and ADC stays a map-side
+    * scan of the probed lists. Tail identical to [[ivfPqDetTopK]]:
+    * ADC shortlist, exact integer-bp cosine rerank, (sim DESC, cand
+    * ASC) ties. */
+  def ivfPqResidualDetTopK(embs: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String, queryPred: Column, k: Int,
+                           nprobe: Int = 2, ks: Int = 16,
+                           shortlist: Int = 32): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = detDims(e).select("id", "dim", "xi")
+    // rename the centroid keys once: both residual joins re-key on
+    // (cell, dim) and an un-renamed join side makes `dim` ambiguous
+    val cent = detIvfCentroids(detDims(e))
+      .select(col("label").as("c_cell"), col("dim").as("c_dim"),
+        col("ci"))
+    val ranked = detIvfCellRanks(e)
+    val home = ranked.filter(col("rk") === 1)
+      .select(col("id"), col("label").as("cell"))
+    // residual coordinates of every vector against its HOME centroid
+    val rd = dims.join(home, "id")
+      .join(broadcast(cent),
+        col("cell") === col("c_cell") && col("dim") === col("c_dim"))
+      .select(col("id"), col("cell"), col("dim"),
+        expr("dim DIV 8").as("j"), (col("xi") - col("ci")).as("ri"))
+    // md5-ranked seed ids; the codebook is their residuals
+    val seeds = e.select(col("id"))
+      .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
+      .orderBy(col("r"), col("id")).limit(ks)
+      .withColumn("cw", row_number().over(Window.orderBy("r", "id"))
+        .cast("long"))
+      .select("id", "cw")
+    val cb = rd.join(broadcast(seeds), "id")
+      .select(col("cw"), col("j"), col("dim"), col("ri").as("ci"))
+    // candidate codes: argmin-ssd codeword per subspace over residuals
+    val ssdCand = rd.join(broadcast(cb), Seq("j", "dim"))
+      .groupBy("id", "j", "cw")
+      .agg(sum((col("ri") - col("ci")) * (col("ri") - col("ci")))
+        .as("ssd"))
+    val codesW = ssdCand
+      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
+        .orderBy(col("ssd").asc, col("cw").asc)))
+      .filter(col("rk") === 1)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cw)))," +
+        " s -> s.cw)").as("codes"))
+      .select(col("id").as("cand_id"), col("codes"))
+    // per-(query, probed cell) residuals and LUTs
+    val probes = ranked.filter(col("rk") <= nprobe)
+      .join(e.filter(queryPred).select(col("id")), "id")
+      .select(col("id").as("query_id"), col("label").as("pcell"))
+    val qrd = dims.join(probes, col("id") === col("query_id"))
+      .join(broadcast(cent),
+        col("pcell") === col("c_cell") && col("dim") === col("c_dim"))
+      .select(col("query_id"), col("pcell"), col("dim"),
+        expr("dim DIV 8").as("j"), (col("xi") - col("ci")).as("ri"))
+    val qlutW = qrd.join(broadcast(cb), Seq("j", "dim"))
+      .groupBy("query_id", "pcell", "j", "cw")
+      .agg(sum((col("ri") - col("ci")) * (col("ri") - col("ci")))
+        .as("ssd"))
+      .groupBy("query_id", "pcell")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
+        " s -> s.ssd)").as("lut"))
+    // candidates keyed by the home cell that reached them, so ADC uses
+    // the matching per-cell LUT
+    val cnd = probes
+      .join(home.select(col("id").as("cand_id"), col("cell")),
+        col("pcell") === col("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id", "cell").distinct()
+    val pairsAdc = cnd.join(codesW, "cand_id")
+      .join(broadcast(qlutW),
+        cnd("query_id") === qlutW("query_id") &&
+          col("cell") === col("pcell"))
+      .select(cnd("query_id"), col("cand_id"), adcColumn.as("adc"))
     val short = adcShortlist(pairsAdc, shortlist)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_bp").desc, col("cand_id").asc)

@@ -230,6 +230,15 @@ object AnnQueries extends Registry {
       Ann.ivfPqDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", col("id") % 50 === 0, k = 5)),
 
+    // The residual-encoding construction (the actual FAISS IVF-PQ):
+    // vectors PQ-coded as integer residuals against their home-cell
+    // centroid, one ADC LUT per (query, probed cell). Hash-checked like
+    // the raw-vector det twin — the residual geometry is still exact
+    // integer arithmetic over md5-deterministic structure.
+    "ann_ivf_pq_residual_det_topk" -> ((s, d) =>
+      Ann.ivfPqResidualDetTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", col("id") % 50 === 0, k = 5)),
+
     // Multi-probe LSH (Lv et al. 2007): each query probes its own bucket
     // plus every Hamming-distance-1 neighbor bucket, buying back the
     // recall that extra bits cost WITHOUT more tables — the knob that
@@ -1419,6 +1428,100 @@ object AnnQueries extends Registry {
                   FROM cnd c
                   JOIN codes ON c.cand_id = codes.cand_id
                   JOIN qlut ON c.query_id = qlut.query_id
+                           AND codes.j = qlut.j AND codes.cw = qlut.cw
+                  GROUP BY 1, 2),
+          sh AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, cand_id ASC) AS srk
+                   FROM adc) x WHERE srk <= 32),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
+                         JOIN e ec ON sh.cand_id = ec.vec_id),
+          rkp AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Residual IVF-PQ: the same cell chain, then every vector coded as
+    // its integer residual against its HOME centroid, the seed
+    // codebook built from seed residuals, and one LUT per
+    // (query, probed cell) from the query's residual against THAT
+    // centroid; candidates score with the LUT of the cell they live in.
+    "ann_ivf_pq_residual_det_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, label, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent AS (SELECT label, dim,
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
+                   FROM d GROUP BY 1, 2),
+          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
+                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
+          smc AS (SELECT vec_id, label,
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cell_bp
+                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
+          rkc AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cell_bp DESC, label ASC) AS rk
+                  FROM smc),
+          home AS (SELECT vec_id AS cand_id, label AS cell
+                   FROM rkc WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, label AS pcell
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+          rd AS (SELECT d.vec_id, home.cell, d.dim // 8 AS j, d.dim,
+                        xi - ci AS ri
+                 FROM d JOIN home ON d.vec_id = home.cand_id
+                 JOIN cent ON cent.label = home.cell
+                          AND cent.dim = d.dim),
+          seeds AS (SELECT vec_id,
+                      CAST(row_number() OVER (
+                        ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id)
+                        AS BIGINT) AS cw
+                    FROM e
+                    ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id
+                    LIMIT 16),
+          cb AS (SELECT cw, j, dim, ri AS ci
+                 FROM rd JOIN seeds USING (vec_id)),
+          ssdc AS (SELECT rd.vec_id, rd.j, cb.cw,
+                     sum((ri - cb.ci) * (ri - cb.ci)) AS ssd
+                   FROM rd JOIN cb ON rd.j = cb.j AND rd.dim = cb.dim
+                   GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id AS cand_id, j, cw FROM (
+                      SELECT vec_id, j, cw,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY ssd ASC, cw ASC) AS rk
+                      FROM ssdc) x WHERE rk = 1),
+          qrd AS (SELECT p.query_id, p.pcell, d.dim // 8 AS j, d.dim,
+                         xi - ci AS ri
+                  FROM d JOIN probes p ON d.vec_id = p.query_id
+                  JOIN cent ON cent.label = p.pcell
+                           AND cent.dim = d.dim),
+          qlut AS (SELECT query_id, pcell, qrd.j, cb.cw,
+                     sum((ri - cb.ci) * (ri - cb.ci)) AS lut
+                   FROM qrd JOIN cb ON qrd.j = cb.j AND qrd.dim = cb.dim
+                   GROUP BY 1, 2, 3, 4),
+          cndc AS (SELECT DISTINCT query_id, cand_id, cell
+                   FROM probes JOIN home ON pcell = cell
+                   WHERE query_id <> cand_id),
+          adc AS (SELECT c.query_id, c.cand_id,
+                    CAST(sum(lut) AS BIGINT) AS adc
+                  FROM cndc c
+                  JOIN codes ON c.cand_id = codes.cand_id
+                  JOIN qlut ON c.query_id = qlut.query_id
+                           AND c.cell = qlut.pcell
                            AND codes.j = qlut.j AND codes.cw = qlut.cw
                   GROUP BY 1, 2),
           sh AS (SELECT query_id, cand_id FROM (
