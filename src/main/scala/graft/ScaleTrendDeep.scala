@@ -149,6 +149,9 @@ object ScaleTrendDeep {
     def ivfPqDet(e: DataFrame) =
       Ann.ivfPqDetTopK(e, "vec_id", "embedding", "label",
         col("id") % 50 === 0, k = 5)
+    def ivfPqResDet(e: DataFrame) =
+      Ann.ivfPqResidualDetTopK(e, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5)
     def cosLshDet(e: DataFrame) =
       Ann.cosinePairsLshDet(e, "vec_id", "embedding", threshold = 0.2,
         bits = Ann.autoBitsExact(e.count()))
@@ -181,6 +184,7 @@ object ScaleTrendDeep {
       ("ann_ivf_det_topk", () => ivfDet(we)),
       ("ann_pq_det_topk", () => pqDet(we)),
       ("ann_ivf_pq_det_topk", () => ivfPqDet(we)),
+      ("ann_ivf_pq_residual_det_topk", () => ivfPqResDet(we)),
       ("dedup_embedding_cosine(lsh)", () => cosLshDet(we)),
       ("join_asof_native", () => asofNative(wv)),
       ("components_twostar(chain)",
@@ -202,6 +206,7 @@ object ScaleTrendDeep {
         ("ann_ivf_det_topk", embInputs, ivfDet),
         ("ann_pq_det_topk", embInputs, pqDet),
         ("ann_ivf_pq_det_topk", embInputs, ivfPqDet),
+        ("ann_ivf_pq_residual_det_topk", embInputs, ivfPqResDet),
         ("dedup_embedding_cosine(lsh)", embInputs, cosLshDet),
         ("join_asof_native", evInputs, asofNative),
         ("components_twostar(chain)", chainInputs,

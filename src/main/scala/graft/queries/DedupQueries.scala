@@ -129,6 +129,15 @@ object DedupQueries extends Registry {
     // semantics end-to-end against SQL).
     "dedup_minhash_det" -> ((s, d) => minhashDet(s, d)),
 
+    // b-bit MinHash (Li & Konig 2010): on the same banded candidate
+    // pairs, the Jaccard estimate from only the 4 LOWEST BITS of each
+    // permutation value vs the full-width estimate — the 15x-smaller
+    // sketch a 100 TB dedup run stores, with its bias-corrected
+    // estimator replayed in exact integer basis points.
+    "dedup_minhash_bbit" -> ((s, d) =>
+      Dedup.minhashBbitAudit(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerms = 16, rowsPerBand = 4, b = 4)),
+
     // Estimator calibration: on every det-MinHash candidate pair, how
     // far is the 16-perm Jaccard ESTIMATE from the exact shingle-set
     // Jaccard, grouped by band-hit count (the sketch's own confidence
@@ -1002,6 +1011,44 @@ object DedupQueries extends Registry {
           JOIN mh x ON doc_a = x.doc_id
           JOIN mh y ON doc_b = y.doc_id AND x.p = y.p
           GROUP BY 1, 2, 3 ORDER BY doc_a, doc_b""",
+
+    // same t/sh/mh/bands/cand chain as dedup_minhash_det, then the
+    // per-pair full-width and 4-bit equal-permutation counts; the b-bit
+    // estimator uses the +10000 offset so the floor division never sees
+    // a negative numerator (Spark DIV truncates, DuckDB // floors)
+    "dedup_minhash_bbit" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                     AS shingle
+                 FROM t),
+          mh AS (SELECT doc_id, p,
+                   min(CAST(('0x' || substring(
+                     md5(p::VARCHAR || ':' || shingle), 1, 15)) AS BIGINT))
+                     AS mh
+                 FROM sh, range(0, 16) r(p) GROUP BY doc_id, p),
+          bands AS (SELECT doc_id, p // 4 AS band,
+                      string_agg(mh::VARCHAR, ',' ORDER BY p) AS sig
+                    FROM mh GROUP BY doc_id, p // 4),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.sig = b.sig
+                       AND a.doc_id < b.doc_id),
+          eq AS (SELECT doc_a, doc_b,
+                   CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+                     AS BIGINT) AS eq_full,
+                   CAST(sum(CASE WHEN (x.mh & 15) = (y.mh & 15)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS eq_bbit
+                 FROM cand
+                 JOIN mh x ON doc_a = x.doc_id
+                 JOIN mh y ON doc_b = y.doc_id AND x.p = y.p
+                 GROUP BY 1, 2)
+          SELECT doc_a, doc_b, eq_full, eq_bbit,
+                 CAST(10000 * eq_full // 16 AS BIGINT) AS est_full_bp,
+                 CAST((10000 * (16 * eq_bbit + 14 * 16)) // (15 * 16)
+                   - 10000 AS BIGINT) AS est_bbit_bp
+          FROM eq ORDER BY doc_a, doc_b""",
 
     "dedup_shift_robustness" -> shiftRobustSql,
 
