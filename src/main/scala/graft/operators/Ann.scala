@@ -681,7 +681,17 @@ object Ann {
 
   private def detIvfCellRanks(e: DataFrame): DataFrame = {
     val dims = detDims(e)
-    val cent = detIvfCentroids(dims)
+    detIvfCellRanksFrom(dims, detIvfCentroids(dims))
+  }
+
+  /** [[detIvfCellRanks]] over ALREADY-BUILT dims/centroid relations —
+    * callers that also consume dims/cent themselves (the residual
+    * family) pass the shared subtrees in, so the heaviest shuffle (the
+    * per-(label, dim) centroid aggregation over n·d exploded rows) is
+    * constructed once instead of relying on ReuseExchange to
+    * deduplicate identical subtrees. */
+  private def detIvfCellRanksFrom(dims: DataFrame,
+                                  cent: DataFrame): DataFrame = {
     val cn = cent.groupBy(col("label"))
       .agg(sum(col("ci") * col("ci")).as("nc"))
     val vn = dims.groupBy("id").agg(sum(col("xi") * col("xi")).as("nv"))
@@ -734,21 +744,7 @@ object Ann {
     val pairsAdc = cand.join(codesW, "cand_id")
       .join(broadcast(qlutW), "query_id")
       .select(col("query_id"), col("cand_id"), adcColumn.as("adc"))
-    val short = adcShortlist(pairsAdc, shortlist)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_bp").desc, col("cand_id").asc)
-    short
-      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
-        "cand_id")
-      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
-        "query_id")
-      .withColumn("sim_bp",
-        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
-          .cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
-      .orderBy("query_id", "rank")
+    exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
   }
 
   /** [[ivfPqDetTopK]] with RESIDUAL encoding — the actual FAISS IVF-PQ
@@ -774,13 +770,15 @@ object Ann {
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
-    val dims = detDims(e).select("id", "dim", "xi")
+    val dimsFull = detDims(e)
+    val dims = dimsFull.select("id", "dim", "xi")
+    val centRel = detIvfCentroids(dimsFull)
     // rename the centroid keys once: both residual joins re-key on
     // (cell, dim) and an un-renamed join side makes `dim` ambiguous
-    val cent = detIvfCentroids(detDims(e))
+    val cent = centRel
       .select(col("label").as("c_cell"), col("dim").as("c_dim"),
         col("ci"))
-    val ranked = detIvfCellRanks(e)
+    val ranked = detIvfCellRanksFrom(dimsFull, centRel)
     val home = ranked.filter(col("rk") === 1)
       .select(col("id"), col("label").as("cell"))
     // residual coordinates of every vector against its HOME centroid
@@ -839,21 +837,7 @@ object Ann {
         cnd("query_id") === qlutW("query_id") &&
           col("cell") === col("pcell"))
       .select(cnd("query_id"), col("cand_id"), adcColumn.as("adc"))
-    val short = adcShortlist(pairsAdc, shortlist)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_bp").desc, col("cand_id").asc)
-    short
-      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
-        "cand_id")
-      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
-        "query_id")
-      .withColumn("sim_bp",
-        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
-          .cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
-      .orderBy("query_id", "rank")
+    exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
   }
 
   def ivfTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
@@ -984,6 +968,31 @@ object Ann {
     (codesW, qlutW)
   }
 
+  /** Exact integer-bp cosine rerank of an ADC shortlist against the
+    * (id, v) relation — the shared tail of every det-PQ family
+    * ([[pqDetTopK]], [[ivfPqDetTopK]], [[ivfPqResidualDetTopK]]). The
+    * rounding mode (round-half-even via round()) and the (sim DESC,
+    * cand ASC) tie order are ORACLE-PARITY LOAD-BEARING: all three
+    * DuckDB replays share this exact selection, so a drift here in one
+    * family is a hash mismatch in all of them. */
+  private def exactCosineRerank(short: DataFrame, e: DataFrame,
+                                k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_bp").desc, col("cand_id").asc)
+    short
+      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
+        "query_id")
+      .withColumn("sim_bp",
+        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
+          .cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact integer ADC over the wide layout: adc = Σ_j lut[j·m +
     * codes[j]] (element_at is 1-based and codewords are 1-based, so the
     * offsets line up; m is recovered from the array sizes so undersized
@@ -1024,21 +1033,7 @@ object Ann {
     val pairsAdc = codesW.crossJoin(broadcast(qlutW))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), adcColumn.as("adc"))
-    val short = adcShortlist(pairsAdc, shortlist)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_bp").desc, col("cand_id").asc)
-    short
-      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
-        "cand_id")
-      .join(e.select(col("id").as("query_id"), col("v").as("qv")),
-        "query_id")
-      .withColumn("sim_bp",
-        round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
-          .cast("long"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("sim_bp"))
-      .orderBy("query_id", "rank")
+    exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
   }
 
   def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,

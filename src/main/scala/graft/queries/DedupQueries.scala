@@ -772,9 +772,14 @@ object DedupQueries extends Registry {
     // (doc_id%2, %3, %4) AFTER NFC composition: when %2 = 0 the é runs
     // are adjacent and only their SUM survives; when %2 = 1 the ö
     // separates them and both counts matter. Replayed as key algebra.
+    // The base fingerprint rtrims AFTER the whitespace collapse: the
+    // engine normalizes base+' '+suffix, so any TRAILING whitespace of
+    // the base (space or not — trim() only strips spaces) merges into
+    // the one separator space and must not distinguish the key.
     "dedup_exact_nfc" ->
       """WITH b AS (SELECT doc_id,
-                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                md5(rtrim(regexp_replace(lower(trim(text)), '\s+', ' ',
+                          'g')))
                   AS bfp,
                 doc_id % 2 AS m2, doc_id % 3 AS m3, doc_id % 4 AS m4
               FROM documents),
