@@ -34,7 +34,8 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     val singleRowAggregates = Set("dedup_exact_stats", "events_key_skew",
       "corpus_drift_tv", "events_chi2_type_dow", "join_bloom_semi",
       "events_did_lift", "graph_assortativity", "sql_tpch_q6",
-      "events_ab_srm", "sql_tpch_q17", "sql_tpch_q19")
+      "events_ab_srm", "sql_tpch_q17", "sql_tpch_q19",
+      "events_cramers_v")
     val unordered = SparkEntry.oracleSql.filterNot(_._2.toUpperCase
       .contains("ORDER BY")).keys.toSet -- singleRowAggregates
     unordered shouldBe empty
