@@ -971,10 +971,13 @@ object Ann {
   /** Exact integer-bp cosine rerank of an ADC shortlist against the
     * (id, v) relation — the shared tail of every det-PQ family
     * ([[pqDetTopK]], [[ivfPqDetTopK]], [[ivfPqResidualDetTopK]]). The
-    * rounding mode (round-half-even via round()) and the (sim DESC,
+    * rounding mode (round-half-AWAY-FROM-ZERO: Spark round() is
+    * HALF_UP, which is exactly DuckDB's round()) and the (sim DESC,
     * cand ASC) tie order are ORACLE-PARITY LOAD-BEARING: all three
     * DuckDB replays share this exact selection, so a drift here in one
-    * family is a hash mismatch in all of them. */
+    * family is a hash mismatch in all of them. Do NOT "fix" this to
+    * bround() (round-half-even) — that would break every det-PQ oracle
+    * replay on the .5 boundary cases. */
   private def exactCosineRerank(short: DataFrame, e: DataFrame,
                                 k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

@@ -932,6 +932,14 @@ object EventQueries extends Registry {
     // aggregate once; marginals are two rollups of that tiny cell
     // relation, broadcast back — nothing but (type, dow, count) ever
     // shuffles. dow = weekday(ts)+1 == DuckDB's isodow (Monday=1).
+    // CONVENTION (shared with events_cramers_v, and replayed verbatim
+    // by both oracles): the sum runs over OBSERVED cells only — an
+    // absent (type, dow) combination contributes no E term, so on a
+    // table with empty cells the statistic understates the textbook
+    // chi2 (which adds E for each zero cell). Deliberate: the cell
+    // relation stays the aggregation output with no domain cross-join,
+    // and the driver's event generator populates all type x dow cells
+    // at every SF, where the two definitions coincide.
     "events_chi2_type_dow" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"),
@@ -957,6 +965,10 @@ object EventQueries extends Registry {
     // tables association strength a profiling pass reports. Same
     // broadcast-joined expected-count relation as events_chi2_type_dow;
     // identical double arithmetic on both engines before one rounding.
+    // Inherits the chi2 query's OBSERVED-CELLS-ONLY convention (see the
+    // comment there): zero-count (type, dow) cells contribute no E
+    // term, exact on fully-populated tables (which the generator
+    // guarantees at every SF), understated otherwise.
     "events_cramers_v" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"),

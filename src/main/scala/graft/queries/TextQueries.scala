@@ -679,8 +679,14 @@ object TextQueries extends Registry {
         .select(col("ta"), col("tb"),
           expr("CAST(10000 * ca AS BIGINT) DIV ta").as("p_bp"),
           expr("CAST(10000 * cb AS BIGINT) DIV tb").as("q_bp"))
-        .groupBy("ta", "tb")
+        // ta/tb are the same 1-row broadcast on every row, so a GLOBAL
+        // aggregate with max() carries them through — unlike
+        // groupBy(ta, tb), this shape PROVES <= 1 output row
+        // (maxRows = 1), which is what exempts the oracle from the
+        // ORDER BY rule structurally instead of by name
         .agg(
+          max(col("ta")).as("ta"),
+          max(col("tb")).as("tb"),
           count(lit(1)).as("vocab"),
           sum(abs(col("p_bp") - col("q_bp"))).as("l1_bp"))
         .select(col("ta"), col("tb"), col("vocab"),

@@ -125,6 +125,18 @@ object AnnIngest {
         round(graft.functions.HashExprs.cosine_sim(col("qv"), col("cv"))
           * 10000).cast("long").as("sim_bp"),
         col("cand_id"))
+      // exactly-once on the QUERY side: a re-delivered query id would
+      // duplicate its (query, cand) pairs into the TopKByScore state,
+      // letting one candidate occupy several top-k slots and displace
+      // the true k-th neighbor. Each candidate has exactly one home
+      // cell and a query's probed cells are distinct, so (query_id,
+      // cand_id) appears once per delivery — deduping the pair under
+      // the SAME watermark collapses redelivery exactly (a pre-fan-out
+      // dropDuplicates would need a second watermark declaration, which
+      // Spark's watermark propagation disallows in one query). The
+      // extra state is the in-flight pair set inside one lateness
+      // horizon — the same magnitude the aggregation reads anyway.
+      .dropDuplicatesWithinWatermark("query_id", "cand_id")
       .groupBy(window(col("ts"), windowLen), col("query_id"))
       .agg(topk(col("sim_bp"), col("cand_id")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")))

@@ -1,14 +1,12 @@
 package graft.queries
 
-import graft.SparkEntry
-import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.matchers.should.Matchers
+import graft.{SparkEntry, SparkSpec}
 
 /** Contract checks on the query registry itself: SparkEntry concatenates
   * per-domain maps with flatMap(...).toMap, where a duplicate name would
   * silently shadow an earlier query and an oracle without a query would
   * silently never be checked. */
-class RegistrySpec extends AnyFunSuite with Matchers {
+class RegistrySpec extends SparkSpec {
 
   private val registries = Seq(
     RefQueries, RelationalQueries, TextQueries, DedupQueries,
@@ -29,15 +27,18 @@ class RegistrySpec extends AnyFunSuite with Matchers {
 
   test("every oracle aliases its ORDER BY deterministically (has one)") {
     // hash compare needs a total order; an oracle without ORDER BY would
-    // pass or fail by accident of DuckDB's scan order. Global aggregates
-    // that provably emit a single row are exempt.
-    val singleRowAggregates = Set("dedup_exact_stats", "events_key_skew",
-      "corpus_drift_tv", "events_chi2_type_dow", "join_bloom_semi",
-      "events_did_lift", "graph_assortativity", "sql_tpch_q6",
-      "events_ab_srm", "sql_tpch_q17", "sql_tpch_q19",
-      "events_cramers_v")
+    // pass or fail by accident of DuckDB's scan order. The exemption is
+    // SHAPE-based, not a name list: a query is exempt iff its own Spark
+    // plan PROVES at most one output row (maxRows <= 1 — a global
+    // aggregate with no grouping, however projected), in which case any
+    // row order is the total order. A name list here grew once per new
+    // 1-row statistic and proved nothing about the query it named.
     val unordered = SparkEntry.oracleSql.filterNot(_._2.toUpperCase
-      .contains("ORDER BY")).keys.toSet -- singleRowAggregates
-    unordered shouldBe empty
+      .contains("ORDER BY")).keys.toSet
+    val notProvablySingleRow = unordered.filterNot { name =>
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      qe.analyzed.maxRows.orElse(qe.optimizedPlan.maxRows).exists(_ <= 1L)
+    }
+    notProvablySingleRow shouldBe empty
   }
 }

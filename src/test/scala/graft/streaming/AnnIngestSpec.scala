@@ -46,7 +46,7 @@ class AnnIngestSpec extends SparkSpec {
   }
 
   test("streaming probeTopK returns exactly the batch det-IVF top-k " +
-      "for every arriving query") {
+      "for every arriving query, even when every query is re-delivered") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -68,9 +68,17 @@ class AnnIngestSpec extends SparkSpec {
       .queryName("ann_probe").start()
     try {
       // all queries in one event-time window, then a far-future flush
-      // advances the watermark past it so append emits the results
+      // advances the watermark past it so append emits the results.
+      // EVERY query is delivered twice (at-least-once transport): the
+      // pair-level dedup must collapse the duplicates, or the doubled
+      // candidate rows would seat one candidate in multiple top-k
+      // slots and the batch-equality assertion below would fail
       in.addData(queries.map { case (id, v) =>
         AnnIngest.VecIn(id, ts(0), v)
+      }.toSeq)
+      q.processAllAvailable()
+      in.addData(queries.map { case (id, v) =>
+        AnnIngest.VecIn(id, ts(1), v)
       }.toSeq)
       q.processAllAvailable()
       in.addData(AnnIngest.VecIn(-1L, new Timestamp(86400000L * 30),

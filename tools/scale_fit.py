@@ -161,15 +161,20 @@ def main():
     results = []
     for name in names:
         tab = table_of(name)
-        pts, pts_adj, ladder = [], [], []
+        # (rows, t, floor) triples collected TOGETHER: pairing floors
+        # with ladder positionally after the fact would attach the wrong
+        # run's floor whenever a query is missing from an intermediate
+        # bench (the skipped run drops out of ladder but not of floors)
+        pts, pts_adj, trips = [], [], []
         for b, d, fl in zip(benches, sf_dirs, floors):
             t = b["queries"].get(name)
             if t is None:
                 continue
             r = nrows[d][tab]
-            ladder.append((r, t))
+            trips.append((r, t, fl))
             pts.append((math.log(r), math.log(max(t, 1e-3))))
             pts_adj.append((math.log(r), math.log(max(t - fl, 1e-3))))
+        ladder = [(r, t) for r, t, _ in trips]
         if name in FIXED_INPUT:
             results.append((name, tab, ladder, None, "fixed input "
                 "(checked-in log fixture; sf dir irrelevant by design)"))
@@ -177,8 +182,7 @@ def main():
         e = slope(pts) if len(pts) >= 2 else None
         e_adj = slope(pts_adj) if len(pts_adj) >= 2 else None
         tmax = max((t for _, t in ladder), default=0.0)
-        tmax_adj = max((t - fl for (_, t), fl in
-                        zip(ladder, floors[:len(ladder)])), default=0.0)
+        tmax_adj = max((t - fl for _, t, fl in trips), default=0.0)
         if e is None:
             verdict = "unmeasurable"
         elif tmax < NOISE_SECS:
