@@ -128,6 +128,32 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(' ')(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Host-drift SENTINEL (r10 lesson): a fixed 400M-step xorshift64
+    // loop on one core, timed at session start and end and RECORDED in
+    // the artifact. The r10 det-trio "regression" took a worktree A/B
+    // against the r8 binary to prove the host had slowed — this number
+    // shows the same thing in one field: before chasing any cross-round
+    // per-query delta, divide by the sentinel ratio of the two runs.
+    // Warmup runs the same compiled loop first so JIT state is not part
+    // of the measurement; the fold into `sink` defeats dead-code
+    // elimination.
+    var sentinelSink = 0L
+    def sentinel(): Double = {
+      def loop(n: Long): Long = {
+        var s = 88172645463325252L
+        var i = 0L
+        while (i < n) {
+          s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+          i += 1
+        }
+        s
+      }
+      sentinelSink ^= loop(50000000L)
+      val t0 = System.nanoTime()
+      sentinelSink ^= loop(400000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelStart = sentinel()
     val historyMedian: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
@@ -144,9 +170,10 @@ object Bench {
           .foreach { line =>
             rx.findAllMatchIn(line).foreach { m =>
               val (k, v) = (m.group(1), m.group(2).toDouble)
-              // skip the top-level "value" total; query keys never
-              // collide with it because it is matched with its quotes
-              if (k != "value" && k != "sf")
+              // skip the top-level "value" total and the sentinel
+              // fields; query keys never collide with them because
+              // they are matched with their quotes
+              if (k != "value" && k != "sf" && k != "sentinel_sec")
                 perQuery(k) = v :: perQuery.getOrElse(k, Nil)
             }
           }
@@ -228,6 +255,8 @@ object Bench {
       name -> dt
     }
     val loadEnd = loadavg()
+    val sentinelEnd = sentinel()
+    if (sentinelSink == 42L) System.err.println("[bench] sentinel sink")
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would emit "0,123" — invalid JSON in every
     // persisted record
@@ -241,7 +270,7 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rts = retried.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadStart,$loadEnd],"retried":$rts}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":[$loadStart,$loadEnd],"sentinel_sec":[${num(sentinelStart)},${num(sentinelEnd)}],"retried":$rts}"""
     // ONE write() on the raw stdout fd: a buffered PrintStream flushes
     // a multi-KB line in 8 KiB chunks, and a chunk boundary is exactly
     // where a capture harness can interleave another stream's bytes

@@ -554,13 +554,20 @@ object Ann {
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
     val cand = detIvfCandidates(e, queryPred, nprobe)
-    // exact rerank of the probed candidates: candidate vectors join by
-    // cand_id (the only vector shuffle — 1 row per probed candidate),
-    // query vectors ride in as a broadcast, and the k-bounded
-    // TopKByScore partial agg means only k rows per (query, partition)
-    // — never the queries × probed-list scored relation — cross the
-    // final shuffle. Selection is identical to the row_number window
-    // (sim_bp DESC, cand_id ASC).
+    ivfExactTopKTail(cand, e, queryPred, k)
+  }
+
+  /** Shared exact tail of the IVF-Flat serve paths ([[ivfDetTopK]] and
+    * the persisted-index [[ivfIndexTopK]]): candidate vectors join by
+    * cand_id (the only vector shuffle — 1 row per probed candidate),
+    * query vectors ride in as a broadcast, and the k-bounded
+    * TopKByScore partial agg means only k rows per (query, partition)
+    * — never the queries × probed-list scored relation — cross the
+    * final shuffle. Selection is identical to the row_number window
+    * (sim_bp DESC, cand_id ASC) — oracle-parity load-bearing like
+    * [[exactCosineRerank]]. */
+  private def ivfExactTopKTail(cand: DataFrame, e: DataFrame,
+                               queryPred: Column, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
     cand
       .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
@@ -576,6 +583,67 @@ object Ann {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("cand_id"), col("col._1").as("sim_bp"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The det-IVF index as its two PERSISTABLE relations — exactly the
+    * state FAISS serializes for an IVF-Flat index: the coarse quantizer
+    * (cell, dim, ci) in integer micro-units and the inverted-file
+    * routing table (id, cell). Vectors themselves stay in the base
+    * table: the index is metadata OVER the corpus, which is what makes
+    * a persisted version cheap to store and re-serve (a 100 TB corpus's
+    * IVF metadata is GBs, not TBs). Lifecycle glue (versioned persist /
+    * load / streaming fold) lives in
+    * [[graft.sources.AnnIndexStore]]. */
+  final case class IvfIndexRelations(centroids: DataFrame,
+                                     home: DataFrame)
+
+  /** Build the det-IVF index relations once — the offline "train +
+    * add" step of the index lifecycle. Same integer arithmetic as
+    * [[ivfDetTopK]]'s inline chain, so an index built here and served
+    * by [[ivfIndexTopK]] reproduces the inline query bit-for-bit. */
+  def buildDetIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): IvfIndexRelations = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = detDims(e)
+    val cent = detIvfCentroids(dims)
+    val home = detIvfCellRanksFrom(dims, cent)
+      .filter(col("rk") === 1)
+      .select(col("id"), col("label").as("cell"))
+    IvfIndexRelations(
+      cent.select(col("label").as("cell"), col("dim"), col("ci")),
+      home)
+  }
+
+  /** Serve top-k from an ALREADY-BUILT index — the load-and-serve step:
+    * query vectors rank the LOADED centroid relation for their nprobe
+    * probe cells, probe rows join the LOADED routing table, and the
+    * exact rerank runs over the probed lists only. The quantizer is
+    * never rebuilt — the entire point of persisting it. Per-id probe
+    * ranks are independent, so ranking just the query set against the
+    * same centroids equals [[ivfDetTopK]]'s rank-all-then-filter
+    * bit-for-bit; output is identical by construction and shares the
+    * det chain's DuckDB oracle. */
+  def ivfIndexTopK(index: IvfIndexRelations, embs: DataFrame,
+                   idCol: String, vecCol: String, queryPred: Column,
+                   k: Int, nprobe: Int = 2): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qdims = e.filter(queryPred)
+      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+    val cent = index.centroids
+      .select(col("cell").as("label"), col("dim"), col("ci"))
+    val probes = detIvfCellRanksFrom(qdims, cent)
+      .filter(col("rk") <= nprobe)
+      .select(col("id").as("query_id"), col("label").as("cell"))
+    val home = index.home
+      .select(col("id").as("cand_id"), col("cell"))
+    val cand = probes.join(home, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    ivfExactTopKTail(cand, e, queryPred, k)
   }
 
   /** The det-IVF index's HOME-CELL relation, exposed as its own
@@ -615,10 +683,18 @@ object Ann {
       .select(col(labelCol).cast("long").as("label"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
       .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
-    val cent = dims.groupBy("label", "dim")
-      .agg(expr("CAST((2 * (sum(xi) + 2000000 * count(1)) + count(1))" +
-        " DIV (2 * count(1)) - 2000000 AS BIGINT)").as("ci"))
-    val rows = cent.groupBy("label")
+    detIvfCentroidPlaneOf(detIvfCentroids(dims)
+      .select(col("label").as("cell"), col("dim"), col("ci")), maxCells)
+  }
+
+  /** Collect a centroid RELATION (cell, dim, ci) — freshly built or
+    * LOADED from a persisted index version — into the broadcastable
+    * plane. The path a long-running ingest takes: load the versioned
+    * quantizer once, collect it here, ship it to every executor;
+    * arriving vectors never trigger a rebuild. */
+  def detIvfCentroidPlaneOf(cent: DataFrame,
+                            maxCells: Int = 65536): Array[CentroidCell] = {
+    val rows = cent.groupBy("cell")
       .agg(sort_array(collect_list(struct(col("dim"), col("ci"))))
         .as("cs"))
       .limit(maxCells + 1)

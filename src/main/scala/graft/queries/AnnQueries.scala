@@ -203,6 +203,30 @@ object AnnQueries extends Registry {
       Ann.ivfDetHomeCells(Tables.embeddings(s, d), "vec_id", "embedding",
         "label")),
 
+    // The index LIFECYCLE query — build ONCE, persist as a versioned
+    // artifact (AnnIndexStore over VersionedStore), LOAD the newest
+    // version back from parquet, and serve top-k from the loaded
+    // relations without rebuilding the quantizer. Output-identical to
+    // ann_ivf_det_topk by construction (same integers round-tripped
+    // through parquet longs, same tie rules), so it shares that
+    // oracle — what the hash check proves is that persist → load →
+    // serve loses nothing. Retention keeps the 3 newest versions.
+    "ann_ivf_served_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val store = graft.sources.VersionedStore(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ann_store_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12))
+      val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding",
+        "label")
+      graft.sources.AnnIndexStore.persist(s, store, "ivf", built)
+      graft.sources.AnnIndexStore.prune(s, store, "ivf", keep = 3)
+      val loaded = graft.sources.AnnIndexStore.load(s, store, "ivf")
+      Ann.ivfIndexTopK(loaded, embs, "vec_id", "embedding",
+        col("id") % 50 === 0, k = 5)
+    }),
+
     // The oracle-checkable PQ twin (ann_pq_topk's per-subspace k-means
     // codebooks are engine-internal): md5-sampled codebook, exact
     // integer squared-distance assignment and ADC LUT sums, exact-bp
@@ -1143,6 +1167,53 @@ object AnnQueries extends Registry {
                     ORDER BY sim_bp DESC, dst ASC) AS rank
                 FROM dr)"""
 
+  /** The det-IVF end-to-end replay, shared verbatim by
+    * ann_ivf_det_topk and ann_ivf_served_topk (the serve path is
+    * output-identical by construction). */
+  private val ivfDetTopKSql: String =
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, label, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent AS (SELECT label, dim,
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
+                   FROM d GROUP BY 1, 2),
+          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
+                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
+          smc AS (SELECT vec_id, label,
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cell_bp
+                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
+          rkc AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cell_bp DESC, label ASC) AS rk
+                  FROM smc),
+          home AS (SELECT vec_id AS cand_id, label AS cell
+                   FROM rkc WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, label AS cell
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+          cnd AS (SELECT DISTINCT query_id, cand_id
+                  FROM probes JOIN home USING (cell)
+                  WHERE query_id <> cand_id),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM cnd JOIN e eq ON cnd.query_id = eq.vec_id
+                          JOIN e ec ON cnd.cand_id = ec.vec_id),
+          rk2 AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "embed_drift_psi" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1320,49 +1391,14 @@ object AnnQueries extends Registry {
     // centroids, cell affinity floor(1e4*dot/(sqrt*sqrt)) on exact
     // integer dots, home cell = rank 1, queries probe rank <= 2, exact
     // integer-bp cosine top-5 on the probed candidates.
-    "ann_ivf_det_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                           embedding::DOUBLE[] AS v
-                    FROM embeddings),
-          d AS (SELECT vec_id, label, i - 1 AS dim,
-                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
-                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
-          cent AS (SELECT label, dim,
-                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
-                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
-                   FROM d GROUP BY 1, 2),
-          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
-          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
-          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
-                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
-          smc AS (SELECT vec_id, label,
-                    CASE WHEN nv > 0 AND nc > 0
-                      THEN CAST(floor(10000.0 * dot
-                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
-                      ELSE 0 END AS cell_bp
-                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
-          rkc AS (SELECT vec_id, label,
-                    row_number() OVER (PARTITION BY vec_id
-                      ORDER BY cell_bp DESC, label ASC) AS rk
-                  FROM smc),
-          home AS (SELECT vec_id AS cand_id, label AS cell
-                   FROM rkc WHERE rk = 1),
-          probes AS (SELECT vec_id AS query_id, label AS cell
-                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
-          cnd AS (SELECT DISTINCT query_id, cand_id
-                  FROM probes JOIN home USING (cell)
-                  WHERE query_id <> cand_id),
-          sc AS (SELECT query_id, cand_id,
-                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
-                     AS BIGINT) AS sim_bp
-                 FROM cnd JOIN e eq ON cnd.query_id = eq.vec_id
-                          JOIN e ec ON cnd.cand_id = ec.vec_id),
-          rk2 AS (SELECT query_id, cand_id, sim_bp,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
-                  FROM sc)
-          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
-          FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ann_ivf_det_topk" -> ivfDetTopKSql,
+
+    // The persisted-index serve path is output-identical to the inline
+    // det-IVF chain by construction (same integers through a parquet
+    // round trip) — the SAME replay checks that persist → load → serve
+    // loses nothing.
+    "ann_ivf_served_topk" -> ivfDetTopKSql,
+
 
     // Replays the det IVF-PQ composition end-to-end: the det-IVF cell
     // chain (integer centroids, home/probe ranks) restricts the

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann.IvfIndexRelations
+
+/** ANN index LIFECYCLE over [[VersionedStore]] — the missing piece
+  * between "ANN queries" and "an ANN system": a real 100 TB pipeline
+  * builds the index ONCE, persists it as a versioned artifact, and
+  * every later query batch LOADS a version instead of rebuilding the
+  * quantizer (the SDFS versioned-blob contract, sdfs.go:276-283,
+  * applied to index artifacts instead of raw files).
+  *
+  * An index version is two parquet relations written under one version
+  * number: `<name>_centroids/version=<v>` (the coarse quantizer —
+  * cell, dim, ci in integer micro-units) and `<name>_home/version=<v>`
+  * (the inverted-file routing table — id, cell). Each version is
+  * SELF-CONTAINED (the centroid relation is carried into every
+  * version, a few thousand rows of longs), so a reader pins one
+  * version number and gets a consistent snapshot with no delta
+  * reconstruction — the property that lets serve and ingest proceed
+  * concurrently. Versions are immutable once written; [[prune]] is the
+  * retention knob.
+  *
+  * Scale note on [[foldBatch]]: each trigger snapshots the FULL routing
+  * table (previous rows ∪ new assignments). At 1B vectors that is a
+  * ~16 GB parquet rewrite per version — the snapshot trade (serve
+  * reads exactly one version, zero reconstruction) over a delta log
+  * (cheaper writes, compaction machinery). For trigger intervals in
+  * minutes the snapshot write amortizes; a sub-second-trigger
+  * deployment would layer delta versions + periodic compaction on the
+  * same store contract.
+  */
+object AnnIndexStore {
+
+  private def centName(name: String) = s"${name}_centroids"
+  private def homeName(name: String) = s"${name}_home"
+
+  /** Versions present for BOTH relations, ascending — a version missing
+    * either half (e.g. a writer died between the two puts) is invisible
+    * to readers, which is what makes the two-file commit safe: the
+    * routing table is written first, the centroid half last, so a
+    * version becomes visible only complete. */
+  def versions(spark: SparkSession, store: VersionedStore,
+               name: String): Seq[Long] =
+    store.versions(spark, centName(name))
+      .intersect(store.versions(spark, homeName(name)))
+
+  /** Persist `index` as the next version; returns the version written.
+    * Write order: home first, centroids second (see [[versions]]). */
+  def persist(spark: SparkSession, store: VersionedStore, name: String,
+              index: IvfIndexRelations): Long = {
+    val v = versions(spark, store, name).lastOption.fold(0L)(_ + 1)
+    persistVersion(store, name, v, index)
+    v
+  }
+
+  /** Persist at an EXPLICIT version — idempotent per version (a
+    * replayed writer overwrites its own version), the exactly-once
+    * contract streaming folds rely on. */
+  def persistVersion(store: VersionedStore, name: String, v: Long,
+                     index: IvfIndexRelations): Unit = {
+    store.putVersion(homeName(name), v, index.home)
+    store.putVersion(centName(name), v, index.centroids)
+  }
+
+  /** Load the newest complete version. */
+  def load(spark: SparkSession, store: VersionedStore,
+           name: String): IvfIndexRelations = {
+    val vs = versions(spark, store, name)
+    require(vs.nonEmpty, s"no complete versions of index $name")
+    loadVersion(spark, store, name, vs.last)
+  }
+
+  /** Load one pinned version — consistent-snapshot reads while newer
+    * versions land. */
+  def loadVersion(spark: SparkSession, store: VersionedStore,
+                  name: String, v: Long): IvfIndexRelations =
+    IvfIndexRelations(
+      store.getVersion(spark, centName(name), v),
+      store.getVersion(spark, homeName(name), v))
+
+  /** Retention: keep the newest `keep` complete versions, delete the
+    * rest (both halves). */
+  def prune(spark: SparkSession, store: VersionedStore, name: String,
+            keep: Int): Unit =
+    versions(spark, store, name).dropRight(keep).foreach { v =>
+      // centroid half first: a reader lists complete versions only, so
+      // deleting in reverse write order keeps every surviving version
+      // complete at all times
+      store.deleteVersion(spark, centName(name), v)
+      store.deleteVersion(spark, homeName(name), v)
+    }
+
+  /** foreachBatch body for STREAMING index maintenance: micro-batch `b`
+    * of [[graft.streaming.AnnIngest.assignCells]] output folds into
+    * index version `baseVersion + 1 + b` = (previous routing rows ∪
+    * this batch's assignments, quantizer carried forward). Version
+    * arithmetic is driven by Spark's checkpointed batchId, so a
+    * replayed batch recomputes FROM VERSIONS BEFORE ITS OWN and
+    * overwrites itself — exactly-once index versions on top of
+    * at-least-once batch delivery. `centroids` is the static quantizer
+    * the assignments were routed against (the plane's relation form).
+    *
+    *   AnnIngest.assignCells(vecs, plane, lateness).toDF()
+    *     .writeStream.foreachBatch(
+    *        AnnIndexStore.foldBatch(store, "ivf", centRel, v0) _)
+    */
+  def foldBatch(store: VersionedStore, name: String,
+                centroids: DataFrame, baseVersion: Long)
+               (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = baseVersion + 1 + batchId
+    val newHome = batch.select(col("vec_id").as("id"), col("cell"))
+      .distinct()
+    val prev = versions(spark, store, name).filter(_ < v).lastOption
+    val merged = prev match {
+      // distinct over the union: a vector re-delivered ACROSS versions
+      // (outside the ingest watermark) routes to the same cell against
+      // the static plane, so its row is identical and collapses
+      case Some(pv) =>
+        store.getVersion(spark, homeName(name), pv)
+          .unionByName(newHome).distinct()
+      case None => newHome
+    }
+    persistVersion(store, name, v, IvfIndexRelations(centroids, merged))
+  }
+}

@@ -63,6 +63,19 @@ final case class VersionedStore(root: String) {
     spark.read.parquet(versionPath(name, vs.last).toString)
   }
 
+  /** Read one explicit version (the pinned-version `get` a reader uses
+    * to stay on a consistent snapshot while newer versions land). */
+  def getVersion(spark: SparkSession, name: String, v: Long): DataFrame = {
+    val p = versionPath(name, v)
+    require(fs(spark).exists(p), s"no version $v of $name under $root")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Delete one version (retention pruning — keep the newest K index
+    * snapshots, drop the rest; the SDFS delete applied per-version). */
+  def deleteVersion(spark: SparkSession, name: String, v: Long): Boolean =
+    fs(spark).delete(versionPath(name, v), true)
+
   /** Read the newest `n` versions, each row tagged with its version —
     * the SDFS `get-versions` (sdfs.go:178-207: newest-first, clamped,
     * version-prefixed). */

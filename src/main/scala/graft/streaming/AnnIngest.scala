@@ -69,21 +69,39 @@ object AnnIngest {
     require(k > 0 && nprobe > 0, s"bad k=$k / nprobe=$nprobe")
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val cells = plane.sortBy(_.cell)
-    val e = corpus.select(col(idCol).cast("long").as("cand_id"),
-      col(vecCol).cast("array<double>").as("cv"),
-      col(labelCol).cast("long").as("label"))
     // materialize the static index ONCE at topology build: a
     // stream-static join re-executes the static side every micro-batch,
     // and the home-cell derivation is a multi-stage windowed DAG —
     // recomputing it per batch made retrieval batch-planning-bound
     // (measured ~5x on the StreamBench band). localCheckpoint truncates
     // the lineage to the materialized blocks, exactly the Memo pattern.
+    val e = corpus.select(col(idCol).cast("long").as("cand_id"),
+      col(vecCol).cast("array<double>").as("cv"))
     val home = graft.operators.Ann
       .ivfDetHomeCells(corpus, idCol, vecCol, labelCol)
       .select(col(idCol).cast("long").as("cand_id"), col("cell"))
-      .join(e.select("cand_id", "cv"), "cand_id")
+      .join(e, "cand_id")
       .localCheckpoint(eager = true)
+    probeTopKFrom(queries, home, plane, k, nprobe, windowLen, lateness)
+  }
+
+  /** [[probeTopK]] against an ALREADY-BUILT (cand_id, cell, cv) probe
+    * relation — the serve-from-PERSISTED-index path: a retrieval tier
+    * loads a pinned index version (AnnIndexStore), joins the routing
+    * table to the corpus vectors once at topology build, and every
+    * micro-batch of queries probes that static relation. Nothing about
+    * the index is recomputed per batch; a new index version means
+    * restarting the topology against the new load — versions are
+    * immutable, the topology pins one. */
+  def probeTopKFrom(queries: Dataset[VecIn], home: DataFrame,
+                    plane: Array[CentroidCell], k: Int, nprobe: Int = 2,
+                    windowLen: String = "1 minute", lateness: String)
+                   (implicit spark: SparkSession): DataFrame = {
+    require(plane.nonEmpty, "empty centroid plane")
+    require(k > 0 && nprobe > 0, s"bad k=$k / nprobe=$nprobe")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cells = plane.sortBy(_.cell)
     val probes = queries.flatMap { v =>
       val xi = new Array[Long](v.embedding.length)
       var nv = 0L

@@ -282,7 +282,60 @@ object StreamBench {
         ("ann_probe_topk", qTotal / ((System.nanoTime() - t1) / 1e9),
           qTotal)
       }
-      Seq(assignBand, probeBand)
+
+      // serve-from-PERSISTED band: the retrieval tier's real topology —
+      // the index is built offline, persisted as a version
+      // (AnnIndexStore), and the serving query LOADS it (quantizer →
+      // plane, routing table → probe relation) instead of deriving the
+      // home cells at topology build. Same probe/score/top-k plan as
+      // ann_probe_topk; the delta between the two bands is exactly the
+      // index-derivation cost a persisted index removes.
+      val servedBand = {
+        val emb01 = graft.core.Tables
+          .embeddings(spark, "/root/testdata/sf0.001")
+        val storeTmp = Files.createTempDirectory("streambench_annidx")
+        val store = VersionedStore(storeTmp.toString)
+        val built = graft.operators.Ann.buildDetIvfIndex(
+          emb01, "vec_id", "embedding", "label")
+        graft.sources.AnnIndexStore.persist(spark, store, "ivf", built)
+        val loaded = graft.sources.AnnIndexStore.load(spark, store, "ivf")
+        val servePlane = graft.operators.Ann
+          .detIvfCentroidPlaneOf(loaded.centroids)
+        val home = loaded.home
+          .select(org.apache.spark.sql.functions.col("id").as("cand_id"),
+            org.apache.spark.sql.functions.col("cell"))
+          .join(emb01.select(
+            org.apache.spark.sql.functions.col("vec_id").as("cand_id"),
+            org.apache.spark.sql.functions.col("embedding")
+              .cast("array<double>").as("cv")), "cand_id")
+          .localCheckpoint(true)
+        val qIn = MemoryStream[graft.streaming.AnnIngest.VecIn]
+        val qOut = graft.streaming.AnnIngest.probeTopKFrom(qIn.toDS(),
+          home, servePlane, k = 5, lateness = "1 minute")
+        val qTmp = Files.createTempDirectory("streambench_annsrv").toString
+        val qq = qOut.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$qTmp/ckpt").start()
+        val qCopies = math.max(1, copies / 8)
+        val qTotal = qCopies.toLong * embs.length
+        val t1 = System.nanoTime()
+        try {
+          var i = 0
+          while (i < qCopies) {
+            val off = i.toLong * 10000000L
+            qIn.addData(embs.zipWithIndex.map { case ((id, v), j) =>
+              graft.streaming.AnnIngest.VecIn(id + off,
+                new java.sql.Timestamp(86400000L + j * 100L), v)
+            }.toSeq)
+            i += 1
+          }
+          qIn.addData(graft.streaming.AnnIngest.VecIn(-1L,
+            new java.sql.Timestamp(86400000L * 30), embs.head._2))
+          qq.processAllAvailable()
+        } finally qq.stop()
+        ("ann_serve_persisted", qTotal / ((System.nanoTime() - t1) / 1e9),
+          qTotal)
+      }
+      Seq(assignBand, probeBand, servedBand)
     }
 
     val apps = (results.map { case (label, rate, total, _) =>

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.Ann
+import graft.streaming.AnnIngest
+
+/** ANN index lifecycle (AnnIndexStore over VersionedStore): build once,
+  * persist versioned, load, serve; streaming assignments fold into new
+  * exactly-once versions that serve identically to the batch index. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def tmpStore(tag: String) = VersionedStore(
+    java.nio.file.Files.createTempDirectory(s"ann_idx_$tag").toString)
+
+  private def topkRows(df: DataFrame): Seq[(Long, Long, Long, Long)] =
+    df.collect().toSeq.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("persist -> load -> serve reproduces the inline det-IVF top-k " +
+      "bit-for-bit") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("serve")
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    val v = AnnIndexStore.persist(spark, store, "ivf", built)
+    v shouldBe 0L
+    AnnIndexStore.versions(spark, store, "ivf") shouldBe Seq(0L)
+    val loaded = AnnIndexStore.load(spark, store, "ivf")
+    val served = topkRows(Ann.ivfIndexTopK(loaded, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, k = 5))
+    val inline = topkRows(Ann.ivfDetTopK(embs, "vec_id", "embedding",
+      "label", col("id") % 50 === 0, k = 5))
+    served shouldBe inline
+    // the loaded routing table IS the batch home-cell relation
+    val home = loaded.home.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Ann.ivfDetHomeCells(embs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    home shouldBe batch
+  }
+
+  test("versions auto-increment; load pins the newest complete one; " +
+      "prune keeps the newest K") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("vers")
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    AnnIndexStore.persist(spark, store, "ivf", built) shouldBe 0L
+    AnnIndexStore.persist(spark, store, "ivf", built) shouldBe 1L
+    AnnIndexStore.persist(spark, store, "ivf", built) shouldBe 2L
+    AnnIndexStore.versions(spark, store, "ivf") shouldBe Seq(0L, 1L, 2L)
+    AnnIndexStore.prune(spark, store, "ivf", keep = 2)
+    AnnIndexStore.versions(spark, store, "ivf") shouldBe Seq(1L, 2L)
+    // a version missing one half is invisible (two-file commit safety)
+    store.putVersion("ivf_home", 9L, built.home)
+    AnnIndexStore.versions(spark, store, "ivf") shouldBe Seq(1L, 2L)
+    val loaded = AnnIndexStore.load(spark, store, "ivf")
+    loaded.home.count() shouldBe built.home.count()
+  }
+
+  test("streaming assignments fold into exactly-once index versions " +
+      "and the folded newest version serves identically to the batch " +
+      "index") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    // the ingest plane comes from the PERSISTED quantizer relation —
+    // the load-once, ship-as-metadata path (never rebuilt per batch)
+    val store = tmpStore("fold")
+    val plane = Ann.detIvfCentroidPlaneOf(built.centroids)
+    val rows = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    def ts(i: Int) = new Timestamp(86400000L + i * 1000L)
+
+    val in = MemoryStream[AnnIngest.VecIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_fold_ck")
+    val q = AnnIngest.assignCells(in.toDS(), plane, lateness = "10 minutes")
+      .toDF().writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AnnIndexStore.foldBatch(store, "ivf", built.centroids,
+          baseVersion = -1L)(batch, batchId)
+      }
+      .start()
+    try {
+      in.addData(half1.zipWithIndex.map { case ((id, v), i) =>
+        AnnIngest.VecIn(id, ts(i), v) }.toSeq)
+      q.processAllAvailable()
+      val midVersions = AnnIndexStore.versions(spark, store, "ivf")
+      midVersions should not be empty
+      // second batch arrives WITH a re-delivery of a first-half id —
+      // the folded relation must still hold exactly one row per vector
+      in.addData((half2 :+ half1.head).zipWithIndex.map { case ((id, v), i) =>
+        AnnIngest.VecIn(id, ts(half1.length + i), v) }.toSeq)
+      q.processAllAvailable()
+      AnnIndexStore.versions(spark, store, "ivf").size should be >
+        midVersions.size
+    } finally q.stop()
+
+    val folded = AnnIndexStore.load(spark, store, "ivf")
+    val foldedHome = folded.home.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchHome = Ann.ivfDetHomeCells(embs, "vec_id", "embedding",
+      "label").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    foldedHome.size shouldBe rows.length // exactly once per vector
+    foldedHome shouldBe batchHome
+    // and the folded version SERVES: same top-k as the inline chain
+    val served = topkRows(Ann.ivfIndexTopK(folded, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, k = 5))
+    val inline = topkRows(Ann.ivfDetTopK(embs, "vec_id", "embedding",
+      "label", col("id") % 50 === 0, k = 5))
+    served shouldBe inline
+  }
+}
