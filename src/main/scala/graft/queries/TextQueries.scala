@@ -12,6 +12,11 @@ import graft.operators.Corpus
   */
 object TextQueries extends Registry {
 
+  /** Generation-time deflate ground truth (tools/GenDeflateTruth) —
+    * the checked-in fixture the text_compression_ratio oracle joins. */
+  private val deflateTruth = sys.env.getOrElse("GRAFT_DEFLATE_TRUTH",
+    "/root/repo/data/deflate/expected.parquet")
+
   val defs: Map[String, QueryFn] = Map(
     // Feature hashing (the hashing trick, Weinberger et al. 2009):
     // project each source's bag-of-words into a FIXED 64-dim signed
@@ -554,9 +559,12 @@ object TextQueries extends Registry {
         .orderBy("source")
     }),
 
-    // Compression-ratio quality filter (Corpus.deflateRatio). No SQL
-    // oracle — deflate output is implementation-defined — so the driver
-    // records rows-only; CorpusSpec asserts the structural properties.
+    // Compression-ratio quality filter (Corpus.deflateRatio). Deflate
+    // output is implementation-defined — no SQL replay — so the oracle
+    // is GENERATION-TIME ground truth: expected sizes pinned beside the
+    // corpus by tools/GenDeflateTruth through an independent
+    // single-shot codec path, joined by md5(text). CorpusSpec asserts
+    // the structural properties and the fixture's freshness.
     "text_compression_ratio" -> ((s, d) =>
       graft.operators.Corpus.deflateRatio(
         Tables.documents(s, d), "doc_id", "text")),
@@ -1400,6 +1408,25 @@ object TextQueries extends Registry {
                        AS DOUBLE) / count(*), 4) AS oov_rate
           FROM t LEFT JOIN v ON t.term = v.term
           GROUP BY source ORDER BY source""",
+
+    // Generation-time ground truth (the r10 JPEG-oracle pattern):
+    // deflate sizes are implementation-defined, so the expected bytes
+    // were pinned ONCE beside the corpus by tools/GenDeflateTruth
+    // (through an INDEPENDENT single-shot DeflaterOutputStream path)
+    // and the oracle joins them by md5(text). Digest-keyed so a
+    // regenerated corpus drops join rows and fails the row-count check
+    // loudly instead of comparing stale sizes.
+    "text_compression_ratio" ->
+      s"""SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                 CAST(f.raw_bytes AS BIGINT) AS raw_bytes,
+                 CAST(f.deflate_bytes AS BIGINT) AS deflate_bytes,
+                 round(CAST(f.deflate_bytes AS DOUBLE)
+                       / greatest(CAST(f.raw_bytes AS DOUBLE), 1.0), 4)
+                   AS ratio
+          FROM documents d
+          JOIN read_parquet('$deflateTruth/*.parquet') f
+            ON md5(d.text) = f.text_md5
+          ORDER BY doc_id""",
 
     "text_pii_scrub" ->
       """WITH dirty AS (

@@ -259,6 +259,40 @@ class CorpusSpec extends SparkSpec {
     again shouldBe got.map { case (k, v) => (k, v._2) }
   }
 
+  test("deflate generation-time truth fixture: covers every document " +
+      "at all three SFs and matches a live recompute") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val truthPath = sys.env.getOrElse("GRAFT_DEFLATE_TRUTH",
+      "/root/repo/data/deflate/expected.parquet")
+    val truth = spark.read.parquet(truthPath)
+    // coverage: a regenerated corpus (different texts) must fail HERE
+    // with a regen hint, before the oracle join silently drops rows
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val missing = graft.core.Tables
+        .documents(spark, s"/root/testdata/$sf")
+        .select(md5(col("text")).as("text_md5"))
+        .join(truth, Seq("text_md5"), "left_anti")
+        .count()
+      assert(missing == 0L, s"$sf: $missing documents not in the " +
+        "deflate truth fixture — TESTDATA changed; re-run " +
+        "`sbt \"runMain graft.tools.GenDeflateTruth\"`")
+    }
+    // freshness: the ENGINE path (reused Deflater, reset/finish loop)
+    // must agree with the fixture's independent single-shot
+    // DeflaterOutputStream path on the full sf0.001 corpus — the same
+    // parity the DuckDB oracle checks, failing fast in sbt test
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val live = Corpus.deflateRatio(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), md5(col("text")).as("text_md5")),
+        "doc_id")
+    val drift = live.join(truth.withColumnRenamed("deflate_bytes",
+        "expected_bytes").select("text_md5", "expected_bytes"),
+        "text_md5")
+      .filter(col("deflate_bytes") =!= col("expected_bytes"))
+      .count()
+    drift shouldBe 0L
+  }
+
   test("bm25Retrieve: no broadcast hint on corpus-proportional relations") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, LogicalPlan, ResolvedHint}
