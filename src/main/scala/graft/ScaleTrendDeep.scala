@@ -409,7 +409,8 @@ object ScaleTrendDeep {
       // be the decade's cost, not the plan's). Query set stays the
       // ladder convention (id % 50 == 0, so 40k queries — per-query
       // cost is the honest read, as in the 200k-rung analysis).
-      if (wanted("ann_ivf_det_topk")) {
+      if (wanted("ann_ivf_det_topk") ||
+          wanted("ann_ivf_pq_residual_det_topk")) {
         val m200k = materializedDir("/tmp/graft_deep_emb_100x",
           s"embNx:n=100:idOff=10000000:perturb=31-7-0.03:src=$sf01:v=1") {
           dir =>
@@ -426,20 +427,43 @@ object ScaleTrendDeep {
                 - lit(0.04f)).as("embedding"),
             col("label"))
         }.reduce(_ unionByName _)
-        spark.catalog.clearCache()
-        System.gc()
-        val emIn = emb2m
-        val nEmIn = emIn.count()
-        // production axis: the query COUNT stays fixed while the corpus
-        // grows a decade (id % 500 at 2M ≈ the 4k queries id % 50 gave
-        // at 200k), per the 200k-rung per-query analysis — scaling the
-        // query set WITH the corpus would measure two axes at once
-        val (emSecs, nEmOut) = timed(
-          Ann.ivfDetTopK(emIn, "vec_id", "embedding", "label",
-            col("id") % 500 === 0, k = 5).count())
-        val emRow = f"| ann_ivf_det_topk | emb_2m(4k queries) | $nEmIn | $emSecs%.2f | $nEmOut |"
-        println(emRow)
-        sb.append(emRow).append('\n')
+        if (wanted("ann_ivf_det_topk")) {
+          spark.catalog.clearCache()
+          System.gc()
+          val emIn = emb2m
+          val nEmIn = emIn.count()
+          // production axis: the query COUNT stays fixed while the corpus
+          // grows a decade (id % 500 at 2M ≈ the 4k queries id % 50 gave
+          // at 200k), per the 200k-rung per-query analysis — scaling the
+          // query set WITH the corpus would measure two axes at once
+          val (emSecs, nEmOut) = timed(
+            Ann.ivfDetTopK(emIn, "vec_id", "embedding", "label",
+              col("id") % 500 === 0, k = 5).count())
+          val emRow = f"| ann_ivf_det_topk | emb_2m(4k queries) | $nEmIn | $emSecs%.2f | $nEmOut |"
+          println(emRow)
+          sb.append(emRow).append('\n')
+        }
+        // residual IVF-PQ decade parity (r10 verdict #6): the residual
+        // ladder previously stopped at 200k while plain det-IVF reached
+        // 2M. Same constant-query axis: a 200k rung at id % 50 (4k
+        // queries) anchors the decade, then 2M at id % 500 (4k queries)
+        // — exponent reads corpus growth alone.
+        if (wanted("ann_ivf_pq_residual_det_topk")) {
+          def resRung(label: String, e: DataFrame, mod: Int): Unit = {
+            spark.catalog.clearCache()
+            System.gc()
+            val nIn = e.count()
+            val (secs, nOut) = timed(
+              Ann.ivfPqResidualDetTopK(e, "vec_id", "embedding", "label",
+                col("id") % mod === 0, k = 5).count())
+            val row = f"| ann_ivf_pq_residual_det_topk | $label | $nIn | $secs%.2f | $nOut |"
+            println(row)
+            sb.append(row).append('\n')
+          }
+          resRung("emb_200k(4k queries)",
+            spark.read.parquet(s"$m200k/embeddings.parquet"), 50)
+          resRung("emb_2m(4k queries)", emb2m, 500)
+        }
       }
 
       // facts family third decade: 60,000,000 lineitem rows through the

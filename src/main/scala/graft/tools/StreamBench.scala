@@ -338,9 +338,57 @@ object StreamBench {
       Seq(assignBand, probeBand, servedBand)
     }
 
+    // ---- maintained near-dup ingest: corpusIngestIncremental's gates
+    // + exact dedup in the streaming graph, then per-trigger band-
+    // collision filtering against the PERSISTED MinHash index with the
+    // survivors' signatures appended as a new index version
+    // (NearDupIngest). docs/s includes the index read+rewrite — the
+    // real per-trigger cost of keeping the dedup index fresh.
+    val nearDupBand = {
+      implicit val sp: SparkSession = spark
+      import spark.implicits._
+      val docs = graft.core.Tables
+        .documents(spark, "/root/testdata/sf0.001")
+      val offline = docs.filter(
+        org.apache.spark.sql.functions.col("doc_id") < 100)
+      val arriving = docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") >= 100)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      val tmp = Files.createTempDirectory("streambench_neardup")
+      val store = VersionedStore(s"$tmp/store")
+      graft.streaming.NearDupIngest.seed(spark, store, "corpus", offline,
+        "doc_id", "text")
+      val corpusFps = offline.select(graft.functions.TextFunctions
+        .fingerprint(org.apache.spark.sql.functions.col("text")).as("fp"))
+      val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = graft.streaming.NearDupIngest.start(
+        in.toDF().toDF("doc_id", "ts", "text"), corpusFps, store,
+        "corpus", "ts", "doc_id", "text", s"$tmp/ckpt",
+        lateness = "10 minutes")
+      val nCopies = math.max(1, copies / 8)
+      val total = nCopies.toLong * arriving.length
+      val t0 = System.nanoTime()
+      try {
+        var i = 0
+        while (i < nCopies) {
+          val off = i.toLong * 10000000L
+          in.addData(arriving.zipWithIndex.map { case ((id, t), j) =>
+            (id + off, new java.sql.Timestamp(86400000L + j * 100L),
+              // fresh ids AND fresh bodies per copy (suffix token) so
+              // the maintained index genuinely grows each trigger
+              t + s" copymark$i")
+          }.toSeq)
+          i += 1
+        }
+        q.processAllAvailable()
+      } finally q.stop()
+      ("neardup_ingest_maintained",
+        total / ((System.nanoTime() - t0) / 1e9), total)
+    }
+
     val apps = (results.map { case (label, rate, total, _) =>
       f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" } ++
-      (evResults ++ mediaResults ++ annResults).map {
+      (evResults ++ mediaResults ++ annResults :+ nearDupBand).map {
         case (label, rate, total) =>
           f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
       .mkString(",")
