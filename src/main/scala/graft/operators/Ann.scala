@@ -646,6 +646,86 @@ object Ann {
     ivfExactTopKTail(cand, e, queryPred, k)
   }
 
+  /** The det IVF-PQ index as its FOUR persistable relations — the
+    * complete FAISS IVFPQ serialization: coarse quantizer + routing
+    * table ([[IvfIndexRelations]]) plus the PQ codebook (cw, j, dim,
+    * ci) and the per-vector code words (id, codes). Codes are the
+    * memory-bound payload a PQ index exists to shrink: 8 longs per
+    * vector here versus 64 floats of raw data. */
+  final case class IvfPqIndexRelations(centroids: DataFrame,
+                                       home: DataFrame,
+                                       codebook: DataFrame,
+                                       codes: DataFrame)
+
+  /** Build the det IVF-PQ index relations once (train + encode + add).
+    * Same integer arithmetic as [[ivfPqDetTopK]]'s inline chain. */
+  def buildDetIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String,
+                         ks: Int = 16): IvfPqIndexRelations = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = detDims(e)
+    val cent = detIvfCentroids(dims)
+    val home = detIvfCellRanksFrom(dims, cent)
+      .filter(col("rk") === 1)
+      .select(col("id"), col("label").as("cell"))
+    val cb = detPqCodebook(e.select("id", "v"), ks)
+    val ssd = detPqSsdFrom(detPqDims(e.select("id", "v")), cb)
+    val codes = ssd
+      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
+        .orderBy(col("ssd").asc, col("cw").asc)))
+      .filter(col("rk") === 1)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cw)))," +
+        " s -> s.cw)").as("codes"))
+    IvfPqIndexRelations(
+      cent.select(col("label").as("cell"), col("dim"), col("ci")),
+      home, cb, codes)
+  }
+
+  /** Serve IVF-PQ top-k from an ALREADY-BUILT index: probe cells from
+    * the loaded coarse quantizer, candidate codes from the loaded code
+    * relation, the query's ADC LUT from the loaded CODEBOOK (the only
+    * per-query quantizer work — ks × subspace distances), exact
+    * integer-bp rerank of the ADC shortlist. Output-identical to
+    * [[ivfPqDetTopK]] by construction — per-id probe ranks, code
+    * assignments, and LUT entries are all independent per id, so
+    * computing the query side alone against the persisted relations
+    * reproduces the inline rank-everything chain bit-for-bit. */
+  def ivfPqIndexTopK(index: IvfPqIndexRelations, embs: DataFrame,
+                     idCol: String, vecCol: String, queryPred: Column,
+                     k: Int, nprobe: Int = 2,
+                     shortlist: Int = 32): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = e.filter(queryPred)
+    val qdims = q
+      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+    val cent = index.centroids
+      .select(col("cell").as("label"), col("dim"), col("ci"))
+    val probes = detIvfCellRanksFrom(qdims, cent)
+      .filter(col("rk") <= nprobe)
+      .select(col("id").as("query_id"), col("label").as("cell"))
+    val cand = probes
+      .join(index.home.select(col("id").as("cand_id"), col("cell")),
+        "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val qlutW = detPqSsdFrom(detPqDims(q), index.codebook)
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
+        " s -> s.ssd)").as("lut"))
+      .select(col("id").as("query_id"), col("lut"))
+    val pairsAdc = cand
+      .join(index.codes.select(col("id").as("cand_id"), col("codes")),
+        "cand_id")
+      .join(broadcast(qlutW), "query_id")
+      .select(col("query_id"), col("cand_id"), adcColumn.as("adc"))
+    exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
+  }
+
   /** The det-IVF index's HOME-CELL relation, exposed as its own
     * operator: every vector's rank-1 cell under the integer-exact
     * affinity ranking [[ivfDetTopK]] builds on. The relation a vector
@@ -997,24 +1077,40 @@ object Ann {
     * codebook is the first `ks` vectors in md5("pq:"+id) order — a
     * deterministic pseudo-random sample any engine recomputes. Shared
     * by [[pqDetTopK]] and [[ivfPqDetTopK]]. */
-  private def detPqSsd(e: DataFrame, ks: Int): DataFrame = {
-    val dims = e
-      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("id"), col("dim"), expr("dim DIV 8").as("j"),
-        floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+  private def detPqSsd(e: DataFrame, ks: Int): DataFrame =
+    detPqSsdFrom(detPqDims(e), detPqCodebook(e, ks))
+
+  /** Micro-unit sub-vector dims of (id, v): (id, dim, j, xi) with
+    * 8-wide subspaces — shared by the inline det-PQ chain and the
+    * persisted-index serve path (query-side LUT build). */
+  private def detPqDims(e: DataFrame): DataFrame = e
+    .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
+    .select(col("id"), col("dim"), expr("dim DIV 8").as("j"),
+      floor(col("x") * 1000000.0 + 0.5).cast("long").as("xi"))
+
+  /** The det-PQ CODEBOOK relation (cw, j, dim, ci): sub-vectors of the
+    * `ks` corpus vectors with the smallest md5("pq:" id) rank — the
+    * persistable quantizer half of the PQ index (ks × dims rows of
+    * longs, pure index metadata). */
+  private[graft] def detPqCodebook(e: DataFrame, ks: Int): DataFrame = {
+    val dims = detPqDims(e)
     val seeds = e.select(col("id"))
       .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
       .orderBy(col("r"), col("id")).limit(ks)
       .withColumn("cw", row_number().over(Window.orderBy("r", "id"))
         .cast("long"))
       .select("id", "cw")
-    val cb = dims.join(broadcast(seeds), "id")
+    dims.join(broadcast(seeds), "id")
       .select(col("cw"), col("j"), col("dim"), col("xi").as("ci"))
+  }
+
+  /** ssd(id, j, cw) of sub-vector dims against a codebook relation —
+    * freshly built or LOADED from a persisted index version. */
+  private def detPqSsdFrom(dims: DataFrame, cb: DataFrame): DataFrame =
     dims.join(broadcast(cb), Seq("j", "dim"))
       .groupBy("id", "j", "cw")
       .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci")))
         .as("ssd"))
-  }
 
   /** Per-candidate code-word vector (codes[j] = the j-th subspace's
     * argmin-ssd codeword, j-ascending) and per-query flattened ADC LUT

@@ -254,6 +254,29 @@ object AnnQueries extends Registry {
       Ann.ivfPqDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", col("id") % 50 === 0, k = 5)),
 
+    // The FULL index lifecycle for the flagship two-level index: all
+    // four FAISS-IVFPQ artifacts (coarse quantizer, routing table, PQ
+    // codebook, per-vector codes) persisted as one version, loaded
+    // back, and served — the only per-query quantizer work is the
+    // query's own ADC LUT against the LOADED codebook. Shares
+    // ann_ivf_pq_det_topk's oracle: the hash proves the round trip
+    // loses nothing.
+    "ann_ivf_pq_served_topk" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val store = graft.sources.VersionedStore(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ann_store_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(d.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12))
+      val built = Ann.buildDetIvfPqIndex(embs, "vec_id", "embedding",
+        "label")
+      graft.sources.AnnIndexStore.persistPq(s, store, "ivfpq", built)
+      graft.sources.AnnIndexStore.prunePq(s, store, "ivfpq", keep = 3)
+      val loaded = graft.sources.AnnIndexStore.loadPq(s, store, "ivfpq")
+      Ann.ivfPqIndexTopK(loaded, embs, "vec_id", "embedding",
+        col("id") % 50 === 0, k = 5)
+    }),
+
     // The residual-encoding construction (the actual FAISS IVF-PQ):
     // vectors PQ-coded as integer residuals against their home-cell
     // centroid, one ADC LUT per (query, probed cell). Hash-checked like
@@ -1214,6 +1237,86 @@ object AnnQueries extends Registry {
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** The det IVF-PQ end-to-end replay, shared verbatim by
+    * ann_ivf_pq_det_topk and ann_ivf_pq_served_topk (the serve path
+    * is output-identical by construction). */
+  private val ivfPqDetTopKSql: String =
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, label, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent AS (SELECT label, dim,
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
+                   FROM d GROUP BY 1, 2),
+          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
+                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
+          smc AS (SELECT vec_id, label,
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cell_bp
+                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
+          rkc AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cell_bp DESC, label ASC) AS rk
+                  FROM smc),
+          home AS (SELECT vec_id AS cand_id, label AS cell
+                   FROM rkc WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, label AS cell
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+          cnd AS (SELECT DISTINCT query_id, cand_id
+                  FROM probes JOIN home USING (cell)
+                  WHERE query_id <> cand_id),
+          pd AS (SELECT vec_id, dim // 8 AS j, dim, xi FROM d),
+          seeds AS (SELECT vec_id,
+                      CAST(row_number() OVER (
+                        ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id)
+                        AS BIGINT) AS cw
+                    FROM e
+                    ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id
+                    LIMIT 16),
+          cb AS (SELECT cw, j, dim, xi AS ci
+                 FROM pd JOIN seeds USING (vec_id)),
+          ssd AS (SELECT pd.vec_id, pd.j, cb.cw,
+                    sum((xi - ci) * (xi - ci)) AS ssd
+                  FROM pd JOIN cb ON pd.j = cb.j AND pd.dim = cb.dim
+                  GROUP BY 1, 2, 3),
+          codes AS (SELECT vec_id AS cand_id, j, cw FROM (
+                      SELECT vec_id, j, cw,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY ssd ASC, cw ASC) AS rk
+                      FROM ssd) x WHERE rk = 1),
+          qlut AS (SELECT vec_id AS query_id, j, cw, ssd AS lut
+                   FROM ssd WHERE vec_id % 50 = 0),
+          adc AS (SELECT c.query_id, c.cand_id,
+                    CAST(sum(lut) AS BIGINT) AS adc
+                  FROM cnd c
+                  JOIN codes ON c.cand_id = codes.cand_id
+                  JOIN qlut ON c.query_id = qlut.query_id
+                           AND codes.j = qlut.j AND codes.cw = qlut.cw
+                  GROUP BY 1, 2),
+          sh AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc ASC, cand_id ASC) AS srk
+                   FROM adc) x WHERE srk <= 32),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
+                         JOIN e ec ON sh.cand_id = ec.vec_id),
+          rkp AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val oracles: Map[String, String] = Map(
     "embed_drift_psi" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1406,82 +1509,13 @@ object AnnQueries extends Registry {
     // ssd) assigns codes and builds each query's ADC LUT, the ADC sum
     // runs over probed candidates only, and the shortlist reranks by
     // exact integer-bp cosine.
-    "ann_ivf_pq_det_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-                           embedding::DOUBLE[] AS v
-                    FROM embeddings),
-          d AS (SELECT vec_id, label, i - 1 AS dim,
-                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
-                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
-          cent AS (SELECT label, dim,
-                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
-                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
-                   FROM d GROUP BY 1, 2),
-          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
-          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
-          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
-                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
-          smc AS (SELECT vec_id, label,
-                    CASE WHEN nv > 0 AND nc > 0
-                      THEN CAST(floor(10000.0 * dot
-                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
-                      ELSE 0 END AS cell_bp
-                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
-          rkc AS (SELECT vec_id, label,
-                    row_number() OVER (PARTITION BY vec_id
-                      ORDER BY cell_bp DESC, label ASC) AS rk
-                  FROM smc),
-          home AS (SELECT vec_id AS cand_id, label AS cell
-                   FROM rkc WHERE rk = 1),
-          probes AS (SELECT vec_id AS query_id, label AS cell
-                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
-          cnd AS (SELECT DISTINCT query_id, cand_id
-                  FROM probes JOIN home USING (cell)
-                  WHERE query_id <> cand_id),
-          pd AS (SELECT vec_id, dim // 8 AS j, dim, xi FROM d),
-          seeds AS (SELECT vec_id,
-                      CAST(row_number() OVER (
-                        ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id)
-                        AS BIGINT) AS cw
-                    FROM e
-                    ORDER BY md5('pq:' || vec_id::VARCHAR), vec_id
-                    LIMIT 16),
-          cb AS (SELECT cw, j, dim, xi AS ci
-                 FROM pd JOIN seeds USING (vec_id)),
-          ssd AS (SELECT pd.vec_id, pd.j, cb.cw,
-                    sum((xi - ci) * (xi - ci)) AS ssd
-                  FROM pd JOIN cb ON pd.j = cb.j AND pd.dim = cb.dim
-                  GROUP BY 1, 2, 3),
-          codes AS (SELECT vec_id AS cand_id, j, cw FROM (
-                      SELECT vec_id, j, cw,
-                        row_number() OVER (PARTITION BY vec_id, j
-                          ORDER BY ssd ASC, cw ASC) AS rk
-                      FROM ssd) x WHERE rk = 1),
-          qlut AS (SELECT vec_id AS query_id, j, cw, ssd AS lut
-                   FROM ssd WHERE vec_id % 50 = 0),
-          adc AS (SELECT c.query_id, c.cand_id,
-                    CAST(sum(lut) AS BIGINT) AS adc
-                  FROM cnd c
-                  JOIN codes ON c.cand_id = codes.cand_id
-                  JOIN qlut ON c.query_id = qlut.query_id
-                           AND codes.j = qlut.j AND codes.cw = qlut.cw
-                  GROUP BY 1, 2),
-          sh AS (SELECT query_id, cand_id FROM (
-                   SELECT query_id, cand_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY adc ASC, cand_id ASC) AS srk
-                   FROM adc) x WHERE srk <= 32),
-          sc AS (SELECT query_id, cand_id,
-                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
-                     AS BIGINT) AS sim_bp
-                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
-                         JOIN e ec ON sh.cand_id = ec.vec_id),
-          rkp AS (SELECT query_id, cand_id, sim_bp,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
-                  FROM sc)
-          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
-          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ann_ivf_pq_det_topk" -> ivfPqDetTopKSql,
+
+    // The persisted-index IVF-PQ serve path is output-identical to the
+    // inline det chain (quantizer, routing table, codebook, and codes
+    // all round-trip as exact longs) — the SAME replay checks that
+    // persist -> load -> serve loses nothing.
+    "ann_ivf_pq_served_topk" -> ivfPqDetTopKSql,
 
     // Residual IVF-PQ: the same cell chain, then every vector coded as
     // its integer residual against its HOME centroid, the seed

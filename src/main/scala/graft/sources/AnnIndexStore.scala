@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Ann.IvfIndexRelations
+import graft.operators.Ann.{IvfIndexRelations, IvfPqIndexRelations}
 
 /** ANN index LIFECYCLE over [[VersionedStore]] — the missing piece
   * between "ANN queries" and "an ANN system": a real 100 TB pipeline
@@ -90,6 +90,55 @@ object AnnIndexStore {
       // deleting in reverse write order keeps every surviving version
       // complete at all times
       store.deleteVersion(spark, centName(name), v)
+      store.deleteVersion(spark, homeName(name), v)
+    }
+
+  // ---- IVF-PQ (four relations per version; same commit contract:
+  // centroids written LAST as the completeness marker, so a version is
+  // visible only with all four halves present) ----
+
+  private def codesName(name: String) = s"${name}_codes"
+  private def cbName(name: String) = s"${name}_codebook"
+
+  /** Versions complete across all four IVF-PQ relations, ascending. */
+  def versionsPq(spark: SparkSession, store: VersionedStore,
+                 name: String): Seq[Long] =
+    Seq(homeName(name), codesName(name), cbName(name), centName(name))
+      .map(store.versions(spark, _))
+      .reduce(_ intersect _)
+
+  /** Persist a full IVF-PQ index as the next version. */
+  def persistPq(spark: SparkSession, store: VersionedStore, name: String,
+                index: IvfPqIndexRelations): Long = {
+    val v = versionsPq(spark, store, name).lastOption.fold(0L)(_ + 1)
+    store.putVersion(homeName(name), v, index.home)
+    store.putVersion(codesName(name), v, index.codes)
+    store.putVersion(cbName(name), v, index.codebook)
+    store.putVersion(centName(name), v, index.centroids)
+    v
+  }
+
+  /** Load the newest complete IVF-PQ version. */
+  def loadPq(spark: SparkSession, store: VersionedStore,
+             name: String): IvfPqIndexRelations = {
+    val vs = versionsPq(spark, store, name)
+    require(vs.nonEmpty, s"no complete IVF-PQ versions of index $name")
+    val v = vs.last
+    IvfPqIndexRelations(
+      store.getVersion(spark, centName(name), v),
+      store.getVersion(spark, homeName(name), v),
+      store.getVersion(spark, cbName(name), v),
+      store.getVersion(spark, codesName(name), v))
+  }
+
+  /** Retention for IVF-PQ versions: keep the newest `keep`. */
+  def prunePq(spark: SparkSession, store: VersionedStore, name: String,
+              keep: Int): Unit =
+    versionsPq(spark, store, name).dropRight(keep).foreach { v =>
+      // completeness marker first (see prune)
+      store.deleteVersion(spark, centName(name), v)
+      store.deleteVersion(spark, cbName(name), v)
+      store.deleteVersion(spark, codesName(name), v)
       store.deleteVersion(spark, homeName(name), v)
     }
 

@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** sf-proportional EMBEDDINGS ladder fixtures (r10 verdict #7): the
+  * driver's parquet grows embeddings only 500 → 500 → 2,000 across the
+  * three SFs (one 4× step), so the embeddings family's three-SF scale
+  * fits leaned on synthetic in-memory ladders. This writes three
+  * repo-local rung dirs with 500 / 5,000 / 50,000 vectors — same
+  * schema (vec_id BIGINT, embedding ARRAY<FLOAT> dim 64, label INT
+  * 0..9), same label-clustered geometry (per-label center + per-
+  * coordinate noise, all closed-form integer arithmetic, seed-free
+  * deterministic) — and symlinks the driver's other nine tables beside
+  * them, so graft.Verify + the DuckDB oracle AND graft.Bench run
+  * UNCHANGED against each rung: oracle-checked queries scale-fit on
+  * real parquet rungs instead of ladders. /root/testdata is read-only
+  * by contract — these rungs live in-repo by design.
+  *
+  *   sbt "runMain graft.tools.GenEmbLadder"
+  *   SPARK_GRAFT_SF_DIR=data/emb_sf/emb50k SPARK_GRAFT_ONLY=ann_,embed_ \
+  *     sbt "runMain graft.Bench"
+  */
+object GenEmbLadder {
+
+  /** (rung dir name, vector count, driver sf dir whose other tables the
+    * rung borrows). */
+  val rungs: Seq[(String, Long, String)] = Seq(
+    ("emb500", 500L, "/root/testdata/sf0.001"),
+    ("emb5k", 5000L, "/root/testdata/sf0.01"),
+    ("emb50k", 50000L, "/root/testdata/sf0.1"))
+
+  val otherTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents")
+
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0) else "data/emb_sf"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    rungs.foreach { case (name, n, borrowDir) =>
+      val dir = java.nio.file.Paths.get(s"$root/$name")
+      java.nio.file.Files.createDirectories(dir)
+      // label-clustered vectors, closed-form: center(l, j) spreads the
+      // 10 labels apart; noise(id, j) is murmur3 hash(id, j) (fixed
+      // seed, generation-time only — the fixture is committed, nothing
+      // replays this) scaled to ±0.2, so within-label cosine ≫
+      // cross-label cosine like the driver's data
+      spark.range(n)
+        .select(col("id").as("vec_id"),
+          expr("""transform(sequence(0, 63), j -> CAST(
+                    ((id % 10) * 73 + j * 37) % 21 / 40.0 - 0.25 +
+                    (pmod(hash(id, j), 2001) - 1000) / 5000.0
+                  AS FLOAT))""").as("embedding"),
+          (col("id") % 10).cast("int").as("label"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/_tmp_embeddings")
+      // the driver's tables are single parquet FILES (DuckDB's view
+      // pattern '<dir>/<t>.parquet' expects a file) — promote the one
+      // part file and drop Spark's directory wrapper
+      val tmp = dir.resolve("_tmp_embeddings")
+      val part = java.nio.file.Files.list(tmp).iterator()
+      val partFile = Iterator.continually(part)
+        .takeWhile(_.hasNext).map(_.next())
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = dir.resolve("embeddings.parquet")
+      java.nio.file.Files.deleteIfExists(target)
+      java.nio.file.Files.move(partFile, target)
+      java.nio.file.Files.list(tmp).iterator().forEachRemaining(p =>
+        java.nio.file.Files.delete(p))
+      java.nio.file.Files.delete(tmp)
+      otherTables.foreach { t =>
+        val link = dir.resolve(s"$t.parquet")
+        java.nio.file.Files.deleteIfExists(link)
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$borrowDir/$t.parquet"))
+      }
+      println(s"[gen-emb-ladder] $name: $n vectors -> $dir")
+    }
+    spark.stop()
+  }
+}

@@ -45,6 +45,29 @@ class AnnIndexSpec extends SparkSpec {
     home shouldBe batch
   }
 
+  test("IVF-PQ: persist all four artifacts -> load -> serve reproduces " +
+      "the inline det chain bit-for-bit; prunePq retains") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("pq")
+    val built = Ann.buildDetIvfPqIndex(embs, "vec_id", "embedding",
+      "label")
+    AnnIndexStore.persistPq(spark, store, "ivfpq", built) shouldBe 0L
+    AnnIndexStore.persistPq(spark, store, "ivfpq", built) shouldBe 1L
+    AnnIndexStore.prunePq(spark, store, "ivfpq", keep = 1)
+    AnnIndexStore.versionsPq(spark, store, "ivfpq") shouldBe Seq(1L)
+    val loaded = AnnIndexStore.loadPq(spark, store, "ivfpq")
+    val served = topkRows(Ann.ivfPqIndexTopK(loaded, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, k = 5))
+    val inline = topkRows(Ann.ivfPqDetTopK(embs, "vec_id", "embedding",
+      "label", col("id") % 50 === 0, k = 5))
+    served shouldBe inline
+    // codes really are the compact payload: one row per vector, 8
+    // codewords each
+    loaded.codes.count() shouldBe embs.count()
+    loaded.codes.selectExpr("max(size(codes))").collect()
+      .head.getInt(0) shouldBe 8
+  }
+
   test("versions auto-increment; load pins the newest complete one; " +
       "prune keeps the newest K") {
     val embs = Tables.embeddings(spark, sfDir)
