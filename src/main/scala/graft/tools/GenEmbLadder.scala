@@ -45,18 +45,28 @@ object GenEmbLadder {
     rungs.foreach { case (name, n, borrowDir) =>
       val dir = java.nio.file.Paths.get(s"$root/$name")
       java.nio.file.Files.createDirectories(dir)
-      // label-clustered vectors, closed-form: center(l, j) spreads the
-      // 10 labels apart; noise(id, j) is murmur3 hash(id, j) (fixed
+      // match the DRIVER's measured geometry (unit-norm, near-isotropic:
+      // within-label cosine ≈ 0.022, cross ≈ 0.00) — a strongly
+      // clustered fixture degenerates the LSH bucket structure (few
+      // giant buckets → quadratic bucket self-joins; measured: the
+      // first clustered cut serialized ann_lsh_det_topk onto one core
+      // for 40+ min at 50k). Per-coordinate: tiny label center (rms
+      // ~0.08) + uniform ±1 noise from murmur3 hash(id, j) (fixed
       // seed, generation-time only — the fixture is committed, nothing
-      // replays this) scaled to ±0.2, so within-label cosine ≫
-      // cross-label cosine like the driver's data
+      // replays this), then L2-normalize.
       spark.range(n)
         .select(col("id").as("vec_id"),
-          expr("""transform(sequence(0, 63), j -> CAST(
-                    ((id % 10) * 73 + j * 37) % 21 / 40.0 - 0.25 +
-                    (pmod(hash(id, j), 2001) - 1000) / 5000.0
-                  AS FLOAT))""").as("embedding"),
+          expr("""transform(sequence(0, 63), j ->
+                    ((id % 10) * 73 + j * 37) % 21 / 75.0 - 0.14 +
+                    (pmod(hash(id, j), 2001) - 1000) / 1000.0)""")
+            .as("raw"),
           (col("id") % 10).cast("int").as("label"))
+        .withColumn("nrm",
+          expr("sqrt(aggregate(raw, 0D, (a, x) -> a + x * x))"))
+        .select(col("vec_id"),
+          expr("transform(raw, x -> CAST(x / nrm AS FLOAT))")
+            .as("embedding"),
+          col("label"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/_tmp_embeddings")
       // the driver's tables are single parquet FILES (DuckDB's view
