@@ -25,22 +25,35 @@ object Bucketed {
 
   private val Buckets = 16
 
-  /** (lineitem, orders) bucketed+sorted on their orderkey. */
+  /** (lineitem, orders) bucketed+sorted on their orderkey.
+    *
+    * Table names carry a per-process AND per-session nonce: the copies
+    * are throwaway layout artifacts, and concurrent JVMs sharing one
+    * spark-warehouse (two bench runs overlapping) must never contend on
+    * the same DROP + directory-delete + CTAS sequence — that race is
+    * not atomic and errored a bench run in round 11. Distinct names
+    * make each writer's sequence private; stale copies from DEAD
+    * processes are swept opportunistically (liveness-checked, so a
+    * concurrent live JVM's tables are never touched). */
   def lineitemOrders(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-    val lTab = s"graft_lineitem_bkt$sfx"
-    val oTab = s"graft_orders_bkt$sfx"
+    val nonce = s"p${ProcessHandle.current().pid()}" +
+      s"_s${Integer.toHexString(System.identityHashCode(s))}"
+    val lTab = s"graft_lineitem_bkt${sfx}_$nonce"
+    val oTab = s"graft_orders_bkt${sfx}_$nonce"
     Memo.once(s, s"bucketed_lineitem_orders:$d") {
-      // a previous JVM may have left the managed location on disk while
-      // this session's in-memory catalog has no such table — Spark then
-      // refuses the CTAS with LOCATION_ALREADY_EXISTS, so clear both the
-      // catalog entry and any stale directory first
+      // a crashed run of THIS process identity may have left the managed
+      // location on disk while this session's in-memory catalog has no
+      // such table — Spark then refuses the CTAS with
+      // LOCATION_ALREADY_EXISTS, so clear both the catalog entry and any
+      // stale directory first
       def reset(tab: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $tab")
         val wh = s.sessionState.conf.warehousePath
         val p = new org.apache.hadoop.fs.Path(s"$wh/$tab")
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
+      sweepDeadCopies(s)
       reset(lTab)
       reset(oTab)
       Tables.lineitem(s, d).write.format("parquet")
@@ -51,5 +64,25 @@ object Bucketed {
         .saveAsTable(oTab)
     }
     (s.table(lTab), s.table(oTab))
+  }
+
+  private val NoncedDir =
+    """graft_(?:lineitem|orders)_bkt.*_p(\d+)_s[0-9a-f]+""".r
+
+  /** Delete warehouse directories of nonced bucketed copies whose owning
+    * process is no longer alive — bounded garbage instead of unbounded
+    * accumulation across bench JVMs, without ever racing a live one. */
+  private def sweepDeadCopies(s: SparkSession): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(s.sessionState.conf.warehousePath)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      st.getPath.getName match {
+        case NoncedDir(pid)
+            if pid.toLong != ProcessHandle.current().pid() &&
+              !ProcessHandle.of(pid.toLong).isPresent =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
   }
 }

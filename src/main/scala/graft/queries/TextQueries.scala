@@ -13,9 +13,13 @@ import graft.operators.Corpus
 object TextQueries extends Registry {
 
   /** Generation-time deflate ground truth (tools/GenDeflateTruth) —
-    * the checked-in fixture the text_compression_ratio oracle joins. */
+    * the checked-in fixture the text_compression_ratio oracle joins.
+    * Default resolves the fixture's RELATIVE checked-in path against
+    * the working directory (the same default GenDeflateTruth writes
+    * to), so any checkout location works; GRAFT_DEFLATE_TRUTH
+    * overrides. */
   private val deflateTruth = sys.env.getOrElse("GRAFT_DEFLATE_TRUTH",
-    "/root/repo/data/deflate/expected.parquet")
+    new java.io.File("data/deflate/expected.parquet").getAbsolutePath)
 
   val defs: Map[String, QueryFn] = Map(
     // Feature hashing (the hashing trick, Weinberger et al. 2009):

@@ -37,11 +37,14 @@ object AnnIndexStore {
   private def centName(name: String) = s"${name}_centroids"
   private def homeName(name: String) = s"${name}_home"
 
-  /** Versions present for BOTH relations, ascending — a version missing
-    * either half (e.g. a writer died between the two puts) is invisible
-    * to readers, which is what makes the two-file commit safe: the
-    * routing table is written first, the centroid half last, so a
-    * version becomes visible only complete. */
+  /** Versions COMMITTED for BOTH relations, ascending — a version
+    * missing either half (e.g. a writer died between the two puts) is
+    * invisible to readers, which is what makes the two-file commit
+    * safe: the routing table is written first, the centroid half last,
+    * so a version becomes visible only complete. Each half's own
+    * visibility is the store's per-version commit marker (written
+    * after the parquet job commits), so a concurrent reader can never
+    * list a half whose part files are still in flight. */
   def versions(spark: SparkSession, store: VersionedStore,
                name: String): Seq[Long] =
     store.versions(spark, centName(name))
@@ -174,5 +177,98 @@ object AnnIndexStore {
       case None => newHome
     }
     persistVersion(store, name, v, IvfIndexRelations(centroids, merged))
+  }
+
+  // ---- Delta versions + periodic compaction: the scale path for
+  // sub-minute triggers. [[foldBatch]] rewrites O(index) per trigger —
+  // the right trade at minute-scale intervals, ruinous below them (a
+  // 1B-vector routing table is a ~16 GB rewrite per trigger).
+  // [[foldBatchDelta]] writes O(batch) instead: each trigger lands ONLY
+  // its own assignments as a DELTA version; [[compact]] periodically
+  // folds the delta chain into a full snapshot AT THE SAME version
+  // number under the snapshot name, so after compaction a reader's view
+  // is byte-identical to what [[foldBatch]] would have produced — the
+  // two maintenance modes converge on the same persisted contract.
+  // Exactly-once is STRONGER here than in the snapshot fold: a delta's
+  // content is a pure function of its own batch (assignments against
+  // the static quantizer), independent of every previous version, so a
+  // replayed batch rewrites an identical delta with no read of prior
+  // state at all. ----
+
+  private def deltaName(name: String) = s"${name}_home_delta"
+
+  /** Complete DELTA versions (delta routing half + its centroid half),
+    * ascending. */
+  def deltaVersions(spark: SparkSession, store: VersionedStore,
+                    name: String): Seq[Long] =
+    store.versions(spark, deltaName(name))
+      .intersect(store.versions(spark, centName(name)))
+
+  /** Every version a delta-chain reader may pin: compacted/full
+    * snapshots plus uncompacted deltas, ascending. (Tighter than
+    * [[DeltaChain.versions]]: a pinnable version here also needs its
+    * centroid half.) */
+  def chainVersions(spark: SparkSession, store: VersionedStore,
+                    name: String): Seq[Long] =
+    (versions(spark, store, name) ++ deltaVersions(spark, store, name))
+      .distinct.sorted
+
+  /** foreachBatch body for DELTA index maintenance — the
+    * per-trigger-cost-scales-with-the-batch twin of [[foldBatch]], same
+    * version arithmetic (baseVersion + 1 + batchId), same commit order
+    * (routing half first, centroid half as the completeness marker). */
+  def foldBatchDelta(store: VersionedStore, name: String,
+                     centroids: DataFrame, baseVersion: Long)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val v = baseVersion + 1 + batchId
+    store.putVersion(deltaName(name), v,
+      batch.select(col("vec_id").as("id"), col("cell")).distinct())
+    store.putVersion(centName(name), v, centroids)
+  }
+
+  /** Reconstruct the routing view at pinned version `v`: the newest
+    * full snapshot at or below `v` (if any) unioned with every delta in
+    * between. Distinct for the same reason [[foldBatch]] uses it — a
+    * re-delivered vector's row is identical against the static plane. */
+  def loadDeltaChain(spark: SparkSession, store: VersionedStore,
+                     name: String, v: Long): IvfIndexRelations = {
+    require(chainVersions(spark, store, name).contains(v),
+      s"no complete chain version $v of index $name")
+    IvfIndexRelations(
+      store.getVersion(spark, centName(name), v),
+      DeltaChain.read(spark, store, homeName(name), deltaName(name), v)
+        .distinct())
+  }
+
+  /** Load the newest chain version. */
+  def loadChain(spark: SparkSession, store: VersionedStore,
+                name: String): IvfIndexRelations = {
+    val vs = chainVersions(spark, store, name)
+    require(vs.nonEmpty, s"no chain versions of index $name")
+    loadDeltaChain(spark, store, name, vs.last)
+  }
+
+  /** Fold every delta at or below `upTo` into a full snapshot AT
+    * version `upTo` (under the snapshot name — readers at `upTo`
+    * switch from chain reconstruction to a single-relation read with
+    * no visible change), then delete the covered deltas. Write order
+    * keeps every reader consistent throughout: the snapshot commits
+    * BEFORE any delta it covers is deleted, and the shared centroid
+    * half at `upTo` is never touched. Centroid halves of delta-only
+    * versions below `upTo` are dropped with their deltas — compaction
+    * collapses pinnable history at or below its high-water mark, the
+    * retention semantics [[prune]] already established. */
+  def compact(spark: SparkSession, store: VersionedStore, name: String,
+              upTo: Long): Unit = {
+    val covered = DeltaChain.compact(spark, store, homeName(name),
+      deltaName(name), upTo, canonicalize = _.distinct())
+    val bases = versions(spark, store, name).toSet
+    // drop centroid halves of fully-covered delta-only versions —
+    // compaction collapses pinnable history at or below its high-water
+    // mark, the retention semantics prune already established
+    covered.foreach { dv =>
+      if (dv != upTo && !bases.contains(dv))
+        store.deleteVersion(spark, centName(name), dv)
+    }
   }
 }

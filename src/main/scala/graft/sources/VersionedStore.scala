@@ -29,8 +29,17 @@ final case class VersionedStore(root: String) {
   private def namePath(name: String) = new Path(s"$root/$name")
   private def versionPath(name: String, v: Long) =
     new Path(s"$root/$name/version=$v")
+  private def markerPath(name: String, v: Long) =
+    new Path(versionPath(name, v), VersionedStore.CommitMarker)
 
-  /** All versions of `name`, ascending. */
+  /** All COMMITTED versions of `name`, ascending. Visibility is the
+    * per-version marker file written after the parquet job commits —
+    * `df.write` creates the version directory (and a replay deletes +
+    * rewrites it) before part files land, so directory existence alone
+    * would expose in-flight versions to concurrent readers. A marker is
+    * also the portable choice: it needs no atomic rename, so the
+    * contract holds unchanged on object stores (s3a://) where rename is
+    * a copy. */
   def versions(spark: SparkSession, name: String): Seq[Long] = {
     val f = fs(spark)
     val p = namePath(name)
@@ -39,14 +48,22 @@ final case class VersionedStore(root: String) {
       .map(_.getPath.getName)
       .collect { case s if s.startsWith("version=") =>
         s.stripPrefix("version=").toLong }
+      .filter(v => f.exists(markerPath(name, v)))
       .sorted
   }
 
   /** Write `df` as an explicit version (idempotent per version — a replayed
-    * micro-batch overwrites its own version, keeping the sink exactly-once). */
-  def putVersion(name: String, version: Long, df: DataFrame): Unit =
+    * micro-batch overwrites its own version, keeping the sink exactly-once).
+    * Two-phase: the overwrite first drops the old directory (and with it
+    * any previous marker, making the version invisible for the rewrite
+    * window), then the marker is created only after the parquet job
+    * commits — a reader can never list a version whose data is partial. */
+  def putVersion(name: String, version: Long, df: DataFrame): Unit = {
     df.write.mode("overwrite")
       .parquet(versionPath(name, version).toString)
+    fs(df.sparkSession)
+      .create(markerPath(name, version), true).close()
+  }
 
   /** Append a new auto-numbered version (the SDFS `put`, sdfs.go:32-52). */
   def put(spark: SparkSession, name: String, df: DataFrame): Long = {
@@ -64,11 +81,13 @@ final case class VersionedStore(root: String) {
   }
 
   /** Read one explicit version (the pinned-version `get` a reader uses
-    * to stay on a consistent snapshot while newer versions land). */
+    * to stay on a consistent snapshot while newer versions land). Only
+    * committed versions are readable — an in-flight write's directory
+    * is not a version yet. */
   def getVersion(spark: SparkSession, name: String, v: Long): DataFrame = {
-    val p = versionPath(name, v)
-    require(fs(spark).exists(p), s"no version $v of $name under $root")
-    spark.read.parquet(p.toString)
+    require(fs(spark).exists(markerPath(name, v)),
+      s"no committed version $v of $name under $root")
+    spark.read.parquet(versionPath(name, v).toString)
   }
 
   /** Delete one version (retention pruning — keep the newest K index
@@ -100,4 +119,11 @@ final case class VersionedStore(root: String) {
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
   }
+}
+
+object VersionedStore {
+  /** Per-version commit marker. Underscore-prefixed so Spark's file
+    * index treats it as hidden and parquet reads of the version
+    * directory are unaffected. */
+  val CommitMarker = "_GRAFT_COMMITTED"
 }

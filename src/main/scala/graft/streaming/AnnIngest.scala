@@ -59,7 +59,9 @@ object AnnIngest {
     * aggregation shuffle — the vectors are consumed by the codegen'd
     * cosine right after the join; aggregation state is k rows per
     * in-flight query window. `corpus` is the (id, vector, label)
-    * relation the index is built over. */
+    * relation the index is built over. `query_id` must be unique per
+    * query within one lateness horizon — see [[probeTopKFrom]] for the
+    * redelivery-dedup contract. */
   def probeTopK(queries: Dataset[VecIn], corpus: DataFrame, idCol: String,
                 vecCol: String, labelCol: String,
                 plane: Array[CentroidCell], k: Int, nprobe: Int = 2,
@@ -92,7 +94,15 @@ object AnnIngest {
     * micro-batch of queries probes that static relation. Nothing about
     * the index is recomputed per batch; a new index version means
     * restarting the topology against the new load — versions are
-    * immutable, the topology pins one. */
+    * immutable, the topology pins one.
+    *
+    * CONTRACT: `query_id` must be unique per query within one lateness
+    * horizon. The exactly-once pair dedup below keeps the FIRST-seen
+    * delivery of each (query_id, cand_id), so a DIFFERENT query that
+    * reuses a recent query_id (new vector, new ts) would have its
+    * pairs silently collapsed into the earlier query's results. Callers
+    * minting ids from a sequence or UUID satisfy this for free; callers
+    * recycling ids must keep the recycle interval above `lateness`. */
   def probeTopKFrom(queries: Dataset[VecIn], home: DataFrame,
                     plane: Array[CentroidCell], k: Int, nprobe: Int = 2,
                     windowLen: String = "1 minute", lateness: String)

@@ -26,9 +26,12 @@ import graft.sources.VersionedStore
   *
   * Scale shape: per trigger the new docs' band rows (docs × bands,
   * ~16-per-doc strings) hash-join the persisted relation on (band,
-  * sig) — never document bodies; the persisted relation is re-written
-  * per version (snapshot semantics, see AnnIndexStore's scale note —
-  * delta versions + compaction are the sub-second-trigger variant).
+  * sig) — never document bodies. Two maintenance modes share the
+  * filter: [[ingestBatch]] rewrites the band relation as a snapshot
+  * per version (one-relation reads, O(index) writes — right for
+  * minute-scale triggers), [[ingestBatchDelta]] + [[compactBands]]
+  * write O(batch) deltas and periodically fold them
+  * ([[graft.sources.DeltaChain]]) — the sub-second-trigger variant.
   * Within one trigger the same banding dedups the batch against itself
   * (smallest doc_id survives a collision group), so trigger size only
   * affects which doc of a near-dup pair wins, never whether one does.
@@ -36,7 +39,43 @@ import graft.sources.VersionedStore
 object NearDupIngest {
 
   private def bandsName(name: String) = s"${name}_bands"
+  private def bandsDeltaName(name: String) = s"${name}_bands_delta"
   private def docsName(name: String) = s"${name}_docs"
+
+  /** The core per-trigger filter, shared by both maintenance modes:
+    * drop batch docs that band-collide with the persisted view or with
+    * a smaller-id doc in the same batch; returns (accepted docs,
+    * their band rows). */
+  private def filterBatch(batch: DataFrame, persisted: Option[DataFrame],
+                          idCol: String, textCol: String, n: Int,
+                          numPerms: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame) = {
+    val newBands = Dedup.minhashBandRelation(batch, idCol, textCol, n,
+      numPerms, rowsPerBand)
+      // consumed 3x below (persisted join, in-batch self-join, append)
+      .localCheckpoint(true)
+    // collide vs the PERSISTED index (offline corpus + earlier triggers)
+    val hitPersisted = persisted.fold(newBands.limit(0)) { p =>
+      newBands.join(p.select("band", "sig").distinct(), Seq("band", "sig"))
+    }.select("doc_id").distinct()
+    // collide INSIDE the batch: of a colliding pair the smallest doc_id
+    // survives (the batch form's doc_a < doc_b canonical-winner rule)
+    val afterPersisted = newBands
+      .join(hitPersisted, Seq("doc_id"), "left_anti")
+    val hitInBatch = afterPersisted.as("a")
+      .join(afterPersisted.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    val acceptedBands = afterPersisted
+      .join(hitInBatch, Seq("doc_id"), "left_anti")
+    // anti-join on the REJECTED ids, not semi-join on the banded ids: a
+    // doc shorter than the shingle width has no band rows, cannot
+    // collide, and must be accepted (the batch path's nsh > 0 gate)
+    val rejected = hitPersisted.unionByName(hitInBatch).distinct()
+      .withColumnRenamed("doc_id", idCol)
+    (batch.join(rejected, Seq(idCol), "left_anti"), acceptedBands)
+  }
 
   /** Seed version 0 of the band index from the OFFLINE corpus (no-op if
     * the store already has versions — restart safety). Returns the
@@ -65,38 +104,61 @@ object NearDupIngest {
                  (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val v = 1L + batchId
-    val newBands = Dedup.minhashBandRelation(batch, idCol, textCol, n,
-      numPerms, rowsPerBand)
-      // consumed 3x below (persisted join, in-batch self-join, append)
-      .localCheckpoint(true)
     val prev = store.versions(spark, bandsName(name)).filter(_ < v)
       .lastOption
     val persisted = prev.map(store.getVersion(spark, bandsName(name), _))
-    // collide vs the PERSISTED index (offline corpus + earlier triggers)
-    val hitPersisted = persisted.fold(newBands.limit(0)) { p =>
-      newBands.join(p.select("band", "sig").distinct(), Seq("band", "sig"))
-    }.select("doc_id").distinct()
-    // collide INSIDE the batch: of a colliding pair the smallest doc_id
-    // survives (the batch form's doc_a < doc_b canonical-winner rule)
-    val afterPersisted = newBands
-      .join(hitPersisted, Seq("doc_id"), "left_anti")
-    val hitInBatch = afterPersisted.as("a")
-      .join(afterPersisted.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id")).distinct()
-    val acceptedBands = afterPersisted
-      .join(hitInBatch, Seq("doc_id"), "left_anti")
-    // anti-join on the REJECTED ids, not semi-join on the banded ids: a
-    // doc shorter than the shingle width has no band rows, cannot
-    // collide, and must be accepted (the batch path's nsh > 0 gate)
-    val rejected = hitPersisted.unionByName(hitInBatch).distinct()
-      .withColumnRenamed("doc_id", idCol)
-    val acceptedDocs = batch.join(rejected, Seq(idCol), "left_anti")
+    val (acceptedDocs, acceptedBands) = filterBatch(batch, persisted,
+      idCol, textCol, n, numPerms, rowsPerBand)
     store.putVersion(docsName(name), v, acceptedDocs)
     store.putVersion(bandsName(name), v,
       persisted.fold(acceptedBands)(_ unionByName acceptedBands))
   }
+
+  /** [[ingestBatch]] in DELTA mode: each trigger writes ONLY the
+    * accepted docs' band rows as a delta version — O(batch) per
+    * trigger instead of the snapshot mode's O(index) rewrite, the
+    * sub-second-trigger variant the snapshot scale note names. The
+    * collision filter reads the CHAIN view (seed snapshot ∪ deltas
+    * before this version, or the newest compacted snapshot plus the
+    * deltas after it); [[compactBands]] is the periodic fold that
+    * keeps that view's relation count bounded. Same exactly-once
+    * version arithmetic: a replayed batch reads versions before its
+    * own and overwrites its own delta. */
+  def ingestBatchDelta(store: VersionedStore, name: String, idCol: String,
+                       textCol: String, n: Int = 3, numPerms: Int = 32,
+                       rowsPerBand: Int = 4)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = 1L + batchId
+    val prev = graft.sources.DeltaChain
+      .versions(spark, store, bandsName(name), bandsDeltaName(name))
+      .filter(_ < v).lastOption
+    val persisted = prev.map(graft.sources.DeltaChain
+      .read(spark, store, bandsName(name), bandsDeltaName(name), _))
+    val (acceptedDocs, acceptedBands) = filterBatch(batch, persisted,
+      idCol, textCol, n, numPerms, rowsPerBand)
+    store.putVersion(docsName(name), v, acceptedDocs)
+    store.putVersion(bandsDeltaName(name), v, acceptedBands)
+  }
+
+  /** Fold delta band versions at or below `upTo` into a snapshot at
+    * `upTo` (no-op if none) — the periodic compaction that pairs with
+    * [[ingestBatchDelta]]. View-preserving: [[bandIndex]] reads the
+    * same rows before and after. */
+  def compactBands(spark: SparkSession, store: VersionedStore,
+                   name: String, upTo: Long): Unit = {
+    graft.sources.DeltaChain.compact(spark, store, bandsName(name),
+      bandsDeltaName(name), upTo)
+    ()
+  }
+
+  /** The maintained band index's current view — newest snapshot plus
+    * any uncompacted deltas. Works for both maintenance modes (the
+    * snapshot mode simply has no deltas). */
+  def bandIndex(spark: SparkSession, store: VersionedStore,
+                name: String): DataFrame =
+    graft.sources.DeltaChain.readNewest(spark, store, bandsName(name),
+      bandsDeltaName(name))
 
   /** Wire [[EventTimeOps.corpusIngestIncremental]]'s gated, exact-
     * deduped survivor stream into the maintained near-dup index:
@@ -118,6 +180,28 @@ object NearDupIngest {
       }
       .start()
 
+  /** [[start]] in delta-band mode ([[ingestBatchDelta]]), compacting
+    * the chain every `compactEvery` triggers — the long-running-ingest
+    * wiring where per-trigger write cost tracks batch size and the
+    * reconstruction fan-in stays bounded. */
+  def startDelta(docs: DataFrame, corpusFps: DataFrame,
+                 store: VersionedStore, name: String, tsCol: String,
+                 idCol: String, textCol: String, checkpointDir: String,
+                 lateness: String, compactEvery: Int = 8, n: Int = 3,
+                 numPerms: Int = 32,
+                 rowsPerBand: Int = 4): StreamingQuery =
+    EventTimeOps.corpusIngestIncremental(docs, corpusFps, tsCol, textCol,
+        lateness)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchDelta(store, name, idCol, textCol, n, numPerms,
+          rowsPerBand)(batch, batchId)
+        if ((batchId + 1) % compactEvery == 0)
+          compactBands(batch.sparkSession, store, name, 1L + batchId)
+      }
+      .start()
+
   /** Staleness audit over the maintained index: compare the newest
     * persisted band relation against a FRESH recompute over the given
     * corpus (offline docs ∪ accepted streamed docs). One row:
@@ -128,7 +212,7 @@ object NearDupIngest {
                      name: String, corpus: DataFrame, idCol: String,
                      textCol: String, n: Int = 3, numPerms: Int = 32,
                      rowsPerBand: Int = 4): DataFrame = {
-    val persisted = store.get(spark, bandsName(name))
+    val persisted = bandIndex(spark, store, name)
     val fresh = Dedup.minhashBandRelation(corpus, idCol, textCol, n,
       numPerms, rowsPerBand)
     val key = Seq("doc_id", "band", "sig")

@@ -335,7 +335,50 @@ object StreamBench {
         ("ann_serve_persisted", qTotal / ((System.nanoTime() - t1) / 1e9),
           qTotal)
       }
-      Seq(assignBand, probeBand, servedBand)
+
+      // maintenance-mode bands: per-trigger index WRITE cost, the
+      // number the delta machinery exists to change. Same five small
+      // triggers folded over the same large pre-seeded routing table;
+      // the snapshot fold rewrites O(index) per trigger, the delta fold
+      // writes O(batch). rows/s counts only the newly ingested rows, so
+      // the band pair reads directly as "per-trigger cost scales with
+      // the index" vs "with the batch".
+      val foldBands = {
+        val baseRows = 200000L
+        val triggers = 5
+        val batchRows = 1000L
+        val cent = spark.range(64)
+          .selectExpr("id AS cell", "id % 8 AS dim", "id * 1000 AS ci")
+        def seeded(store: VersionedStore): Unit =
+          graft.sources.AnnIndexStore.persistVersion(store, "m", 0L,
+            graft.operators.Ann.IvfIndexRelations(cent,
+              spark.range(baseRows).selectExpr("id", "id % 64 AS cell")))
+        def batchDf(b: Int) = spark.range(batchRows)
+          .selectExpr(s"id + $baseRows + $b * $batchRows AS vec_id",
+            "id % 64 AS cell")
+        val snapStore = VersionedStore(
+          Files.createTempDirectory("sb_foldsnap").toString)
+        seeded(snapStore)
+        val t2 = System.nanoTime()
+        (0 until triggers).foreach { b =>
+          graft.sources.AnnIndexStore.foldBatch(snapStore, "m", cent,
+            baseVersion = 0L)(batchDf(b), b.toLong)
+        }
+        val snapSecs = (System.nanoTime() - t2) / 1e9
+        val dltStore = VersionedStore(
+          Files.createTempDirectory("sb_folddlt").toString)
+        seeded(dltStore)
+        val t3 = System.nanoTime()
+        (0 until triggers).foreach { b =>
+          graft.sources.AnnIndexStore.foldBatchDelta(dltStore, "m", cent,
+            baseVersion = 0L)(batchDf(b), b.toLong)
+        }
+        val dltSecs = (System.nanoTime() - t3) / 1e9
+        val ingested = triggers * batchRows
+        Seq(("ann_fold_snapshot", ingested / snapSecs, ingested),
+          ("ann_fold_delta", ingested / dltSecs, ingested))
+      }
+      Seq(assignBand, probeBand, servedBand) ++ foldBands
     }
 
     // ---- maintained near-dup ingest: corpusIngestIncremental's gates
@@ -374,9 +417,14 @@ object StreamBench {
           val off = i.toLong * 10000000L
           in.addData(arriving.zipWithIndex.map { case ((id, t), j) =>
             (id + off, new java.sql.Timestamp(86400000L + j * 100L),
-              // fresh ids AND fresh bodies per copy (suffix token) so
-              // the maintained index genuinely grows each trigger
-              t + s" copymark$i")
+              // fresh ids AND token-disjoint bodies per copy (every
+              // token suffixed with the copy index — one appended
+              // marker token would keep ~all shingles and band-collide
+              // with the previous copy's accepted docs, turning the
+              // band into a rejection benchmark) so the maintained
+              // index genuinely grows each trigger
+              if (i == 0) t
+              else t.split("\\s+").map(w => s"${w}c$i").mkString(" "))
           }.toSeq)
           i += 1
         }

@@ -249,6 +249,28 @@ class ScaleMechanicsSpec extends SparkSpec {
       s"expected TakeOrderedAndProject:\n$plan")
   }
 
+  test("bucketed fact copies: two concurrent sessions build without " +
+      "contention (nonced table names)") {
+    // the round-11 flake: two bench JVMs sharing one spark-warehouse
+    // raced the DROP + directory-delete + CTAS sequence. Nonced names
+    // make each writer's sequence private; two fresh sessions building
+    // CONCURRENTLY into the shared warehouse exercise exactly that
+    // (same pid, distinct session nonce — the cross-JVM case differs
+    // only by which nonce component varies).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val s2 = spark.newSession()
+    val s3 = spark.newSession()
+    val f2 = Future(Bucketed.lineitemOrders(s2, sfDir))
+    val f3 = Future(Bucketed.lineitemOrders(s3, sfDir))
+    val (l2, o2) = Await.result(f2, 180.seconds)
+    val (l3, o3) = Await.result(f3, 180.seconds)
+    l2.count() shouldBe l3.count()
+    o2.count() shouldBe o3.count()
+    l2.count() shouldBe Tables.lineitem(spark, sfDir).count()
+  }
+
   test("registered bucketed revenue query joins facts without exchange") {
     // the REGISTERED query surface, not a throwaway table: the 5-way
     // revenue join through core.Bucketed's co-bucketed fact copies must

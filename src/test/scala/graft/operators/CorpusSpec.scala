@@ -263,7 +263,7 @@ class CorpusSpec extends SparkSpec {
       "at all three SFs and matches a live recompute") {
     import org.apache.spark.sql.functions.{col, md5}
     val truthPath = sys.env.getOrElse("GRAFT_DEFLATE_TRUTH",
-      "/root/repo/data/deflate/expected.parquet")
+      new java.io.File("data/deflate/expected.parquet").getAbsolutePath)
     val truth = spark.read.parquet(truthPath)
     // coverage: a regenerated corpus (different texts) must fail HERE
     // with a regen hint, before the oracle join silently drops rows

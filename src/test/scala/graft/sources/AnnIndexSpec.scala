@@ -86,6 +86,82 @@ class AnnIndexSpec extends SparkSpec {
     loaded.home.count() shouldBe built.home.count()
   }
 
+  test("commit marker: a version directory without its marker (a " +
+      "writer died mid-write) is invisible and unreadable") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("marker")
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    store.putVersion("x", 0L, built.home)
+    store.versions(spark, "x") shouldBe Seq(0L)
+    // simulate the in-flight window: the directory exists, the data and
+    // marker do not
+    new java.io.File(s"${store.root}/x/version=1").mkdirs() shouldBe true
+    store.versions(spark, "x") shouldBe Seq(0L)
+    intercept[IllegalArgumentException](store.getVersion(spark, "x", 1L))
+  }
+
+  test("a reader pinned to version 0 is unaffected by a newer version " +
+      "landing underneath it (consistent-snapshot serve)") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("pin")
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    AnnIndexStore.persistVersion(store, "ivf", 0L, built)
+    val pinned = AnnIndexStore.loadVersion(spark, store, "ivf", 0L)
+    val before = topkRows(Ann.ivfIndexTopK(pinned, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, k = 5))
+    // a decoy newer version lands mid-stream: EMPTY routing table — a
+    // reader that leaked to the newest version would return zero rows
+    AnnIndexStore.persistVersion(store, "ivf", 1L,
+      Ann.IvfIndexRelations(built.centroids, built.home.limit(0)))
+    // re-executing the pinned handle re-reads version 0's files only
+    topkRows(Ann.ivfIndexTopK(pinned, embs, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5)) shouldBe before
+    // while an unpinned newest-version reader does see the new version
+    AnnIndexStore.load(spark, store, "ivf").home.count() shouldBe 0L
+    before shouldBe topkRows(Ann.ivfDetTopK(embs, "vec_id", "embedding",
+      "label", col("id") % 50 === 0, k = 5))
+  }
+
+  test("delta maintenance: chain reads equal the snapshot fold at " +
+      "every version; compaction preserves the view and drops covered " +
+      "deltas; the compacted chain serves identically") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("delta")
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    def homeSet(r: Ann.IvfIndexRelations) =
+      r.home.collect().map(x => x.getLong(0) -> x.getLong(1)).toSet
+    def batch(b: Long) = built.home.filter(col("cell") % 3 === b)
+      .select(col("id").as("vec_id"), col("cell"))
+    // the same three "triggers" fed to both maintenance modes
+    (0L until 3L).foreach { b =>
+      AnnIndexStore.foldBatch(store, "snap", built.centroids,
+        baseVersion = -1L)(batch(b), b)
+      AnnIndexStore.foldBatchDelta(store, "dlt", built.centroids,
+        baseVersion = -1L)(batch(b), b)
+    }
+    (0L until 3L).foreach { v =>
+      homeSet(AnnIndexStore.loadDeltaChain(spark, store, "dlt", v)) shouldBe
+        homeSet(AnnIndexStore.loadVersion(spark, store, "snap", v))
+    }
+    // compact versions 0-1; version-2 delta stays; view unchanged
+    AnnIndexStore.compact(spark, store, "dlt", upTo = 1L)
+    AnnIndexStore.versions(spark, store, "dlt") shouldBe Seq(1L)
+    AnnIndexStore.deltaVersions(spark, store, "dlt") shouldBe Seq(2L)
+    homeSet(AnnIndexStore.loadChain(spark, store, "dlt")) shouldBe
+      homeSet(AnnIndexStore.loadVersion(spark, store, "snap", 2L))
+    // full compaction: pure snapshot read, still the same view
+    AnnIndexStore.compact(spark, store, "dlt", upTo = 2L)
+    AnnIndexStore.deltaVersions(spark, store, "dlt") shouldBe empty
+    homeSet(AnnIndexStore.loadChain(spark, store, "dlt")) shouldBe
+      homeSet(AnnIndexStore.load(spark, store, "snap"))
+    // and the compacted chain SERVES identically to the inline chain
+    topkRows(Ann.ivfIndexTopK(AnnIndexStore.loadChain(spark, store,
+      "dlt"), embs, "vec_id", "embedding", col("id") % 50 === 0,
+      k = 5)) shouldBe
+      topkRows(Ann.ivfDetTopK(embs, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5))
+  }
+
   test("streaming assignments fold into exactly-once index versions " +
       "and the folded newest version serves identically to the batch " +
       "index") {

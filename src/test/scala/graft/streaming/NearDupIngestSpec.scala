@@ -104,6 +104,59 @@ class NearDupIngestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe acc1
   }
 
+  test("delta-band mode: chain view equals the snapshot mode's index " +
+      "at every trigger; compaction preserves the view and the audit; " +
+      "per-trigger delta writes stay batch-sized") {
+    import spark.implicits._
+    val snapStore = tmpStore("mode_snap")
+    val dltStore = tmpStore("mode_dlt")
+    Seq(snapStore, dltStore).foreach(st =>
+      NearDupIngest.seed(spark, st, "corpus",
+        Seq((1L, baseA)).toDF("doc_id", "text"), "doc_id", "text"))
+    // trigger 0: novel B + novel C; trigger 1: copy of STREAMED B (must
+    // collide via the chain view), novel short doc
+    val batches = Seq(
+      Seq((30L, baseB), (32L, baseC)),
+      Seq((40L, baseB), (41L, "tiny")))
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      val df = rows.toDF("doc_id", "text")
+      NearDupIngest.ingestBatch(snapStore, "corpus", "doc_id", "text")(
+        df, b.toLong)
+      NearDupIngest.ingestBatchDelta(dltStore, "corpus", "doc_id",
+        "text")(df, b.toLong)
+      def bandSet(st: VersionedStore) =
+        NearDupIngest.bandIndex(spark, st, "corpus")
+          .collect().map(_.toString).toSet
+      bandSet(dltStore) shouldBe bandSet(snapStore)
+    }
+    NearDupIngest.acceptedDocs(spark, dltStore, "corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(30L, 32L, 41L)
+    // each delta version holds only ITS batch's accepted band rows,
+    // never the index (the O(batch)-per-trigger claim, asserted).
+    // Trigger 1's delta is EMPTY: its one accepted doc (41, "tiny") is
+    // too short to shingle — accepted docs and band rows are decoupled
+    val perDelta = dltStore
+      .versions(spark, "corpus_bands_delta").map(v => dltStore
+        .getVersion(spark, "corpus_bands_delta", v)
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet)
+    perDelta shouldBe Seq(Set(30L, 32L), Set.empty[Long])
+    // compact; view and staleness audit unchanged
+    val before = NearDupIngest.bandIndex(spark, dltStore, "corpus")
+      .collect().map(_.toString).toSet
+    NearDupIngest.compactBands(spark, dltStore, "corpus", upTo = 2L)
+    dltStore.versions(spark, "corpus_bands_delta") shouldBe empty
+    NearDupIngest.bandIndex(spark, dltStore, "corpus")
+      .collect().map(_.toString).toSet shouldBe before
+    val full = Seq((1L, baseA), (30L, baseB), (32L, baseC), (41L, "tiny"))
+      .toDF("doc_id", "text")
+    val audit = NearDupIngest.stalenessAudit(spark, dltStore, "corpus",
+      full, "doc_id", "text").collect().head
+    audit.getLong(2) shouldBe 0L
+    audit.getLong(3) shouldBe 0L
+  }
+
   test("full topology over sf docs: gates + exact dedup + maintained " +
       "band index; accepted docs are collision-free in the final index") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
