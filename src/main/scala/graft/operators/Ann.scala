@@ -1211,6 +1211,145 @@ object Ann {
     exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
   }
 
+  /** FAISS-style 8-bit SCALAR quantizer, det twin (the ScalarQuantizer
+    * QT_8bit index family: per-DIMENSION [min, max] trained over the
+    * corpus, each coordinate stored as one byte code = ⌊(x − min)·255 /
+    * (max − min)⌋ — 4× smaller than float32 with no codebook, the
+    * third FAISS compression family next to PQ and IVF-PQ). Every step
+    * is exact integer arithmetic on micro-unit coordinates so the
+    * whole chain (train → encode → asymmetric-distance scan → exact
+    * rerank) replays in ANSI SQL: distances compare in units of
+    * 1/(255·10⁶) — d_dim = xi_q·255 − (vmin_d·255 + code·(vmax_d −
+    * vmin_d)), all BIGINTs (|d_dim| ≤ 5.1e8; over unit-norm vectors
+    * Σd² ≤ ~4·10¹²·255² ≈ 2.6e17, 35× inside Long range).
+    *
+    * Execution shape mirrors [[pqDetTopK]]: the trained ranges fold
+    * into a per-query LUT (lut_d = xi_q·255 − vmin_d·255) plus a scale
+    * array (vmax_d − vmin_d), broadcast against one-row-per-candidate
+    * code arrays — the q×n asymmetric-distance scan is a pipelined map
+    * into the k-bounded shortlist partial-agg; no shuffle ever carries
+    * it. Train is one (dims)-sized aggregation — at 100 TB the ranges
+    * relation is 64 rows regardless of corpus size. */
+  def sq8DetTopK(embs: DataFrame, idCol: String, vecCol: String,
+                 queryPred: Column, k: Int, shortlist: Int = 32)
+      : DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dims = detPqDims(e).select("id", "dim", "xi")
+    val ranges = dims.groupBy("dim")
+      .agg(min("xi").as("vmin"), max("xi").as("vmax"))
+    // encode: DIV truncates, // floors — operands are non-negative in
+    // the guarded branch, so the two semantics coincide; code hits 255
+    // exactly at xi = vmax, no clamp needed
+    val codesW = dims.join(broadcast(ranges), "dim")
+      .withColumn("code", expr(
+        "CASE WHEN vmax > vmin THEN ((xi - vmin) * 255)" +
+          " DIV (vmax - vmin) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy("id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, code)))," +
+        " s -> s.code)").as("codes"))
+      .select(col("id").as("cand_id"), col("codes"))
+    val qlutW = dims
+      .join(e.filter(queryPred).select("id"), "id")
+      .join(broadcast(ranges), "dim")
+      .withColumn("lu", col("xi") * 255 - col("vmin") * 255)
+      .withColumn("sc", col("vmax") - col("vmin"))
+      .groupBy("id")
+      .agg(expr("array_sort(collect_list(struct(dim, lu, sc)))").as("ts"))
+      .select(col("id").as("query_id"),
+        expr("transform(ts, t -> t.lu)").as("lut"),
+        expr("transform(ts, t -> t.sc)").as("scl"))
+    val pairsAdc = codesW.crossJoin(broadcast(qlutW))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), expr(
+        """aggregate(
+             transform(codes, (c, i) ->
+               (element_at(lut, i + 1) - c * element_at(scl, i + 1)) *
+               (element_at(lut, i + 1) - c * element_at(scl, i + 1))),
+             CAST(0 AS BIGINT), (a, x) -> a + x)""").as("adc"))
+    exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
+  }
+
+  /** Matryoshka truncation-recall eval (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): how much of the FULL-
+    * dimension exact top-k survives when ranking uses only the first
+    * m coordinates — the measurement behind serving truncated MRL
+    * embeddings (store/scan m/64 of the bytes, re-rank the shortlist
+    * full-width). One row per prefix width: (m, queries,
+    * mean_overlap_bp) with mean_overlap_bp = ⌊10⁴·Σ|top_full ∩
+    * top_m| / (k·queries)⌋ — exact integer arithmetic end to end
+    * (micro-unit dots, the shared floor-bp affinity form), so the
+    * whole eval replays in SQL.
+    *
+    * Execution shape: ONE broadcast scan computes every prefix's
+    * similarity per (query, candidate) pair — candidates carry their
+    * micro-unit arrays + per-prefix norms, the fixed eval panel is
+    * broadcast, and all rankings reduce through k-bounded
+    * [[graft.functions.CraneAggregators.TopKByScore]] partial aggs in
+    * the SAME groupBy (the q×n relation never crosses a shuffle, and
+    * the corpus is scanned once, not once per prefix). queryPred
+    * should select a CONSTANT-sized panel so the scan stays linear in
+    * the corpus at any SF. */
+  def matryoshkaRecall(embs: DataFrame, idCol: String, vecCol: String,
+                       queryPred: Column, k: Int,
+                       prefixes: Seq[Int] = Seq(8, 16, 32))
+      : DataFrame = {
+    require(prefixes.nonEmpty, "need at least one prefix width")
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val xi = e.select(col("id"),
+      expr("transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
+        .as("xs"))
+    // per-id prefix norms (full = the whole array), computed map-side
+    def n2(m: String) = expr(
+      s"aggregate(slice(xs, 1, $m), CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+    val widths = prefixes.map(m => (s"p$m", m.toString)) :+
+      (("full", "size(xs)"))
+    val wide = xi.select(col("id") +: col("xs") +:
+      widths.map { case (nm, m) => n2(m).as(s"n2_$nm") }: _*)
+    val cand = wide.select(col("id").as("cand_id") +: col("xs").as("cxs") +:
+      widths.map { case (nm, _) => col(s"n2_$nm").as(s"cn2_$nm") }: _*)
+    val qs = wide.join(e.filter(queryPred).select("id"), "id")
+      .select(col("id").as("query_id") +: col("xs").as("qxs") +:
+        widths.map { case (nm, _) => col(s"n2_$nm").as(s"qn2_$nm") }: _*)
+    // one pass: every prefix's integer dot + floor-bp sim per pair
+    // (full = the whole arrays, no slice)
+    def simBp(nm: String, m: String) = {
+      val (qv, cv) =
+        if (nm == "full") ("qxs", "cxs")
+        else (s"slice(qxs, 1, $m)", s"slice(cxs, 1, $m)")
+      val dot = expr(s"aggregate(zip_with($qv, $cv, (a, b) -> a * b)," +
+        " CAST(0 AS BIGINT), (a, x) -> a + x)")
+      when(col(s"qn2_$nm") > 0 && col(s"cn2_$nm") > 0,
+        floor(lit(10000.0) * dot /
+          (sqrt(col(s"qn2_$nm")) * sqrt(col(s"cn2_$nm")))).cast("long"))
+        .otherwise(0L).as(s"sim_$nm")
+    }
+    val pairs = cand.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id") +: col("cand_id") +:
+        widths.map { case (nm, m) => simBp(nm, m) }: _*)
+    val mink = udaf(
+      new graft.functions.CraneAggregators.TopKByScore(k))
+    val tops = pairs.groupBy("query_id")
+      .agg(mink(col("sim_full"), col("cand_id")).as("t_full"),
+        prefixes.map(m =>
+          mink(col(s"sim_p$m"), col("cand_id")).as(s"t_p$m")): _*)
+    val perQ = tops.select(col("query_id") +:
+      expr("transform(t_full, t -> t._2)").as("f_ids") +:
+      prefixes.map(m =>
+        expr(s"transform(t_p$m, t -> t._2)").as(s"ids_p$m")): _*)
+    prefixes.map { m =>
+      perQ.select(lit(m.toLong).as("m"),
+        expr(s"CAST(size(array_intersect(f_ids, ids_p$m)) AS BIGINT)")
+          .as("ov"))
+        .groupBy("m")
+        .agg(count(lit(1)).as("queries"),
+          expr(s"CAST((10000 * sum(ov)) DIV ($k * count(1)) AS BIGINT)")
+            .as("mean_overlap_bp"))
+    }.reduce(_ unionByName _).orderBy("m")
+  }
+
   def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
              rerank: Int = 8, sampleSize: Int = 2000, iters: Int = 10,

@@ -16,7 +16,8 @@ import graft.operators.Ann
 object AnnQueries extends Registry {
 
   private def queriesOf(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
 
   /** Version number the consistent-snapshot query pins (version 0 = the
     * real index; version 1 is a decoy that must never be read). */
@@ -170,7 +171,7 @@ object AnnQueries extends Registry {
       .agg(sum(expr("CASE WHEN dot >= 0 THEN shiftleft(CAST(1 AS BIGINT)" +
         ", p) ELSE CAST(0 AS BIGINT) END")).as("bucket"))
     val withB = e.join(buckets, "vec_id")
-    val q = withB.filter(col("vec_id") % 50 === 0)
+    val q = withB.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("bucket"))
     val c = withB.select(col("vec_id").as("cand_id"), col("v").as("cv"),
@@ -268,7 +269,7 @@ object AnnQueries extends Registry {
     // inverted-file probe structure, fully SQL-replayable.
     "ann_ivf_det_topk" -> ((s, d) =>
       Ann.ivfDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", col("id") % 50 === 0, k = 5)),
+        "label", col("id") % 50 === 0 && col("id") < 2000, k = 5)),
 
     // The det-IVF routing table as its own relation: every vector's
     // rank-1 cell under the integer-exact affinity ranking. The batch
@@ -294,7 +295,7 @@ object AnnQueries extends Registry {
       val store = ensureIvfStore(s, d)
       val loaded = graft.sources.AnnIndexStore.load(s, store, "ivf")
       Ann.ivfIndexTopK(loaded, Tables.embeddings(s, d), "vec_id",
-        "embedding", col("id") % 50 === 0, k = 5)
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
     // The consistent-snapshot PROOF: serve from an explicitly PINNED
@@ -310,7 +311,7 @@ object AnnQueries extends Registry {
       val pinned = graft.sources.AnnIndexStore
         .loadVersion(s, store, "ivf_pinned", PinnedVersion)
       Ann.ivfIndexTopK(pinned, Tables.embeddings(s, d), "vec_id",
-        "embedding", col("id") % 50 === 0, k = 5)
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
     // The DELTA-maintenance round trip: the setup ingests the routing
@@ -326,7 +327,7 @@ object AnnQueries extends Registry {
       val chain = graft.sources.AnnIndexStore
         .loadChain(s, store, "ivf_delta")
       Ann.ivfIndexTopK(chain, Tables.embeddings(s, d), "vec_id",
-        "embedding", col("id") % 50 === 0, k = 5)
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
     // The oracle-checkable PQ twin (ann_pq_topk's per-subspace k-means
@@ -336,7 +337,27 @@ object AnnQueries extends Registry {
     // SQL-replayable.
     "ann_pq_det_topk" -> ((s, d) =>
       Ann.pqDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        col("id") % 50 === 0, k = 5)),
+        col("id") % 50 === 0 && col("id") < 2000, k = 5)),
+
+    // The third FAISS compression family next to PQ and IVF-PQ: the
+    // 8-bit SCALAR quantizer (per-dimension trained [min, max], one
+    // byte per coordinate, no codebook). Train is a 64-row aggregate;
+    // the asymmetric-distance scan is the same broadcast-LUT pipelined
+    // map as the PQ ADC path. Exact integer arithmetic end to end —
+    // SQL-replayable.
+    "ann_sq8_det_topk" -> ((s, d) =>
+      Ann.sq8DetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        col("id") % 50 === 0 && col("id") < 2000, k = 5)),
+
+    // Matryoshka truncation-recall eval: overlap between the exact
+    // full-width top-5 and the top-5 ranked on only the first m
+    // coordinates (m = 8/16/32) — the measurement behind serving
+    // truncated MRL embeddings. One corpus scan computes every
+    // prefix's ranking; the fixed eval panel keeps the scan linear in
+    // the corpus at any SF.
+    "embed_matryoshka_recall" -> ((s, d) =>
+      Ann.matryoshkaRecall(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)),
 
     // IVF-PQ composition (Ann.ivfPqTopK): coarse cells restrict the
     // scan, PQ codes make the per-cell scoring m lookups per pair, exact
@@ -354,7 +375,7 @@ object AnnQueries extends Registry {
     // FAISS shape, every step SQL-replayable.
     "ann_ivf_pq_det_topk" -> ((s, d) =>
       Ann.ivfPqDetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        "label", col("id") % 50 === 0, k = 5)),
+        "label", col("id") % 50 === 0 && col("id") < 2000, k = 5)),
 
     // The FULL index lifecycle for the flagship two-level index: all
     // four FAISS-IVFPQ artifacts (coarse quantizer, routing table, PQ
@@ -367,7 +388,7 @@ object AnnQueries extends Registry {
       val store = ensureIvfStore(s, d)
       val loaded = graft.sources.AnnIndexStore.loadPq(s, store, "ivfpq")
       Ann.ivfPqIndexTopK(loaded, Tables.embeddings(s, d), "vec_id",
-        "embedding", col("id") % 50 === 0, k = 5)
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
     // The residual-encoding construction (the actual FAISS IVF-PQ):
@@ -377,7 +398,7 @@ object AnnQueries extends Registry {
     // integer arithmetic over md5-deterministic structure.
     "ann_ivf_pq_residual_det_topk" -> ((s, d) =>
       Ann.ivfPqResidualDetTopK(Tables.embeddings(s, d), "vec_id",
-        "embedding", "label", col("id") % 50 === 0, k = 5)),
+        "embedding", "label", col("id") % 50 === 0 && col("id") < 2000, k = 5)),
 
     // Multi-probe LSH (Lv et al. 2007): each query probes its own bucket
     // plus every Hamming-distance-1 neighbor bucket, buying back the
@@ -490,7 +511,7 @@ object AnnQueries extends Registry {
     // candidate generators for the identical predicate.
     "ann_hard_negatives" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"),
           col("label").as("q_label"))
@@ -772,7 +793,7 @@ object AnnQueries extends Registry {
     "ann_knn_classify" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") % 50 === 0)
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 2000)
         .select(col("vec_id").as("query_id"),
           col("embedding").cast("array<double>").as("qv"),
           col("label").cast("long").as("true_label"))
@@ -1177,7 +1198,7 @@ object AnnQueries extends Registry {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings),
           q AS (SELECT vec_id AS query_id, v AS qv FROM e
-                WHERE vec_id % 50 = 0),
+                WHERE vec_id % 50 = 0 AND vec_id < 2000),
           c AS (SELECT vec_id AS cand_id, v AS cv FROM e),
           r0 AS (SELECT query_id, cand_id, cv,
                    CAST(round(list_cosine_similarity(qv, cv) * 10000)
@@ -1314,7 +1335,7 @@ object AnnQueries extends Registry {
           home AS (SELECT vec_id AS cand_id, label AS cell
                    FROM rkc WHERE rk = 1),
           probes AS (SELECT vec_id AS query_id, label AS cell
-                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0 AND vec_id < 2000),
           cnd AS (SELECT DISTINCT query_id, cand_id
                   FROM probes JOIN home USING (cell)
                   WHERE query_id <> cand_id),
@@ -1361,7 +1382,7 @@ object AnnQueries extends Registry {
           home AS (SELECT vec_id AS cand_id, label AS cell
                    FROM rkc WHERE rk = 1),
           probes AS (SELECT vec_id AS query_id, label AS cell
-                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0 AND vec_id < 2000),
           cnd AS (SELECT DISTINCT query_id, cand_id
                   FROM probes JOIN home USING (cell)
                   WHERE query_id <> cand_id),
@@ -1385,7 +1406,7 @@ object AnnQueries extends Registry {
                           ORDER BY ssd ASC, cw ASC) AS rk
                       FROM ssd) x WHERE rk = 1),
           qlut AS (SELECT vec_id AS query_id, j, cw, ssd AS lut
-                   FROM ssd WHERE vec_id % 50 = 0),
+                   FROM ssd WHERE vec_id % 50 = 0 AND vec_id < 2000),
           adc AS (SELECT c.query_id, c.cand_id,
                     CAST(sum(lut) AS BIGINT) AS adc
                   FROM cnd c
@@ -1450,7 +1471,7 @@ object AnnQueries extends Registry {
     "ann_label_propagation" -> labelPropSql,
     "ann_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id % 50 = 0),
+                    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
           c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
                 FROM embeddings),
           r AS (SELECT query_id, cand_id,
@@ -1467,7 +1488,7 @@ object AnnQueries extends Registry {
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                            label AS q_label
-                    FROM embeddings WHERE vec_id % 50 = 0),
+                    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
           c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
                        label AS neg_label
                 FROM embeddings),
@@ -1485,7 +1506,7 @@ object AnnQueries extends Registry {
 
     "ann_range_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id % 50 = 0),
+                    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
           c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
                 FROM embeddings),
           r AS (SELECT query_id, cand_id,
@@ -1531,7 +1552,7 @@ object AnnQueries extends Registry {
                           ORDER BY ssd ASC, cw ASC) AS rk
                       FROM ssd) x WHERE rk = 1),
           qlut AS (SELECT vec_id AS query_id, j, cw, ssd AS lut
-                   FROM ssd WHERE vec_id % 50 = 0),
+                   FROM ssd WHERE vec_id % 50 = 0 AND vec_id < 2000),
           adc AS (SELECT query_id, cand_id,
                     CAST(sum(lut) AS BIGINT) AS adc
                   FROM codes JOIN qlut USING (j, cw)
@@ -1552,6 +1573,103 @@ object AnnQueries extends Registry {
                   FROM sc)
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Replays the SQ8 scalar-quantizer chain end-to-end: per-dimension
+    // [min, max] trained over micro-unit coordinates, byte codes via
+    // non-negative integer division (// floors, Spark DIV truncates —
+    // identical on non-negative operands), asymmetric distances in
+    // 1/(255·10⁶) units (all BIGINT), 32-deep shortlist, exact
+    // integer-bp rerank.
+    "ann_sq8_det_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          r AS (SELECT dim, min(xi) AS vmin, max(xi) AS vmax
+                FROM d GROUP BY 1),
+          c AS (SELECT vec_id, dim,
+                  CASE WHEN vmax > vmin
+                    THEN ((xi - vmin) * 255) // (vmax - vmin)
+                    ELSE CAST(0 AS BIGINT) END AS code
+                FROM d JOIN r USING (dim)),
+          q AS (SELECT vec_id, dim, xi FROM d
+                WHERE vec_id % 50 = 0 AND vec_id < 2000),
+          ad AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   sum((q.xi * 255
+                        - (r.vmin * 255 + c.code * (r.vmax - r.vmin)))
+                     * (q.xi * 255
+                        - (r.vmin * 255 + c.code * (r.vmax - r.vmin))))
+                     AS adc
+                 FROM q JOIN c ON q.dim = c.dim
+                        AND q.vec_id <> c.vec_id
+                      JOIN r ON r.dim = c.dim
+                 GROUP BY 1, 2),
+          sh AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY adc ASC, cand_id ASC) AS srk
+                   FROM ad) x WHERE srk <= 32),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
+                         JOIN e ec ON sh.cand_id = ec.vec_id),
+          rkp AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Replays the Matryoshka eval: micro-unit prefix dots and norms,
+    // the shared floor-bp affinity form, (sim DESC, cand ASC) top-5
+    // per prefix width, overlap vs the full-width top-5, integer mean
+    // in basis points. The full ranking is the m = 64 row (the
+    // driver's embeddings are 64-dim at every SF).
+    "embed_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          ms(m) AS (VALUES (8), (16), (32), (64)),
+          nrm AS (SELECT ms.m, vec_id, sum(xi * xi) AS n2
+                  FROM d JOIN ms ON d.dim < ms.m GROUP BY 1, 2),
+          q AS (SELECT vec_id, dim, xi FROM d
+                WHERE vec_id % 50 = 0 AND vec_id < 2000),
+          dt AS (SELECT ms.m, q.vec_id AS query_id, d.vec_id AS cand_id,
+                   sum(q.xi * d.xi) AS dot
+                 FROM q JOIN d ON q.dim = d.dim AND q.vec_id <> d.vec_id
+                      JOIN ms ON q.dim < ms.m
+                 GROUP BY 1, 2, 3),
+          sm AS (SELECT dt.m, query_id, cand_id,
+                   CASE WHEN nq.n2 > 0 AND nc.n2 > 0
+                     THEN CAST(floor(10000.0 * dot
+                            / (sqrt(nq.n2) * sqrt(nc.n2))) AS BIGINT)
+                     ELSE 0 END AS sim_bp
+                 FROM dt JOIN nrm nq ON nq.m = dt.m
+                        AND nq.vec_id = dt.query_id
+                      JOIN nrm nc ON nc.m = dt.m
+                        AND nc.vec_id = dt.cand_id),
+          tops AS (SELECT m, query_id, cand_id FROM (
+                     SELECT m, query_id, cand_id, row_number() OVER (
+                       PARTITION BY m, query_id
+                       ORDER BY sim_bp DESC, cand_id ASC) AS rk
+                     FROM sm) x WHERE rk <= 5),
+          ov AS (SELECT p.m, p.query_id,
+                   count(f.cand_id) AS overlap
+                 FROM tops p
+                 LEFT JOIN tops f ON f.m = 64
+                   AND f.query_id = p.query_id
+                   AND f.cand_id = p.cand_id
+                 WHERE p.m <> 64
+                 GROUP BY 1, 2)
+          SELECT CAST(m AS BIGINT) AS m,
+                 count(*) AS queries,
+                 CAST((10000 * sum(overlap)) // (5 * count(*)) AS BIGINT)
+                   AS mean_overlap_bp
+          FROM ov GROUP BY 1 ORDER BY m""",
 
     // The home-cell prefix of the det-IVF chain: per-label integer
     // centroids, affinity ranking, rank-1 cell per vector.
@@ -1653,7 +1771,7 @@ object AnnQueries extends Registry {
           home AS (SELECT vec_id AS cand_id, label AS cell
                    FROM rkc WHERE rk = 1),
           probes AS (SELECT vec_id AS query_id, label AS pcell
-                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0),
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0 AND vec_id < 2000),
           rd AS (SELECT d.vec_id, home.cell, d.dim // 8 AS j, d.dim,
                         xi - ci AS ri
                  FROM d JOIN home ON d.vec_id = home.cand_id
@@ -1723,7 +1841,8 @@ object AnnQueries extends Registry {
           cnd AS (SELECT DISTINCT q.vec_id AS query_id,
                     c.vec_id AS cand_id
                   FROM b q JOIN b c USING (t, bucket)
-                  WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id),
+                  WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000
+                    AND q.vec_id <> c.vec_id),
           sc AS (SELECT query_id, cand_id,
                    CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
                      AS BIGINT) AS sim_bp
@@ -1741,12 +1860,12 @@ object AnnQueries extends Registry {
     // dedups the probe set before the candidate join.
     "ann_lsh_multiprobe" ->
       s"""WITH $detGraphCtes,
-          qp AS (SELECT vec_id, t, bucket FROM b WHERE vec_id % 50 = 0
+          qp AS (SELECT vec_id, t, bucket FROM b WHERE vec_id % 50 = 0 AND vec_id < 2000
                  UNION
                  SELECT vec_id, t,
                         xor(bucket, (CAST(1 AS BIGINT) << p)) AS bucket
                  FROM b, range(0, 30) rp(p), bb
-                 WHERE vec_id % 50 = 0 AND p < bits),
+                 WHERE vec_id % 50 = 0 AND vec_id < 2000 AND p < bits),
           cnd AS (SELECT DISTINCT qp.vec_id AS query_id,
                     c.vec_id AS cand_id
                   FROM qp JOIN b c ON qp.t = c.t AND qp.bucket = c.bucket
@@ -1811,7 +1930,7 @@ object AnnQueries extends Registry {
                       ELSE 0 END) AS bucket
                 FROM pl GROUP BY vec_id),
           q AS (SELECT e.vec_id AS query_id, v AS qv, bucket
-                FROM e JOIN b USING (vec_id) WHERE e.vec_id % 50 = 0),
+                FROM e JOIN b USING (vec_id) WHERE e.vec_id % 50 = 0 AND e.vec_id < 2000),
           c AS (SELECT e.vec_id AS cand_id, v AS cv, bucket
                 FROM e JOIN b USING (vec_id)),
           r AS (SELECT query_id, cand_id,
@@ -1940,7 +2059,7 @@ object AnnQueries extends Registry {
     "ann_knn_classify" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
                            CAST(label AS BIGINT) AS true_label
-                    FROM embeddings WHERE vec_id % 50 = 0),
+                    FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
           c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv,
                        CAST(label AS BIGINT) AS cand_label
                 FROM embeddings),
@@ -1993,7 +2112,8 @@ object AnnQueries extends Registry {
                             ORDER BY list_cosine_similarity(q.v, c.v)
                               DESC, c.vec_id ASC) AS rank
                    FROM e q CROSS JOIN e c
-                   WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id) x
+                   WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000
+                    AND q.vec_id <> c.vec_id) x
                  WHERE rank <= 5),
           d AS (SELECT vec_id, i - 1 AS dim,
                   CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
@@ -2015,7 +2135,7 @@ object AnnQueries extends Registry {
                                list_cosine_similarity(q.v, c.v) * 10000)
                                AS BIGINT) DESC, c.vec_id ASC) AS rank
                     FROM eb q JOIN eb c USING (bucket)
-                    WHERE q.vec_id % 50 = 0
+                    WHERE q.vec_id % 50 = 0 AND q.vec_id < 2000
                       AND q.vec_id <> c.vec_id) x
                   WHERE rank <= 5),
           nl AS (SELECT query_id, count(*) AS n_lsh

@@ -295,6 +295,45 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("sq8DetTopK: <= k exactly-ranked rows; sims are true cosines; " +
+       "recall >= 0.9 vs brute force") {
+    // the SQ8 contract matches the det-PQ one (shortlist only PRUNES,
+    // surviving sims are exact integer-bp cosines, dense ranks) — and
+    // because 8-bit per-dimension quantization is a much finer code
+    // than a 16-word PQ codebook, recall against the exact top-5
+    // should be near-perfect, not just nonzero
+    val got = Ann.sq8DetTopK(embs, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5).collect()
+    assert(got.nonEmpty)
+    val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.size <= 5)
+      g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
+    }
+    got.foreach { r =>
+      exactAll((r.getLong(0), r.getLong(2))) shouldBe r.getLong(3)
+    }
+    val sq8 = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (sq8 intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+  }
+
+  test("matryoshkaRecall: the full-width prefix reproduces the full " +
+       "ranking exactly; narrower prefixes stay in [0, 10000] bp") {
+    // prefix m = 64 on 64-dim vectors slices nothing, so its top-5 IS
+    // the full top-5 — overlap must be exactly 10000 bp, not close to
+    // it; the 10-query panel count must be exact too
+    val got = Ann.matryoshkaRecall(embs, "vec_id", "embedding",
+      col("vec_id") % 50 === 0, k = 5, prefixes = Seq(8, 64))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.toSeq.sorted.map(_._1) shouldBe Seq(8L, 64L)
+    got.foreach { case (_, q, bp) =>
+      q shouldBe 10L
+      assert(bp >= 0L && bp <= 10000L, s"overlap bp $bp out of range")
+    }
+    got.find(_._1 == 64L).get._3 shouldBe 10000L
+  }
+
   test("IVF top-k recall >= 0.5 vs brute force") {
     val ivf = neighborSet(Ann.ivfTopK(embs, queries, "vec_id", "embedding", 5))
     val recall = (ivf intersect exact).size.toDouble / exact.size
