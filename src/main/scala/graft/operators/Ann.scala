@@ -1232,26 +1232,54 @@ object Ann {
     * relation is 64 rows regardless of corpus size. */
   def sq8DetTopK(embs: DataFrame, idCol: String, vecCol: String,
                  queryPred: Column, k: Int, shortlist: Int = 32)
-      : DataFrame = {
+      : DataFrame =
+    sq8IndexTopK(buildSq8Index(embs, idCol, vecCol), embs, idCol,
+      vecCol, queryPred, k, shortlist)
+
+  /** The SQ8 index as its TWO persistable relations — the complete
+    * FAISS ScalarQuantizer serialization: the trained per-dimension
+    * ranges (dim, vmin, vmax — 64 rows of longs regardless of corpus
+    * size) and the per-vector byte-code arrays (id, codes — the
+    * memory-bound payload, one long-encoded byte per coordinate vs a
+    * float of raw data). */
+  final case class Sq8IndexRelations(ranges: DataFrame,
+                                     codes: DataFrame)
+
+  /** Train + encode the SQ8 index once ([[sq8DetTopK]]'s quantizer
+    * half). Encode: DIV truncates, DuckDB // floors — operands are
+    * non-negative in the guarded branch, so the two semantics
+    * coincide; code hits 255 exactly at xi = vmax, no clamp needed. */
+  def buildSq8Index(embs: DataFrame, idCol: String,
+                    vecCol: String): Sq8IndexRelations = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val dims = detPqDims(e).select("id", "dim", "xi")
     val ranges = dims.groupBy("dim")
       .agg(min("xi").as("vmin"), max("xi").as("vmax"))
-    // encode: DIV truncates, // floors — operands are non-negative in
-    // the guarded branch, so the two semantics coincide; code hits 255
-    // exactly at xi = vmax, no clamp needed
-    val codesW = dims.join(broadcast(ranges), "dim")
+    val codes = dims.join(broadcast(ranges), "dim")
       .withColumn("code", expr(
         "CASE WHEN vmax > vmin THEN ((xi - vmin) * 255)" +
           " DIV (vmax - vmin) ELSE CAST(0 AS BIGINT) END"))
       .groupBy("id")
       .agg(expr("transform(array_sort(collect_list(struct(dim, code)))," +
         " s -> s.code)").as("codes"))
-      .select(col("id").as("cand_id"), col("codes"))
-    val qlutW = dims
-      .join(e.filter(queryPred).select("id"), "id")
-      .join(broadcast(ranges), "dim")
+    Sq8IndexRelations(ranges, codes)
+  }
+
+  /** Serve SQ8 top-k from an ALREADY-BUILT index: the query's LUT
+    * (lut_d = xi_q·255 − vmin_d·255) and the scale array come from the
+    * LOADED ranges — the only per-query quantizer work is 64 integer
+    * subtractions; candidate codes come from the loaded code relation.
+    * Output-identical to [[sq8DetTopK]]'s inline chain by construction
+    * (per-dimension ranges and per-id codes are independent of the
+    * query set), so it shares the det chain's DuckDB oracle. */
+  def sq8IndexTopK(index: Sq8IndexRelations, embs: DataFrame,
+                   idCol: String, vecCol: String, queryPred: Column,
+                   k: Int, shortlist: Int = 32): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qlutW = detPqDims(e.filter(queryPred)).select("id", "dim", "xi")
+      .join(broadcast(index.ranges), "dim")
       .withColumn("lu", col("xi") * 255 - col("vmin") * 255)
       .withColumn("sc", col("vmax") - col("vmin"))
       .groupBy("id")
@@ -1259,6 +1287,7 @@ object Ann {
       .select(col("id").as("query_id"),
         expr("transform(ts, t -> t.lu)").as("lut"),
         expr("transform(ts, t -> t.sc)").as("scl"))
+    val codesW = index.codes.select(col("id").as("cand_id"), col("codes"))
     val pairsAdc = codesW.crossJoin(broadcast(qlutW))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"), expr(

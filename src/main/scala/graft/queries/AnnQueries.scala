@@ -78,6 +78,9 @@ object AnnQueries extends Registry {
         "label")
       graft.sources.AnnIndexStore.persistPq(s, store, "ivfpq", builtPq)
       graft.sources.AnnIndexStore.prunePq(s, store, "ivfpq", keep = 3)
+      val builtSq8 = Ann.buildSq8Index(embs, "vec_id", "embedding")
+      graft.sources.AnnIndexStore.persistSq8(s, store, "sq8", builtSq8)
+      graft.sources.AnnIndexStore.pruneSq8(s, store, "sq8", keep = 3)
       graft.sources.AnnIndexStore.persistVersion(store, "ivf_pinned",
         PinnedVersion, built)
       graft.sources.AnnIndexStore.persistVersion(store, "ivf_pinned",
@@ -348,6 +351,20 @@ object AnnQueries extends Registry {
     "ann_sq8_det_topk" -> ((s, d) =>
       Ann.sq8DetTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         col("id") % 50 === 0 && col("id") < 2000, k = 5)),
+
+    // The SQ8 lifecycle query — same contract as ann_ivf_served_topk:
+    // build + persist once behind the memo, then per invocation LOAD
+    // the newest version (trained ranges + byte codes) and serve
+    // without re-training the quantizer. Output-identical to
+    // ann_sq8_det_topk by construction, so it shares that oracle — the
+    // hash proves persist → load → serve loses nothing for the third
+    // FAISS family too.
+    "ann_sq8_served_topk" -> ((s, d) => {
+      val store = ensureIvfStore(s, d)
+      val loaded = graft.sources.AnnIndexStore.loadSq8(s, store, "sq8")
+      Ann.sq8IndexTopK(loaded, Tables.embeddings(s, d), "vec_id",
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
+    }),
 
     // Matryoshka truncation-recall eval: overlap between the exact
     // full-width top-5 and the top-5 ranked on only the first m
@@ -1307,6 +1324,48 @@ object AnnQueries extends Registry {
   /** The det-IVF end-to-end replay, shared verbatim by
     * ann_ivf_det_topk and ann_ivf_served_topk (the serve path is
     * output-identical by construction). */
+  private val sq8DetTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          r AS (SELECT dim, min(xi) AS vmin, max(xi) AS vmax
+                FROM d GROUP BY 1),
+          c AS (SELECT vec_id, dim,
+                  CASE WHEN vmax > vmin
+                    THEN ((xi - vmin) * 255) // (vmax - vmin)
+                    ELSE CAST(0 AS BIGINT) END AS code
+                FROM d JOIN r USING (dim)),
+          q AS (SELECT vec_id, dim, xi FROM d
+                WHERE vec_id % 50 = 0 AND vec_id < 2000),
+          ad AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   sum((q.xi * 255
+                        - (r.vmin * 255 + c.code * (r.vmax - r.vmin)))
+                     * (q.xi * 255
+                        - (r.vmin * 255 + c.code * (r.vmax - r.vmin))))
+                     AS adc
+                 FROM q JOIN c ON q.dim = c.dim
+                        AND q.vec_id <> c.vec_id
+                      JOIN r ON r.dim = c.dim
+                 GROUP BY 1, 2),
+          sh AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY adc ASC, cand_id ASC) AS srk
+                   FROM ad) x WHERE srk <= 32),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
+                         JOIN e ec ON sh.cand_id = ec.vec_id),
+          rkp AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank"""
+
   private val ivfDetTopKSql: String =
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                            embedding::DOUBLE[] AS v
@@ -1580,47 +1639,13 @@ object AnnQueries extends Registry {
     // identical on non-negative operands), asymmetric distances in
     // 1/(255·10⁶) units (all BIGINT), 32-deep shortlist, exact
     // integer-bp rerank.
-    "ann_sq8_det_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                    FROM embeddings),
-          d AS (SELECT vec_id, i - 1 AS dim,
-                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
-                FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
-          r AS (SELECT dim, min(xi) AS vmin, max(xi) AS vmax
-                FROM d GROUP BY 1),
-          c AS (SELECT vec_id, dim,
-                  CASE WHEN vmax > vmin
-                    THEN ((xi - vmin) * 255) // (vmax - vmin)
-                    ELSE CAST(0 AS BIGINT) END AS code
-                FROM d JOIN r USING (dim)),
-          q AS (SELECT vec_id, dim, xi FROM d
-                WHERE vec_id % 50 = 0 AND vec_id < 2000),
-          ad AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-                   sum((q.xi * 255
-                        - (r.vmin * 255 + c.code * (r.vmax - r.vmin)))
-                     * (q.xi * 255
-                        - (r.vmin * 255 + c.code * (r.vmax - r.vmin))))
-                     AS adc
-                 FROM q JOIN c ON q.dim = c.dim
-                        AND q.vec_id <> c.vec_id
-                      JOIN r ON r.dim = c.dim
-                 GROUP BY 1, 2),
-          sh AS (SELECT query_id, cand_id FROM (
-                   SELECT query_id, cand_id, row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY adc ASC, cand_id ASC) AS srk
-                   FROM ad) x WHERE srk <= 32),
-          sc AS (SELECT query_id, cand_id,
-                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
-                     AS BIGINT) AS sim_bp
-                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
-                         JOIN e ec ON sh.cand_id = ec.vec_id),
-          rkp AS (SELECT query_id, cand_id, sim_bp,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
-                  FROM sc)
-          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
-          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
+    "ann_sq8_det_topk" -> sq8DetTopKSql,
+
+    // The persisted-index SQ8 serve path is output-identical to the
+    // inline chain by construction (same integers through a parquet
+    // round trip) — the SAME replay checks that persist -> load ->
+    // serve loses nothing.
+    "ann_sq8_served_topk" -> sq8DetTopKSql,
 
     // Replays the Matryoshka eval: micro-unit prefix dots and norms,
     // the shared floor-bp affinity form, (sim DESC, cand ASC) top-5

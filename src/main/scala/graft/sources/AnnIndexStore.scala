@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Ann.{IvfIndexRelations, IvfPqIndexRelations}
+import graft.operators.Ann.{IvfIndexRelations, IvfPqIndexRelations, Sq8IndexRelations}
 
 /** ANN index LIFECYCLE over [[VersionedStore]] — the missing piece
   * between "ANN queries" and "an ANN system": a real 100 TB pipeline
@@ -143,6 +143,49 @@ object AnnIndexStore {
       store.deleteVersion(spark, cbName(name), v)
       store.deleteVersion(spark, codesName(name), v)
       store.deleteVersion(spark, homeName(name), v)
+    }
+
+  // ---- SQ8 (two relations per version; same commit contract: the
+  // ranges half — the trained quantizer — is written LAST as the
+  // completeness marker, so a version is visible only with both
+  // halves present) ----
+
+  private def sq8CodesName(name: String) = s"${name}_codes"
+  private def sq8RangesName(name: String) = s"${name}_ranges"
+
+  /** Versions complete across both SQ8 relations, ascending. */
+  def versionsSq8(spark: SparkSession, store: VersionedStore,
+                  name: String): Seq[Long] =
+    store.versions(spark, sq8CodesName(name))
+      .intersect(store.versions(spark, sq8RangesName(name)))
+
+  /** Persist a full SQ8 index as the next version. */
+  def persistSq8(spark: SparkSession, store: VersionedStore,
+                 name: String, index: Sq8IndexRelations): Long = {
+    val v = versionsSq8(spark, store, name).lastOption.fold(0L)(_ + 1)
+    store.putVersion(sq8CodesName(name), v, index.codes)
+    store.putVersion(sq8RangesName(name), v, index.ranges)
+    v
+  }
+
+  /** Load the newest complete SQ8 version. */
+  def loadSq8(spark: SparkSession, store: VersionedStore,
+              name: String): Sq8IndexRelations = {
+    val vs = versionsSq8(spark, store, name)
+    require(vs.nonEmpty, s"no complete SQ8 versions of index $name")
+    val v = vs.last
+    Sq8IndexRelations(
+      store.getVersion(spark, sq8RangesName(name), v),
+      store.getVersion(spark, sq8CodesName(name), v))
+  }
+
+  /** Retention for SQ8 versions: keep the newest `keep`. */
+  def pruneSq8(spark: SparkSession, store: VersionedStore, name: String,
+               keep: Int): Unit =
+    versionsSq8(spark, store, name).dropRight(keep).foreach { v =>
+      // completeness marker first (see prune)
+      store.deleteVersion(spark, sq8RangesName(name), v)
+      store.deleteVersion(spark, sq8CodesName(name), v)
     }
 
   /** foreachBatch body for STREAMING index maintenance: micro-batch `b`

@@ -68,6 +68,32 @@ class AnnIndexSpec extends SparkSpec {
       .head.getInt(0) shouldBe 8
   }
 
+  test("SQ8: persist both artifacts -> load -> serve reproduces the " +
+      "inline det chain bit-for-bit; pruneSq8 retains") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("sq8")
+    val built = Ann.buildSq8Index(embs, "vec_id", "embedding")
+    AnnIndexStore.persistSq8(spark, store, "sq8", built) shouldBe 0L
+    AnnIndexStore.persistSq8(spark, store, "sq8", built) shouldBe 1L
+    AnnIndexStore.pruneSq8(spark, store, "sq8", keep = 1)
+    AnnIndexStore.versionsSq8(spark, store, "sq8") shouldBe Seq(1L)
+    val loaded = AnnIndexStore.loadSq8(spark, store, "sq8")
+    val served = topkRows(Ann.sq8IndexTopK(loaded, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, k = 5))
+    val inline = topkRows(Ann.sq8DetTopK(embs, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5))
+    served shouldBe inline
+    // the trained quantizer is corpus-size-free (one row per
+    // dimension) and codes are the byte-per-coordinate payload
+    loaded.ranges.count() shouldBe 64L
+    loaded.codes.count() shouldBe embs.count()
+    val codeBounds = loaded.codes
+      .selectExpr("min(array_min(codes))", "max(array_max(codes))")
+      .collect().head
+    assert(codeBounds.getLong(0) >= 0L && codeBounds.getLong(1) <= 255L,
+      s"SQ8 codes outside [0, 255]: $codeBounds")
+  }
+
   test("versions auto-increment; load pins the newest complete one; " +
       "prune keeps the newest K") {
     val embs = Tables.embeddings(spark, sfDir)
