@@ -1379,6 +1379,52 @@ object Ann {
     }.reduce(_ unionByName _).orderBy("m")
   }
 
+  /** Coarse-to-fine Matryoshka FUNNEL retrieval — the serving pattern
+    * truncated MRL embeddings exist for: shortlist candidates by the
+    * first `m` coordinates' cosine (scan m/dims of the bytes per
+    * candidate), pay full width only to exactly re-rank the
+    * shortlist. Same exact-integer construction as the det ANN
+    * families (micro-unit prefix dots, the shared floor-bp affinity
+    * form, the shared [[exactCosineRerank]] tail), so the funnel
+    * replays in SQL. Execution shape: candidates carry ONLY their
+    * m-wide prefix (the bandwidth saving is structural, not an
+    * annotation), the panel is broadcast, and the shortlist reduces
+    * through the k-bounded TopKByScore partial agg — the q×n prefix
+    * scan never crosses a shuffle. */
+  def matryoshkaFunnelTopK(embs: DataFrame, idCol: String,
+                           vecCol: String, queryPred: Column, k: Int,
+                           m: Int = 16, shortlist: Int = 32)
+      : DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val xi = e.select(col("id"),
+      expr(s"transform(slice(v, 1, $m)," +
+        " x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))").as("xs"))
+      .withColumn("n2", expr(
+        "aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+    val cand = xi.select(col("id").as("cand_id"), col("xs").as("cxs"),
+      col("n2").as("cn2"))
+    val qs = xi.join(e.filter(queryPred).select("id"), "id")
+      .select(col("id").as("query_id"), col("xs").as("qxs"),
+        col("n2").as("qn2"))
+    val pairs = cand.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qxs, cxs," +
+        " (a, b) -> a * b), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("query_id"), col("cand_id"),
+        when(col("qn2") > 0 && col("cn2") > 0,
+          floor(lit(10000.0) * col("dot") /
+            (sqrt(col("qn2")) * sqrt(col("cn2")))).cast("long"))
+          .otherwise(0L).as("sim_pre"))
+    val mink = udaf(
+      new graft.functions.CraneAggregators.TopKByScore(shortlist))
+    val short = pairs.groupBy("query_id")
+      .agg(mink(col("sim_pre"), col("cand_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t._2").as("cand_id"))
+    exactCosineRerank(short, e, k)
+  }
+
   def pqTopK(candidates: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
              rerank: Int = 8, sampleSize: Int = 2000, iters: Int = 10,

@@ -366,6 +366,15 @@ object AnnQueries extends Registry {
         "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
+    // Coarse-to-fine Matryoshka FUNNEL retrieval: shortlist by the
+    // 16-dim prefix's integer-bp cosine (a quarter of the bytes per
+    // candidate), exact full-width integer-bp rerank of the 32-deep
+    // shortlist — the production serving pattern for truncated MRL
+    // embeddings, SQL-replayable end to end.
+    "ann_matryoshka_funnel_topk" -> ((s, d) =>
+      Ann.matryoshkaFunnelTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)),
+
     // Matryoshka truncation-recall eval: overlap between the exact
     // full-width top-5 and the top-5 ranked on only the first m
     // coordinates (m = 8/16/32) — the measurement behind serving
@@ -1646,6 +1655,48 @@ object AnnQueries extends Registry {
     // round trip) — the SAME replay checks that persist -> load ->
     // serve loses nothing.
     "ann_sq8_served_topk" -> sq8DetTopKSql,
+
+    // Replays the Matryoshka funnel: 16-dim micro-unit prefix dots and
+    // norms, floor-bp shortlist (sim DESC, cand ASC, 32 deep), exact
+    // full-width integer-bp rerank — the same two-stage selection the
+    // engine runs.
+    "ann_matryoshka_funnel_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          d AS (SELECT vec_id, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e, range(1, 4097) ri(i)
+                WHERE i <= len(v) AND i <= 16),
+          nrm AS (SELECT vec_id, sum(xi * xi) AS n2 FROM d GROUP BY 1),
+          q AS (SELECT vec_id, dim, xi FROM d
+                WHERE vec_id % 50 = 0 AND vec_id < 2000),
+          dt AS (SELECT q.vec_id AS query_id, d.vec_id AS cand_id,
+                   sum(q.xi * d.xi) AS dot
+                 FROM q JOIN d ON q.dim = d.dim AND q.vec_id <> d.vec_id
+                 GROUP BY 1, 2),
+          sm AS (SELECT query_id, cand_id,
+                   CASE WHEN nq.n2 > 0 AND nc.n2 > 0
+                     THEN CAST(floor(10000.0 * dot
+                            / (sqrt(nq.n2) * sqrt(nc.n2))) AS BIGINT)
+                     ELSE 0 END AS sim_pre
+                 FROM dt JOIN nrm nq ON nq.vec_id = dt.query_id
+                      JOIN nrm nc ON nc.vec_id = dt.cand_id),
+          sh AS (SELECT query_id, cand_id FROM (
+                   SELECT query_id, cand_id, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY sim_pre DESC, cand_id ASC) AS srk
+                   FROM sm) x WHERE srk <= 32),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM sh JOIN e eq ON sh.query_id = eq.vec_id
+                         JOIN e ec ON sh.cand_id = ec.vec_id),
+          rkp AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rkp WHERE rank <= 5 ORDER BY query_id, rank""",
 
     // Replays the Matryoshka eval: micro-unit prefix dots and norms,
     // the shared floor-bp affinity form, (sim DESC, cand ASC) top-5

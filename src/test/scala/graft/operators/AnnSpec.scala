@@ -318,6 +318,26 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall $recall")
   }
 
+  test("matryoshkaFunnelTopK: full-width funnel reproduces brute-force " +
+       "neighbors; 16-dim funnel is well-formed with measurable recall") {
+    // with m = 64 the "prefix" is the whole vector, so the 32-deep
+    // shortlist must contain every true top-5 (floor-bp vs round-bp
+    // ordering can only shuffle WITHIN the shortlist; the exact rerank
+    // restores the true selection)
+    val full = neighborSet(Ann.matryoshkaFunnelTopK(embs, "vec_id",
+      "embedding", col("id") % 50 === 0, k = 5, m = 64))
+    full shouldBe exact
+    val fun16 = Ann.matryoshkaFunnelTopK(embs, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5, m = 16).collect()
+    fun16.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.size <= 5)
+      g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
+    }
+    val recall16 = (fun16.map(r => (r.getLong(0), r.getLong(2))).toSet
+      intersect exact).size.toDouble / exact.size
+    assert(recall16 >= 0.2, s"16-dim funnel recall $recall16")
+  }
+
   test("matryoshkaRecall: the full-width prefix reproduces the full " +
        "ranking exactly; narrower prefixes stay in [0, 10000] bp") {
     // prefix m = 64 on 64-dim vectors slices nothing, so its top-5 IS
