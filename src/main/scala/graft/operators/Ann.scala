@@ -1368,15 +1368,19 @@ object Ann {
       expr("transform(t_full, t -> t._2)").as("f_ids") +:
       prefixes.map(m =>
         expr(s"transform(t_p$m, t -> t._2)").as(s"ids_p$m")): _*)
-    prefixes.map { m =>
-      perQ.select(lit(m.toLong).as("m"),
-        expr(s"CAST(size(array_intersect(f_ids, ids_p$m)) AS BIGINT)")
-          .as("ov"))
-        .groupBy("m")
-        .agg(count(lit(1)).as("queries"),
-          expr(s"CAST((10000 * sum(ov)) DIV ($k * count(1)) AS BIGINT)")
-            .as("mean_overlap_bp"))
-    }.reduce(_ unionByName _).orderBy("m")
+    // one (m, ov) row per (query, prefix) via a single explode — a
+    // per-prefix union of groupBys would recompute the pair scan once
+    // per prefix width
+    perQ.select(explode(array(prefixes.map(m =>
+        struct(lit(m.toLong).as("m"),
+          expr(s"CAST(size(array_intersect(f_ids, ids_p$m)) AS BIGINT)")
+            .as("ov"))): _*)).as("x"))
+      .select(col("x.m").as("m"), col("x.ov").as("ov"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("queries"),
+        expr(s"CAST((10000 * sum(ov)) DIV ($k * count(1)) AS BIGINT)")
+          .as("mean_overlap_bp"))
+      .orderBy("m")
   }
 
   /** Coarse-to-fine Matryoshka FUNNEL retrieval — the serving pattern

@@ -661,7 +661,16 @@ object AnnQueries extends Registry {
     // kNN graph and Graph.pagerankInt's seeded integer fixed point.
     // 4 unrolled rounds, damp 8500; oracle replays graph + diffusion.
     "ann_ppr_expand" -> ((s, d) => {
-      val edges = knn5(s, d).select(col("vec_id").as("src"),
+      // SEMANTICS CHANGE (round 12): diffuses over the det-LSH kNN
+      // graph (knn5Det — the SAME memoized relation ann_knn_graph
+      // registers, SQL-replayable) instead of the exact n² graph. The
+      // 50k-vector ladder rung measured the exact-graph form at
+      // 1,856 s / exponent 1.54 — the memoized exact graph made this
+      // the one registered query still paying n² at scale. Seeds
+      // outside the graph's node set are ignored by pagerankInt, so
+      // the embeddings-panel seed set matches the oracle's
+      // graph-node % 50 seeds exactly.
+      val edges = knn5Det(s, d).select(col("vec_id").as("src"),
         col("neighbor_id").as("dst"))
       val seeds = Tables.embeddings(s, d)
         .filter(col("vec_id") % 50 === 0)
@@ -1091,41 +1100,37 @@ object AnnQueries extends Registry {
     * overflow-safe damping reduction as GraphQueries' pagerankSteps,
     * with restart mass only on the probe seeds (ranks are non-negative
     * throughout, so `//` == Spark DIV). */
-  private val pprExpandSql: String = {
+  // lazy: references detGraphCtes, which is declared further down the
+  // object body (a strict val here would read null at init time)
+  private lazy val pprExpandSql: String = {
     val damp = 8500L
     val scale = 1000000L
     val base = scale * (10000 - damp) / 10000
+    // round 12: the graph is the det-LSH kNN relation (detGraphCtes —
+    // the same replay ann_knn_graph shares), not the exact n² pair
+    // relation; seeds stay graph-node % 50
     val baseCtes =
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                    FROM embeddings),
-          p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-                  CAST(round(list_cosine_similarity(a.v, b.v) * 10000)
-                    AS BIGINT) AS sim_bp
-                FROM v a JOIN v b ON a.vec_id <> b.vec_id),
-          rk AS (SELECT src, dst,
-                   row_number() OVER (PARTITION BY src
-                     ORDER BY sim_bp DESC, dst ASC) AS rank
-                 FROM p),
-          e AS MATERIALIZED (
-                SELECT DISTINCT src, dst FROM rk WHERE rank <= 5),
+      s"""WITH $detGraphCtes,
+          eg AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM r WHERE rank <= 5),
           outd AS MATERIALIZED (
                 SELECT src, CAST(count(*) AS BIGINT) AS od
-                FROM e GROUP BY src),
+                FROM eg GROUP BY src),
           sn AS MATERIALIZED (
                 SELECT node, CAST(CASE WHEN node % 50 = 0 THEN 1 ELSE 0
                   END AS BIGINT) AS is_seed
-                FROM (SELECT src AS node FROM e
-                      UNION SELECT dst FROM e)),""" +
+                FROM (SELECT src AS node FROM eg
+                      UNION SELECT dst FROM eg)),""" +
         s"""
           r0 AS (SELECT node, is_seed,
                    CAST(is_seed * $scale AS BIGINT) AS rank FROM sn)"""
     val steps = (1 to 4).map { i =>
-      s"""c$i AS (SELECT e.dst AS node,
+      s"""c$i AS (SELECT eg.dst AS node,
                     CAST(sum(r${i - 1}.rank // outd.od) AS BIGINT) AS csum
-                  FROM e
-                  JOIN outd ON e.src = outd.src
-                  JOIN r${i - 1} ON r${i - 1}.node = e.src
-                  GROUP BY e.dst),
+                  FROM eg
+                  JOIN outd ON eg.src = outd.src
+                  JOIN r${i - 1} ON r${i - 1}.node = eg.src
+                  GROUP BY eg.dst),
           r$i AS MATERIALIZED (
                   SELECT n.node, n.is_seed,
                     CAST(n.is_seed * $base
@@ -1330,9 +1335,9 @@ object AnnQueries extends Registry {
                     ORDER BY sim_bp DESC, dst ASC) AS rank
                 FROM dr)"""
 
-  /** The det-IVF end-to-end replay, shared verbatim by
-    * ann_ivf_det_topk and ann_ivf_served_topk (the serve path is
-    * output-identical by construction). */
+  /** The SQ8 end-to-end replay, shared verbatim by ann_sq8_det_topk
+    * and ann_sq8_served_topk (the serve path is output-identical by
+    * construction). */
   private val sq8DetTopKSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings),
@@ -1375,6 +1380,9 @@ object AnnQueries extends Registry {
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rkp WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** The det-IVF end-to-end replay, shared verbatim by
+    * ann_ivf_det_topk and ann_ivf_served_topk (the serve path is
+    * output-identical by construction). */
   private val ivfDetTopKSql: String =
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
                            embedding::DOUBLE[] AS v
