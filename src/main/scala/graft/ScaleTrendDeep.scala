@@ -32,9 +32,15 @@ object ScaleTrendDeep {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the 100M+-pair ADC sorts of the DECADE3 rungs need far more
+    // (smaller) shuffle partitions than threads, or single-partition
+    // sorts GC-stall the shared local-mode JVM past the heartbeat
+    // timeout (round-12 close, SCALE_r12.md appendix) — overridable
+    // without a code change
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
