@@ -1215,13 +1215,26 @@ object Ann {
     * QT_8bit index family: per-DIMENSION [min, max] trained over the
     * corpus, each coordinate stored as one byte code = ⌊(x − min)·255 /
     * (max − min)⌋ — 4× smaller than float32 with no codebook, the
-    * third FAISS compression family next to PQ and IVF-PQ). Every step
+    * third FAISS compression family next to PQ and IVF-PQ). Two
+    * deliberate deviations from FAISS's QT_8bit arithmetic, chosen so
+    * the chain stays integer-exact and SQL-replayable (like the other
+    * det twins): encode FLOORS where FAISS rounds-to-nearest, and the
+    * ADC reconstructs at the bucket's LEFT edge (vmin + code·Δ/255)
+    * where FAISS uses bucket centers ((code + 0.5)·Δ/255) — a
+    * systematic half-LSB distance bias that only perturbs the ADC
+    * shortlist ORDER and is absorbed by the exact rerank. Every step
     * is exact integer arithmetic on micro-unit coordinates so the
     * whole chain (train → encode → asymmetric-distance scan → exact
     * rerank) replays in ANSI SQL: distances compare in units of
     * 1/(255·10⁶) — d_dim = xi_q·255 − (vmin_d·255 + code·(vmax_d −
-    * vmin_d)), all BIGINTs (|d_dim| ≤ 5.1e8; over unit-norm vectors
-    * Σd² ≤ ~4·10¹²·255² ≈ 2.6e17, 35× inside Long range).
+    * vmin_d)), all BIGINTs. PRECONDITION: input vectors must be
+    * unit-norm-scaled (|coordinate| ≤ ~1, i.e. micro-units ≤ ~10⁶ —
+    * the embeddings table's contract): then |d_dim| ≤ 5.1e8 and Σd² ≤
+    * ~4·10¹²·255² ≈ 2.6e17, 35× inside Long range. An adversarial
+    * non-unit-norm corpus (e.g. one-hot axes at |x|=10⁶) would push
+    * the worst case toward ~8.5e18 — within ~8% of Long.MaxValue in
+    * BOTH engines — so the bound is a requirement on the input, not a
+    * property of the operator.
     *
     * Execution shape mirrors [[pqDetTopK]]: the trained ranges fold
     * into a per-query LUT (lut_d = xi_q·255 − vmin_d·255) plus a scale

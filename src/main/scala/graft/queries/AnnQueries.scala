@@ -93,9 +93,41 @@ object AnnQueries extends Registry {
             .select(col("id").as("vec_id"), col("cell")), b)
       }
       graft.sources.AnnIndexStore.compact(s, store, "ivf_delta", upTo = 1L)
+      // the same three-trigger delta ingest + partial compaction for
+      // the two COMPRESSED families — per-vector relations (routing
+      // rows, code words) land as O(batch) deltas, the static quantizer
+      // halves ride along as completeness markers
+      val pqBatch = builtPq.home
+        .join(builtPq.codes.withColumnRenamed("id", "cid"),
+          col("id") === col("cid"))
+        .select(col("id").as("vec_id"), col("cell"), col("codes"))
+      (0L until 3L).foreach { b =>
+        graft.sources.AnnIndexStore.foldBatchDeltaPq(store, "ivfpq_delta",
+          builtPq.centroids, builtPq.codebook, baseVersion = -1L)(
+          pqBatch.filter(col("vec_id") % 3 === b), b)
+      }
+      graft.sources.AnnIndexStore.compactPq(s, store, "ivfpq_delta",
+        upTo = 1L)
+      (0L until 3L).foreach { b =>
+        graft.sources.AnnIndexStore.foldBatchDeltaSq8(store, "sq8_delta",
+          builtSq8.ranges, baseVersion = -1L)(
+          builtSq8.codes.filter(col("id") % 3 === b)
+            .select(col("id").as("vec_id"), col("codes")), b)
+      }
+      graft.sources.AnnIndexStore.compactSq8(s, store, "sq8_delta",
+        upTo = 1L)
     }
     store
   }
+
+  /** Pre-warm every memoized store artifact the `*_served` / `*_delta`
+    * lifecycle queries load from — Bench runs this in an explicit setup
+    * band so the one-time build+persist cost is its own labeled line
+    * instead of landing on whichever served query runs first
+    * (alphabetically `ann_ivf_delta_served_topk`, which read 20.6 s in
+    * r12 for a ~1.2 s serve). */
+  def warmIndexStore(s: org.apache.spark.sql.SparkSession,
+                     d: String): Unit = { ensureIvfStore(s, d); () }
 
   /** The exact k=5 kNN graph, materialized once per (session, dir) —
     * the eval oracle (ann_knn_graph_exact), also consumed by the
@@ -366,6 +398,21 @@ object AnnQueries extends Registry {
         "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
+    // DELTA maintenance for the SQ8 family — the byte-code relation
+    // ingested as three O(batch) delta versions (foldBatchDeltaSq8),
+    // versions 0-1 compacted, version 2 left as a trailing delta; the
+    // query reconstructs the chain view and serves from it. Hash-green
+    // on ann_sq8_det_topk's oracle = delta ingestion + compaction +
+    // chain reconstruction lose nothing for the compressed family
+    // either.
+    "ann_sq8_delta_served_topk" -> ((s, d) => {
+      val store = ensureIvfStore(s, d)
+      val chain = graft.sources.AnnIndexStore
+        .loadChainSq8(s, store, "sq8_delta")
+      Ann.sq8IndexTopK(chain, Tables.embeddings(s, d), "vec_id",
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
+    }),
+
     // Coarse-to-fine Matryoshka FUNNEL retrieval: shortlist by the
     // 16-dim prefix's integer-bp cosine (a quarter of the bytes per
     // candidate), exact full-width integer-bp rerank of the 32-deep
@@ -414,6 +461,22 @@ object AnnQueries extends Registry {
       val store = ensureIvfStore(s, d)
       val loaded = graft.sources.AnnIndexStore.loadPq(s, store, "ivfpq")
       Ann.ivfPqIndexTopK(loaded, Tables.embeddings(s, d), "vec_id",
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
+    }),
+
+    // DELTA maintenance for the flagship compressed family: BOTH
+    // per-vector relations (routing rows AND PQ code words) ingested as
+    // three O(batch) delta versions (foldBatchDeltaPq), versions 0-1
+    // compacted into full snapshots, version 2 left as a trailing
+    // delta on each chain; the query reconstructs both chains plus the
+    // static quantizer pair and serves. Hash-green on
+    // ann_ivf_pq_det_topk's oracle = the O(batch) write contract
+    // extends to IVF-PQ with nothing lost.
+    "ann_ivf_pq_delta_served_topk" -> ((s, d) => {
+      val store = ensureIvfStore(s, d)
+      val chain = graft.sources.AnnIndexStore
+        .loadChainPq(s, store, "ivfpq_delta")
+      Ann.ivfPqIndexTopK(chain, Tables.embeddings(s, d), "vec_id",
         "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
@@ -1663,6 +1726,7 @@ object AnnQueries extends Registry {
     // round trip) — the SAME replay checks that persist -> load ->
     // serve loses nothing.
     "ann_sq8_served_topk" -> sq8DetTopKSql,
+    "ann_sq8_delta_served_topk" -> sq8DetTopKSql,
 
     // Replays the Matryoshka funnel: 16-dim micro-unit prefix dots and
     // norms, floor-bp shortlist (sim DESC, cand ASC, 32 deep), exact
@@ -1821,6 +1885,7 @@ object AnnQueries extends Registry {
     // all round-trip as exact longs) — the SAME replay checks that
     // persist -> load -> serve loses nothing.
     "ann_ivf_pq_served_topk" -> ivfPqDetTopKSql,
+    "ann_ivf_pq_delta_served_topk" -> ivfPqDetTopKSql,
 
     // Residual IVF-PQ: the same cell chain, then every vector coded as
     // its integer residual against its HOME centroid, the seed

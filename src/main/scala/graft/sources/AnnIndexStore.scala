@@ -269,6 +269,60 @@ object AnnIndexStore {
     store.putVersion(centName(name), v, centroids)
   }
 
+  /** Snapshot-mode fold for IVF-PQ — [[foldBatch]]'s four-relation
+    * twin: each trigger rewrites the FULL routing and code relations
+    * (previous rows ∪ this batch), quantizer halves carried forward.
+    * `batch` carries (vec_id, cell, codes) — assignments AND code words
+    * encoded map-side against the broadcast codebook. O(index) per
+    * trigger; [[foldBatchDeltaPq]] is the sub-minute-trigger path. */
+  def foldBatchPq(store: VersionedStore, name: String,
+                  centroids: DataFrame, codebook: DataFrame,
+                  baseVersion: Long)
+                 (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = baseVersion + 1 + batchId
+    val newHome = batch.select(col("vec_id").as("id"), col("cell"))
+      .distinct()
+    val newCodes = batch.select(col("vec_id").as("id"), col("codes"))
+      .distinct()
+    val prev = versionsPq(spark, store, name).filter(_ < v).lastOption
+    val (home, codes) = prev match {
+      case Some(pv) =>
+        (store.getVersion(spark, homeName(name), pv)
+           .unionByName(newHome).distinct(),
+         store.getVersion(spark, codesName(name), pv)
+           .unionByName(newCodes).distinct())
+      case None => (newHome, newCodes)
+    }
+    store.putVersion(homeName(name), v, home)
+    store.putVersion(codesName(name), v, codes)
+    store.putVersion(cbName(name), v, codebook)
+    store.putVersion(centName(name), v, centroids)
+  }
+
+  /** Snapshot-mode fold for SQ8 — [[foldBatch]]'s two-relation twin:
+    * each trigger rewrites the FULL code relation, trained ranges
+    * carried forward. `batch` carries (vec_id, codes) — byte codes
+    * encoded map-side against the broadcast ranges. O(index) per
+    * trigger; [[foldBatchDeltaSq8]] is the sub-minute-trigger path. */
+  def foldBatchSq8(store: VersionedStore, name: String,
+                   ranges: DataFrame, baseVersion: Long)
+                  (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val v = baseVersion + 1 + batchId
+    val newCodes = batch.select(col("vec_id").as("id"), col("codes"))
+      .distinct()
+    val prev = versionsSq8(spark, store, name).filter(_ < v).lastOption
+    val codes = prev match {
+      case Some(pv) =>
+        store.getVersion(spark, sq8CodesName(name), pv)
+          .unionByName(newCodes).distinct()
+      case None => newCodes
+    }
+    store.putVersion(sq8CodesName(name), v, codes)
+    store.putVersion(sq8RangesName(name), v, ranges)
+  }
+
   /** Reconstruct the routing view at pinned version `v`: the newest
     * full snapshot at or below `v` (if any) unioned with every delta in
     * between. Distinct for the same reason [[foldBatch]] uses it — a
@@ -312,6 +366,163 @@ object AnnIndexStore {
     covered.foreach { dv =>
       if (dv != upTo && !bases.contains(dv))
         store.deleteVersion(spark, centName(name), dv)
+    }
+  }
+
+  // ---- IVF-PQ delta maintenance: the same O(batch) contract extended
+  // to the compressed flagship family. TWO per-vector relations move
+  // per trigger (routing rows AND code words — both are per-vector
+  // payload, both would be O(index) rewrites under foldBatchPq), so a
+  // delta version is two delta halves plus the two static quantizer
+  // halves; the centroid half stays the completeness marker (written
+  // LAST). Exactly-once is the strong delta form again: a delta's
+  // content is a pure function of its own batch (assignments + codes
+  // against the static quantizer pair), so a replayed batch rewrites an
+  // identical delta without reading prior state. ----
+
+  private def pqHomeDeltaName(name: String) = s"${name}_home_delta"
+  private def pqCodesDeltaName(name: String) = s"${name}_codes_delta"
+
+  /** Complete IVF-PQ DELTA versions (both delta halves + both static
+    * halves), ascending. */
+  def deltaVersionsPq(spark: SparkSession, store: VersionedStore,
+                      name: String): Seq[Long] =
+    Seq(pqHomeDeltaName(name), pqCodesDeltaName(name), cbName(name),
+        centName(name))
+      .map(store.versions(spark, _))
+      .reduce(_ intersect _)
+
+  /** Every version an IVF-PQ delta-chain reader may pin:
+    * compacted/full snapshots plus uncompacted deltas, ascending. */
+  def chainVersionsPq(spark: SparkSession, store: VersionedStore,
+                      name: String): Seq[Long] =
+    (versionsPq(spark, store, name) ++
+      deltaVersionsPq(spark, store, name)).distinct.sorted
+
+  /** foreachBatch body for IVF-PQ DELTA maintenance — per-trigger cost
+    * scales with the batch, not the index. `batch` carries (vec_id,
+    * cell, codes); commit order: per-vector delta halves first,
+    * codebook, centroid half last as the completeness marker. */
+  def foldBatchDeltaPq(store: VersionedStore, name: String,
+                       centroids: DataFrame, codebook: DataFrame,
+                       baseVersion: Long)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val v = baseVersion + 1 + batchId
+    store.putVersion(pqHomeDeltaName(name), v,
+      batch.select(col("vec_id").as("id"), col("cell")).distinct())
+    store.putVersion(pqCodesDeltaName(name), v,
+      batch.select(col("vec_id").as("id"), col("codes")).distinct())
+    store.putVersion(cbName(name), v, codebook)
+    store.putVersion(centName(name), v, centroids)
+  }
+
+  /** Reconstruct the IVF-PQ view at pinned chain version `v`: each
+    * per-vector relation is its own snapshot ∪ deltas chain; the
+    * static quantizer halves read directly at `v`. */
+  def loadDeltaChainPq(spark: SparkSession, store: VersionedStore,
+                       name: String, v: Long): IvfPqIndexRelations = {
+    require(chainVersionsPq(spark, store, name).contains(v),
+      s"no complete IVF-PQ chain version $v of index $name")
+    IvfPqIndexRelations(
+      store.getVersion(spark, centName(name), v),
+      DeltaChain.read(spark, store, homeName(name),
+        pqHomeDeltaName(name), v).distinct(),
+      store.getVersion(spark, cbName(name), v),
+      DeltaChain.read(spark, store, codesName(name),
+        pqCodesDeltaName(name), v).distinct())
+  }
+
+  /** Load the newest IVF-PQ chain version. */
+  def loadChainPq(spark: SparkSession, store: VersionedStore,
+                  name: String): IvfPqIndexRelations = {
+    val vs = chainVersionsPq(spark, store, name)
+    require(vs.nonEmpty, s"no IVF-PQ chain versions of index $name")
+    loadDeltaChainPq(spark, store, name, vs.last)
+  }
+
+  /** Compact the IVF-PQ delta chains at or below `upTo` into full
+    * snapshots AT `upTo` — both per-vector chains fold (they carry
+    * identical version sets: [[foldBatchDeltaPq]] writes them
+    * together), then static halves of fully-covered delta-only
+    * versions are dropped with their deltas. After compaction `upTo`
+    * is a complete FULL version ([[versionsPq]] lists it) — the two
+    * maintenance modes converge on the same persisted contract. */
+  def compactPq(spark: SparkSession, store: VersionedStore,
+                name: String, upTo: Long): Unit = {
+    val covered = DeltaChain.compact(spark, store, homeName(name),
+      pqHomeDeltaName(name), upTo, canonicalize = _.distinct())
+    DeltaChain.compact(spark, store, codesName(name),
+      pqCodesDeltaName(name), upTo, canonicalize = _.distinct())
+    val bases = versionsPq(spark, store, name).toSet
+    covered.foreach { dv =>
+      if (dv != upTo && !bases.contains(dv)) {
+        // completeness marker first (see prune)
+        store.deleteVersion(spark, centName(name), dv)
+        store.deleteVersion(spark, cbName(name), dv)
+      }
+    }
+  }
+
+  // ---- SQ8 delta maintenance: one per-vector relation (byte codes),
+  // the trained ranges as the static half and completeness marker. ----
+
+  private def sq8CodesDeltaName(name: String) = s"${name}_codes_delta"
+
+  /** Complete SQ8 DELTA versions (code delta + ranges), ascending. */
+  def deltaVersionsSq8(spark: SparkSession, store: VersionedStore,
+                       name: String): Seq[Long] =
+    store.versions(spark, sq8CodesDeltaName(name))
+      .intersect(store.versions(spark, sq8RangesName(name)))
+
+  /** Every version an SQ8 delta-chain reader may pin. */
+  def chainVersionsSq8(spark: SparkSession, store: VersionedStore,
+                       name: String): Seq[Long] =
+    (versionsSq8(spark, store, name) ++
+      deltaVersionsSq8(spark, store, name)).distinct.sorted
+
+  /** foreachBatch body for SQ8 DELTA maintenance — O(batch) per
+    * trigger. `batch` carries (vec_id, codes); commit order: code
+    * delta first, ranges last as the completeness marker. */
+  def foldBatchDeltaSq8(store: VersionedStore, name: String,
+                        ranges: DataFrame, baseVersion: Long)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    val v = baseVersion + 1 + batchId
+    store.putVersion(sq8CodesDeltaName(name), v,
+      batch.select(col("vec_id").as("id"), col("codes")).distinct())
+    store.putVersion(sq8RangesName(name), v, ranges)
+  }
+
+  /** Reconstruct the SQ8 view at pinned chain version `v`. */
+  def loadDeltaChainSq8(spark: SparkSession, store: VersionedStore,
+                        name: String, v: Long): Sq8IndexRelations = {
+    require(chainVersionsSq8(spark, store, name).contains(v),
+      s"no complete SQ8 chain version $v of index $name")
+    Sq8IndexRelations(
+      store.getVersion(spark, sq8RangesName(name), v),
+      DeltaChain.read(spark, store, sq8CodesName(name),
+        sq8CodesDeltaName(name), v).distinct())
+  }
+
+  /** Load the newest SQ8 chain version. */
+  def loadChainSq8(spark: SparkSession, store: VersionedStore,
+                   name: String): Sq8IndexRelations = {
+    val vs = chainVersionsSq8(spark, store, name)
+    require(vs.nonEmpty, s"no SQ8 chain versions of index $name")
+    loadDeltaChainSq8(spark, store, name, vs.last)
+  }
+
+  /** Compact the SQ8 delta chain at or below `upTo` into a full
+    * snapshot AT `upTo`; ranges halves of fully-covered delta-only
+    * versions are dropped with their deltas. After compaction `upTo`
+    * is a complete FULL version ([[versionsSq8]] lists it). */
+  def compactSq8(spark: SparkSession, store: VersionedStore,
+                 name: String, upTo: Long): Unit = {
+    val covered = DeltaChain.compact(spark, store, sq8CodesName(name),
+      sq8CodesDeltaName(name), upTo, canonicalize = _.distinct())
+    val bases = versionsSq8(spark, store, name).toSet
+    covered.foreach { dv =>
+      if (dv != upTo && !bases.contains(dv))
+        store.deleteVersion(spark, sq8RangesName(name), dv)
     }
   }
 }

@@ -378,7 +378,71 @@ object StreamBench {
         Seq(("ann_fold_snapshot", ingested / snapSecs, ingested),
           ("ann_fold_delta", ingested / dltSecs, ingested))
       }
-      Seq(assignBand, probeBand, servedBand) ++ foldBands
+
+      // the same snapshot-vs-delta write-cost pair for the two
+      // COMPRESSED families (r12 directive 1): per-vector payload =
+      // routing rows + PQ code words (ivfpq) / byte codes (sq8). The
+      // delta band's rows/s should sit far above the snapshot band's —
+      // per-trigger write ∝ batch, not index.
+      val foldBandsCompressed = {
+        val baseRows = 200000L
+        val triggers = 5
+        val batchRows = 1000L
+        val cent = spark.range(64)
+          .selectExpr("id AS cell", "id % 8 AS dim", "id * 1000 AS ci")
+        val cb = spark.range(128).selectExpr("id % 16 AS cw",
+          "id DIV 16 AS j", "id % 8 AS dim", "id * 7 AS ci")
+        val ranges = spark.range(8)
+          .selectExpr("id AS dim", "CAST(0 AS BIGINT) AS vmin",
+            "CAST(1000000 AS BIGINT) AS vmax")
+        def codesOf(idCol: String) =
+          s"transform(sequence(0, 7), j -> ($idCol + j) % 16) AS codes"
+        def pqRows(n: Long, off: Long) = spark.range(n)
+          .selectExpr(s"id + $off AS vec_id", "id % 64 AS cell",
+            codesOf("id"))
+        def sq8Rows(n: Long, off: Long) = spark.range(n)
+          .selectExpr(s"id + $off AS vec_id", codesOf("id"))
+        def timed(body: => Unit): Double = {
+          val t = System.nanoTime(); body
+          (System.nanoTime() - t) / 1e9
+        }
+        val ingested = triggers * batchRows
+        def band(label: String, seed: VersionedStore => Unit,
+                 fold: (VersionedStore, Int) => Unit) = {
+          val store = VersionedStore(
+            Files.createTempDirectory(s"sb_$label").toString)
+          seed(store)
+          val secs = timed((0 until triggers).foreach(fold(store, _)))
+          (label, ingested / secs, ingested)
+        }
+        Seq(
+          band("ann_fold_snapshot_pq",
+            st => graft.sources.AnnIndexStore.foldBatchPq(st, "m", cent,
+              cb, baseVersion = -1L)(pqRows(baseRows, 0), 0L),
+            (st, b) => graft.sources.AnnIndexStore.foldBatchPq(st, "m",
+              cent, cb, baseVersion = 0L)(
+              pqRows(batchRows, baseRows + b * batchRows), b.toLong)),
+          band("ann_fold_delta_pq",
+            st => graft.sources.AnnIndexStore.foldBatchPq(st, "m", cent,
+              cb, baseVersion = -1L)(pqRows(baseRows, 0), 0L),
+            (st, b) => graft.sources.AnnIndexStore.foldBatchDeltaPq(st,
+              "m", cent, cb, baseVersion = 0L)(
+              pqRows(batchRows, baseRows + b * batchRows), b.toLong)),
+          band("ann_fold_snapshot_sq8",
+            st => graft.sources.AnnIndexStore.foldBatchSq8(st, "m",
+              ranges, baseVersion = -1L)(sq8Rows(baseRows, 0), 0L),
+            (st, b) => graft.sources.AnnIndexStore.foldBatchSq8(st, "m",
+              ranges, baseVersion = 0L)(
+              sq8Rows(batchRows, baseRows + b * batchRows), b.toLong)),
+          band("ann_fold_delta_sq8",
+            st => graft.sources.AnnIndexStore.foldBatchSq8(st, "m",
+              ranges, baseVersion = -1L)(sq8Rows(baseRows, 0), 0L),
+            (st, b) => graft.sources.AnnIndexStore.foldBatchDeltaSq8(st,
+              "m", ranges, baseVersion = 0L)(
+              sq8Rows(batchRows, baseRows + b * batchRows), b.toLong)))
+      }
+      Seq(assignBand, probeBand, servedBand) ++ foldBands ++
+        foldBandsCompressed
     }
 
     // ---- maintained near-dup ingest: corpusIngestIncremental's gates

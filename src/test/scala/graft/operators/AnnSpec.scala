@@ -40,6 +40,29 @@ class AnnSpec extends SparkSpec {
         "Ann/Dedup AND their oracles before regenerating fixtures")
   }
 
+  test("every driver SF dir keeps max(vec_id) < 2000 — the " +
+       "ann_* query-panel pin is a NO-OP at today's scales") {
+    // AnnQueries pins its query panel with `vec_id < 2000` on BOTH the
+    // engine and oracle sides — applied in lockstep, so the hash
+    // harness structurally cannot detect an upstream generator change
+    // that grows the embeddings table (the panel would silently shrink
+    // relative to the corpus). This enforces the NOTES claim in-repo:
+    // regeneration that breaks it fails HERE with the cause named,
+    // not as an unexplained recall/latency shift (advisor r12).
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val mx = graft.core.Tables.embeddings(spark, dir)
+          .agg(org.apache.spark.sql.functions.max("vec_id")).head.getLong(0)
+        assert(mx < 2000L,
+          s"$sf embeddings max vec_id = $mx >= 2000: the vec_id < 2000 " +
+            "panel pin is no longer a no-op — revisit every ann_* " +
+            "query's panel predicate AND its oracle before trusting " +
+            "hash results")
+      }
+    }
+  }
+
   test("brute force returns exactly k ranked neighbors per query") {
     val res = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
     val perQuery = res.groupBy("query_id").count().collect()
@@ -91,6 +114,21 @@ class AnnSpec extends SparkSpec {
     df.collect()
       .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(2)).toMap
 
+  /** Assert a returned similarity equals the exact one — diagnostic on
+    * BOTH failure modes: a wrong sim fails with the pair named, and a
+    * candidate outside the k=500 exact reference graph fails with a
+    * message instead of a bare NoSuchElementException (advisor r12: an
+    * approximate top-5 neighbor CAN legitimately fall outside a
+    * query's exact top-500 on an adversarial corpus). */
+  private def assertTrueSim(exactAll: Map[(Long, Long), Long],
+                            q: Long, c: Long, bp: Long): Unit =
+    exactAll.get((q, c)) match {
+      case Some(e) =>
+        withClue(s"pair ($q, $c): ") { e shouldBe bp }
+      case None => fail(s"pair ($q, $c) (sim_bp=$bp) not in the exact " +
+        "k=500 reference graph — widen k in the reference knnGraph")
+    }
+
   test("knnGraphLsh edges are a subset of exact sims; recall >= 0.5") {
     val exactG = Ann.knnGraph(embs, "vec_id", "embedding", k = 5)
     val approxG = Ann.knnGraphLsh(embs, "vec_id", "embedding", k = 5)
@@ -100,7 +138,7 @@ class AnnSpec extends SparkSpec {
     // any exact computation of that pair — candidates are pruned, sims
     // are not approximated)
     val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
-    ap.foreach { case (e, bp) => exactAll(e) shouldBe bp }
+    ap.foreach { case ((q, c), bp) => assertTrueSim(exactAll, q, c, bp) }
     // and enough of the true top-5 edges survive the bucketing
     val recall = ex.keySet.intersect(ap.keySet).size.toDouble / ex.size
     assert(recall >= 0.5, s"kNN-graph LSH recall $recall")
@@ -115,7 +153,7 @@ class AnnSpec extends SparkSpec {
     val ex = edges(exactG)
     val ap = edges(detG)
     val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
-    ap.foreach { case (e, bp) => exactAll(e) shouldBe bp }
+    ap.foreach { case ((q, c), bp) => assertTrueSim(exactAll, q, c, bp) }
     val recall = ex.keySet.intersect(ap.keySet).size.toDouble / ex.size
     assert(recall >= 0.5, s"det kNN-graph recall $recall")
   }
@@ -274,7 +312,7 @@ class AnnSpec extends SparkSpec {
       g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
     }
     got.foreach { r =>
-      exactAll((r.getLong(0), r.getLong(2))) shouldBe r.getLong(3)
+      assertTrueSim(exactAll, r.getLong(0), r.getLong(2), r.getLong(3))
     }
   }
 
@@ -291,7 +329,7 @@ class AnnSpec extends SparkSpec {
       g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
     }
     got.foreach { r =>
-      exactAll((r.getLong(0), r.getLong(2))) shouldBe r.getLong(3)
+      assertTrueSim(exactAll, r.getLong(0), r.getLong(2), r.getLong(3))
     }
   }
 
@@ -311,7 +349,7 @@ class AnnSpec extends SparkSpec {
       g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
     }
     got.foreach { r =>
-      exactAll((r.getLong(0), r.getLong(2))) shouldBe r.getLong(3)
+      assertTrueSim(exactAll, r.getLong(0), r.getLong(2), r.getLong(3))
     }
     val sq8 = got.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (sq8 intersect exact).size.toDouble / exact.size

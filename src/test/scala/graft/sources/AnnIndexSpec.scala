@@ -188,6 +188,98 @@ class AnnIndexSpec extends SparkSpec {
         col("id") % 50 === 0, k = 5))
   }
 
+  test("IVF-PQ delta maintenance: chain reads equal the snapshot fold " +
+      "at every version; compaction preserves the view, drops covered " +
+      "deltas, and the compacted chain serves identically") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("pqdelta")
+    val built = Ann.buildDetIvfPqIndex(embs, "vec_id", "embedding",
+      "label")
+    val full = built.home
+      .join(built.codes.withColumnRenamed("id", "cid"),
+        col("id") === col("cid"))
+      .select(col("id").as("vec_id"), col("cell"), col("codes"))
+      .localCheckpoint(true)
+    def batch(b: Long) = full.filter(col("vec_id") % 3 === b)
+    def view(r: Ann.IvfPqIndexRelations) =
+      (r.home.collect().map(x => x.getLong(0) -> x.getLong(1)).toSet,
+       r.codes.collect()
+         .map(x => x.getLong(0) -> x.getSeq[Long](1).toList).toSet)
+    // the same three "triggers" fed to both maintenance modes
+    (0L until 3L).foreach { b =>
+      AnnIndexStore.foldBatchPq(store, "snap", built.centroids,
+        built.codebook, baseVersion = -1L)(batch(b), b)
+      AnnIndexStore.foldBatchDeltaPq(store, "dlt", built.centroids,
+        built.codebook, baseVersion = -1L)(batch(b), b)
+    }
+    (0L until 3L).foreach { v =>
+      view(AnnIndexStore.loadDeltaChainPq(spark, store, "dlt", v)) shouldBe
+        view(loadPqVersion(store, "snap", v))
+    }
+    // compact versions 0-1; version-2 deltas stay; view unchanged
+    AnnIndexStore.compactPq(spark, store, "dlt", upTo = 1L)
+    AnnIndexStore.versionsPq(spark, store, "dlt") shouldBe Seq(1L)
+    AnnIndexStore.deltaVersionsPq(spark, store, "dlt") shouldBe Seq(2L)
+    view(AnnIndexStore.loadChainPq(spark, store, "dlt")) shouldBe
+      view(loadPqVersion(store, "snap", 2L))
+    // full compaction: pure snapshot read, still the same view, and the
+    // compacted chain SERVES identically to the inline det chain
+    AnnIndexStore.compactPq(spark, store, "dlt", upTo = 2L)
+    AnnIndexStore.deltaVersionsPq(spark, store, "dlt") shouldBe empty
+    view(AnnIndexStore.loadChainPq(spark, store, "dlt")) shouldBe
+      view(AnnIndexStore.loadPq(spark, store, "snap"))
+    topkRows(Ann.ivfPqIndexTopK(AnnIndexStore.loadChainPq(spark, store,
+      "dlt"), embs, "vec_id", "embedding", col("id") % 50 === 0,
+      k = 5)) shouldBe
+      topkRows(Ann.ivfPqDetTopK(embs, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5))
+  }
+
+  private def loadPqVersion(store: VersionedStore, name: String,
+                            v: Long): Ann.IvfPqIndexRelations =
+    Ann.IvfPqIndexRelations(
+      store.getVersion(spark, s"${name}_centroids", v),
+      store.getVersion(spark, s"${name}_home", v),
+      store.getVersion(spark, s"${name}_codebook", v),
+      store.getVersion(spark, s"${name}_codes", v))
+
+  test("SQ8 delta maintenance: chain reads equal the snapshot fold at " +
+      "every version; compaction preserves the view, drops covered " +
+      "deltas, and the compacted chain serves identically") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val store = tmpStore("sq8delta")
+    val built = Ann.buildSq8Index(embs, "vec_id", "embedding")
+    val full = built.codes
+      .select(col("id").as("vec_id"), col("codes")).localCheckpoint(true)
+    def batch(b: Long) = full.filter(col("vec_id") % 3 === b)
+    def codeSet(r: Ann.Sq8IndexRelations) = r.codes.collect()
+      .map(x => x.getLong(0) -> x.getSeq[Long](1).toList).toSet
+    (0L until 3L).foreach { b =>
+      AnnIndexStore.foldBatchSq8(store, "snap", built.ranges,
+        baseVersion = -1L)(batch(b), b)
+      AnnIndexStore.foldBatchDeltaSq8(store, "dlt", built.ranges,
+        baseVersion = -1L)(batch(b), b)
+    }
+    (0L until 3L).foreach { v =>
+      codeSet(AnnIndexStore.loadDeltaChainSq8(spark, store, "dlt", v)) shouldBe
+        codeSet(Ann.Sq8IndexRelations(
+          store.getVersion(spark, "snap_ranges", v),
+          store.getVersion(spark, "snap_codes", v)))
+    }
+    AnnIndexStore.compactSq8(spark, store, "dlt", upTo = 1L)
+    AnnIndexStore.versionsSq8(spark, store, "dlt") shouldBe Seq(1L)
+    AnnIndexStore.deltaVersionsSq8(spark, store, "dlt") shouldBe Seq(2L)
+    codeSet(AnnIndexStore.loadChainSq8(spark, store, "dlt")) shouldBe
+      codeSet(AnnIndexStore.loadSq8(spark, store, "snap"))
+    AnnIndexStore.compactSq8(spark, store, "dlt", upTo = 2L)
+    AnnIndexStore.deltaVersionsSq8(spark, store, "dlt") shouldBe empty
+    topkRows(Ann.sq8IndexTopK(AnnIndexStore.loadChainSq8(spark, store,
+      "dlt"), embs, "vec_id", "embedding", col("id") % 50 === 0,
+      k = 5)) shouldBe
+      topkRows(Ann.sq8DetTopK(embs, "vec_id", "embedding",
+        col("id") % 50 === 0, k = 5))
+  }
+
   test("streaming assignments fold into exactly-once index versions " +
       "and the folded newest version serves identically to the batch " +
       "index") {

@@ -93,6 +93,58 @@ class AnnIngestSpec extends SparkSpec {
     streamed.foreach { case (key, v) => v shouldBe batch(key) }
   }
 
+  test("probe-key contract: a DIFFERENT query reusing a recent " +
+      "query_id inside the lateness horizon collapses into the FIRST " +
+      "query's results; reuse beyond the horizon serves normally") {
+    // The documented probeTopKFrom contract (AnnIngest.scala): the
+    // exactly-once pair dedup keeps the FIRST-seen delivery of each
+    // (query_id, cand_id), so an id recycled for a NEW vector within
+    // `lateness` has its pairs silently dropped — callers minting ids
+    // from a sequence/UUID are safe; recyclers must keep the recycle
+    // interval above lateness. This pins the behavior on both sides of
+    // the horizon.
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val plane = Array(Ann.CentroidCell(1L,
+      Array(1000000L, 1000000L), 2L * 1000000L * 1000000L))
+    val home = Seq(
+      (100L, 1L, Seq(1.0, 0.0)),
+      (101L, 1L, Seq(0.0, 1.0)))
+      .toDF("cand_id", "cell", "cv")
+    val in = MemoryStream[AnnIngest.VecIn]
+    val q = AnnIngest.probeTopKFrom(in.toDS(), home, plane, k = 1,
+        nprobe = 1, windowLen = "1 minute", lateness = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ann_probe_reuse").start()
+    val minute = 60000L
+    def at(ms: Long) = new Timestamp(86400000L + ms)
+    try {
+      // query A: id 7, vector [1, 0] -> nearest candidate 100
+      in.addData(AnnIngest.VecIn(7L, at(0), Array(1f, 0f)))
+      q.processAllAvailable()
+      // a DIFFERENT query reuses id 7 INSIDE the horizon with vector
+      // [0, 1] (nearest would be 101) — its pairs collapse into A's
+      in.addData(AnnIngest.VecIn(7L, at(1000), Array(0f, 1f)))
+      q.processAllAvailable()
+      // advance the watermark far past A's window + lateness
+      in.addData(AnnIngest.VecIn(-1L, at(10 * minute), Array(1f, 1f)))
+      q.processAllAvailable()
+      // reuse id 7 BEYOND the horizon: a fresh window, fresh dedup
+      // state — served normally as its own query
+      in.addData(AnnIngest.VecIn(7L, at(11 * minute), Array(0f, 1f)))
+      in.addData(AnnIngest.VecIn(-1L, at(30 * minute), Array(1f, 1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann_probe_reuse")
+      .filter(col("query_id") === 7L).collect()
+      .map(r => r.getLong(2)).toSeq
+    // exactly two emissions for id 7: the in-horizon reuse produced NO
+    // second result (collapsed into A -> candidate 100); the
+    // beyond-horizon reuse served its own vector (-> candidate 101)
+    got shouldBe Seq(100L, 101L)
+  }
+
   test("re-delivered vector ids inside the lateness horizon are " +
       "ingested exactly once; dedup=false keeps both") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
