@@ -1881,8 +1881,11 @@ object Ann {
       .orderBy(groupCol, "dim")
 
   /** Plain Lloyd's k-means, deterministic: first-k init after sorting. */
-  private[operators] def kmeans(points: Array[Array[Double]], k: Int,
-                                iters: Int, seed: Long): Array[Array[Double]] = {
+  // private[graft]: tools/GenSeededTruth pins the seeded semdedup
+  // output at generation time through the same trainer (its
+  // determinism is spec-pinned in AnnSpec)
+  private[graft] def kmeans(points: Array[Array[Double]], k: Int,
+                            iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)
     val n = points.length
     require(n >= k, s"need >= $k sample points, got $n")

@@ -755,7 +755,32 @@ object DedupQueries extends Registry {
         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         FROM spairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
 
+  /** Generation-time seeded-semdedup ground truth
+    * (tools/GenSeededTruth) — the checked-in fixture the
+    * dedup_semantic oracle joins by embedding digest (the deflate
+    * pattern: seeded k-means state is engine-internal, so the expected
+    * rows are pinned once beside the corpora; a regenerated corpus
+    * changes digests and fails the row-count check loudly). Relative
+    * path resolves against the working directory;
+    * GRAFT_SEMDEDUP_TRUTH overrides. */
+  private val semdedupTruth = sys.env.getOrElse("GRAFT_SEMDEDUP_TRUTH",
+    new java.io.File("data/semdedup/expected.parquet").getAbsolutePath)
+
   val oracles: Map[String, String] = Map(
+    // Joins the pinned fixture by md5 of the embedding's micro-unit
+    // CSV — both engines derive the digest from the same floor(x·10⁶
+    // + 0.5) integers, so the join is content-addressed; vectors are
+    // unique per corpus and disjoint across the driver SFs (both
+    // asserted at generation time).
+    "dedup_semantic" ->
+      s"""SELECT e.vec_id, f.cell, f.rnk, f.cent_sim, f.keep
+          FROM embeddings e
+          JOIN read_parquet('$semdedupTruth/*.parquet') f
+            ON f.emb_md5 = md5(array_to_string(list_transform(
+                 e.embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT)), ','))
+          ORDER BY e.vec_id""",
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
          FROM documents

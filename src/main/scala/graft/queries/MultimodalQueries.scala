@@ -421,7 +421,25 @@ object MultimodalQueries extends Registry {
           FROM vids
           ORDER BY media_id"""
 
+  /** Generation-time seeded near-dup ground truth
+    * (tools/GenSeededTruth): media payloads are NOT unique
+    * (byte-identical dupes are corpus design), so pairs key on ids
+    * under a whole-corpus fingerprint — md5 of the comma-joined
+    * per-document md5(text) in doc_id order. A regenerated corpus
+    * changes the fingerprint, the WHERE drops every fixture row, and
+    * the row-count check fails loudly. GRAFT_MEDIANEARDUP_TRUTH
+    * overrides the checked-in relative path. */
+  private val nearDupTruth = sys.env.getOrElse("GRAFT_MEDIANEARDUP_TRUTH",
+    new java.io.File("data/medianeardup/expected.parquet").getAbsolutePath)
+
   val oracles: Map[String, String] = Map(
+    "media_near_dup" ->
+      s"""SELECT f.id_a, f.id_b, f.sim
+          FROM read_parquet('$nearDupTruth/*.parquet') f
+          WHERE f.corpus_md5 = (SELECT md5(string_agg(md5(text), ','
+                                  ORDER BY doc_id)) FROM documents)
+          ORDER BY f.id_a, f.id_b""",
+
     "media_stats" ->
       s"""WITH $mediaCte
           SELECT kind, count(*) AS n,
