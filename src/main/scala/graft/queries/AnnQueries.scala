@@ -9,9 +9,11 @@ import graft.operators.Ann
   *
   * Query set = every 50th vector (broadcastable small side); candidates =
   * the whole table. Brute-force cosine top-k is replayed exactly in DuckDB
-  * (list_cosine_similarity); LSH / IVF depend on engine-side hyperplanes /
-  * centroids so they get rows-only driver checks, with ScalaTest asserting
-  * recall against the brute-force baseline.
+  * (list_cosine_similarity). The seeded LSH / IVF / PQ families depend on
+  * engine-side hyperplanes / quantizers with no closed-form SQL replay —
+  * since r13 they hash-check against generation-time fixtures
+  * (tools/GenSeededTruth, the deflate pattern), with ScalaTest still
+  * asserting recall against the brute-force baseline.
   */
 object AnnQueries extends Registry {
 
@@ -436,7 +438,9 @@ object AnnQueries extends Registry {
     // scan, PQ codes make the per-cell scoring m lookups per pair, exact
     // cosine refines the shortlist — the FAISS production index shape
     // and the registry's flagship 100 TB ANN path. Quantizer state is
-    // engine-internal -> rows-only; AnnSpec bounds recall.
+    // engine-internal -> hash-checked via the generation-time fixture
+    // (seeded, so output is a pure corpus function); AnnSpec bounds
+    // recall.
     "ann_ivf_pq_topk" -> ((s, d) =>
       Ann.ivfPqTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
@@ -518,7 +522,7 @@ object AnnQueries extends Registry {
     // query, how many of the exact cosine top-5 the deterministic-LSH
     // path recovered (both inputs are themselves oracle-verified
     // queries, so the eval metric is engine-replayable end-to-end —
-    // the rows-only engine paths get their recall bounds in AnnSpec,
+    // the seeded engine paths get their recall bounds in AnnSpec,
     // this is the REGISTERED eval shape those bounds instantiate).
     // recall_bp divides by the PER-QUERY brute list size (counted from
     // the brute relation, not a literal k — a tiny corpus or k change
@@ -547,7 +551,8 @@ object AnnQueries extends Registry {
     // scale path — 8 nibble codes per vector instead of 64 floats, m
     // LUT lookups per pair instead of a dot product, exact-cosine
     // refinement of the shortlist. Codebooks are engine-internal →
-    // rows-only; AnnSpec bounds recall vs ann_brute_topk.
+    // hash-checked via the generation-time fixture; AnnSpec bounds
+    // recall vs ann_brute_topk.
     "ann_pq_topk" -> ((s, d) =>
       Ann.pqTopK(Tables.embeddings(s, d), queriesOf(s, d),
         "vec_id", "embedding", k = 5)),
@@ -587,8 +592,10 @@ object AnnQueries extends Registry {
 
     // The seeded Gaussian-hyperplane variant (production path when
     // engine-internal planes are fine): same candidate structure with
-    // autoBits bucket sizing. Engine-internal hyperplanes →
-    // rows-only driver check; AnnSpec bounds recall vs the exact graph.
+    // autoBits bucket sizing. Hash-checked against the generation-time
+    // fixture (tools/GenSeededTruth — the planes are engine-internal,
+    // but seeded, so the output is a pure function of the corpus);
+    // AnnSpec additionally bounds recall vs the exact graph.
     "ann_knn_graph_lsh" -> ((s, d) => knn5Lsh(s, d)),
 
     // Hard-negative mining for contrastive training: each probe's top-5
@@ -642,9 +649,9 @@ object AnnQueries extends Registry {
     // The same SemDeDup-style cluster composition over the LSH graph —
     // the composition a 100 TB run would actually execute (the exact
     // n² graph above is the audited baseline). Engine-internal
-    // hyperplanes → rows-only driver check; AnnSpec asserts cluster
-    // agreement vs the exact composition (pairs co-clustered exactly
-    // stay mostly co-clustered here).
+    // hyperplanes → hash-checked via the generation-time fixture;
+    // AnnSpec asserts cluster agreement vs the exact composition
+    // (pairs co-clustered exactly stay mostly co-clustered here).
     "ann_knn_components_lsh" -> ((s, d) => {
       val edges = knn5Lsh(s, d)
         .filter(col("sim_bp") >= 2000)
@@ -1570,6 +1577,22 @@ object AnnQueries extends Registry {
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rkp WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** Generation-time seeded-ANN ground truth dir (tools/GenSeededTruth)
+    * — fixtures for the five seeded families whose quantizer state is
+    * engine-internal. Relative checked-in path resolves against the
+    * working directory; GRAFT_ANNSEEDED_TRUTH overrides. */
+  private val annSeededTruth = sys.env.getOrElse("GRAFT_ANNSEEDED_TRUTH",
+    new java.io.File("data/annseeded").getAbsolutePath)
+
+  /** The embeddings-corpus fingerprint the seeded-ANN fixtures key on:
+    * md5 of the comma-joined per-vector micro-unit digests in vec_id
+    * order (ids AND contents — any regeneration changes it). */
+  private val embCorpusMd5Sql =
+    """SELECT md5(string_agg(md5(array_to_string(list_transform(
+         embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0
+           + 0.5) AS BIGINT)), ',')), ',' ORDER BY vec_id))
+       FROM embeddings"""
+
   val oracles: Map[String, String] = Map(
     "embed_drift_psi" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1657,10 +1680,44 @@ object AnnQueries extends Registry {
           FROM r WHERE sim_bp >= 1500
           ORDER BY query_id, cand_id""",
 
-    // ann_ivf_topk / ann_pq_topk / ann_ivf_pq_topk: engine-side k-means
-    // centroids & codebooks — rows-only driver check; recall vs brute
-    // force asserted in ScalaTest. ann_ivf_det_topk below is the
-    // hash-checked IVF twin.
+    // The five seeded ANN families (engine-side k-means quantizers /
+    // Gaussian hyperplanes — no closed-form SQL replay exists) are
+    // hash-checked against GENERATION-TIME fixtures (tools/
+    // GenSeededTruth, the deflate pattern): expected rows pinned once
+    // per corpus, keyed by the embeddings-table fingerprint — md5 of
+    // the comma-joined per-vector micro-unit digests in vec_id order —
+    // so a regenerated corpus drops every fixture row and fails the
+    // row-count check loudly. The det twins (ann_ivf_det_topk etc.)
+    // remain the closed-form-replay verification surface.
+    "ann_knn_graph_lsh" ->
+      s"""SELECT f.vec_id, f.rank, f.sim_bp, f.neighbor_id
+          FROM read_parquet('$annSeededTruth/knn_graph_lsh.parquet/*.parquet') f
+          WHERE f.corpus_md5 = ($embCorpusMd5Sql)
+          ORDER BY f.vec_id, f.rank""",
+
+    "ann_knn_components_lsh" ->
+      s"""SELECT f.node, f.component
+          FROM read_parquet('$annSeededTruth/knn_components_lsh.parquet/*.parquet') f
+          WHERE f.corpus_md5 = ($embCorpusMd5Sql)
+          ORDER BY f.node""",
+
+    "ann_ivf_topk" ->
+      s"""SELECT f.query_id, f.rank, f.cand_id, f.sim
+          FROM read_parquet('$annSeededTruth/ivf_topk.parquet/*.parquet') f
+          WHERE f.corpus_md5 = ($embCorpusMd5Sql)
+          ORDER BY f.query_id, f.rank""",
+
+    "ann_pq_topk" ->
+      s"""SELECT f.query_id, f.rank, f.cand_id, f.sim
+          FROM read_parquet('$annSeededTruth/pq_topk.parquet/*.parquet') f
+          WHERE f.corpus_md5 = ($embCorpusMd5Sql)
+          ORDER BY f.query_id, f.rank""",
+
+    "ann_ivf_pq_topk" ->
+      s"""SELECT f.query_id, f.rank, f.cand_id, f.sim
+          FROM read_parquet('$annSeededTruth/ivf_pq_topk.parquet/*.parquet') f
+          WHERE f.corpus_md5 = ($embCorpusMd5Sql)
+          ORDER BY f.query_id, f.rank""",
 
     // Replays the det-PQ index end-to-end: md5-ranked 16-vector sampled
     // codebook, 8-wide subspaces, exact integer squared-distance

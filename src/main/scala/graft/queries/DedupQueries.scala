@@ -13,9 +13,10 @@ import graft.operators.Dedup
   * Oracle coverage: every registered dedup query is replayed exactly in
   * DuckDB (exact/Jaccard directly; MinHash/SimHash/LSH/SemDeDup via
   * their md5-deterministic recipes; the cross-method agreement audit by
-  * composing those same recipes) EXCEPT dedup_semantic, whose k-means
-  * quantizer is engine-internal — it stays rows-only with its
-  * hash-green det twin and SemDedupSpec re-derivation.
+  * composing those same recipes). dedup_semantic's k-means quantizer
+  * is engine-internal, so it hash-checks against the generation-time
+  * fixture (tools/GenSeededTruth) instead of a closed-form replay —
+  * alongside its hash-green det twin and SemDedupSpec re-derivation.
   */
 object DedupQueries extends Registry {
 

@@ -10,8 +10,10 @@ import graft.operators.{Ann, Corpus, Multimodal}
   * video stays an opaque blob (no pure-JVM codec). All generation
   * arithmetic is closed-form on media_id, so decode stats and content
   * features are replayed exactly in DuckDB from the formulas — the
-  * Scala path must round-trip encode→bytes→parse to hash-match. Only
-  * the LSH near-dup (engine-internal seeded planes) stays rows-only.
+  * Scala path must round-trip encode→bytes→parse to hash-match. The
+  * LSH near-dup's seeded planes are engine-internal, so it
+  * hash-checks against the generation-time fixture
+  * (tools/GenSeededTruth) instead of a closed-form replay.
   */
 object MultimodalQueries extends Registry {
 
