@@ -470,6 +470,51 @@ object ScaleTrendDeep {
             spark.read.parquet(s"$m200k/embeddings.parquet"), 50)
           resRung("emb_2m(4k queries)", emb2m, 500)
         }
+        // DELTA-SERVED decade (r12 directive 6): the O(batch)
+        // maintenance contract measured at depth — (a) per-trigger
+        // delta write over a 200k-row vs 2M-row routing table
+        // (expected ~flat: the write is O(batch), independent of the
+        // index), (b) chain serve (snapshot ∪ 3 trailing deltas) on
+        // the constant ~4k-query axis (expected ~linear in corpus,
+        // like the plain served path). Index build + base snapshot are
+        // setup, not timed — the lifecycle exists to amortize them.
+        if (wanted("ann_ivf_delta_served")) {
+          def deltaRung(label: String, e: DataFrame, mod: Int): Unit = {
+            spark.catalog.clearCache()
+            System.gc()
+            val built = Ann.buildDetIvfIndex(e, "vec_id", "embedding",
+              "label")
+            val store = graft.sources.VersionedStore(java.nio.file.Files
+              .createTempDirectory(s"deep_dlt_$label").toString)
+            graft.sources.AnnIndexStore.persistVersion(store, "m", 0L,
+              built)
+            val nIn = e.count()
+            val batch = built.home.limit(1000)
+              .select(col("id").as("vec_id"), col("cell"))
+              .localCheckpoint(true)
+            val (wSecs, _) = timed {
+              (0 until 3).foreach { b =>
+                graft.sources.AnnIndexStore.foldBatchDelta(store, "m",
+                  built.centroids, baseVersion = 0L)(batch, b.toLong)
+              }
+              3L
+            }
+            val wRow = f"| ann_ivf_delta_write3(1k-row triggers) | " +
+              f"$label | $nIn | $wSecs%.2f | 3 |"
+            println(wRow); sb.append(wRow).append('\n')
+            val chain = graft.sources.AnnIndexStore
+              .loadChain(spark, store, "m")
+            val (sSecs, nOut) = timed(
+              Ann.ivfIndexTopK(chain, e, "vec_id", "embedding",
+                col("id") % mod === 0, k = 5).count())
+            val sRow = f"| ann_ivf_delta_served(4k queries) | $label " +
+              f"| $nIn | $sSecs%.2f | $nOut |"
+            println(sRow); sb.append(sRow).append('\n')
+          }
+          deltaRung("emb_200k",
+            spark.read.parquet(s"$m200k/embeddings.parquet"), 50)
+          deltaRung("emb_2m", emb2m, 500)
+        }
       }
 
       // facts family third decade: 60,000,000 lineitem rows through the

@@ -24,17 +24,32 @@ import org.apache.spark.sql.functions._
 object GenEmbLadder {
 
   /** (rung dir name, vector count, driver sf dir whose other tables the
-    * rung borrows). */
+    * rung borrows). The first three are the committed in-repo rungs;
+    * emb500k (~130 MB) is generated on demand into a caller-chosen
+    * root (r12 directive 6: one more decade for the serve paths) —
+    * select it explicitly:
+    *
+    *   sbt "runMain graft.tools.GenEmbLadder /tmp/graft_emb_sf emb500k"
+    */
   val rungs: Seq[(String, Long, String)] = Seq(
     ("emb500", 500L, "/root/testdata/sf0.001"),
     ("emb5k", 5000L, "/root/testdata/sf0.01"),
-    ("emb50k", 50000L, "/root/testdata/sf0.1"))
+    ("emb50k", 50000L, "/root/testdata/sf0.1"),
+    ("emb500k", 500000L, "/root/testdata/sf0.1"))
+
+  /** Rungs generated when no explicit selection is passed — emb500k is
+    * opt-in so a default regeneration never lands a 130 MB fixture in
+    * the committed data/ tree. */
+  val defaultRungs: Set[String] = Set("emb500", "emb5k", "emb50k")
 
   val otherTables: Seq[String] = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents")
 
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "data/emb_sf"
+    val selected: Set[String] =
+      if (args.length > 1) args(1).split(',').map(_.trim).toSet
+      else defaultRungs
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
@@ -42,7 +57,7 @@ object GenEmbLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    rungs.foreach { case (name, n, borrowDir) =>
+    rungs.filter(r => selected(r._1)).foreach { case (name, n, borrowDir) =>
       val dir = java.nio.file.Paths.get(s"$root/$name")
       java.nio.file.Files.createDirectories(dir)
       // match the DRIVER's measured geometry (unit-norm, near-isotropic:

@@ -205,6 +205,51 @@ object StreamBench {
             .sampleFramesContent(ds, n = 4).toDF()))
     }
 
+    // Trigger-wait-vs-work instrumentation (r12 directive 3): sum the
+    // engine's own per-batch duration metrics across a band's
+    // micro-batches so the record says WHERE the serve time goes —
+    // addBatch (real work: join + state ops), walCommit/commitOffsets
+    // (checkpoint bookkeeping), state-store commit. Collected BEFORE
+    // stop (recentProgress retains the last 100 progresses).
+    val bandBreakdowns = scala.collection.mutable.ListBuffer.empty[String]
+    def breakdown(q: org.apache.spark.sql.streaming.StreamingQuery,
+                  label: String): Unit = {
+      val ps = q.recentProgress
+      def s(k: String) = ps.map(p =>
+        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)).sum
+      val line =
+        s"""{"band":"$label","batches":${ps.length},""" +
+        s""""triggerExecution_ms":${s("triggerExecution")},""" +
+        s""""addBatch_ms":${s("addBatch")},""" +
+        s""""getBatch_ms":${s("getBatch")},""" +
+        s""""queryPlanning_ms":${s("queryPlanning")},""" +
+        s""""walCommit_ms":${s("walCommit")},""" +
+        s""""commitOffsets_ms":${s("commitOffsets")},""" +
+        s""""stateCommit_ms":${ps.flatMap(_.stateOperators.toSeq
+              .map(_.commitTimeMs)).sum},""" +
+        s""""stateRowsTotal":${ps.lastOption.map(_.stateOperators.toSeq
+              .map(_.numRowsTotal).sum).getOrElse(0L)}}"""
+      bandBreakdowns += line
+      System.err.println(s"[streambench] $line")
+    }
+    // Stateful-shuffle-width lever (r12 directive 3): the ann serve
+    // bands run 2 stateful operators (pair dedup + windowed topk) over
+    // 2,000-row micro-batches; at the session's 32 shuffle partitions
+    // every trigger commits 64 state-store instances — per-batch
+    // bookkeeping, not work, dominated the 185-193 lines/s floor. The
+    // serve topologies start under a narrower width (state partition
+    // count is fixed per checkpoint at query start; these benches use
+    // fresh checkpoints). Production sizing note: width trades
+    // per-trigger commit overhead against per-partition state volume —
+    // 8 fits these micro-batches; a 1B-row ingest would size up.
+    val streamStateParts =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8").toInt
+    def withStateParts[T](body: => T): T = {
+      val old = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamStateParts)
+      try body finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+
     // ---- streaming ANN ingest: det-IVF cell assignment of arriving
     // embeddings against the static centroid plane (AnnIngest) — the
     // vector-side ingest band. Watermark dedup state + map-only
@@ -226,8 +271,9 @@ object StreamBench {
       val out = graft.streaming.AnnIngest
         .assignCells(in.toDS(), plane, lateness = "10 minutes").toDF()
       val tmp = Files.createTempDirectory("streambench_ann").toString
-      val q = out.writeStream.outputMode("append").format("noop")
-        .option("checkpointLocation", s"$tmp/ckpt").start()
+      val q = withStateParts(
+        out.writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", s"$tmp/ckpt").start())
       val nCopies = math.max(1, copies / 2)
       val total = nCopies.toLong * embs.length
       val t0 = System.nanoTime()
@@ -242,6 +288,7 @@ object StreamBench {
           i += 1
         }
         q.processAllAvailable()
+        breakdown(q, "ann_ingest_assign")
       } finally q.stop()
       val assignBand = ("ann_ingest_assign",
         total / ((System.nanoTime() - t0) / 1e9), total)
@@ -258,8 +305,9 @@ object StreamBench {
           "vec_id", "embedding", "label", plane, k = 5,
           lateness = "1 minute")
         val qTmp = Files.createTempDirectory("streambench_annq").toString
-        val qq = qOut.writeStream.outputMode("append").format("noop")
-          .option("checkpointLocation", s"$qTmp/ckpt").start()
+        val qq = withStateParts(
+          qOut.writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", s"$qTmp/ckpt").start())
         val qCopies = math.max(1, copies / 8)
         val qTotal = qCopies.toLong * embs.length
         val t1 = System.nanoTime()
@@ -278,6 +326,7 @@ object StreamBench {
           qIn.addData(graft.streaming.AnnIngest.VecIn(-1L,
             new java.sql.Timestamp(86400000L * 30), embs.head._2))
           qq.processAllAvailable()
+          breakdown(qq, "ann_probe_topk")
         } finally qq.stop()
         ("ann_probe_topk", qTotal / ((System.nanoTime() - t1) / 1e9),
           qTotal)
@@ -313,8 +362,9 @@ object StreamBench {
         val qOut = graft.streaming.AnnIngest.probeTopKFrom(qIn.toDS(),
           home, servePlane, k = 5, lateness = "1 minute")
         val qTmp = Files.createTempDirectory("streambench_annsrv").toString
-        val qq = qOut.writeStream.outputMode("append").format("noop")
-          .option("checkpointLocation", s"$qTmp/ckpt").start()
+        val qq = withStateParts(
+          qOut.writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", s"$qTmp/ckpt").start())
         val qCopies = math.max(1, copies / 8)
         val qTotal = qCopies.toLong * embs.length
         val t1 = System.nanoTime()
@@ -331,6 +381,7 @@ object StreamBench {
           qIn.addData(graft.streaming.AnnIngest.VecIn(-1L,
             new java.sql.Timestamp(86400000L * 30), embs.head._2))
           qq.processAllAvailable()
+          breakdown(qq, "ann_serve_persisted")
         } finally qq.stop()
         ("ann_serve_persisted", qTotal / ((System.nanoTime() - t1) / 1e9),
           qTotal)
@@ -468,10 +519,10 @@ object StreamBench {
       val corpusFps = offline.select(graft.functions.TextFunctions
         .fingerprint(org.apache.spark.sql.functions.col("text")).as("fp"))
       val in = MemoryStream[(Long, java.sql.Timestamp, String)]
-      val q = graft.streaming.NearDupIngest.start(
+      val q = withStateParts(graft.streaming.NearDupIngest.start(
         in.toDF().toDF("doc_id", "ts", "text"), corpusFps, store,
         "corpus", "ts", "doc_id", "text", s"$tmp/ckpt",
-        lateness = "10 minutes")
+        lateness = "10 minutes"))
       val nCopies = math.max(1, copies / 8)
       val total = nCopies.toLong * arriving.length
       val t0 = System.nanoTime()
@@ -493,6 +544,7 @@ object StreamBench {
           i += 1
         }
         q.processAllAvailable()
+        breakdown(q, "neardup_ingest_maintained")
       } finally q.stop()
       ("neardup_ingest_maintained",
         total / ((System.nanoTime() - t0) / 1e9), total)
@@ -506,6 +558,7 @@ object StreamBench {
       .mkString(",")
     val (_, wcRate, wcTotal, wcTop) = results.find(_._1 == "wordCount").get
     println(f"""{"metric":"stream_lines_per_sec","value":$wcRate%.0f,"lines":$wcTotal,"apps":{$apps},"top5":"$wcTop"}""")
+    println(s"""{"metric":"stream_breakdown","state_partitions":$streamStateParts,"bands":[${bandBreakdowns.mkString(",")}]}""")
     spark.stop()
   }
 }
