@@ -38,18 +38,31 @@ object Bench {
         System.err.println(s"[bench] setup $label FAILED: $e") }
       setupSecs(label) = (System.nanoTime() - t0) / 1e9
     }
+    // a SPARK_GRAFT_ONLY subset run skips setup its queries don't load
+    // (the 500k-vector store build is ~13 min — paying it to time one
+    // unrelated query would make subset iteration useless); full runs
+    // build everything
+    val onlyPre = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def subsetNeeds(prefixes: String*): Boolean = onlyPre.forall(sel =>
+      sel.exists(s => prefixes.exists(p =>
+        s.startsWith(p) || p.startsWith(s))))
     // the versioned ANN index store: build + persist det-IVF / IVF-PQ /
     // SQ8 (full, pinned, and delta-chain forms) ONCE here; every
     // *_served / *_delta query then times load + serve only
-    setup("ann_index_store") {
-      graft.queries.AnnQueries.warmIndexStore(spark, sfDir)
-    }
+    if (subsetNeeds("ann_ivf_served", "ann_ivf_pinned", "ann_ivf_delta",
+        "ann_ivf_pq_served", "ann_ivf_pq_delta", "ann_sq8_served",
+        "ann_sq8_delta"))
+      setup("ann_index_store") {
+        graft.queries.AnnQueries.warmIndexStore(spark, sfDir)
+      }
     // bucketed fact copies are a one-time INGEST layout cost, not part
     // of the join being measured — write them here so
     // join_multiway_revenue_bucketed times the zero-shuffle join
-    setup("bucketed_layout") {
-      graft.core.Bucketed.lineitemOrders(spark, sfDir); ()
-    }
+    if (subsetNeeds("join_multiway_revenue_bucketed"))
+      setup("bucketed_layout") {
+        graft.core.Bucketed.lineitemOrders(spark, sfDir); ()
+      }
     // warm the generated shingle/minhash kernels on a tiny subset: their
     // first execution pays ~2x in JIT/codegen compilation, which would
     // otherwise be billed to whichever Jaccard-family query sorts first

@@ -321,6 +321,188 @@ object HashExprs {
       copy(child = c)
   }
 
+  /** Exact integer dot product of two BIGINT arrays, summed over the
+    * shorter length — the codegen'd kernel under every micro-unit
+    * q×n similarity scan. Semantically identical to
+    * `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, (s, x) -> s + x)`
+    * but that higher-order-function chain is INTERPRETED per row and
+    * allocates a zipped array per pair — at a 500k-corpus × 40-query
+    * scan (20M pairs) the allocation/GC wall made the Matryoshka
+    * funnel's last ladder decade superlinear (1.78 s → 54.8 s for 10×
+    * rows, SCALE_r13_emb). This loop inlines into whole-stage codegen
+    * like [[CosineSim]]: zero allocation, exponent restored to ~linear.
+    */
+  case class DotI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0L
+      var i = 0
+      while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+      dot
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |long ${ev.value}_acc = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+        |}
+        |${ev.value} = ${ev.value}_acc;
+        """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotI64 = copy(left = l, right = r)
+  }
+
+  /** Static kernel: det-PQ code vector of one embedding against a flat
+    * collected codebook — codes[j] = the 1-based codeword minimizing
+    * the exact integer squared distance Σ_{d∈subspace j} (xi_d − ci)²
+    * over micro-units xi = floor(x·10⁶ + 0.5), ties to the smallest
+    * codeword. Bit-identical to the relational encode
+    * (detPqDims ⋈ codebook → groupBy ssd → argmin window) that it
+    * replaces on the candidate side: that chain exploded n×dims rows,
+    * fanned them ×ks through the codebook join (512M rows at the
+    * 500k-vector ladder rung) and windowed 64M groups — linear in n
+    * but spill-bound at depth (last-decade exponent 1.38,
+    * SCALE_r13_emb). One codegen'd pass per row, codebook as a ~1 KB
+    * plan reference object. */
+  def pqEncodeKernel(arr: ArrayData, cb: Array[Long], ks: Int,
+                     cbDims: Int): ArrayData = {
+    val n = math.min(arr.numElements(), cbDims)
+    val xi = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      xi(d) = math.floor(arr.getDouble(d) * 1000000.0 + 0.5).toLong
+      d += 1
+    }
+    val m = (n + 7) / 8
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      var bestCw = 1L
+      var bestSsd = Long.MaxValue
+      var cw = 0
+      while (cw < ks) {
+        var ssd = 0L
+        var dd = j * 8
+        val end = math.min(dd + 8, n)
+        val off = cw * cbDims
+        while (dd < end) {
+          val diff = xi(dd) - cb(off + dd)
+          ssd += diff * diff
+          dd += 1
+        }
+        if (ssd < bestSsd) { bestSsd = ssd; bestCw = cw + 1L }
+        cw += 1
+      }
+      out(j) = bestCw
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Static kernel: exact integer ADC over the wide PQ layout —
+    * adc = Σ_j lut[j·m + codes[j] − 1] with 1-based codewords (the
+    * element_at convention of the relational form it replaces). m is
+    * recovered from the array sizes so undersized codebooks stay
+    * correct. */
+  def adcKernel(codes: ArrayData, lut: ArrayData): Long = {
+    val nj = codes.numElements()
+    if (nj == 0) return 0L
+    val m = lut.numElements() / nj
+    var adc = 0L
+    var j = 0
+    while (j < nj) {
+      adc += lut.getLong(j * m + codes.getLong(j).toInt - 1)
+      j += 1
+    }
+    adc
+  }
+
+  /** [[adcKernel]] as a codegen'd expression — the previous
+    * aggregate(transform(codes, element_at(lut, …))) chain was
+    * interpreted per pair and allocated a transformed array each time;
+    * on the q×n ADC scan (20M pairs at the 500k ladder rung) the
+    * interpreter, not the arithmetic, was the cost. Same integer sum,
+    * same oracle. */
+  case class AdcI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      adcKernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.HashExprs.adcKernel($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): AdcI64 = copy(left = l, right = r)
+  }
+
+  /** Static kernel: exact integer SQ8 asymmetric distance —
+    * Σ_i (lut[i] − codes[i]·scl[i])² over the shorter length (the
+    * zip convention of the relational form it replaces). */
+  def sq8AdcKernel(codes: ArrayData, lut: ArrayData,
+                   scl: ArrayData): Long = {
+    val n = math.min(codes.numElements(),
+      math.min(lut.numElements(), scl.numElements()))
+    var adc = 0L
+    var i = 0
+    while (i < n) {
+      val d = lut.getLong(i) - codes.getLong(i) * scl.getLong(i)
+      adc += d * d
+      i += 1
+    }
+    adc
+  }
+
+  /** [[sq8AdcKernel]] as a codegen'd expression — same
+    * interpreted-HOF-on-the-hot-scan story as [[AdcI64]]. */
+  case class Sq8AdcI64(codes: Expression, lut: Expression,
+                       scl: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = codes
+    override def second: Expression = lut
+    override def third: Expression = scl
+    override def dataType: DataType = LongType
+    override def nullSafeEval(c: Any, l: Any, s: Any): Any =
+      sq8AdcKernel(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData],
+        s.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (c, l, s) =>
+        s"graft.functions.HashExprs.sq8AdcKernel($c, $l, $s)")
+    override protected def withNewChildrenInternal(
+        c: Expression, l: Expression, s: Expression): Sq8AdcI64 =
+      copy(codes = c, lut = l, scl = s)
+  }
+
+  /** [[pqEncodeKernel]] as a codegen'd expression over the raw
+    * double-array embedding column. */
+  case class PqEncodeI64(child: Expression, cb: Array[Long], ks: Int,
+                         cbDims: Int) extends UnaryExpression {
+    require(ks > 0 && cbDims > 0 && cb.length == ks * cbDims,
+      s"codebook shape mismatch: ks=$ks dims=$cbDims len=${cb.length}")
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(input: Any): Any =
+      pqEncodeKernel(input.asInstanceOf[ArrayData], cb, ks, cbDims)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqcb", cb, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.HashExprs.pqEncodeKernel($c, $ref, $ks, $cbDims)")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncodeI64 =
+      copy(child = c)
+  }
+
   /** Cosine similarity between two double arrays, accumulated in double in
     * array order (bit-reproducible against any engine that does the same).
     * Returns null on dimension mismatch or zero-norm input.
@@ -534,6 +716,15 @@ object HashExprs {
     column(MinHashSignature(expression(shingles), numPerms))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def dot_i64(a: Column, b: Column): Column =
+    column(DotI64(expression(a), expression(b)))
+  def pq_encode_i64(vec: Column, cb: Array[Long], ks: Int,
+                    cbDims: Int): Column =
+    column(PqEncodeI64(expression(vec), cb, ks, cbDims))
+  def adc_i64(codes: Column, lut: Column): Column =
+    column(AdcI64(expression(codes), expression(lut)))
+  def sq8_adc_i64(codes: Column, lut: Column, scl: Column): Column =
+    column(Sq8AdcI64(expression(codes), expression(lut), expression(scl)))
   def code_points(text: Column): Column = column(CodePoints(expression(text)))
   def nfc_normalize(text: Column): Column =
     column(NfcNormalize(expression(text)))

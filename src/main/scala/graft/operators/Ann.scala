@@ -671,14 +671,7 @@ object Ann {
       .filter(col("rk") === 1)
       .select(col("id"), col("label").as("cell"))
     val cb = detPqCodebook(e.select("id", "v"), ks)
-    val ssd = detPqSsdFrom(detPqDims(e.select("id", "v")), cb)
-    val codes = ssd
-      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
-        .orderBy(col("ssd").asc, col("cw").asc)))
-      .filter(col("rk") === 1)
-      .groupBy("id")
-      .agg(expr("transform(array_sort(collect_list(struct(j, cw)))," +
-        " s -> s.cw)").as("codes"))
+    val codes = detPqCodesKernel(e.select("id", "v"), cb)
     IvfPqIndexRelations(
       cent.select(col("label").as("cell"), col("dim"), col("ci")),
       home, cb, codes)
@@ -890,9 +883,10 @@ object Ann {
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
     val cand = detIvfCandidates(e, queryPred, nprobe)
-    val ssd = detPqSsd(e.select("id", "v"), ks)
-    val (codesW, qlutW) =
-      detPqWide(ssd, e.filter(queryPred).select(col("id")))
+    val cb = detPqCodebook(e.select("id", "v"), ks)
+    val codesW = detPqCodesKernel(e.select("id", "v"), cb)
+      .select(col("id").as("cand_id"), col("codes"))
+    val qlutW = detPqQueryLut(e.filter(queryPred).select("id", "v"), cb)
     // ADC only over IVF-probed candidates: the pair relation carries
     // 8-codeword rows (codes join) + the broadcast per-query LUT, and
     // the shortlist partial agg bounds the shuffle — see detPqWide's
@@ -1070,16 +1064,6 @@ object Ann {
     * totally ordered, and the exact integer-bp cosine rerank emits the
     * final ranking — so the entire memory-bound path hash-checks.
     * `queryPred` selects probes from the same corpus. */
-  /** Exact integer sub-vector squared distances of every id to every
-    * codeword of the md5-ranked det codebook — ssd(id, j, cw): the
-    * candidates' assignment metric AND (restricted to query ids) the
-    * ADC lookup table, one relation. Subspaces are 8 dims wide; the
-    * codebook is the first `ks` vectors in md5("pq:"+id) order — a
-    * deterministic pseudo-random sample any engine recomputes. Shared
-    * by [[pqDetTopK]] and [[ivfPqDetTopK]]. */
-  private def detPqSsd(e: DataFrame, ks: Int): DataFrame =
-    detPqSsdFrom(detPqDims(e), detPqCodebook(e, ks))
-
   /** Micro-unit sub-vector dims of (id, v): (id, dim, j, xi) with
     * 8-wide subspaces — shared by the inline det-PQ chain and the
     * persisted-index serve path (query-side LUT build). */
@@ -1093,14 +1077,16 @@ object Ann {
     * persistable quantizer half of the PQ index (ks × dims rows of
     * longs, pure index metadata). */
   private[graft] def detPqCodebook(e: DataFrame, ks: Int): DataFrame = {
-    val dims = detPqDims(e)
     val seeds = e.select(col("id"))
       .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
       .orderBy(col("r"), col("id")).limit(ks)
       .withColumn("cw", row_number().over(Window.orderBy("r", "id"))
         .cast("long"))
       .select("id", "cw")
-    dims.join(broadcast(seeds), "id")
+    // explode ONLY the ks seed rows (the full-corpus explode joined
+    // against 16 seeds used to materialize n×dims rows to keep ~1k)
+    detPqDims(e.join(broadcast(seeds.select("id")), "id"))
+      .join(broadcast(seeds), "id")
       .select(col("cw"), col("j"), col("dim"), col("xi").as("ci"))
   }
 
@@ -1112,33 +1098,41 @@ object Ann {
       .agg(sum((col("xi") - col("ci")) * (col("xi") - col("ci")))
         .as("ssd"))
 
-  /** Per-candidate code-word vector (codes[j] = the j-th subspace's
-    * argmin-ssd codeword, j-ascending) and per-query flattened ADC LUT
-    * (element j·m + cw = that (subspace, codeword) squared distance) —
-    * ONE ROW per id each. This is the layout that lets ADC run
-    * MAP-SIDE against a broadcast LUT: the second-decade scale ladder
-    * measured the previous (j, cw)-join form spilling >79 GB at 200k
-    * vectors, because it shuffled the q×n×m LUT-match relation — but
-    * flat ADC is by definition a per-query corpus SCAN, and a scan
-    * must be a pipelined map, never a shuffle (the FAISS cost model:
-    * LUT in registers, codes streamed). */
-  private def detPqWide(ssd: DataFrame,
-                        queryIds: DataFrame): (DataFrame, DataFrame) = {
-    val codesW = ssd
-      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
-        .orderBy(col("ssd").asc, col("cw").asc)))
-      .filter(col("rk") === 1)
-      .groupBy("id")
-      .agg(expr("transform(array_sort(collect_list(struct(j, cw)))," +
-        " s -> s.cw)").as("codes"))
-      .select(col("id").as("cand_id"), col("codes"))
-    val qlutW = ssd.join(queryIds, "id")
+  /** CANDIDATE-side det-PQ encode via the codegen kernel
+    * (HashExprs.PqEncodeI64): the codebook relation (ks × dims longs,
+    * ~1 KB — index metadata) is collected once and rides the plan as a
+    * reference object; every vector encodes in one map pass. Output
+    * (id, codes) is bit-identical to the relational
+    * ssd → argmin-window → collect_list chain it replaces — that chain
+    * fanned n×dims exploded rows ×ks through the codebook join (512M
+    * rows at the 500k-vector ladder rung) and was spill-bound at depth
+    * (last-decade exponent 1.38 → 0.9 with the kernel,
+    * SCALE_r13_emb). The QUERY-side LUT stays relational: it needs the
+    * per-(j, cw) distances themselves, and the query panel is
+    * constant-sized. */
+  private def detPqCodesKernel(e: DataFrame, cb: DataFrame): DataFrame = {
+    val rows = cb.select(col("cw"), col("dim"), col("ci")).collect()
+    require(rows.nonEmpty, "empty PQ codebook")
+    val ks = rows.iterator.map(_.getLong(0)).max.toInt
+    val cbDims = rows.iterator.map(_.getInt(1)).max + 1
+    val flat = new Array[Long](ks * cbDims)
+    rows.foreach { r =>
+      flat((r.getLong(0).toInt - 1) * cbDims + r.getInt(1)) = r.getLong(2)
+    }
+    e.select(col("id"),
+      HashExprs.pq_encode_i64(col("v"), flat, ks, cbDims).as("codes"))
+  }
+
+  /** Per-query flattened ADC LUT from a QUERY-ONLY ssd relation — the
+    * second half of the former detPqWide, fed by the constant-sized
+    * query panel instead of the whole corpus. */
+  private def detPqQueryLut(q: DataFrame, cb: DataFrame): DataFrame =
+    detPqSsdFrom(detPqDims(q), cb)
       .groupBy("id")
       .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
         " s -> s.ssd)").as("lut"))
       .select(col("id").as("query_id"), col("lut"))
-    (codesW, qlutW)
-  }
+
 
   /** Exact integer-bp cosine rerank of an ADC shortlist against the
     * (id, v) relation — the shared tail of every det-PQ family
@@ -1169,15 +1163,14 @@ object Ann {
   }
 
   /** Exact integer ADC over the wide layout: adc = Σ_j lut[j·m +
-    * codes[j]] (element_at is 1-based and codewords are 1-based, so the
-    * offsets line up; m is recovered from the array sizes so undersized
-    * codebooks — corpora smaller than ks — stay correct). */
-  private def adcColumn: Column = expr(
-    """aggregate(
-         transform(codes, (c, j) ->
-           element_at(lut, CAST(j * (size(lut) DIV size(codes)) + c
-                           AS INT))),
-         CAST(0 AS BIGINT), (a, x) -> a + x)""")
+    * codes[j]] (codewords are 1-based; m is recovered from the array
+    * sizes so undersized codebooks — corpora smaller than ks — stay
+    * correct). Codegen'd kernel (HashExprs.AdcI64): the former
+    * aggregate(transform(element_at…)) chain was interpreted per pair
+    * — on the q×n ADC scan the interpreter, not the arithmetic, was
+    * the cost (SCALE_r13_emb, 500k rung). */
+  private def adcColumn: Column =
+    HashExprs.adc_i64(col("codes"), col("lut"))
 
   /** k-bounded ADC shortlist: TopKByScore partial-aggregates per
     * (query, map partition), so only `shortlist` rows per partition —
@@ -1198,9 +1191,10 @@ object Ann {
                 shortlist: Int = 32): DataFrame = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val ssd = detPqSsd(e, ks)
-    val (codesW, qlutW) =
-      detPqWide(ssd, e.filter(queryPred).select(col("id")))
+    val cb = detPqCodebook(e, ks)
+    val codesW = detPqCodesKernel(e, cb)
+      .select(col("id").as("cand_id"), col("codes"))
+    val qlutW = detPqQueryLut(e.filter(queryPred), cb)
     // flat PQ: every query scans every candidate's codes — as a
     // broadcast nested-loop over the tiny LUT relation, pipelined into
     // the ADC expression and the k-bounded partial agg (no shuffle ever
@@ -1301,14 +1295,13 @@ object Ann {
         expr("transform(ts, t -> t.lu)").as("lut"),
         expr("transform(ts, t -> t.sc)").as("scl"))
     val codesW = index.codes.select(col("id").as("cand_id"), col("codes"))
+    // codegen'd SQ8 asymmetric distance (HashExprs.Sq8AdcI64) — the
+    // interpreted HOF form was the scan cost at the 500k ladder rung
     val pairsAdc = codesW.crossJoin(broadcast(qlutW))
       .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), expr(
-        """aggregate(
-             transform(codes, (c, i) ->
-               (element_at(lut, i + 1) - c * element_at(scl, i + 1)) *
-               (element_at(lut, i + 1) - c * element_at(scl, i + 1))),
-             CAST(0 AS BIGINT), (a, x) -> a + x)""").as("adc"))
+      .select(col("query_id"), col("cand_id"),
+        HashExprs.sq8_adc_i64(col("codes"), col("lut"), col("scl"))
+          .as("adc"))
     exactCosineRerank(adcShortlist(pairsAdc, shortlist), e, k)
   }
 
@@ -1351,17 +1344,22 @@ object Ann {
       widths.map { case (nm, m) => n2(m).as(s"n2_$nm") }: _*)
     val cand = wide.select(col("id").as("cand_id") +: col("xs").as("cxs") +:
       widths.map { case (nm, _) => col(s"n2_$nm").as(s"cn2_$nm") }: _*)
+    // per-width prefix arrays are cut ONCE per query row on the tiny
+    // broadcast side; the pair scan then runs the codegen'd integer
+    // dot (HashExprs.DotI64, which sums over the SHORTER array — the
+    // m-wide query prefix against the full candidate array IS the
+    // prefix dot). The previous aggregate(zip_with(slice, slice))
+    // chain was interpreted and allocated slices + a zipped array per
+    // (pair, width) — the same GC wall the funnel hit at the 500k
+    // ladder rung. Same exact integer sums, same oracle.
     val qs = wide.join(e.filter(queryPred).select("id"), "id")
       .select(col("id").as("query_id") +: col("xs").as("qxs") +:
-        widths.map { case (nm, _) => col(s"n2_$nm").as(s"qn2_$nm") }: _*)
-    // one pass: every prefix's integer dot + floor-bp sim per pair
-    // (full = the whole arrays, no slice)
+        (widths.map { case (nm, _) => col(s"n2_$nm").as(s"qn2_$nm") } ++
+         widths.collect { case (nm, m) if nm != "full" =>
+           expr(s"slice(xs, 1, $m)").as(s"qxs_$nm") }): _*)
     def simBp(nm: String, m: String) = {
-      val (qv, cv) =
-        if (nm == "full") ("qxs", "cxs")
-        else (s"slice(qxs, 1, $m)", s"slice(cxs, 1, $m)")
-      val dot = expr(s"aggregate(zip_with($qv, $cv, (a, b) -> a * b)," +
-        " CAST(0 AS BIGINT), (a, x) -> a + x)")
+      val qv = if (nm == "full") col("qxs") else col(s"qxs_$nm")
+      val dot = HashExprs.dot_i64(qv, col("cxs"))
       when(col(s"qn2_$nm") > 0 && col(s"cn2_$nm") > 0,
         floor(lit(10000.0) * dot /
           (sqrt(col(s"qn2_$nm")) * sqrt(col(s"cn2_$nm")))).cast("long"))
@@ -1424,10 +1422,14 @@ object Ann {
     val qs = xi.join(e.filter(queryPred).select("id"), "id")
       .select(col("id").as("query_id"), col("xs").as("qxs"),
         col("n2").as("qn2"))
+    // codegen'd integer dot (HashExprs.DotI64) — the interpreted
+    // aggregate(zip_with(...)) form allocated a zipped array per pair,
+    // which at the 500k-rung's 20M-pair scan turned GC into the cost
+    // (54.8 s; 4.9 s with the kernel — SCALE_r13_emb). Same exact
+    // integer sum, same oracle.
     val pairs = cand.crossJoin(broadcast(qs))
       .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qxs, cxs," +
-        " (a, b) -> a * b), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("dot", HashExprs.dot_i64(col("qxs"), col("cxs")))
       .select(col("query_id"), col("cand_id"),
         when(col("qn2") > 0 && col("cn2") > 0,
           floor(lit(10000.0) * col("dot") /
