@@ -416,7 +416,8 @@ object ScaleTrendDeep {
       // ladder convention (id % 50 == 0, so 40k queries — per-query
       // cost is the honest read, as in the 200k-rung analysis).
       if (wanted("ann_ivf_det_topk") ||
-          wanted("ann_ivf_pq_residual_det_topk")) {
+          wanted("ann_ivf_pq_residual_det_topk") ||
+          wanted("ann_ivf_delta_served")) {
         val m200k = materializedDir("/tmp/graft_deep_emb_100x",
           s"embNx:n=100:idOff=10000000:perturb=31-7-0.03:src=$sf01:v=1") {
           dir =>
@@ -479,9 +480,16 @@ object ScaleTrendDeep {
         // like the plain served path). Index build + base snapshot are
         // setup, not timed — the lifecycle exists to amortize them.
         if (wanted("ann_ivf_delta_served")) {
-          def deltaRung(label: String, e: DataFrame, mod: Int): Unit = {
+          def deltaRung(label: String, eIn: DataFrame, mod: Int): Unit = {
             spark.catalog.clearCache()
             System.gc()
+            // a real corpus at this size is many files/partitions; the
+            // synthetic rung is a union over ONE part file, so without
+            // this the broadcast candidate join's ~1000x fan-out lands
+            // on a single task (first cut ran the 2M serve on one core
+            // for 40+ min — exactly the layout defect the ladder
+            // exists to surface)
+            val e = eIn.repartition(64).localCheckpoint(true)
             val built = Ann.buildDetIvfIndex(e, "vec_id", "embedding",
               "label")
             val store = graft.sources.VersionedStore(java.nio.file.Files

@@ -635,14 +635,33 @@ object Ann {
       .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
     val cent = index.centroids
       .select(col("cell").as("label"), col("dim"), col("ci"))
+    // spread the tiny probe relation BEFORE the candidate join: AQE
+    // coalesces it to one partition (4k rows), and when the routing
+    // table is small enough to broadcast, probes become the STREAM
+    // side — so probe partitioning alone decides the fan-out's
+    // parallelism (the 2M deep rung ran the whole q×n pair stream on
+    // one core until this)
     val probes = detIvfCellRanksFrom(qdims, cent)
       .filter(col("rk") <= nprobe)
       .select(col("id").as("query_id"), col("label").as("cell"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // candidate-join parallelism must come from the PLAN, not the file
+    // layout: the routing table compresses to very few parquet files
+    // (16 bytes/row), and the broadcast probe join fans each home row
+    // out ~|queries| times — read as one partition, the whole q×n pair
+    // stream lands on ONE task (the 2M deep rung measured 40+ min on
+    // one core before this). Round-robin repartition is correct here
+    // because the probe side is broadcast — no co-partitioning needed;
+    // cost is one linear shuffle of (id, cell) rows.
     val home = index.home
       .select(col("id").as("cand_id"), col("cell"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // no distinct: see detIvfCandidates' pair-uniqueness note (home is
+    // one row per id after the chain read's distinct; probe cells are
+    // rank-distinct)
     val cand = probes.join(home, "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
+      .select("query_id", "cand_id")
     ivfExactTopKTail(cand, e, queryPred, k)
   }
 
@@ -701,11 +720,17 @@ object Ann {
     val probes = detIvfCellRanksFrom(qdims, cent)
       .filter(col("rk") <= nprobe)
       .select(col("id").as("query_id"), col("label").as("cell"))
+      // see ivfIndexTopK's probe-spreading note
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    // see ivfIndexTopK's layout note: fan-out parallelism from the
+    // plan, not the routing table's file count
+    // no distinct: see detIvfCandidates' pair-uniqueness note
     val cand = probes
-      .join(index.home.select(col("id").as("cand_id"), col("cell")),
+      .join(index.home.select(col("id").as("cand_id"), col("cell"))
+          .repartition(e.sparkSession.sparkContext.defaultParallelism),
         "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
+      .select("query_id", "cand_id")
     val qlutW = detPqSsdFrom(detPqDims(q), index.codebook)
       .groupBy("id")
       .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
@@ -801,9 +826,15 @@ object Ann {
     val probes = ranked.filter(col("rk") <= nprobe)
       .join(e.filter(queryPred).select(col("id")), "id")
       .select(col("id").as("query_id"), col("label").as("cell"))
+    // NO distinct over the q×n pair stream: pairs are unique by
+    // construction — home holds exactly one (rk = 1) cell per id and a
+    // query's probe cells are distinct (rank-filtered) — so a distinct
+    // here would hash/spill the whole fan-out (1.6B rows at the 2M
+    // deep rung) to remove nothing. The pair stream stays PIPELINED
+    // from the join into the k-bounded TopK partial agg.
     probes.join(home, "cell")
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id").distinct()
+      .select("query_id", "cand_id")
   }
 
   /** Det-IVF cell affinity ranking over (id, label, v) — shared by
@@ -1294,7 +1325,10 @@ object Ann {
       .select(col("id").as("query_id"),
         expr("transform(ts, t -> t.lu)").as("lut"),
         expr("transform(ts, t -> t.sc)").as("scl"))
+    // see ivfIndexTopK's layout note: the code relation compresses
+    // small, and the broadcast cross join fans out ~|queries| per row
     val codesW = index.codes.select(col("id").as("cand_id"), col("codes"))
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
     // codegen'd SQ8 asymmetric distance (HashExprs.Sq8AdcI64) — the
     // interpreted HOF form was the scan cost at the 500k ladder rung
     val pairsAdc = codesW.crossJoin(broadcast(qlutW))
