@@ -323,7 +323,14 @@ object HashExprs {
 
   /** Exact integer dot product of two BIGINT arrays, summed over the
     * shorter length — the codegen'd kernel under every micro-unit
-    * q×n similarity scan. Semantically identical to
+    * q×n similarity scan. MIN-LENGTH IS THE CONTRACT, not an accident:
+    * the Matryoshka funnel scores an m-wide query prefix against the
+    * full candidate array, so the prefix dot IS the min-length sum.
+    * Callers with equal-width inputs must guarantee the widths
+    * upstream (every current site does — prefix arrays are cut from
+    * one `xs` column); a ragged pair here yields a truncated dot, not
+    * null, unlike the zip_with form this replaced. Semantically
+    * identical (on equal/prefix widths) to
     * `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, (s, x) -> s + x)`
     * but that higher-order-function chain is INTERPRETED per row and
     * allocates a zipped array per pair — at a 500k-corpus × 40-query
@@ -383,6 +390,48 @@ object HashExprs {
       xi(d) = math.floor(arr.getDouble(d) * 1000000.0 + 0.5).toLong
       d += 1
     }
+    pqArgminCodes(xi, n, cb, ks, cbDims)
+  }
+
+  /** Static kernel: RESIDUAL det-PQ code vector — xi is the vector's
+    * exact integer residual against its home-cell centroid (xi_d =
+    * floor(x_d·10⁶ + 0.5) − ci[cell][d], the FAISS IVF-PQ encode),
+    * then the same argmin-ssd codeword search as [[pqEncodeKernel]]
+    * against a RESIDUAL codebook. `cells`/`plane` are the collected
+    * coarse quantizer (sorted cell ids + row-major centroid
+    * micro-units, stride `cbDims`) riding the plan as reference
+    * objects — index metadata, same shape the streaming ingest
+    * broadcasts. Bit-identical to the relational residual encode
+    * (dims ⋈ home ⋈ centroids → ×ks codebook join → argmin window)
+    * it replaces, which fanned n×dims×ks rows through a 64M-group
+    * window at the 500k ladder rung — the same defect the plain-PQ
+    * kernel killed in r13. */
+  def pqEncodeResidKernel(arr: ArrayData, cell: Long, cells: Array[Long],
+                          plane: Array[Long], cb: Array[Long], ks: Int,
+                          cbDims: Int): ArrayData = {
+    val ci = java.util.Arrays.binarySearch(cells, cell)
+    if (ci < 0)
+      throw new IllegalArgumentException(
+        s"residual encode: home cell $cell not in the centroid plane " +
+          s"(${cells.length} cells) — index relations out of sync")
+    val n = math.min(arr.numElements(), cbDims)
+    val xi = new Array[Long](n)
+    val off = ci * cbDims
+    var d = 0
+    while (d < n) {
+      xi(d) = math.floor(arr.getDouble(d) * 1000000.0 + 0.5).toLong -
+        plane(off + d)
+      d += 1
+    }
+    pqArgminCodes(xi, n, cb, ks, cbDims)
+  }
+
+  /** Shared argmin-ssd codeword search over already-materialized
+    * integer coordinates (raw micro-units or residuals): ties to the
+    * smallest codeword, exactly the relational
+    * orderBy(ssd asc, cw asc) window both encode forms replay. */
+  private def pqArgminCodes(xi: Array[Long], n: Int, cb: Array[Long],
+                            ks: Int, cbDims: Int): ArrayData = {
     val m = (n + 7) / 8
     val out = new Array[Any](m)
     var j = 0
@@ -413,15 +462,26 @@ object HashExprs {
     * adc = Σ_j lut[j·m + codes[j] − 1] with 1-based codewords (the
     * element_at convention of the relational form it replaces). m is
     * recovered from the array sizes so undersized codebooks stay
-    * correct. */
+    * correct. A codes/LUT shape mismatch (codes encoded against a
+    * different codebook size than the query LUT) fails loudly with a
+    * shape message instead of reading a wrong LUT entry — the old
+    * element_at form returned NULL there, which hid the index
+    * corruption the mismatch implies. */
   def adcKernel(codes: ArrayData, lut: ArrayData): Long = {
     val nj = codes.numElements()
     if (nj == 0) return 0L
-    val m = lut.numElements() / nj
+    val nl = lut.numElements()
+    val m = nl / nj
     var adc = 0L
     var j = 0
     while (j < nj) {
-      adc += lut.getLong(j * m + codes.getLong(j).toInt - 1)
+      val idx = j * m + codes.getLong(j).toInt - 1
+      if (idx < 0 || idx >= nl)
+        throw new IllegalArgumentException(
+          s"ADC shape mismatch: codes[$j]=${codes.getLong(j)} over a " +
+            s"$nl-entry LUT ($nj subspaces, m=$m) — codes and LUT were " +
+            "built against different codebooks")
+      adc += lut.getLong(idx)
       j += 1
     }
     adc
@@ -485,22 +545,64 @@ object HashExprs {
   }
 
   /** [[pqEncodeKernel]] as a codegen'd expression over the raw
-    * double-array embedding column. */
-  case class PqEncodeI64(child: Expression, cb: Array[Long], ks: Int,
+    * double-array embedding column. The codebook is held as an
+    * IndexedSeq so case-class equality is VALUE equality — an
+    * Array[Long] field compares by reference, which defeats expression
+    * canonicalization / common-subexpression elimination and makes
+    * checkpointed plan comparisons unstable; the flat long[] the
+    * kernel wants is derived once per task. */
+  case class PqEncodeI64(child: Expression, cb: IndexedSeq[Long], ks: Int,
                          cbDims: Int) extends UnaryExpression {
     require(ks > 0 && cbDims > 0 && cb.length == ks * cbDims,
       s"codebook shape mismatch: ks=$ks dims=$cbDims len=${cb.length}")
+    @transient private lazy val flat: Array[Long] = cb.toArray
     override def dataType: DataType = ArrayType(LongType, false)
     override def nullSafeEval(input: Any): Any =
-      pqEncodeKernel(input.asInstanceOf[ArrayData], cb, ks, cbDims)
+      pqEncodeKernel(input.asInstanceOf[ArrayData], flat, ks, cbDims)
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("pqcb", cb, "long[]")
+      val ref = ctx.addReferenceObj("pqcb", flat, "long[]")
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.HashExprs.pqEncodeKernel($c, $ref, $ks, $cbDims)")
     }
     override protected def withNewChildInternal(c: Expression): PqEncodeI64 =
       copy(child = c)
+  }
+
+  /** [[pqEncodeResidKernel]] as a codegen'd expression over the raw
+    * embedding column and its home-cell column; the coarse-quantizer
+    * plane and the residual codebook ride the plan as reference
+    * objects (IndexedSeq fields for value equality, as
+    * [[PqEncodeI64]]). */
+  case class PqEncodeResidI64(left: Expression, right: Expression,
+                              cells: IndexedSeq[Long],
+                              plane: IndexedSeq[Long],
+                              cb: IndexedSeq[Long], ks: Int,
+                              cbDims: Int) extends BinaryExpression {
+    require(ks > 0 && cbDims > 0 && cb.length == ks * cbDims,
+      s"codebook shape mismatch: ks=$ks dims=$cbDims len=${cb.length}")
+    require(plane.length == cells.length * cbDims,
+      s"centroid plane shape mismatch: ${cells.length} cells × $cbDims" +
+        s" dims != ${plane.length}")
+    @transient private lazy val cellsArr: Array[Long] = cells.toArray
+    @transient private lazy val planeArr: Array[Long] = plane.toArray
+    @transient private lazy val cbArr: Array[Long] = cb.toArray
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(vec: Any, cell: Any): Any =
+      pqEncodeResidKernel(vec.asInstanceOf[ArrayData],
+        cell.asInstanceOf[Long], cellsArr, planeArr, cbArr, ks, cbDims)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cellsRef = ctx.addReferenceObj("residCells", cellsArr, "long[]")
+      val planeRef = ctx.addReferenceObj("residPlane", planeArr, "long[]")
+      val cbRef = ctx.addReferenceObj("residCb", cbArr, "long[]")
+      defineCodeGen(ctx, ev, (v, c) =>
+        s"graft.functions.HashExprs.pqEncodeResidKernel($v, $c, " +
+          s"$cellsRef, $planeRef, $cbRef, $ks, $cbDims)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqEncodeResidI64 =
+      copy(left = l, right = r)
   }
 
   /** Cosine similarity between two double arrays, accumulated in double in
@@ -720,7 +822,17 @@ object HashExprs {
     column(DotI64(expression(a), expression(b)))
   def pq_encode_i64(vec: Column, cb: Array[Long], ks: Int,
                     cbDims: Int): Column =
-    column(PqEncodeI64(expression(vec), cb, ks, cbDims))
+    column(PqEncodeI64(expression(vec),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), ks,
+      cbDims))
+  def pq_encode_resid_i64(vec: Column, cell: Column, cells: Array[Long],
+                          plane: Array[Long], cb: Array[Long], ks: Int,
+                          cbDims: Int): Column =
+    column(PqEncodeResidI64(expression(vec), expression(cell),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cells),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(plane),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), ks,
+      cbDims))
   def adc_i64(codes: Column, lut: Column): Column =
     column(AdcI64(expression(codes), expression(lut)))
   def sq8_adc_i64(codes: Column, lut: Column, scl: Column): Column =

@@ -962,12 +962,6 @@ object Ann {
     val ranked = detIvfCellRanksFrom(dimsFull, centRel)
     val home = ranked.filter(col("rk") === 1)
       .select(col("id"), col("label").as("cell"))
-    // residual coordinates of every vector against its HOME centroid
-    val rd = dims.join(home, "id")
-      .join(broadcast(cent),
-        col("cell") === col("c_cell") && col("dim") === col("c_dim"))
-      .select(col("id"), col("cell"), col("dim"),
-        expr("dim DIV 8").as("j"), (col("xi") - col("ci")).as("ri"))
     // md5-ranked seed ids; the codebook is their residuals
     val seeds = e.select(col("id"))
       .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
@@ -975,20 +969,30 @@ object Ann {
       .withColumn("cw", row_number().over(Window.orderBy("r", "id"))
         .cast("long"))
       .select("id", "cw")
-    val cb = rd.join(broadcast(seeds), "id")
-      .select(col("cw"), col("j"), col("dim"), col("ri").as("ci"))
-    // candidate codes: argmin-ssd codeword per subspace over residuals
-    val ssdCand = rd.join(broadcast(cb), Seq("j", "dim"))
-      .groupBy("id", "j", "cw")
-      .agg(sum((col("ri") - col("ci")) * (col("ri") - col("ci")))
-        .as("ssd"))
-    val codesW = ssdCand
-      .withColumn("rk", row_number().over(Window.partitionBy("id", "j")
-        .orderBy(col("ssd").asc, col("cw").asc)))
+    // seed residuals ONLY (ks vectors exploded — index metadata, not
+    // corpus): seed home cells rank just the ks seeds against the
+    // shared centroids — per-id ranks are independent, so this equals
+    // the rank-all-then-filter form bit-for-bit (ivfIndexTopK's note)
+    val sdims = detDims(e.join(broadcast(seeds.select("id")), "id"))
+      .select("id", "dim", "xi")
+    val seedHome = detIvfCellRanksFrom(sdims, centRel)
       .filter(col("rk") === 1)
-      .groupBy("id")
-      .agg(expr("transform(array_sort(collect_list(struct(j, cw)))," +
-        " s -> s.cw)").as("codes"))
+      .select(col("id"), col("label").as("cell"))
+    val cb = sdims.join(seedHome, "id")
+      .join(broadcast(cent),
+        col("cell") === col("c_cell") && col("dim") === col("c_dim"))
+      .join(broadcast(seeds), "id")
+      .select(col("cw"), expr("dim DIV 8").as("j"), col("dim"),
+        (col("xi") - col("ci")).as("ci"))
+    // candidate codes via the codegen'd residual-encode kernel
+    // (HashExprs.PqEncodeResidI64): one map pass computing xi − ci
+    // (home centroid from the collected plane) and the argmin-ssd
+    // codeword per subspace — bit-identical to the relational
+    // dims ⋈ home ⋈ cent → ×ks codebook join → 64M-group argmin
+    // window it replaces, which was the same n×dims×ks fan-out the
+    // plain-PQ kernel (detPqCodesKernel) killed in r13
+    val codesW = detPqResidCodesKernel(
+      e.select("id", "v").join(home, "id"), centRel, cb)
       .select(col("id").as("cand_id"), col("codes"))
     // per-(query, probed cell) residuals and LUTs
     val probes = ranked.filter(col("rk") <= nprobe)
@@ -1152,6 +1156,41 @@ object Ann {
     }
     e.select(col("id"),
       HashExprs.pq_encode_i64(col("v"), flat, ks, cbDims).as("codes"))
+  }
+
+  /** CANDIDATE-side RESIDUAL det-PQ encode via the codegen kernel
+    * (HashExprs.PqEncodeResidI64) — [[detPqCodesKernel]]'s two-level
+    * sibling. Collects the coarse-quantizer plane (cells × dims longs)
+    * and the residual codebook (ks × dims longs) once — both index
+    * metadata, both bounded (the plane through
+    * [[detIvfCentroidPlaneOf]]'s maxCells guard) — and encodes every
+    * (id, v, cell) row in one map pass: residual xi − ci against the
+    * home centroid, then argmin-ssd codewords. Bit-identical to the
+    * relational residual chain it replaces (n×dims exploded rows ×ks
+    * through the codebook join — 512M rows at the 500k ladder rung —
+    * into a 64M-group argmin window). */
+  private def detPqResidCodesKernel(eHome: DataFrame, cent: DataFrame,
+                                    cb: DataFrame): DataFrame = {
+    val rows = cb.select(col("cw"), col("dim"), col("ci")).collect()
+    require(rows.nonEmpty, "empty residual PQ codebook")
+    val ks = rows.iterator.map(_.getLong(0)).max.toInt
+    val cbDims = rows.iterator.map(_.getInt(1)).max + 1
+    val flat = new Array[Long](ks * cbDims)
+    rows.foreach { r =>
+      flat((r.getLong(0).toInt - 1) * cbDims + r.getInt(1)) = r.getLong(2)
+    }
+    val plane = detIvfCentroidPlaneOf(
+      cent.select(col("label").as("cell"), col("dim"), col("ci")))
+    val cells = plane.map(_.cell)
+    val planeFlat = new Array[Long](plane.length * cbDims)
+    plane.zipWithIndex.foreach { case (c, i) =>
+      require(c.ci.length == cbDims,
+        s"centroid plane dims ${c.ci.length} != codebook dims $cbDims")
+      System.arraycopy(c.ci, 0, planeFlat, i * cbDims, cbDims)
+    }
+    eHome.select(col("id"),
+      HashExprs.pq_encode_resid_i64(col("v"), col("cell"), cells,
+        planeFlat, flat, ks, cbDims).as("codes"))
   }
 
   /** Per-query flattened ADC LUT from a QUERY-ONLY ssd relation — the
