@@ -240,6 +240,29 @@ object AnnIndexStore {
 
   private def deltaName(name: String) = s"${name}_home_delta"
 
+  /** Enforce the one-row-per-id invariant at the CHAIN-READ boundary
+    * with LATEST-VERSION-WINS: an id re-ingested with a CHANGED
+    * payload (legal beyond the streaming lateness horizon — the
+    * watermark dedup only suppresses replays inside it) lands rows in
+    * multiple delta versions, and a distinct() would keep BOTH — a
+    * stale routing/code row then duplicates (query, cand) pairs and
+    * lets one candidate occupy two TopK slots. Dedup by id, newest
+    * chain version wins; ties within a version break by payload max
+    * (deterministic — within-version rows are already distinct at
+    * write). One partial-agg shuffle over the per-vector relation,
+    * the same cost class as the distinct() it replaces. */
+  private def latestById(parts: Seq[(Long, DataFrame)]): DataFrame = {
+    val tagged = parts
+      .map { case (v, df) => df.withColumn("_chain_v", lit(v)) }
+      .reduce(_ unionByName _)
+    val payload = tagged.columns
+      .filterNot(c => c == "id" || c == "_chain_v")
+    tagged.groupBy(col("id"))
+      .agg(max(struct((col("_chain_v") +: payload.map(col)): _*))
+        .as("_s"))
+      .select(col("id") +: payload.map(c => col(s"_s.$c").as(c)): _*)
+  }
+
   /** Complete DELTA versions (delta routing half + its centroid half),
     * ascending. */
   def deltaVersions(spark: SparkSession, store: VersionedStore,
@@ -325,16 +348,18 @@ object AnnIndexStore {
 
   /** Reconstruct the routing view at pinned version `v`: the newest
     * full snapshot at or below `v` (if any) unioned with every delta in
-    * between. Distinct for the same reason [[foldBatch]] uses it — a
-    * re-delivered vector's row is identical against the static plane. */
+    * between, deduped by id with latest-version-wins ([[latestById]] —
+    * a re-delivered vector's row is identical against the static
+    * plane and collapses either way; a RE-INGESTED id's changed row
+    * supersedes the stale one). */
   def loadDeltaChain(spark: SparkSession, store: VersionedStore,
                      name: String, v: Long): IvfIndexRelations = {
     require(chainVersions(spark, store, name).contains(v),
       s"no complete chain version $v of index $name")
     IvfIndexRelations(
       store.getVersion(spark, centName(name), v),
-      DeltaChain.read(spark, store, homeName(name), deltaName(name), v)
-        .distinct())
+      latestById(DeltaChain.readParts(spark, store, homeName(name),
+        deltaName(name), v)))
   }
 
   /** Load the newest chain version. */
@@ -357,8 +382,8 @@ object AnnIndexStore {
     * retention semantics [[prune]] already established. */
   def compact(spark: SparkSession, store: VersionedStore, name: String,
               upTo: Long): Unit = {
-    val covered = DeltaChain.compact(spark, store, homeName(name),
-      deltaName(name), upTo, canonicalize = _.distinct())
+    val covered = DeltaChain.compactParts(spark, store, homeName(name),
+      deltaName(name), upTo, latestById)
     val bases = versions(spark, store, name).toSet
     // drop centroid halves of fully-covered delta-only versions —
     // compaction collapses pinnable history at or below its high-water
@@ -380,8 +405,12 @@ object AnnIndexStore {
   // against the static quantizer pair), so a replayed batch rewrites an
   // identical delta without reading prior state. ----
 
+  // family-distinct delta suffix: the IVF-PQ and SQ8 code chains must
+  // never share a relation name — with both at "_codes_delta", one
+  // index name serving two families would silently intersect SQ8
+  // version sets with PQ code deltas
   private def pqHomeDeltaName(name: String) = s"${name}_home_delta"
-  private def pqCodesDeltaName(name: String) = s"${name}_codes_delta"
+  private def pqCodesDeltaName(name: String) = s"${name}_pqcodes_delta"
 
   /** Complete IVF-PQ DELTA versions (both delta halves + both static
     * halves), ascending. */
@@ -425,11 +454,11 @@ object AnnIndexStore {
       s"no complete IVF-PQ chain version $v of index $name")
     IvfPqIndexRelations(
       store.getVersion(spark, centName(name), v),
-      DeltaChain.read(spark, store, homeName(name),
-        pqHomeDeltaName(name), v).distinct(),
+      latestById(DeltaChain.readParts(spark, store, homeName(name),
+        pqHomeDeltaName(name), v)),
       store.getVersion(spark, cbName(name), v),
-      DeltaChain.read(spark, store, codesName(name),
-        pqCodesDeltaName(name), v).distinct())
+      latestById(DeltaChain.readParts(spark, store, codesName(name),
+        pqCodesDeltaName(name), v)))
   }
 
   /** Load the newest IVF-PQ chain version. */
@@ -449,10 +478,10 @@ object AnnIndexStore {
     * maintenance modes converge on the same persisted contract. */
   def compactPq(spark: SparkSession, store: VersionedStore,
                 name: String, upTo: Long): Unit = {
-    val covered = DeltaChain.compact(spark, store, homeName(name),
-      pqHomeDeltaName(name), upTo, canonicalize = _.distinct())
-    DeltaChain.compact(spark, store, codesName(name),
-      pqCodesDeltaName(name), upTo, canonicalize = _.distinct())
+    val covered = DeltaChain.compactParts(spark, store, homeName(name),
+      pqHomeDeltaName(name), upTo, latestById)
+    DeltaChain.compactParts(spark, store, codesName(name),
+      pqCodesDeltaName(name), upTo, latestById)
     val bases = versionsPq(spark, store, name).toSet
     covered.foreach { dv =>
       if (dv != upTo && !bases.contains(dv)) {
@@ -466,7 +495,8 @@ object AnnIndexStore {
   // ---- SQ8 delta maintenance: one per-vector relation (byte codes),
   // the trained ranges as the static half and completeness marker. ----
 
-  private def sq8CodesDeltaName(name: String) = s"${name}_codes_delta"
+  // family-distinct suffix — see pqCodesDeltaName's collision note
+  private def sq8CodesDeltaName(name: String) = s"${name}_sq8codes_delta"
 
   /** Complete SQ8 DELTA versions (code delta + ranges), ascending. */
   def deltaVersionsSq8(spark: SparkSession, store: VersionedStore,
@@ -499,8 +529,8 @@ object AnnIndexStore {
       s"no complete SQ8 chain version $v of index $name")
     Sq8IndexRelations(
       store.getVersion(spark, sq8RangesName(name), v),
-      DeltaChain.read(spark, store, sq8CodesName(name),
-        sq8CodesDeltaName(name), v).distinct())
+      latestById(DeltaChain.readParts(spark, store, sq8CodesName(name),
+        sq8CodesDeltaName(name), v)))
   }
 
   /** Load the newest SQ8 chain version. */
@@ -517,8 +547,8 @@ object AnnIndexStore {
     * is a complete FULL version ([[versionsSq8]] lists it). */
   def compactSq8(spark: SparkSession, store: VersionedStore,
                  name: String, upTo: Long): Unit = {
-    val covered = DeltaChain.compact(spark, store, sq8CodesName(name),
-      sq8CodesDeltaName(name), upTo, canonicalize = _.distinct())
+    val covered = DeltaChain.compactParts(spark, store,
+      sq8CodesName(name), sq8CodesDeltaName(name), upTo, latestById)
     val bases = versionsSq8(spark, store, name).toSet
     covered.foreach { dv =>
       if (dv != upTo && !bases.contains(dv))

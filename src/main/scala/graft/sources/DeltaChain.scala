@@ -31,19 +31,30 @@ object DeltaChain {
     (store.versions(spark, base) ++ store.versions(spark, delta))
       .distinct.sorted
 
-  /** The chain view at pinned version `v`. */
-  def read(spark: SparkSession, store: VersionedStore,
-           base: String, delta: String, v: Long): DataFrame = {
+  /** The chain view at pinned version `v` as VERSION-TAGGED parts
+    * (base snapshot first, then deltas ascending) — for readers whose
+    * content policy needs version order, e.g. AnnIndexStore's
+    * latest-version-wins dedup of re-ingested ids. */
+  def readParts(spark: SparkSession, store: VersionedStore,
+                base: String, delta: String,
+                v: Long): Seq[(Long, DataFrame)] = {
     require(versions(spark, store, base, delta).contains(v),
       s"no chain version $v of $base/$delta")
     val b = store.versions(spark, base).filter(_ <= v).lastOption
     val deltas = store.versions(spark, delta)
       .filter(dv => dv <= v && b.forall(dv > _))
-      .map(store.getVersion(spark, delta, _))
-    val parts = b.map(store.getVersion(spark, base, _)).toSeq ++ deltas
+      .map(dv => (dv, store.getVersion(spark, delta, dv)))
+    val parts = b.map(bv => (bv, store.getVersion(spark, base, bv)))
+      .toSeq ++ deltas
     require(parts.nonEmpty, s"empty chain at version $v of $base/$delta")
-    parts.reduce(_ unionByName _)
+    parts
   }
+
+  /** The chain view at pinned version `v`. */
+  def read(spark: SparkSession, store: VersionedStore,
+           base: String, delta: String, v: Long): DataFrame =
+    readParts(spark, store, base, delta, v).map(_._2)
+      .reduce(_ unionByName _)
 
   /** The chain view at the newest version. */
   def readNewest(spark: SparkSession, store: VersionedStore,
@@ -61,13 +72,24 @@ object DeltaChain {
     * it). */
   def compact(spark: SparkSession, store: VersionedStore,
               base: String, delta: String, upTo: Long,
-              canonicalize: DataFrame => DataFrame = identity): Seq[Long] = {
+              canonicalize: DataFrame => DataFrame = identity): Seq[Long] =
+    compactParts(spark, store, base, delta, upTo,
+      parts => canonicalize(parts.map(_._2).reduce(_ unionByName _)))
+
+  /** [[compact]] with a VERSION-AWARE fold: `fold` receives the
+    * version-tagged parts ([[readParts]]) so a content policy that
+    * depends on version order (latest-version-wins) survives
+    * compaction — a plain canonicalize over the untagged union could
+    * not tell a stale routing row from the row that superseded it. */
+  def compactParts(spark: SparkSession, store: VersionedStore,
+                   base: String, delta: String, upTo: Long,
+                   fold: Seq[(Long, DataFrame)] => DataFrame): Seq[Long] = {
     val b = store.versions(spark, base).filter(_ <= upTo).lastOption
     val covered = store.versions(spark, delta)
       .filter(dv => dv <= upTo && b.forall(dv > _))
     if (covered.isEmpty) return Seq.empty
     store.putVersion(base, upTo,
-      canonicalize(read(spark, store, base, delta, upTo)))
+      fold(readParts(spark, store, base, delta, upTo)))
     covered.foreach(store.deleteVersion(spark, delta, _))
     covered
   }

@@ -280,6 +280,54 @@ class AnnIndexSpec extends SparkSpec {
         col("id") % 50 === 0, k = 5))
   }
 
+  test("a re-ingested id with a CHANGED payload reads latest-version-" +
+      "wins: chain reads, compaction, and post-compaction deltas all " +
+      "keep exactly one (the newest) row per id") {
+    import spark.implicits._
+    val store = tmpStore("reingest")
+    val cent = spark.range(4)
+      .selectExpr("id AS cell", "id % 2 AS dim", "id * 10 AS ci")
+    def homeDf(pairs: (Long, Long)*) =
+      pairs.toSeq.toDF("vec_id", "cell")
+    def homes() = AnnIndexStore.loadChain(spark, store, "r").home
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // trigger 0: ids 0..9; trigger 1 RE-INGESTS id 3 into a new cell
+    // (legal beyond the streaming lateness horizon — the watermark
+    // dedup only suppresses replays inside it)
+    AnnIndexStore.foldBatchDelta(store, "r", cent, baseVersion = -1L)(
+      homeDf((0L until 10L).map(i => (i, i % 4)): _*), 0L)
+    AnnIndexStore.foldBatchDelta(store, "r", cent, baseVersion = -1L)(
+      homeDf((3L, 2L)), 1L)
+    homes().length shouldBe 10 // one row per id, not distinct()'s 11
+    homes().toMap.apply(3L) shouldBe 2L // the newer assignment won
+    // compaction bakes the WINNER into the snapshot, not both rows
+    AnnIndexStore.compact(spark, store, "r", upTo = 1L)
+    homes().length shouldBe 10
+    homes().toMap.apply(3L) shouldBe 2L
+    // a post-compaction delta supersedes the snapshot row too
+    AnnIndexStore.foldBatchDelta(store, "r", cent, baseVersion = -1L)(
+      homeDf((3L, 0L)), 2L)
+    homes().length shouldBe 10
+    homes().toMap.apply(3L) shouldBe 0L
+    // same contract on the IVF-PQ code chain: the re-encoded codes win
+    def codesDf(rows: (Long, Seq[Long])*) =
+      rows.toSeq.toDF("vec_id", "codes")
+        .withColumn("cell", col("vec_id") % 4)
+        .select("vec_id", "cell", "codes")
+    val cb = spark.range(8).selectExpr("id % 4 AS cw", "id DIV 4 AS j",
+      "id % 2 AS dim", "id AS ci")
+    AnnIndexStore.foldBatchDeltaPq(store, "rpq", cent, cb,
+      baseVersion = -1L)(codesDf((1L, Seq(1L, 2L)), (2L, Seq(3L, 4L))),
+      0L)
+    AnnIndexStore.foldBatchDeltaPq(store, "rpq", cent, cb,
+      baseVersion = -1L)(codesDf((1L, Seq(2L, 1L))), 1L)
+    val pq = AnnIndexStore.loadChainPq(spark, store, "rpq")
+    val codeRows = pq.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
+    codeRows.length shouldBe 2
+    codeRows.toMap.apply(1L) shouldBe List(2L, 1L)
+  }
+
   test("streaming assignments fold into exactly-once index versions " +
       "and the folded newest version serves identically to the batch " +
       "index") {
