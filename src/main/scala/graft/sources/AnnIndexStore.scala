@@ -292,6 +292,35 @@ object AnnIndexStore {
     store.putVersion(centName(name), v, centroids)
   }
 
+  /** [[foldBatchDelta]] with PERIODIC COMPACTION — the long-running-
+    * ingest form (NearDupIngest.startDelta's contract, mirrored):
+    * every `compactEvery` triggers the covered deltas fold into a
+    * snapshot at the newest version, so the reconstruction fan-in a
+    * reader pays is bounded at 1 snapshot + at most `compactEvery`
+    * trailing deltas no matter how long the ingest runs. Compaction is
+    * invisible to readers (the snapshot commits before any covered
+    * delta is deleted — DeltaChain.compactParts); retention of OLD
+    * snapshots stays [[prune]]'s job. */
+  def foldBatchDeltaCompacting(store: VersionedStore, name: String,
+                               centroids: DataFrame, baseVersion: Long,
+                               compactEvery: Int)
+                              (batch: DataFrame, batchId: Long): Unit = {
+    // skip EMPTY batches (watermark-advance triggers emit them between
+    // every data batch) — a 1-second-trigger ingest would otherwise
+    // double its version count with empty deltas
+    if (!batch.isEmpty)
+      foldBatchDelta(store, name, centroids, baseVersion)(batch, batchId)
+    if ((batchId + 1) % compactEvery == 0) {
+      // compact at the newest COMPLETE chain version, not at this
+      // batchId — empty batches leave version-number gaps, and a
+      // snapshot at a version with no centroid half would be invisible
+      // to chain readers
+      val spark = batch.sparkSession
+      val vs = chainVersions(spark, store, name)
+      if (vs.nonEmpty) compact(spark, store, name, upTo = vs.last)
+    }
+  }
+
   /** Snapshot-mode fold for IVF-PQ — [[foldBatch]]'s four-relation
     * twin: each trigger rewrites the FULL routing and code relations
     * (previous rows ∪ this batch), quantizer halves carried forward.
@@ -445,6 +474,24 @@ object AnnIndexStore {
     store.putVersion(centName(name), v, centroids)
   }
 
+  /** [[foldBatchDeltaPq]] with periodic compaction — see
+    * [[foldBatchDeltaCompacting]]. */
+  def foldBatchDeltaPqCompacting(store: VersionedStore, name: String,
+                                 centroids: DataFrame,
+                                 codebook: DataFrame, baseVersion: Long,
+                                 compactEvery: Int)
+                                (batch: DataFrame,
+                                 batchId: Long): Unit = {
+    if (!batch.isEmpty)
+      foldBatchDeltaPq(store, name, centroids, codebook, baseVersion)(
+        batch, batchId)
+    if ((batchId + 1) % compactEvery == 0) {
+      val spark = batch.sparkSession
+      val vs = chainVersionsPq(spark, store, name)
+      if (vs.nonEmpty) compactPq(spark, store, name, upTo = vs.last)
+    }
+  }
+
   /** Reconstruct the IVF-PQ view at pinned chain version `v`: each
     * per-vector relation is its own snapshot ∪ deltas chain; the
     * static quantizer halves read directly at `v`. */
@@ -520,6 +567,22 @@ object AnnIndexStore {
     store.putVersion(sq8CodesDeltaName(name), v,
       batch.select(col("vec_id").as("id"), col("codes")).distinct())
     store.putVersion(sq8RangesName(name), v, ranges)
+  }
+
+  /** [[foldBatchDeltaSq8]] with periodic compaction — see
+    * [[foldBatchDeltaCompacting]]. */
+  def foldBatchDeltaSq8Compacting(store: VersionedStore, name: String,
+                                  ranges: DataFrame, baseVersion: Long,
+                                  compactEvery: Int)
+                                 (batch: DataFrame,
+                                  batchId: Long): Unit = {
+    if (!batch.isEmpty)
+      foldBatchDeltaSq8(store, name, ranges, baseVersion)(batch, batchId)
+    if ((batchId + 1) % compactEvery == 0) {
+      val spark = batch.sparkSession
+      val vs = chainVersionsSq8(spark, store, name)
+      if (vs.nonEmpty) compactSq8(spark, store, name, upTo = vs.last)
+    }
   }
 
   /** Reconstruct the SQ8 view at pinned chain version `v`. */

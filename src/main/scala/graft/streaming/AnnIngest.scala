@@ -218,4 +218,31 @@ object AnnIngest {
       CellAssign(v.vec_id, v.ts, bestCell, bestBp)
     }
   }
+
+  /** The complete long-running ANN INGEST topology: [[assignCells]]
+    * routing + per-trigger DELTA index maintenance + periodic chain
+    * compaction — [[NearDupIngest.startDelta]]'s contract on the
+    * vector index. Each micro-batch lands as an O(batch) delta version
+    * (AnnIndexStore.foldBatchDelta); every `compactEvery` triggers the
+    * covered deltas fold into a snapshot, so an UNBOUNDED ingest keeps
+    * a BOUNDED reconstruction fan-in (1 snapshot + < compactEvery
+    * trailing deltas) — without this, a week of 1-second triggers
+    * would make every reader union ~600k delta relations. `centroids`
+    * is the static quantizer relation (persisted once, rides along as
+    * the completeness marker). */
+  def startFoldDelta(vecs: Dataset[VecIn], plane: Array[CentroidCell],
+                     store: graft.sources.VersionedStore, name: String,
+                     centroids: DataFrame, checkpointDir: String,
+                     lateness: String, compactEvery: Int = 8,
+                     baseVersion: Long = -1L)
+                    (implicit spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    assignCells(vecs, plane, lateness).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.AnnIndexStore.foldBatchDeltaCompacting(store,
+          name, centroids, baseVersion, compactEvery)(batch, batchId)
+      }
+      .start()
 }

@@ -106,6 +106,54 @@ object StreamBench {
       (label, rate, total, top)
     }
 
+    // ---- complete-mode vs update-mode at a 10× KEY-CARDINALITY step
+    // (SURVEY §7.5's "use update mode at scale" guidance, measured
+    // instead of asserted): synthetic keyed lines where each trigger
+    // touches only ITS slice of the key space — the access pattern
+    // that separates the modes. Complete mode re-emits the ENTIRE
+    // cumulative key table through the aggregation every trigger
+    // (state re-emission ∝ keys seen so far); update mode emits only
+    // the trigger's changed keys (∝ batch). Same line count and
+    // trigger count across all four bands, so lines/s differences read
+    // as pure mode × cardinality cost.
+    val cardResults = {
+      val slices = 8
+      val perSlice = math.max(500, copies * 125)
+      Seq(2500, 25000).flatMap { keys =>
+        val perSliceKeys = keys / slices
+        def sliceLines(t: Int): Seq[String] =
+          (0 until perSlice).map(j =>
+            s"k${t * perSliceKeys + j % perSliceKeys}")
+        Seq("complete", "update").map { mode =>
+          val tmp = Files
+            .createTempDirectory(s"streambench_card_$mode").toString
+          val store = VersionedStore(s"$tmp/store")
+          val in = MemoryStream[String]
+          val q = mode match {
+            case "update" =>
+              CraneStream.startUpdateMode(in.toDF(), "wordCount", store,
+                checkpointDir = s"$tmp/ckpt", period = "0 seconds")
+            case _ =>
+              CraneStream.start(in.toDF(), "wordCount", store,
+                checkpointDir = s"$tmp/ckpt", k = 5,
+                period = "0 seconds")
+          }
+          val total = slices.toLong * perSlice
+          val t0 = System.nanoTime()
+          try {
+            (0 until slices).foreach { t =>
+              in.addData(sliceLines(t))
+              // force the trigger boundary: the mode contrast IS the
+              // per-trigger re-emission, so slices must not coalesce
+              q.processAllAvailable()
+            }
+          } finally q.stop()
+          (s"wordCount_${mode}_${keys}keys",
+            total / ((System.nanoTime() - t0) / 1e9), total)
+        }
+      }
+    }
+
     // ---- event-time topologies (EventTimeOps): the watermarked
     // stream-stream interval join and flatMapGroupsWithState
     // sessionization — spec-tested since r6, banded here. Synthetic
@@ -416,13 +464,20 @@ object StreamBench {
             baseVersion = 0L)(batchDf(b), b.toLong)
         }
         val snapSecs = (System.nanoTime() - t2) / 1e9
+        // the delta band runs the LONG-RUNNING-INGEST wiring: periodic
+        // chain compaction included (every `compactEvery` triggers the
+        // covered deltas fold into a snapshot), so the rate reads as
+        // the sustained per-trigger cost of an unbounded ingest —
+        // O(batch) writes plus the amortized O(index/compactEvery)
+        // compaction — not the compaction-free best case
         val dltStore = VersionedStore(
           Files.createTempDirectory("sb_folddlt").toString)
         seeded(dltStore)
         val t3 = System.nanoTime()
         (0 until triggers).foreach { b =>
-          graft.sources.AnnIndexStore.foldBatchDelta(dltStore, "m", cent,
-            baseVersion = 0L)(batchDf(b), b.toLong)
+          graft.sources.AnnIndexStore.foldBatchDeltaCompacting(dltStore,
+            "m", cent, baseVersion = 0L, compactEvery = 2)(
+            batchDf(b), b.toLong)
         }
         val dltSecs = (System.nanoTime() - t3) / 1e9
         val ingested = triggers * batchRows
@@ -476,9 +531,12 @@ object StreamBench {
           band("ann_fold_delta_pq",
             st => graft.sources.AnnIndexStore.foldBatchPq(st, "m", cent,
               cb, baseVersion = -1L)(pqRows(baseRows, 0), 0L),
-            (st, b) => graft.sources.AnnIndexStore.foldBatchDeltaPq(st,
-              "m", cent, cb, baseVersion = 0L)(
-              pqRows(batchRows, baseRows + b * batchRows), b.toLong)),
+            // long-running-ingest wiring: periodic compaction included
+            // (see the IVF delta band note)
+            (st, b) => graft.sources.AnnIndexStore
+              .foldBatchDeltaPqCompacting(st, "m", cent, cb,
+                baseVersion = 0L, compactEvery = 2)(
+                pqRows(batchRows, baseRows + b * batchRows), b.toLong)),
           band("ann_fold_snapshot_sq8",
             st => graft.sources.AnnIndexStore.foldBatchSq8(st, "m",
               ranges, baseVersion = -1L)(sq8Rows(baseRows, 0), 0L),
@@ -488,9 +546,10 @@ object StreamBench {
           band("ann_fold_delta_sq8",
             st => graft.sources.AnnIndexStore.foldBatchSq8(st, "m",
               ranges, baseVersion = -1L)(sq8Rows(baseRows, 0), 0L),
-            (st, b) => graft.sources.AnnIndexStore.foldBatchDeltaSq8(st,
-              "m", ranges, baseVersion = 0L)(
-              sq8Rows(batchRows, baseRows + b * batchRows), b.toLong)))
+            (st, b) => graft.sources.AnnIndexStore
+              .foldBatchDeltaSq8Compacting(st, "m", ranges,
+                baseVersion = 0L, compactEvery = 2)(
+                sq8Rows(batchRows, baseRows + b * batchRows), b.toLong)))
       }
       Seq(assignBand, probeBand, servedBand) ++ foldBands ++
         foldBandsCompressed
@@ -552,7 +611,8 @@ object StreamBench {
 
     val apps = (results.map { case (label, rate, total, _) =>
       f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" } ++
-      (evResults ++ mediaResults ++ annResults :+ nearDupBand).map {
+      (cardResults ++ evResults ++ mediaResults ++ annResults :+
+        nearDupBand).map {
         case (label, rate, total) =>
           f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
       .mkString(",")

@@ -280,6 +280,72 @@ class AnnIndexSpec extends SparkSpec {
         col("id") % 50 === 0, k = 5))
   }
 
+  test("streaming delta ingest with periodic compaction: the " +
+      "reconstruction fan-in stays bounded (<= compactEvery + 1 " +
+      "parts), and serving right after a MID-STREAM compaction equals " +
+      "the batch index over the same ingested rows") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding", "label")
+    val store = tmpStore("foldcompact")
+    val plane = Ann.detIvfCentroidPlaneOf(built.centroids)
+    val rows = embs.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val parts = rows.grouped(rows.length / 5 + 1).toSeq // 5 triggers
+    val compactEvery = 2
+    def ts(i: Int) = new Timestamp(86400000L + i * 1000L)
+    def fanIn(): Int = {
+      val vs = DeltaChain.versions(spark, store, "ivfc_home",
+        "ivfc_home_delta")
+      DeltaChain.readParts(spark, store, "ivfc_home",
+        "ivfc_home_delta", vs.last).length
+    }
+    def servedEqualsBatchOver(ids: Set[Long]): Unit = {
+      val chain = AnnIndexStore.loadChain(spark, store, "ivfc")
+      val restricted = Ann.IvfIndexRelations(built.centroids,
+        built.home.filter(col("id").isInCollection(ids)))
+      topkRows(Ann.ivfIndexTopK(chain, embs, "vec_id", "embedding",
+        col("id") % 50 === 0, k = 5)) shouldBe
+        topkRows(Ann.ivfIndexTopK(restricted, embs, "vec_id",
+          "embedding", col("id") % 50 === 0, k = 5))
+    }
+    val in = MemoryStream[AnnIngest.VecIn]
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_foldc_ck")
+    val q = AnnIngest.startFoldDelta(in.toDS(), plane, store, "ivfc",
+      built.centroids, ckpt.toString, lateness = "10 minutes",
+      compactEvery = compactEvery)
+    try {
+      var off = 0
+      parts.zipWithIndex.foreach { case (part, b) =>
+        in.addData(part.zipWithIndex.map { case ((id, v), i) =>
+          AnnIngest.VecIn(id, ts(off + i), v) }.toSeq)
+        q.processAllAvailable()
+        off += part.length
+        // the invariant compaction buys: bounded reconstruction fan-in
+        // after EVERY trigger, however the engine slices micro-batches
+        // (watermark-advance triggers interleave empty batches)
+        fanIn() should be <= (compactEvery + 1)
+        // and at every point mid-stream — including right after a
+        // compaction — the chain serves exactly what a batch index
+        // over the so-far-ingested rows serves
+        servedEqualsBatchOver(parts.take(b + 1).flatten.map(_._1).toSet)
+      }
+    } finally q.stop()
+    // compactions landed mid-stream: snapshots exist and the trailing
+    // delta count is bounded by the compaction period
+    AnnIndexStore.versions(spark, store, "ivfc") should not be empty
+    AnnIndexStore.deltaVersions(spark, store, "ivfc").size should
+      be <= compactEvery
+    // fully ingested: the chain serves identically to the inline index
+    topkRows(Ann.ivfIndexTopK(AnnIndexStore.loadChain(spark, store,
+      "ivfc"), embs, "vec_id", "embedding", col("id") % 50 === 0,
+      k = 5)) shouldBe
+      topkRows(Ann.ivfDetTopK(embs, "vec_id", "embedding", "label",
+        col("id") % 50 === 0, k = 5))
+  }
+
   test("a re-ingested id with a CHANGED payload reads latest-version-" +
       "wins: chain reads, compaction, and post-compaction deltas all " +
       "keep exactly one (the newest) row per id") {
