@@ -485,6 +485,30 @@ class AnnSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("kmeans returns the HAND-COMPUTED cluster means on a separated " +
+      "two-cluster corpus — pinned literals derived WITHOUT executing " +
+      "the trainer (the fixture-independence anchor: GenSeededTruth " +
+      "replays the seeded truths through this same trainer, so a bug " +
+      "inside kmeans would otherwise pass both sides)") {
+    // two well-separated clusters whose means are exact by hand:
+    //   A = {(0,0), (0,2), (2,0), (2,2)}  -> mean (1, 1)
+    //   B = {(10,10), (12,12)}            -> mean (11, 11)
+    // max intra-A distance = 2·√2 ≈ 2.83, min A-B distance ≈ 11.3, so
+    // once the two centroids sit one-per-cluster they are a Lloyd
+    // FIXED POINT: every A point is nearer the A centroid than any
+    // point of B could pull it, and vice versa. The assertion is on
+    // the SET of centroids, so it is insensitive to init order —
+    // convergence to exactly these literals is what it pins. All sums
+    // are small integers over halves: exact in IEEE double, no
+    // rounding tolerance needed.
+    val pts = Array(
+      Array(0.0, 0.0), Array(0.0, 2.0), Array(2.0, 0.0),
+      Array(2.0, 2.0), Array(10.0, 10.0), Array(12.0, 12.0))
+    val cents = Ann.kmeans(pts, k = 2, iters = 10, seed = 42L)
+    cents.map(_.toList).toSet shouldBe
+      Set(List(1.0, 1.0), List(11.0, 11.0))
+  }
+
   test("mmrTopK matches an in-memory greedy MMR on the same integer sims") {
     import spark.implicits._
     // a tight near-duplicate cluster plus diverse mid-relevance vectors:
