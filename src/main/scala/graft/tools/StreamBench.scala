@@ -46,6 +46,27 @@ object StreamBench {
       Files.readAllLines(java.nio.file.Paths.get(s"$data/$name"))
         .toArray(Array.empty[String])
 
+    // host-drift sentinel, same fixed xorshift64 loop as graft.Bench:
+    // recorded in the artifact so a cross-round band comparison divides
+    // by the sentinel ratio before reading any delta as real
+    var sentinelSink = 0L
+    def sentinel(): Double = {
+      def loop(n: Long): Long = {
+        var s = 88172645463325252L
+        var i = 0L
+        while (i < n) {
+          s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+          i += 1
+        }
+        s
+      }
+      sentinelSink ^= loop(50000000L)
+      val t0 = System.nanoTime()
+      sentinelSink ^= loop(400000000L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelStart = sentinel()
+
     /** Drain `copies` replays of `lines` through one started query;
       * returns (lines/sec, total lines). */
     def drain(lines: Array[String], nCopies: Int,
@@ -104,54 +125,6 @@ object StreamBench {
         .limit(5).collect()
         .map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(",")
       (label, rate, total, top)
-    }
-
-    // ---- complete-mode vs update-mode at a 10× KEY-CARDINALITY step
-    // (SURVEY §7.5's "use update mode at scale" guidance, measured
-    // instead of asserted): synthetic keyed lines where each trigger
-    // touches only ITS slice of the key space — the access pattern
-    // that separates the modes. Complete mode re-emits the ENTIRE
-    // cumulative key table through the aggregation every trigger
-    // (state re-emission ∝ keys seen so far); update mode emits only
-    // the trigger's changed keys (∝ batch). Same line count and
-    // trigger count across all four bands, so lines/s differences read
-    // as pure mode × cardinality cost.
-    val cardResults = {
-      val slices = 8
-      val perSlice = math.max(500, copies * 125)
-      Seq(2500, 25000).flatMap { keys =>
-        val perSliceKeys = keys / slices
-        def sliceLines(t: Int): Seq[String] =
-          (0 until perSlice).map(j =>
-            s"k${t * perSliceKeys + j % perSliceKeys}")
-        Seq("complete", "update").map { mode =>
-          val tmp = Files
-            .createTempDirectory(s"streambench_card_$mode").toString
-          val store = VersionedStore(s"$tmp/store")
-          val in = MemoryStream[String]
-          val q = mode match {
-            case "update" =>
-              CraneStream.startUpdateMode(in.toDF(), "wordCount", store,
-                checkpointDir = s"$tmp/ckpt", period = "0 seconds")
-            case _ =>
-              CraneStream.start(in.toDF(), "wordCount", store,
-                checkpointDir = s"$tmp/ckpt", k = 5,
-                period = "0 seconds")
-          }
-          val total = slices.toLong * perSlice
-          val t0 = System.nanoTime()
-          try {
-            (0 until slices).foreach { t =>
-              in.addData(sliceLines(t))
-              // force the trigger boundary: the mode contrast IS the
-              // per-trigger re-emission, so slices must not coalesce
-              q.processAllAvailable()
-            }
-          } finally q.stop()
-          (s"wordCount_${mode}_${keys}keys",
-            total / ((System.nanoTime() - t0) / 1e9), total)
-        }
-      }
     }
 
     // ---- event-time topologies (EventTimeOps): the watermarked
@@ -275,6 +248,16 @@ object StreamBench {
         s""""commitOffsets_ms":${s("commitOffsets")},""" +
         s""""stateCommit_ms":${ps.flatMap(_.stateOperators.toSeq
               .map(_.commitTimeMs)).sum},""" +
+        // per-trigger EMISSION evidence (r13 directive 8): in complete
+        // mode the aggregation re-emits its whole state every trigger,
+        // so Σ numRowsTotal over triggers counts the cumulative
+        // re-emission; in update mode the engine emits only changed
+        // keys — Σ numRowsUpdated. Both from the engine's own state
+        // operator metrics, not inferred.
+        s""""stateRowsTotalSum":${ps.flatMap(_.stateOperators.toSeq
+              .map(_.numRowsTotal)).sum},""" +
+        s""""stateRowsUpdatedSum":${ps.flatMap(_.stateOperators.toSeq
+              .map(_.numRowsUpdated)).sum},""" +
         s""""stateRowsTotal":${ps.lastOption.map(_.stateOperators.toSeq
               .map(_.numRowsTotal).sum).getOrElse(0L)}}"""
       bandBreakdowns += line
@@ -296,6 +279,60 @@ object StreamBench {
       val old = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", streamStateParts)
       try body finally spark.conf.set("spark.sql.shuffle.partitions", old)
+    }
+
+    // ---- complete-mode vs update-mode at a 10× KEY-CARDINALITY step
+    // (SURVEY §7.5's "use update mode at scale" guidance, measured
+    // instead of asserted): synthetic keyed lines where each trigger
+    // touches only ITS slice of the key space — the access pattern
+    // that separates the modes. Complete mode re-emits the ENTIRE
+    // cumulative key table through the aggregation every trigger
+    // (state re-emission ∝ keys seen so far); update mode emits only
+    // the trigger's changed keys (∝ batch). The authoritative
+    // evidence is the breakdown line's engine-reported
+    // stateRowsTotalSum (complete: Σ per-trigger state size = rows
+    // re-emitted) vs stateRowsUpdatedSum (update: rows actually
+    // emitted) — at THESE toy cardinalities wall-clock is sink-bound,
+    // which is itself the point: the re-emission row count is what
+    // grows 10× with the key step and what a 1B-key topology cannot
+    // afford.
+    val cardResults = {
+      val slices = 8
+      val perSlice = math.max(500, copies * 125)
+      Seq(2500, 25000).flatMap { keys =>
+        val perSliceKeys = keys / slices
+        def sliceLines(t: Int): Seq[String] =
+          (0 until perSlice).map(j =>
+            s"k${t * perSliceKeys + j % perSliceKeys}")
+        Seq("complete", "update").map { mode =>
+          val label = s"wordCount_${mode}_${keys}keys"
+          val tmp = Files
+            .createTempDirectory(s"streambench_card_$mode").toString
+          val store = VersionedStore(s"$tmp/store")
+          val in = MemoryStream[String]
+          val q = withStateParts(mode match {
+            case "update" =>
+              CraneStream.startUpdateMode(in.toDF(), "wordCount", store,
+                checkpointDir = s"$tmp/ckpt", period = "0 seconds")
+            case _ =>
+              CraneStream.start(in.toDF(), "wordCount", store,
+                checkpointDir = s"$tmp/ckpt", k = 5,
+                period = "0 seconds")
+          })
+          val total = slices.toLong * perSlice
+          val t0 = System.nanoTime()
+          try {
+            (0 until slices).foreach { t =>
+              in.addData(sliceLines(t))
+              // force the trigger boundary: the mode contrast IS the
+              // per-trigger re-emission, so slices must not coalesce
+              q.processAllAvailable()
+            }
+            breakdown(q, label)
+          } finally q.stop()
+          (label, total / ((System.nanoTime() - t0) / 1e9), total)
+        }
+      }
     }
 
     // ---- streaming ANN ingest: det-IVF cell assignment of arriving
@@ -476,7 +513,7 @@ object StreamBench {
         val t3 = System.nanoTime()
         (0 until triggers).foreach { b =>
           graft.sources.AnnIndexStore.foldBatchDeltaCompacting(dltStore,
-            "m", cent, baseVersion = 0L, compactEvery = 2)(
+            "m", cent, baseVersion = 0L, compactEvery = 4)(
             batchDf(b), b.toLong)
         }
         val dltSecs = (System.nanoTime() - t3) / 1e9
@@ -535,7 +572,7 @@ object StreamBench {
             // (see the IVF delta band note)
             (st, b) => graft.sources.AnnIndexStore
               .foldBatchDeltaPqCompacting(st, "m", cent, cb,
-                baseVersion = 0L, compactEvery = 2)(
+                baseVersion = 0L, compactEvery = 4)(
                 pqRows(batchRows, baseRows + b * batchRows), b.toLong)),
           band("ann_fold_snapshot_sq8",
             st => graft.sources.AnnIndexStore.foldBatchSq8(st, "m",
@@ -548,7 +585,7 @@ object StreamBench {
               ranges, baseVersion = -1L)(sq8Rows(baseRows, 0), 0L),
             (st, b) => graft.sources.AnnIndexStore
               .foldBatchDeltaSq8Compacting(st, "m", ranges,
-                baseVersion = 0L, compactEvery = 2)(
+                baseVersion = 0L, compactEvery = 4)(
                 sq8Rows(batchRows, baseRows + b * batchRows), b.toLong)))
       }
       Seq(assignBand, probeBand, servedBand) ++ foldBands ++
@@ -617,7 +654,11 @@ object StreamBench {
           f""""$label":{"lines_per_sec":$rate%.0f,"lines":$total}""" })
       .mkString(",")
     val (_, wcRate, wcTotal, wcTop) = results.find(_._1 == "wordCount").get
-    println(f"""{"metric":"stream_lines_per_sec","value":$wcRate%.0f,"lines":$wcTotal,"apps":{$apps},"top5":"$wcTop"}""")
+    val sentinelEnd = sentinel()
+    if (sentinelSink == 42L) System.err.println("[streambench] sink")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(f"""{"metric":"stream_lines_per_sec","value":$wcRate%.0f,"lines":$wcTotal,"sentinel_sec":[${num(sentinelStart)},${num(sentinelEnd)}],"apps":{$apps},"top5":"$wcTop"}""")
     println(s"""{"metric":"stream_breakdown","state_partitions":$streamStateParts,"bands":[${bandBreakdowns.mkString(",")}]}""")
     spark.stop()
   }
