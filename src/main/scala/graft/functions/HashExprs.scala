@@ -426,6 +426,93 @@ object HashExprs {
     pqArgminCodes(xi, n, cb, ks, cbDims)
   }
 
+  /** Static kernel: the `nprobe` nearest det-IVF cells of one
+    * embedding against the collected coarse-quantizer plane, in rank
+    * order — the integer affinity ranking bp = floor(10⁴·dot/(√nv·√nc))
+    * with ties to the smallest cell and the zero-norm guard (bp = 0),
+    * bit-identical to the relational rank chain
+    * (detIvfCellRanksFrom: dims ⋈ centroids → dots → window) AND to
+    * the streaming assignment (AnnIngest.assignCells — this is that
+    * loop as a codegen'd expression). `cells` ascending (the scan
+    * order IS the tie rule: a strictly-greater compare keeps the
+    * earlier = smaller cell on equal affinity); `plane` row-major with
+    * stride `dims`; `nc` the precomputed Σci² per cell. */
+  def detIvfCellsKernel(arr: ArrayData, cells: Array[Long],
+                        plane: Array[Long], nc: Array[Long], dims: Int,
+                        nprobe: Int): ArrayData = {
+    val n = math.min(arr.numElements(), dims)
+    val xi = new Array[Long](n)
+    var nv = 0L
+    var d = 0
+    while (d < n) {
+      val s = math.floor(arr.getDouble(d) * 1000000.0 + 0.5).toLong
+      xi(d) = s
+      nv += s * s
+      d += 1
+    }
+    val m = math.min(nprobe, cells.length)
+    val bp = Array.fill(m)(Long.MinValue)
+    val bc = new Array[Long](m)
+    var c = 0
+    while (c < cells.length) {
+      val off = c * dims
+      var dot = 0L
+      var j = 0
+      while (j < n) { dot += xi(j) * plane(off + j); j += 1 }
+      val v =
+        if (nv > 0 && nc(c) > 0)
+          math.floor(10000.0 * dot /
+            (math.sqrt(nv.toDouble) * math.sqrt(nc(c).toDouble))).toLong
+        else 0L
+      var i = 0
+      while (i < m && v <= bp(i)) i += 1
+      if (i < m) {
+        var k = m - 1
+        while (k > i) { bp(k) = bp(k - 1); bc(k) = bc(k - 1); k -= 1 }
+        bp(i) = v
+        bc(i) = cells(c)
+      }
+      c += 1
+    }
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = bc(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[detIvfCellsKernel]] as a codegen'd expression — replaces the
+    * full-corpus dots-shuffle + rank-window pair (n×nlist exploded
+    * rows through a per-id window) with one map pass per row; the
+    * plane rides the plan as reference objects (IndexedSeq fields for
+    * value equality, as [[PqEncodeI64]]). */
+  case class DetIvfCellsI64(child: Expression, cells: IndexedSeq[Long],
+                            plane: IndexedSeq[Long], nc: IndexedSeq[Long],
+                            dims: Int, nprobe: Int)
+      extends UnaryExpression {
+    require(dims > 0 && nprobe > 0 && plane.length == cells.length * dims
+      && nc.length == cells.length,
+      s"plane shape mismatch: ${cells.length} cells × $dims dims vs " +
+        s"plane=${plane.length}, nc=${nc.length}")
+    @transient private lazy val cellsArr: Array[Long] = cells.toArray
+    @transient private lazy val planeArr: Array[Long] = plane.toArray
+    @transient private lazy val ncArr: Array[Long] = nc.toArray
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(input: Any): Any =
+      detIvfCellsKernel(input.asInstanceOf[ArrayData], cellsArr,
+        planeArr, ncArr, dims, nprobe)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cellsRef = ctx.addReferenceObj("ivfCells", cellsArr, "long[]")
+      val planeRef = ctx.addReferenceObj("ivfPlane", planeArr, "long[]")
+      val ncRef = ctx.addReferenceObj("ivfNc", ncArr, "long[]")
+      defineCodeGen(ctx, ev, v =>
+        s"graft.functions.HashExprs.detIvfCellsKernel($v, $cellsRef, " +
+          s"$planeRef, $ncRef, $dims, $nprobe)")
+    }
+    override protected def withNewChildInternal(
+        c: Expression): DetIvfCellsI64 = copy(child = c)
+  }
+
   /** Shared argmin-ssd codeword search over already-materialized
     * integer coordinates (raw micro-units or residuals): ties to the
     * smallest codeword, exactly the relational
@@ -825,6 +912,14 @@ object HashExprs {
     column(PqEncodeI64(expression(vec),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), ks,
       cbDims))
+  def det_ivf_cells_i64(vec: Column, cells: Array[Long],
+                        plane: Array[Long], nc: Array[Long], dims: Int,
+                        nprobe: Int): Column =
+    column(DetIvfCellsI64(expression(vec),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cells),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(plane),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(nc), dims,
+      nprobe))
   def pq_encode_resid_i64(vec: Column, cell: Column, cells: Array[Long],
                           plane: Array[Long], cb: Array[Long], ks: Int,
                           cbDims: Int): Column =

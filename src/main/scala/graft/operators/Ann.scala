@@ -948,20 +948,47 @@ object Ann {
                            labelCol: String, queryPred: Column, k: Int,
                            nprobe: Int = 2, ks: Int = 16,
                            shortlist: Int = 32): DataFrame = {
+    val spark = embs.sparkSession
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
     val dimsFull = detDims(e)
-    val dims = dimsFull.select("id", "dim", "xi")
-    val centRel = detIvfCentroids(dimsFull)
+    // the coarse quantizer is collected ONCE (maxCells-guarded index
+    // metadata, the same plane a streaming ingest broadcasts) and
+    // every downstream consumer — the cell ranking, the residual
+    // joins, the seed codebook, the encode kernel — reads the
+    // COLLECTED values as a literal relation or reference object. The
+    // first kernel cut recomputed the full n·d centroid aggregation
+    // three times (two driver collects + the final plan), which cost
+    // more at the 50k rung than the fan-out it removed.
+    val plane = detIvfCentroidPlaneOf(detIvfCentroids(dimsFull)
+      .select(col("label").as("cell"), col("dim"), col("ci")))
+    val cells = plane.map(_.cell)
+    val dimsN = plane.head.ci.length
+    val planeFlat = new Array[Long](plane.length * dimsN)
+    plane.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c.ci, 0, planeFlat, i * dimsN, dimsN) }
+    val ncArr = plane.map(_.nc)
+    import spark.implicits._
+    val centRel = plane.toSeq
+      .flatMap(c => c.ci.indices.map(d => (c.cell, d, c.ci(d))))
+      .toDF("label", "dim", "ci")
     // rename the centroid keys once: both residual joins re-key on
     // (cell, dim) and an un-renamed join side makes `dim` ambiguous
     val cent = centRel
       .select(col("label").as("c_cell"), col("dim").as("c_dim"),
         col("ci"))
-    val ranked = detIvfCellRanksFrom(dimsFull, centRel)
-    val home = ranked.filter(col("rk") === 1)
-      .select(col("id"), col("label").as("cell"))
+    // home cells + residual encode in ONE narrow map pass
+    // (HashExprs.DetIvfCellsI64 — the streaming assignCells loop as a
+    // codegen'd expression, bit-identical to the relational rank
+    // chain): the first kernel cut kept detIvfCellRanksFrom's
+    // dots-shuffle (n×nlist exploded rows through a per-id window) for
+    // home/probes, which dominated the 50k rung once the encode
+    // fan-out was gone
+    val eHome = e.select(col("id"), col("v"),
+      element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
+        ncArr, dimsN, 1), 1).as("cell"))
+    val home = eHome.select(col("id"), col("cell"))
     // md5-ranked seed ids; the codebook is their residuals
     val seeds = e.select(col("id"))
       .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
@@ -970,14 +997,11 @@ object Ann {
         .cast("long"))
       .select("id", "cw")
     // seed residuals ONLY (ks vectors exploded — index metadata, not
-    // corpus): seed home cells rank just the ks seeds against the
-    // shared centroids — per-id ranks are independent, so this equals
-    // the rank-all-then-filter form bit-for-bit (ivfIndexTopK's note)
+    // corpus); per-id home cells are independent, so restricting to
+    // the seed rows equals rank-all-then-filter bit-for-bit
     val sdims = detDims(e.join(broadcast(seeds.select("id")), "id"))
       .select("id", "dim", "xi")
-    val seedHome = detIvfCellRanksFrom(sdims, centRel)
-      .filter(col("rk") === 1)
-      .select(col("id"), col("label").as("cell"))
+    val seedHome = home.join(broadcast(seeds.select("id")), "id")
     val cb = sdims.join(seedHome, "id")
       .join(broadcast(cent),
         col("cell") === col("c_cell") && col("dim") === col("c_dim"))
@@ -985,20 +1009,26 @@ object Ann {
       .select(col("cw"), expr("dim DIV 8").as("j"), col("dim"),
         (col("xi") - col("ci")).as("ci"))
     // candidate codes via the codegen'd residual-encode kernel
-    // (HashExprs.PqEncodeResidI64): one map pass computing xi − ci
-    // (home centroid from the collected plane) and the argmin-ssd
-    // codeword per subspace — bit-identical to the relational
-    // dims ⋈ home ⋈ cent → ×ks codebook join → 64M-group argmin
-    // window it replaces, which was the same n×dims×ks fan-out the
-    // plain-PQ kernel (detPqCodesKernel) killed in r13
-    val codesW = detPqResidCodesKernel(
-      e.select("id", "v").join(home, "id"), centRel, cb)
+    // (HashExprs.PqEncodeResidI64): the SAME map pass that homed the
+    // vector computes xi − ci against its home centroid and the
+    // argmin-ssd codeword per subspace — bit-identical to the
+    // relational dims ⋈ home ⋈ cent → ×ks codebook join → 64M-group
+    // argmin window it replaces, which was the same n×dims×ks fan-out
+    // the plain-PQ kernel (detPqCodesKernel) killed in r13
+    val codesW = detPqResidCodesKernelOf(eHome, plane, cb)
       .select(col("id").as("cand_id"), col("codes"))
-    // per-(query, probed cell) residuals and LUTs
-    val probes = ranked.filter(col("rk") <= nprobe)
-      .join(e.filter(queryPred).select(col("id")), "id")
-      .select(col("id").as("query_id"), col("label").as("pcell"))
-    val qrd = dims.join(probes, col("id") === col("query_id"))
+    // per-(query, probed cell) residuals and LUTs; probe cells from
+    // the same kernel (nprobe nearest, rank order), map-side over the
+    // query panel only
+    val probes = e.filter(queryPred)
+      .select(col("id").as("query_id"),
+        explode(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
+          ncArr, dimsN, nprobe)).as("pcell"))
+    // query-panel dims only (detPqQueryLut's convention): the LUT
+    // branch must not re-explode the full corpus — per-id dims are
+    // independent, so exploding just the query rows is bit-identical
+    val qrd = detDims(e.filter(queryPred)).select("id", "dim", "xi")
+      .join(probes, col("id") === col("query_id"))
       .join(broadcast(cent),
         col("pcell") === col("c_cell") && col("dim") === col("c_dim"))
       .select(col("query_id"), col("pcell"), col("dim"),
@@ -1011,12 +1041,17 @@ object Ann {
       .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
         " s -> s.ssd)").as("lut"))
     // candidates keyed by the home cell that reached them, so ADC uses
-    // the matching per-cell LUT
+    // the matching per-cell LUT. NO distinct over the pair stream:
+    // (query, cand, cell) rows are unique by construction — home holds
+    // exactly one (rk = 1) cell per id and a query's probe cells are
+    // rank-distinct — so a distinct here would hash/spill the whole
+    // q×n fan-out to remove nothing (detIvfCandidates' note; this was
+    // the last pair stream still paying it)
     val cnd = probes
       .join(home.select(col("id").as("cand_id"), col("cell")),
         col("pcell") === col("cell"))
       .filter(col("query_id") =!= col("cand_id"))
-      .select("query_id", "cand_id", "cell").distinct()
+      .select("query_id", "cand_id", "cell")
     val pairsAdc = cnd.join(codesW, "cand_id")
       .join(broadcast(qlutW),
         cnd("query_id") === qlutW("query_id") &&
@@ -1169,8 +1204,9 @@ object Ann {
     * relational residual chain it replaces (n×dims exploded rows ×ks
     * through the codebook join — 512M rows at the 500k ladder rung —
     * into a 64M-group argmin window). */
-  private def detPqResidCodesKernel(eHome: DataFrame, cent: DataFrame,
-                                    cb: DataFrame): DataFrame = {
+  private def detPqResidCodesKernelOf(eHome: DataFrame,
+                                      plane: Array[CentroidCell],
+                                      cb: DataFrame): DataFrame = {
     val rows = cb.select(col("cw"), col("dim"), col("ci")).collect()
     require(rows.nonEmpty, "empty residual PQ codebook")
     val ks = rows.iterator.map(_.getLong(0)).max.toInt
@@ -1179,8 +1215,6 @@ object Ann {
     rows.foreach { r =>
       flat((r.getLong(0).toInt - 1) * cbDims + r.getInt(1)) = r.getLong(2)
     }
-    val plane = detIvfCentroidPlaneOf(
-      cent.select(col("label").as("cell"), col("dim"), col("ci")))
     val cells = plane.map(_.cell)
     val planeFlat = new Array[Long](plane.length * cbDims)
     plane.zipWithIndex.foreach { case (c, i) =>
