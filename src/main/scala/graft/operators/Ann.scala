@@ -820,12 +820,30 @@ object Ann {
     * the one DuckDB cell CTE chain. */
   private def detIvfCandidates(e: DataFrame, queryPred: Column,
                                nprobe: Int): DataFrame = {
-    val ranked = detIvfCellRanks(e)
-    val home = ranked.filter(col("rk") === 1)
-      .select(col("id").as("cand_id"), col("label").as("cell"))
-    val probes = ranked.filter(col("rk") <= nprobe)
-      .join(e.filter(queryPred).select(col("id")), "id")
-      .select(col("id").as("query_id"), col("label").as("cell"))
+    // map-side cell ranking (HashExprs.DetIvfCellsI64 — the streaming
+    // assignCells loop as a codegen'd expression, bit-identical to the
+    // relational detIvfCellRanks chain): the coarse quantizer is
+    // collected once (maxCells-guarded index metadata) and home/probe
+    // cells are one narrow map pass each, replacing the n×nlist
+    // exploded dots shuffle + per-id rank window that dominated the
+    // det-IVF families at the 500k ladder rung (43-52 s of which the
+    // ranking was most) once the encode/ADC kernels had removed the
+    // other interpreter costs
+    val plane = detIvfCentroidPlaneOf(detIvfCentroids(detDims(e))
+      .select(col("label").as("cell"), col("dim"), col("ci")))
+    val cells = plane.map(_.cell)
+    val dimsN = plane.head.ci.length
+    val planeFlat = new Array[Long](plane.length * dimsN)
+    plane.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c.ci, 0, planeFlat, i * dimsN, dimsN) }
+    val ncArr = plane.map(_.nc)
+    val home = e.select(col("id").as("cand_id"),
+      element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
+        ncArr, dimsN, 1), 1).as("cell"))
+    val probes = e.filter(queryPred)
+      .select(col("id").as("query_id"),
+        explode(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
+          ncArr, dimsN, nprobe)).as("cell"))
     // NO distinct over the q×n pair stream: pairs are unique by
     // construction — home holds exactly one (rk = 1) cell per id and a
     // query's probe cells are distinct (rank-filtered) — so a distinct
