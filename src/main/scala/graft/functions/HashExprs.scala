@@ -513,6 +513,85 @@ object HashExprs {
         c: Expression): DetIvfCellsI64 = copy(child = c)
   }
 
+  /** Static kernel: the flat residual ADC LUT of one query vector
+    * against one probed cell — lut[j·ks + cw−1] = Σ_{d∈subspace j}
+    * (ri_d − cb[cw][d])² over the exact integer residual ri = xi −
+    * ci[cell], i.e. the (j asc, cw asc)-ordered array the relational
+    * qrd ⋈ codebook → groupBy ssd → collect_list chain produced,
+    * computed in one map pass per (query, probed cell) row. */
+  def pqLutResidKernel(arr: ArrayData, cell: Long, cells: Array[Long],
+                       plane: Array[Long], cb: Array[Long], ks: Int,
+                       cbDims: Int): ArrayData = {
+    val ci = java.util.Arrays.binarySearch(cells, cell)
+    if (ci < 0)
+      throw new IllegalArgumentException(
+        s"residual LUT: probed cell $cell not in the centroid plane " +
+          s"(${cells.length} cells) — index relations out of sync")
+    val n = math.min(arr.numElements(), cbDims)
+    val ri = new Array[Long](n)
+    val off = ci * cbDims
+    var d = 0
+    while (d < n) {
+      ri(d) = math.floor(arr.getDouble(d) * 1000000.0 + 0.5).toLong -
+        plane(off + d)
+      d += 1
+    }
+    val m = (n + 7) / 8
+    val out = new Array[Any](m * ks)
+    var j = 0
+    while (j < m) {
+      var cw = 0
+      while (cw < ks) {
+        var ssd = 0L
+        var dd = j * 8
+        val end = math.min(dd + 8, n)
+        val cwOff = cw * cbDims
+        while (dd < end) {
+          val diff = ri(dd) - cb(cwOff + dd)
+          ssd += diff * diff
+          dd += 1
+        }
+        out(j * ks + cw) = ssd
+        cw += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[pqLutResidKernel]] as a codegen'd expression over (vec, cell) —
+    * reference-object plumbing identical to [[PqEncodeResidI64]]. */
+  case class PqLutResidI64(left: Expression, right: Expression,
+                           cells: IndexedSeq[Long],
+                           plane: IndexedSeq[Long], cb: IndexedSeq[Long],
+                           ks: Int, cbDims: Int)
+      extends BinaryExpression {
+    require(ks > 0 && cbDims > 0 && cb.length == ks * cbDims,
+      s"codebook shape mismatch: ks=$ks dims=$cbDims len=${cb.length}")
+    require(plane.length == cells.length * cbDims,
+      s"centroid plane shape mismatch: ${cells.length} cells × $cbDims" +
+        s" dims != ${plane.length}")
+    @transient private lazy val cellsArr: Array[Long] = cells.toArray
+    @transient private lazy val planeArr: Array[Long] = plane.toArray
+    @transient private lazy val cbArr: Array[Long] = cb.toArray
+    override def dataType: DataType = ArrayType(LongType, false)
+    override def nullSafeEval(vec: Any, cell: Any): Any =
+      pqLutResidKernel(vec.asInstanceOf[ArrayData],
+        cell.asInstanceOf[Long], cellsArr, planeArr, cbArr, ks, cbDims)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val cellsRef = ctx.addReferenceObj("lutCells", cellsArr, "long[]")
+      val planeRef = ctx.addReferenceObj("lutPlane", planeArr, "long[]")
+      val cbRef = ctx.addReferenceObj("lutCb", cbArr, "long[]")
+      defineCodeGen(ctx, ev, (v, c) =>
+        s"graft.functions.HashExprs.pqLutResidKernel($v, $c, " +
+          s"$cellsRef, $planeRef, $cbRef, $ks, $cbDims)")
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): PqLutResidI64 =
+      copy(left = l, right = r)
+  }
+
   /** Shared argmin-ssd codeword search over already-materialized
     * integer coordinates (raw micro-units or residuals): ties to the
     * smallest codeword, exactly the relational
@@ -920,6 +999,14 @@ object HashExprs {
       scala.collection.immutable.ArraySeq.unsafeWrapArray(plane),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(nc), dims,
       nprobe))
+  def pq_lut_resid_i64(vec: Column, cell: Column, cells: Array[Long],
+                       plane: Array[Long], cb: Array[Long], ks: Int,
+                       cbDims: Int): Column =
+    column(PqLutResidI64(expression(vec), expression(cell),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cells),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(plane),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cb), ks,
+      cbDims))
   def pq_encode_resid_i64(vec: Column, cell: Column, cells: Array[Long],
                           plane: Array[Long], cb: Array[Long], ks: Int,
                           cbDims: Int): Column =

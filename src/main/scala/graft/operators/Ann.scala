@@ -1026,6 +1026,20 @@ object Ann {
       .join(broadcast(seeds), "id")
       .select(col("cw"), expr("dim DIV 8").as("j"), col("dim"),
         (col("xi") - col("ci")).as("ci"))
+    // the residual codebook is collected once (ks × dims longs, ~1 KB
+    // of index metadata) and feeds BOTH kernels below as a plan
+    // reference object
+    val cbRows = cb.select(col("cw"), col("dim"), col("ci")).collect()
+    require(cbRows.nonEmpty, "empty residual PQ codebook")
+    val ksActual = cbRows.iterator.map(_.getLong(0)).max.toInt
+    val cbDimsN = cbRows.iterator.map(_.getInt(1)).max + 1
+    require(cbDimsN == dimsN,
+      s"codebook dims $cbDimsN != centroid plane dims $dimsN")
+    val cbFlat = new Array[Long](ksActual * cbDimsN)
+    cbRows.foreach { r =>
+      cbFlat((r.getLong(0).toInt - 1) * cbDimsN + r.getInt(1)) =
+        r.getLong(2)
+    }
     // candidate codes via the codegen'd residual-encode kernel
     // (HashExprs.PqEncodeResidI64): the SAME map pass that homed the
     // vector computes xi − ci against its home centroid and the
@@ -1033,31 +1047,21 @@ object Ann {
     // relational dims ⋈ home ⋈ cent → ×ks codebook join → 64M-group
     // argmin window it replaces, which was the same n×dims×ks fan-out
     // the plain-PQ kernel (detPqCodesKernel) killed in r13
-    val codesW = detPqResidCodesKernelOf(eHome, plane, cb)
-      .select(col("id").as("cand_id"), col("codes"))
-    // per-(query, probed cell) residuals and LUTs; probe cells from
-    // the same kernel (nprobe nearest, rank order), map-side over the
-    // query panel only
-    val probes = e.filter(queryPred)
-      .select(col("id").as("query_id"),
+    val codesW = eHome.select(col("id").as("cand_id"),
+      HashExprs.pq_encode_resid_i64(col("v"), col("cell"), cells,
+        planeFlat, cbFlat, ksActual, cbDimsN).as("codes"))
+    // probe cells AND the per-(query, probed cell) residual ADC LUTs
+    // map-side from the same kernels over the query panel only
+    // (HashExprs.PqLutResidI64 — the relational qrd ⋈ codebook →
+    // double-groupBy chain as one expression per probe row)
+    val probesV = e.filter(queryPred)
+      .select(col("id").as("query_id"), col("v"),
         explode(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
           ncArr, dimsN, nprobe)).as("pcell"))
-    // query-panel dims only (detPqQueryLut's convention): the LUT
-    // branch must not re-explode the full corpus — per-id dims are
-    // independent, so exploding just the query rows is bit-identical
-    val qrd = detDims(e.filter(queryPred)).select("id", "dim", "xi")
-      .join(probes, col("id") === col("query_id"))
-      .join(broadcast(cent),
-        col("pcell") === col("c_cell") && col("dim") === col("c_dim"))
-      .select(col("query_id"), col("pcell"), col("dim"),
-        expr("dim DIV 8").as("j"), (col("xi") - col("ci")).as("ri"))
-    val qlutW = qrd.join(broadcast(cb), Seq("j", "dim"))
-      .groupBy("query_id", "pcell", "j", "cw")
-      .agg(sum((col("ri") - col("ci")) * (col("ri") - col("ci")))
-        .as("ssd"))
-      .groupBy("query_id", "pcell")
-      .agg(expr("transform(array_sort(collect_list(struct(j, cw, ssd)))," +
-        " s -> s.ssd)").as("lut"))
+    val probes = probesV.select("query_id", "pcell")
+    val qlutW = probesV.select(col("query_id"), col("pcell"),
+      HashExprs.pq_lut_resid_i64(col("v"), col("pcell"), cells,
+        planeFlat, cbFlat, ksActual, cbDimsN).as("lut"))
     // candidates keyed by the home cell that reached them, so ADC uses
     // the matching per-cell LUT. NO distinct over the pair stream:
     // (query, cand, cell) rows are unique by construction — home holds
@@ -1211,39 +1215,6 @@ object Ann {
       HashExprs.pq_encode_i64(col("v"), flat, ks, cbDims).as("codes"))
   }
 
-  /** CANDIDATE-side RESIDUAL det-PQ encode via the codegen kernel
-    * (HashExprs.PqEncodeResidI64) — [[detPqCodesKernel]]'s two-level
-    * sibling. Collects the coarse-quantizer plane (cells × dims longs)
-    * and the residual codebook (ks × dims longs) once — both index
-    * metadata, both bounded (the plane through
-    * [[detIvfCentroidPlaneOf]]'s maxCells guard) — and encodes every
-    * (id, v, cell) row in one map pass: residual xi − ci against the
-    * home centroid, then argmin-ssd codewords. Bit-identical to the
-    * relational residual chain it replaces (n×dims exploded rows ×ks
-    * through the codebook join — 512M rows at the 500k ladder rung —
-    * into a 64M-group argmin window). */
-  private def detPqResidCodesKernelOf(eHome: DataFrame,
-                                      plane: Array[CentroidCell],
-                                      cb: DataFrame): DataFrame = {
-    val rows = cb.select(col("cw"), col("dim"), col("ci")).collect()
-    require(rows.nonEmpty, "empty residual PQ codebook")
-    val ks = rows.iterator.map(_.getLong(0)).max.toInt
-    val cbDims = rows.iterator.map(_.getInt(1)).max + 1
-    val flat = new Array[Long](ks * cbDims)
-    rows.foreach { r =>
-      flat((r.getLong(0).toInt - 1) * cbDims + r.getInt(1)) = r.getLong(2)
-    }
-    val cells = plane.map(_.cell)
-    val planeFlat = new Array[Long](plane.length * cbDims)
-    plane.zipWithIndex.foreach { case (c, i) =>
-      require(c.ci.length == cbDims,
-        s"centroid plane dims ${c.ci.length} != codebook dims $cbDims")
-      System.arraycopy(c.ci, 0, planeFlat, i * cbDims, cbDims)
-    }
-    eHome.select(col("id"),
-      HashExprs.pq_encode_resid_i64(col("v"), col("cell"), cells,
-        planeFlat, flat, ks, cbDims).as("codes"))
-  }
 
   /** Per-query flattened ADC LUT from a QUERY-ONLY ssd relation — the
     * second half of the former detPqWide, fed by the constant-sized
