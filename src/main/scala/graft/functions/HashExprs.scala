@@ -641,13 +641,17 @@ object HashExprs {
     var adc = 0L
     var j = 0
     while (j < nj) {
-      val idx = j * m + codes.getLong(j).toInt - 1
-      if (idx < 0 || idx >= nl)
+      // validate the CODE, not just the final LUT offset: a corrupt
+      // codeword in a non-last subspace lands inside the NEXT
+      // subspace's LUT block and a whole-LUT bounds check would
+      // silently read it — every codeword must be in [1, m]
+      val cw = codes.getLong(j)
+      if (cw < 1L || cw > m)
         throw new IllegalArgumentException(
-          s"ADC shape mismatch: codes[$j]=${codes.getLong(j)} over a " +
+          s"ADC shape mismatch: codes[$j]=$cw outside [1, $m] over a " +
             s"$nl-entry LUT ($nj subspaces, m=$m) — codes and LUT were " +
             "built against different codebooks")
-      adc += lut.getLong(idx)
+      adc += lut.getLong(j * m + cw.toInt - 1)
       j += 1
     }
     adc

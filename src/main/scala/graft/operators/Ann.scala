@@ -831,16 +831,25 @@ object Ann {
     // other interpreter costs
     val plane = detIvfCentroidPlaneOf(detIvfCentroids(detDims(e))
       .select(col("label").as("cell"), col("dim"), col("ci")))
+    require(plane.nonEmpty,
+      "det-IVF over an empty corpus: no centroid cells to rank")
     val cells = plane.map(_.cell)
     val dimsN = plane.head.ci.length
     val planeFlat = new Array[Long](plane.length * dimsN)
     plane.zipWithIndex.foreach { case (c, i) =>
       System.arraycopy(c.ci, 0, planeFlat, i * dimsN, dimsN) }
     val ncArr = plane.map(_.nc)
-    val home = e.select(col("id").as("cand_id"),
-      element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
-        ncArr, dimsN, 1), 1).as("cell"))
-    val probes = e.filter(queryPred)
+    // EMPTY-array vectors get no home and no probes — the relational
+    // rank chain produced no dims rows (hence no rank rows) for them,
+    // while the kernel would rank every cell at affinity 0 and home
+    // them to the smallest cell; the filter preserves the relational
+    // no-home contract (zero-NORM but non-empty vectors rank 0 in both
+    // forms and stay)
+    val home = e.filter(size(col("v")) > 0)
+      .select(col("id").as("cand_id"),
+        element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
+          ncArr, dimsN, 1), 1).as("cell"))
+    val probes = e.filter(queryPred && size(col("v")) > 0)
       .select(col("id").as("query_id"),
         explode(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
           ncArr, dimsN, nprobe)).as("cell"))
@@ -981,6 +990,8 @@ object Ann {
     // more at the 50k rung than the fan-out it removed.
     val plane = detIvfCentroidPlaneOf(detIvfCentroids(dimsFull)
       .select(col("label").as("cell"), col("dim"), col("ci")))
+    require(plane.nonEmpty,
+      "det-IVF over an empty corpus: no centroid cells to rank")
     val cells = plane.map(_.cell)
     val dimsN = plane.head.ci.length
     val planeFlat = new Array[Long](plane.length * dimsN)
@@ -1003,9 +1014,11 @@ object Ann {
     // dots-shuffle (n×nlist exploded rows through a per-id window) for
     // home/probes, which dominated the 50k rung once the encode
     // fan-out was gone
-    val eHome = e.select(col("id"), col("v"),
-      element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
-        ncArr, dimsN, 1), 1).as("cell"))
+    // empty-array vectors get no home/probes — detIvfCandidates' note
+    val eHome = e.filter(size(col("v")) > 0)
+      .select(col("id"), col("v"),
+        element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
+          ncArr, dimsN, 1), 1).as("cell"))
     val home = eHome.select(col("id"), col("cell"))
     // md5-ranked seed ids; the codebook is their residuals
     val seeds = e.select(col("id"))
@@ -1054,7 +1067,7 @@ object Ann {
     // map-side from the same kernels over the query panel only
     // (HashExprs.PqLutResidI64 — the relational qrd ⋈ codebook →
     // double-groupBy chain as one expression per probe row)
-    val probesV = e.filter(queryPred)
+    val probesV = e.filter(queryPred && size(col("v")) > 0)
       .select(col("id").as("query_id"), col("v"),
         explode(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
           ncArr, dimsN, nprobe)).as("pcell"))

@@ -100,7 +100,18 @@ object AnnIndexStore {
   // centroids written LAST as the completeness marker, so a version is
   // visible only with all four halves present) ----
 
-  private def codesName(name: String) = s"${name}_codes"
+  // FAMILY-DISTINCT base names (r15; FORMAT BREAK): the PQ and SQ8 code
+  // snapshots both used "${name}_codes", so one index name serving both
+  // families cross-contaminated version sets through compacted
+  // snapshots and full versions — the same collision the r14 delta
+  // suffix split (_pqcodes_delta / _sq8codes_delta) fixed for deltas.
+  // Any store persisted before r15 under the old shared suffix (none
+  // exist in this repo — stores are built per session under /tmp) would
+  // need a one-time rename of "<name>_codes" to the family-specific
+  // name; no loader fallback is kept deliberately, so a legacy layout
+  // fails loudly as "no complete versions" instead of serving the wrong
+  // family's codes.
+  private def codesName(name: String) = s"${name}_pqcodes"
   private def cbName(name: String) = s"${name}_codebook"
 
   /** Versions complete across all four IVF-PQ relations, ascending. */
@@ -150,7 +161,8 @@ object AnnIndexStore {
   // completeness marker, so a version is visible only with both
   // halves present) ----
 
-  private def sq8CodesName(name: String) = s"${name}_codes"
+  // family-distinct base name — see codesName's format-break note
+  private def sq8CodesName(name: String) = s"${name}_sq8codes"
   private def sq8RangesName(name: String) = s"${name}_ranges"
 
   /** Versions complete across both SQ8 relations, ascending. */
@@ -211,12 +223,18 @@ object AnnIndexStore {
       .distinct()
     val prev = versions(spark, store, name).filter(_ < v).lastOption
     val merged = prev match {
-      // distinct over the union: a vector re-delivered ACROSS versions
-      // (outside the ingest watermark) routes to the same cell against
-      // the static plane, so its row is identical and collapses
+      // LATEST-WINS merge, not distinct-over-union: a vector
+      // re-delivered across versions routes identically against the
+      // static plane and collapses either way, but an id RE-INGESTED
+      // with a changed payload (legal beyond the lateness horizon)
+      // must keep only the batch's row — distinct() kept both, the
+      // same stale-duplicate defect latestById fixes for delta chains,
+      // so the two maintenance modes really do converge on the same
+      // persisted contract
       case Some(pv) =>
-        store.getVersion(spark, homeName(name), pv)
-          .unionByName(newHome).distinct()
+        latestById(Seq(
+          (pv, store.getVersion(spark, homeName(name), pv)),
+          (v, newHome)))
       case None => newHome
     }
     persistVersion(store, name, v, IvfIndexRelations(centroids, merged))
@@ -338,12 +356,15 @@ object AnnIndexStore {
     val newCodes = batch.select(col("vec_id").as("id"), col("codes"))
       .distinct()
     val prev = versionsPq(spark, store, name).filter(_ < v).lastOption
+    // latest-wins per relation — see foldBatch's re-ingest note
     val (home, codes) = prev match {
       case Some(pv) =>
-        (store.getVersion(spark, homeName(name), pv)
-           .unionByName(newHome).distinct(),
-         store.getVersion(spark, codesName(name), pv)
-           .unionByName(newCodes).distinct())
+        (latestById(Seq(
+           (pv, store.getVersion(spark, homeName(name), pv)),
+           (v, newHome))),
+         latestById(Seq(
+           (pv, store.getVersion(spark, codesName(name), pv)),
+           (v, newCodes))))
       case None => (newHome, newCodes)
     }
     store.putVersion(homeName(name), v, home)
@@ -365,10 +386,12 @@ object AnnIndexStore {
     val newCodes = batch.select(col("vec_id").as("id"), col("codes"))
       .distinct()
     val prev = versionsSq8(spark, store, name).filter(_ < v).lastOption
+    // latest-wins — see foldBatch's re-ingest note
     val codes = prev match {
       case Some(pv) =>
-        store.getVersion(spark, sq8CodesName(name), pv)
-          .unionByName(newCodes).distinct()
+        latestById(Seq(
+          (pv, store.getVersion(spark, sq8CodesName(name), pv)),
+          (v, newCodes)))
       case None => newCodes
     }
     store.putVersion(sq8CodesName(name), v, codes)

@@ -130,4 +130,28 @@ class HashExprsSpec extends SparkSpec {
     HashExprs.nfcKernel(UTF8String.fromString(decomposed)).toString shouldBe
       composed
   }
+
+  test("adcKernel validates every codeword's [1, m] range — a corrupt " +
+      "code in a NON-LAST subspace fails loudly instead of reading the " +
+      "next subspace's LUT block") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray)
+    // 2 subspaces, m = 3: lut blocks [10,20,30] (j=0) and [40,50,60] (j=1)
+    val lut = arr(10L, 20L, 30L, 40L, 50L, 60L)
+    HashExprs.adcKernel(arr(2L, 3L), lut) shouldBe (20L + 60L)
+    // codes[0] = 4 lands INSIDE j=1's block (global index 3 < nl) — the
+    // whole-LUT bounds check accepted it and silently summed 40
+    val e1 = intercept[IllegalArgumentException] {
+      HashExprs.adcKernel(arr(4L, 1L), lut)
+    }
+    e1.getMessage should include("outside [1, 3]")
+    // zero/negative codewords fail too (1-based convention)
+    intercept[IllegalArgumentException] {
+      HashExprs.adcKernel(arr(0L, 1L), lut)
+    }
+    // last-subspace overflow still caught
+    intercept[IllegalArgumentException] {
+      HashExprs.adcKernel(arr(1L, 4L), lut)
+    }
+  }
 }

@@ -316,6 +316,36 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfDetTopK edge contracts: an empty corpus fails with a named " +
+       "cause, and an empty-array vector gets no home and no probes " +
+       "(the relational no-home behavior)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double], Long)]
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfDetTopK(empty, "vec_id", "embedding", "label",
+        col("id") % 2 === 0, k = 3).collect()
+    }
+    e.getMessage should include("empty corpus")
+    // id 0 is a QUERY with an empty vector, id 4 a CANDIDATE with one:
+    // neither may appear in the output (no probes / no home) — before
+    // the guard the kernel homed both to the smallest cell at
+    // affinity 0 where the relational chain produced no row
+    val withEmpty = Seq(
+      (0L, Array.empty[Double], 0L),
+      (1L, Array(1.0, 0.1), 0L),
+      (2L, Array(0.9, 0.2), 0L),
+      (3L, Array(-1.0, 0.4), 1L),
+      (4L, Array.empty[Double], 1L),
+      (6L, Array(-0.8, 0.3), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Ann.ivfDetTopK(withEmpty, "vec_id", "embedding", "label",
+      col("id") % 2 === 0, k = 3).collect()
+    rows.map(_.getLong(0)).toSet should not contain 0L
+    rows.map(_.getLong(2)).toSet should not contain 4L
+    assert(rows.nonEmpty) // ids 2/6 still query their non-empty cells
+  }
+
   test("pqDetTopK: <= k exactly-ranked rows per query; sims are true cosines") {
     // same contract as the det-IVF twin: the ADC shortlist only PRUNES
     // — every surviving similarity is the exact integer-bp cosine,

@@ -241,7 +241,7 @@ class AnnIndexSpec extends SparkSpec {
       store.getVersion(spark, s"${name}_centroids", v),
       store.getVersion(spark, s"${name}_home", v),
       store.getVersion(spark, s"${name}_codebook", v),
-      store.getVersion(spark, s"${name}_codes", v))
+      store.getVersion(spark, s"${name}_pqcodes", v))
 
   test("SQ8 delta maintenance: chain reads equal the snapshot fold at " +
       "every version; compaction preserves the view, drops covered " +
@@ -264,7 +264,7 @@ class AnnIndexSpec extends SparkSpec {
       codeSet(AnnIndexStore.loadDeltaChainSq8(spark, store, "dlt", v)) shouldBe
         codeSet(Ann.Sq8IndexRelations(
           store.getVersion(spark, "snap_ranges", v),
-          store.getVersion(spark, "snap_codes", v)))
+          store.getVersion(spark, "snap_sq8codes", v)))
     }
     AnnIndexStore.compactSq8(spark, store, "dlt", upTo = 1L)
     AnnIndexStore.versionsSq8(spark, store, "dlt") shouldBe Seq(1L)
@@ -392,6 +392,85 @@ class AnnIndexSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toSeq
     codeRows.length shouldBe 2
     codeRows.toMap.apply(1L) shouldBe List(2L, 1L)
+  }
+
+  test("SNAPSHOT-mode folds apply the same latest-wins contract: an id " +
+      "re-ingested with a changed payload keeps only the batch's row " +
+      "in all three families") {
+    import spark.implicits._
+    val store = tmpStore("reingest_snap")
+    val cent = spark.range(4)
+      .selectExpr("id AS cell", "id % 2 AS dim", "id * 10 AS ci")
+    def homeDf(pairs: (Long, Long)*) =
+      pairs.toSeq.toDF("vec_id", "cell")
+    // IVF: trigger 1 re-routes id 3 — the full-snapshot rewrite must
+    // carry the NEW row only (distinct() kept both, giving one
+    // candidate two TopK slots through its stale routing row)
+    AnnIndexStore.foldBatch(store, "s", cent, baseVersion = -1L)(
+      homeDf((0L until 10L).map(i => (i, i % 4)): _*), 0L)
+    AnnIndexStore.foldBatch(store, "s", cent, baseVersion = -1L)(
+      homeDf((3L, 2L)), 1L)
+    val sHome = AnnIndexStore.load(spark, store, "s").home.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    sHome.length shouldBe 10
+    sHome.toMap.apply(3L) shouldBe 2L
+    // IVF-PQ: both per-vector relations (routing AND codes) supersede
+    val cb = spark.range(8).selectExpr("id % 4 AS cw", "id DIV 4 AS j",
+      "id % 2 AS dim", "id AS ci")
+    def pqBatch(rows: (Long, Long, Seq[Long])*) =
+      rows.toSeq.toDF("vec_id", "cell", "codes")
+    AnnIndexStore.foldBatchPq(store, "spq", cent, cb, baseVersion = -1L)(
+      pqBatch((1L, 1L, Seq(1L, 2L)), (2L, 2L, Seq(3L, 4L))), 0L)
+    AnnIndexStore.foldBatchPq(store, "spq", cent, cb, baseVersion = -1L)(
+      pqBatch((1L, 3L, Seq(2L, 1L))), 1L)
+    val spq = AnnIndexStore.loadPq(spark, store, "spq")
+    val spqHome = spq.home.collect().map(r => r.getLong(0) -> r.getLong(1))
+    spqHome.length shouldBe 2
+    spqHome.toMap.apply(1L) shouldBe 3L
+    val spqCodes = spq.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+    spqCodes.length shouldBe 2
+    spqCodes.toMap.apply(1L) shouldBe List(2L, 1L)
+    // SQ8: re-encoded byte codes win
+    val ranges = spark.range(2)
+      .selectExpr("id AS dim", "0L AS lo", "100L AS scl")
+    def sq8Batch(rows: (Long, Seq[Long])*) =
+      rows.toSeq.toDF("vec_id", "codes")
+    AnnIndexStore.foldBatchSq8(store, "ssq", ranges, baseVersion = -1L)(
+      sq8Batch((1L, Seq(10L, 20L)), (2L, Seq(30L, 40L))), 0L)
+    AnnIndexStore.foldBatchSq8(store, "ssq", ranges, baseVersion = -1L)(
+      sq8Batch((1L, Seq(20L, 10L))), 1L)
+    val ssq = AnnIndexStore.loadSq8(spark, store, "ssq").codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList)
+    ssq.length shouldBe 2
+    ssq.toMap.apply(1L) shouldBe List(20L, 10L)
+  }
+
+  test("one store name can serve the PQ and SQ8 families side by side: " +
+      "family-distinct base names keep the version sets disjoint") {
+    import spark.implicits._
+    val store = tmpStore("famsplit")
+    val cent = spark.range(4)
+      .selectExpr("id AS cell", "id % 2 AS dim", "id * 10 AS ci")
+    val cb = spark.range(8).selectExpr("id % 4 AS cw", "id DIV 4 AS j",
+      "id % 2 AS dim", "id AS ci")
+    val ranges = spark.range(2)
+      .selectExpr("id AS dim", "0L AS lo", "100L AS scl")
+    // the SAME index name for both families — before the r15 base-name
+    // split, both snapshot code relations were "<name>_codes" and the
+    // SQ8 version listing would see the PQ write (and vice versa)
+    AnnIndexStore.foldBatchPq(store, "ix", cent, cb, baseVersion = -1L)(
+      Seq((1L, 1L, Seq(1L, 2L))).toDF("vec_id", "cell", "codes"), 0L)
+    AnnIndexStore.versionsSq8(spark, store, "ix") shouldBe empty
+    AnnIndexStore.foldBatchSq8(store, "ix", ranges, baseVersion = -1L)(
+      Seq((7L, Seq(10L, 20L))).toDF("vec_id", "codes"), 0L)
+    // each family reads back ONLY its own codes
+    val pqCodes = AnnIndexStore.loadPq(spark, store, "ix").codes
+      .collect().map(_.getLong(0)).toSet
+    val sqCodes = AnnIndexStore.loadSq8(spark, store, "ix").codes
+      .collect().map(_.getLong(0)).toSet
+    pqCodes shouldBe Set(1L)
+    sqCodes shouldBe Set(7L)
   }
 
   test("streaming assignments fold into exactly-once index versions " +
