@@ -535,6 +535,65 @@ object Ann {
   /** IVF-Flat: assign every candidate to its nearest of `nlist` centroids
     * (trained by k-means on a sample, fixed seed), then search each query
     * only in its `nprobe` nearest cells. */
+  /** √n COARSE-QUANTIZER SIZING POLICY (the FAISS guideline nlist ≈
+    * √n, r14 verdict #3): the det-IVF families take their coarse cells
+    * from a label column, so with a FIXED label set the cells fatten
+    * linearly as the corpus grows and per-query probed-list length is
+    * Θ(n/nlist) — the measured superlinear 2M chain serve. This policy
+    * keeps probed-list length ~√n by REFINING each label cell into
+    * `s` deterministic subcells ([[ivfDetTopK]]'s `subcells`), where s
+    * is the smallest power of two with (labels·s)² >= n — i.e. the
+    * smallest power-of-two refinement that brings nlist = labels·s to
+    * at least √n. Integer-exact on purpose (no float log/sqrt): an
+    * oracle recomputes the SAME s from the same counts, the
+    * [[autoBitsExact]] pattern. At real scale pass an approximate
+    * count (table stats) rather than running an exact count job; cap
+    * via `maxSub` (with the [[detIvfCentroidPlaneOf]] maxCells guard
+    * as the downstream backstop). */
+  def autoSubcellsExact(n: Long, labels: Long, maxSub: Int = 1024): Int = {
+    require(n > 0 && labels > 0, "need positive counts")
+    require(maxSub > 0 && Integer.bitCount(maxSub) == 1,
+      s"maxSub must be a positive power of two, got $maxSub")
+    var s = 1L
+    while (labels * s * labels * s < n && s < maxSub) s <<= 1
+    s.toInt
+  }
+
+  /** Deterministic cell REFINEMENT behind [[autoSubcellsExact]]:
+    * re-label (id, label, v) rows as
+    * label·s + Σ_{dim<log2(s)} 2^dim·[xi_dim > ci_dim], the sign
+    * pattern of the vector's first log2(s) micro-unit coordinates
+    * against ITS LABEL's integer centroid — a hyperplane split through
+    * each cell's center (axis-aligned median-ish for centered data),
+    * so subcells inherit the parent cell's locality instead of
+    * scattering neighbors the way an id-hash would. Every step is the
+    * same integer arithmetic the det chain already replays in SQL
+    * (the prefix centroids ARE [[detIvfCentroids]] restricted to
+    * dim < log2(s)). Vectors with no prefix coordinates (empty
+    * arrays) keep subkey 0 — they are filtered from home/probe sides
+    * downstream anyway (detIvfCandidates' empty-vector note). */
+  private def detRefineLabels(e: DataFrame, subcells: Int): DataFrame =
+    if (subcells <= 1) e
+    else {
+      require(Integer.bitCount(subcells) == 1,
+        s"subcells must be a power of two, got $subcells")
+      val bbits = Integer.numberOfTrailingZeros(subcells)
+      val pdims = e.select(col("id"), col("label"),
+          posexplode(slice(col("v"), 1, bbits)).as(Seq("dim", "x")))
+        .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
+      val pcent = detIvfCentroids(pdims)
+      val sub = pdims.join(broadcast(pcent), Seq("label", "dim"))
+        .groupBy("id")
+        .agg(expr("sum(CASE WHEN xi > ci THEN shiftleft(CAST(1 AS " +
+          "BIGINT), CAST(dim AS INT)) ELSE CAST(0 AS BIGINT) END)")
+          .as("sub"))
+      e.join(sub, Seq("id"), "left")
+        .select(col("id"),
+          (col("label") * subcells + coalesce(col("sub"), lit(0L)))
+            .as("label"),
+          col("v"))
+    }
+
   /** [[ivfTopK]]'s oracle-checkable twin: the coarse cells come from
     * per-LABEL centroids in integer micro-units (the ann_centroids /
     * ann_label_similarity recipe — a deterministic stand-in for the
@@ -546,13 +605,16 @@ object Ann {
     * same integers, the ann_label_similarity-proven pattern — so the
     * whole index replays in SQL where the k-means variant's codebook
     * cannot. `queryPred` selects the probe side from the same corpus.
-    */
+    * `subcells` > 1 applies the √n quantizer-sizing policy
+    * ([[autoSubcellsExact]] / [[detRefineLabels]]): same machinery
+    * over the refined label space, so probed-list length stays ~√n as
+    * the corpus grows instead of Θ(n/labels). */
   def ivfDetTopK(embs: DataFrame, idCol: String, vecCol: String,
                  labelCol: String, queryPred: Column, k: Int,
-                 nprobe: Int = 2): DataFrame = {
-    val e = spread(embs).select(col(idCol).as("id"),
+                 nprobe: Int = 2, subcells: Int = 1): DataFrame = {
+    val e = detRefineLabels(spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
-      col(vecCol).cast("array<double>").as("v"))
+      col(vecCol).cast("array<double>").as("v")), subcells)
     val cand = detIvfCandidates(e, queryPred, nprobe)
     ivfExactTopKTail(cand, e, queryPred, k)
   }
@@ -600,20 +662,24 @@ object Ann {
   /** Build the det-IVF index relations once — the offline "train +
     * add" step of the index lifecycle. Same integer arithmetic as
     * [[ivfDetTopK]]'s inline chain, so an index built here and served
-    * by [[ivfIndexTopK]] reproduces the inline query bit-for-bit. */
+    * by [[ivfIndexTopK]] reproduces the inline query bit-for-bit.
+    * Home assignment runs on the collected-plane kernel (one n·d
+    * aggregation to train, one narrow map pass to add — the FAISS
+    * train/add split), which is what keeps the add step O(n·nlist·d)
+    * map-side work with no n×nlist shuffle as `subcells` grows nlist
+    * under the √n policy ([[autoSubcellsExact]]). */
   def buildDetIvfIndex(embs: DataFrame, idCol: String, vecCol: String,
-                       labelCol: String): IvfIndexRelations = {
-    val e = spread(embs).select(col(idCol).as("id"),
+                       labelCol: String,
+                       subcells: Int = 1): IvfIndexRelations = {
+    val e = detRefineLabels(spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
-      col(vecCol).cast("array<double>").as("v"))
-    val dims = detDims(e)
-    val cent = detIvfCentroids(dims)
-    val home = detIvfCellRanksFrom(dims, cent)
-      .filter(col("rk") === 1)
-      .select(col("id"), col("label").as("cell"))
-    IvfIndexRelations(
-      cent.select(col("label").as("cell"), col("dim"), col("ci")),
-      home)
+      col(vecCol).cast("array<double>").as("v")), subcells)
+    val pk = planeKernelOf(detIvfCentroids(detDims(e))
+      .select(col("label").as("cell"), col("dim"), col("ci")))
+    val home = e.filter(size(col("v")) > 0)
+      .select(col("id"),
+        element_at(kernelCells(pk, col("v"), 1), 1).as("cell"))
+    IvfIndexRelations(planeRelationOf(e.sparkSession, pk), home)
   }
 
   /** Serve top-k from an ALREADY-BUILT index — the load-and-serve step:
@@ -630,20 +696,37 @@ object Ann {
                    k: Int, nprobe: Int = 2): DataFrame = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val qdims = e.filter(queryPred)
-      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
-    val cent = index.centroids
-      .select(col("cell").as("label"), col("dim"), col("ci"))
+    val cand = ivfIndexCandidates(index, embs, idCol, vecCol, queryPred,
+      nprobe)
+    ivfExactTopKTail(cand, e, queryPred, k)
+  }
+
+  /** The (query_id, cand_id) probed-pair relation of the SERVE paths —
+    * [[ivfIndexTopK]]'s candidate stage, exposed because probed-pair
+    * VOLUME is the quantity the √n quantizer-sizing policy
+    * ([[autoSubcellsExact]]) controls: per-query probed rows are
+    * Θ(nprobe·n/nlist), and the scale ladder measures this relation's
+    * count directly to verify probed rows grow ~√n, not ~n. Probe
+    * cells come from the LOADED quantizer via the collected-plane
+    * kernel (one small collect, map-side ranking — bit-identical to
+    * the relational rank chain, which previously exploded q×nlist
+    * rows through a shuffle and per-id window as nlist grew). */
+  def ivfIndexCandidates(index: IvfIndexRelations, embs: DataFrame,
+                         idCol: String, vecCol: String,
+                         queryPred: Column, nprobe: Int): DataFrame = {
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pk = planeKernelOf(index.centroids
+      .select(col("cell"), col("dim"), col("ci")))
     // spread the tiny probe relation BEFORE the candidate join: AQE
     // coalesces it to one partition (4k rows), and when the routing
     // table is small enough to broadcast, probes become the STREAM
     // side — so probe partitioning alone decides the fan-out's
     // parallelism (the 2M deep rung ran the whole q×n pair stream on
     // one core until this)
-    val probes = detIvfCellRanksFrom(qdims, cent)
-      .filter(col("rk") <= nprobe)
-      .select(col("id").as("query_id"), col("label").as("cell"))
+    val probes = e.filter(queryPred && size(col("v")) > 0)
+      .select(col("id").as("query_id"),
+        explode(kernelCells(pk, col("v"), nprobe)).as("cell"))
       .repartition(e.sparkSession.sparkContext.defaultParallelism)
     // candidate-join parallelism must come from the PLAN, not the file
     // layout: the routing table compresses to very few parquet files
@@ -659,10 +742,9 @@ object Ann {
     // no distinct: see detIvfCandidates' pair-uniqueness note (home is
     // one row per id after the chain read's distinct; probe cells are
     // rank-distinct)
-    val cand = probes.join(home, "cell")
+    probes.join(home, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .select("query_id", "cand_id")
-    ivfExactTopKTail(cand, e, queryPred, k)
   }
 
   /** The det IVF-PQ index as its FOUR persistable relations — the
@@ -677,23 +759,25 @@ object Ann {
                                        codes: DataFrame)
 
   /** Build the det IVF-PQ index relations once (train + encode + add).
-    * Same integer arithmetic as [[ivfPqDetTopK]]'s inline chain. */
+    * Same integer arithmetic as [[ivfPqDetTopK]]'s inline chain; home
+    * assignment on the collected-plane kernel like
+    * [[buildDetIvfIndex]] (train once, add map-side). `subcells`
+    * applies the √n quantizer-sizing policy to the coarse level. */
   def buildDetIvfPqIndex(embs: DataFrame, idCol: String, vecCol: String,
-                         labelCol: String,
-                         ks: Int = 16): IvfPqIndexRelations = {
-    val e = spread(embs).select(col(idCol).as("id"),
+                         labelCol: String, ks: Int = 16,
+                         subcells: Int = 1): IvfPqIndexRelations = {
+    val e = detRefineLabels(spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
-      col(vecCol).cast("array<double>").as("v"))
-    val dims = detDims(e)
-    val cent = detIvfCentroids(dims)
-    val home = detIvfCellRanksFrom(dims, cent)
-      .filter(col("rk") === 1)
-      .select(col("id"), col("label").as("cell"))
+      col(vecCol).cast("array<double>").as("v")), subcells)
+    val pk = planeKernelOf(detIvfCentroids(detDims(e))
+      .select(col("label").as("cell"), col("dim"), col("ci")))
+    val home = e.filter(size(col("v")) > 0)
+      .select(col("id"),
+        element_at(kernelCells(pk, col("v"), 1), 1).as("cell"))
     val cb = detPqCodebook(e.select("id", "v"), ks)
     val codes = detPqCodesKernel(e.select("id", "v"), cb)
-    IvfPqIndexRelations(
-      cent.select(col("label").as("cell"), col("dim"), col("ci")),
-      home, cb, codes)
+    IvfPqIndexRelations(planeRelationOf(e.sparkSession, pk), home, cb,
+      codes)
   }
 
   /** Serve IVF-PQ top-k from an ALREADY-BUILT index: probe cells from
@@ -712,15 +796,16 @@ object Ann {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val q = e.filter(queryPred)
-    val qdims = q
-      .select(col("id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .withColumn("xi", floor(col("x") * 1000000.0 + 0.5).cast("long"))
-    val cent = index.centroids
-      .select(col("cell").as("label"), col("dim"), col("ci"))
-    val probes = detIvfCellRanksFrom(qdims, cent)
-      .filter(col("rk") <= nprobe)
-      .select(col("id").as("query_id"), col("label").as("cell"))
-      // see ivfIndexTopK's probe-spreading note
+    // probe cells from the LOADED quantizer via the collected-plane
+    // kernel — see ivfIndexCandidates (the relational rank chain
+    // shuffled q×nlist exploded rows, ruinous once nlist grows under
+    // the √n policy)
+    val pk = planeKernelOf(index.centroids
+      .select(col("cell"), col("dim"), col("ci")))
+    val probes = q.filter(size(col("v")) > 0)
+      .select(col("id").as("query_id"),
+        explode(kernelCells(pk, col("v"), nprobe)).as("cell"))
+      // see ivfIndexCandidates' probe-spreading note
       .repartition(e.sparkSession.sparkContext.defaultParallelism)
     // see ivfIndexTopK's layout note: fan-out parallelism from the
     // plan, not the routing table's file count
@@ -811,6 +896,48 @@ object Ann {
     }.sortBy(_.cell)
   }
 
+  /** The collected det-IVF coarse quantizer in the flat form the
+    * [[graft.functions.HashExprs.DetIvfCellsI64]] kernel consumes —
+    * cells in ascending order, centroid coordinates dense by dim, the
+    * precomputed Σci² norms. Built once per plan from a centroid
+    * RELATION (freshly aggregated or LOADED from a persisted index
+    * version) and fanned to every consumer: one collect, map-side
+    * ranking everywhere. */
+  private final case class PlaneKernel(cells: Array[Long],
+                                       flat: Array[Long],
+                                       nc: Array[Long], dims: Int)
+
+  private def planeKernelOf(cent: DataFrame,
+                            maxCells: Int = 65536): PlaneKernel = {
+    val plane = detIvfCentroidPlaneOf(cent, maxCells)
+    require(plane.nonEmpty,
+      "det-IVF over an empty corpus: no centroid cells to rank")
+    val dimsN = plane.head.ci.length
+    val flat = new Array[Long](plane.length * dimsN)
+    plane.zipWithIndex.foreach { case (c, i) =>
+      System.arraycopy(c.ci, 0, flat, i * dimsN, dimsN) }
+    PlaneKernel(plane.map(_.cell), flat, plane.map(_.nc), dimsN)
+  }
+
+  /** The collected plane back as its (cell, dim, ci) relation — what a
+    * build step PERSISTS. Rebuilding from the collected values (rather
+    * than keeping the aggregation plan alive) means the n·d centroid
+    * aggregation executes exactly once per build: the collect IS the
+    * execution, and the persisted relation is its replay. */
+  private def planeRelationOf(spark: org.apache.spark.sql.SparkSession,
+                              pk: PlaneKernel): DataFrame = {
+    import spark.implicits._
+    pk.cells.indices.flatMap { i =>
+      (0 until pk.dims).map(d =>
+        (pk.cells(i), d, pk.flat(i * pk.dims + d)))
+    }.toSeq.toDF("cell", "dim", "ci")
+  }
+
+  private def kernelCells(pk: PlaneKernel, v: Column,
+                          nprobe: Int): Column =
+    HashExprs.det_ivf_cells_i64(v, pk.cells, pk.flat, pk.nc, pk.dims,
+      nprobe)
+
   /** Det-IVF probed candidate pairs over (id, label, v): homes every
     * vector to its rk=1 cell, probes the query set's `nprobe` nearest
     * cells, and joins the two on cell — the (query_id, cand_id)
@@ -829,16 +956,8 @@ object Ann {
     // det-IVF families at the 500k ladder rung (43-52 s of which the
     // ranking was most) once the encode/ADC kernels had removed the
     // other interpreter costs
-    val plane = detIvfCentroidPlaneOf(detIvfCentroids(detDims(e))
+    val pk = planeKernelOf(detIvfCentroids(detDims(e))
       .select(col("label").as("cell"), col("dim"), col("ci")))
-    require(plane.nonEmpty,
-      "det-IVF over an empty corpus: no centroid cells to rank")
-    val cells = plane.map(_.cell)
-    val dimsN = plane.head.ci.length
-    val planeFlat = new Array[Long](plane.length * dimsN)
-    plane.zipWithIndex.foreach { case (c, i) =>
-      System.arraycopy(c.ci, 0, planeFlat, i * dimsN, dimsN) }
-    val ncArr = plane.map(_.nc)
     // EMPTY-array vectors get no home and no probes — the relational
     // rank chain produced no dims rows (hence no rank rows) for them,
     // while the kernel would rank every cell at affinity 0 and home
@@ -847,12 +966,10 @@ object Ann {
     // forms and stay)
     val home = e.filter(size(col("v")) > 0)
       .select(col("id").as("cand_id"),
-        element_at(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
-          ncArr, dimsN, 1), 1).as("cell"))
+        element_at(kernelCells(pk, col("v"), 1), 1).as("cell"))
     val probes = e.filter(queryPred && size(col("v")) > 0)
       .select(col("id").as("query_id"),
-        explode(HashExprs.det_ivf_cells_i64(col("v"), cells, planeFlat,
-          ncArr, dimsN, nprobe)).as("cell"))
+        explode(kernelCells(pk, col("v"), nprobe)).as("cell"))
     // NO distinct over the q×n pair stream: pairs are unique by
     // construction — home holds exactly one (rk = 1) cell per id and a
     // query's probe cells are distinct (rank-filtered) — so a distinct

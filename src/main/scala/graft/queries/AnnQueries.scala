@@ -76,6 +76,18 @@ object AnnQueries extends Registry {
         "label")
       graft.sources.AnnIndexStore.persist(s, store, "ivf", built)
       graft.sources.AnnIndexStore.prune(s, store, "ivf", keep = 3)
+      // the √n-POLICY index ("ivf_nlist"): same machinery, coarse
+      // cells refined per Ann.autoSubcellsExact so nlist ~ √n — the
+      // quantizer sizing a 100 TB deployment uses (label-only cells
+      // fatten linearly with the corpus; the policy keeps probed-list
+      // length ~√n). Persisted through the same lifecycle so the
+      // served query proves policy-built indexes round-trip
+      // persist → load → serve hash-identically to the inline chain.
+      val builtNlist = Ann.buildDetIvfIndex(embs, "vec_id", "embedding",
+        "label", subcells = Ann.autoSubcellsExact(embs.count(),
+          embs.select("label").distinct().count()))
+      graft.sources.AnnIndexStore.persist(s, store, "ivf_nlist",
+        builtNlist)
       val builtPq = Ann.buildDetIvfPqIndex(embs, "vec_id", "embedding",
         "label")
       graft.sources.AnnIndexStore.persistPq(s, store, "ivfpq", builtPq)
@@ -364,6 +376,34 @@ object AnnQueries extends Registry {
       val chain = graft.sources.AnnIndexStore
         .loadChain(s, store, "ivf_delta")
       Ann.ivfIndexTopK(chain, Tables.embeddings(s, d), "vec_id",
+        "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
+    }),
+
+    // The √n QUANTIZER-SIZING POLICY queries (r14 verdict #1/#3): the
+    // det-IVF cells come from the label column, so with labels fixed
+    // the cells fatten linearly as the corpus grows — the measured
+    // superlinear 2M chain serve. Ann.autoSubcellsExact picks the
+    // smallest power-of-two refinement s with (labels·s)² >= n
+    // (nlist ~ √n, the FAISS guideline), Ann.detRefineLabels splits
+    // each cell on the sign pattern of the first log2(s) coordinates
+    // against the cell's own centroid, and the standard det chain runs
+    // over the refined cells. Everything stays integer-exact, so the
+    // oracle recomputes the SAME s from count(*)/count(DISTINCT label)
+    // and replays the refined quantizer in SQL. The inline form and
+    // the persist→load→serve form share one oracle (output-identical
+    // by construction, like the ivf_det/ivf_served pair).
+    "ann_ivf_nlist_topk" -> ((s, d) => {
+      val c = Tables.embeddings(s, d)
+      Ann.ivfDetTopK(c, "vec_id", "embedding", "label",
+        col("id") % 50 === 0 && col("id") < 2000, k = 5,
+        subcells = Ann.autoSubcellsExact(c.count(),
+          c.select("label").distinct().count()))
+    }),
+
+    "ann_ivf_nlist_served_topk" -> ((s, d) => {
+      val store = ensureIvfStore(s, d)
+      val loaded = graft.sources.AnnIndexStore.load(s, store, "ivf_nlist")
+      Ann.ivfIndexTopK(loaded, Tables.embeddings(s, d), "vec_id",
         "embedding", col("id") % 50 === 0 && col("id") < 2000, k = 5)
     }),
 
@@ -1497,6 +1537,86 @@ object AnnQueries extends Registry {
           SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
           FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** The √n-policy det-IVF replay, shared verbatim by
+    * ann_ivf_nlist_topk and ann_ivf_nlist_served_topk (the serve path
+    * is output-identical by construction). Structure: recompute the
+    * policy s = 2^g integer-exactly from the same counts (gsel — the
+    * autoBitsExact pattern), derive each vector's subkey from the
+    * sign pattern of its first g micro-unit coordinates against its
+    * LABEL's integer centroid (cent1 restricted to dim < g equals the
+    * prefix centroids the engine computes), re-label as label·s +
+    * subkey, then the standard det-IVF CTE chain over the refined
+    * labels. */
+  private val ivfNlistTopKSql: String =
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           embedding::DOUBLE[] AS v
+                    FROM embeddings),
+          pol AS (SELECT (SELECT count(*) FROM e) AS n,
+                         (SELECT count(DISTINCT label) FROM e) AS nl),
+          gsel AS (SELECT CAST(coalesce(min(g), 10) AS BIGINT) AS g
+                   FROM pol, range(0, 11) r(g)
+                   WHERE CAST(nl * (1 << g) AS BIGINT)
+                         * CAST(nl * (1 << g) AS BIGINT) >= n),
+          d0 AS (SELECT vec_id, label, i - 1 AS dim,
+                   CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                 FROM e, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent1 AS (SELECT label, dim,
+                      CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                           // (2 * count(*)) - 2000000 AS BIGINT) AS ci
+                    FROM d0 GROUP BY 1, 2),
+          sub AS (SELECT d0.vec_id,
+                    CAST(sum(CASE WHEN xi > ci
+                        THEN (CAST(1 AS BIGINT) << d0.dim)
+                        ELSE 0 END) AS BIGINT) AS sub
+                  FROM d0 JOIN cent1 USING (label, dim), gsel
+                  WHERE d0.dim < gsel.g
+                  GROUP BY 1),
+          e2 AS (SELECT e.vec_id,
+                   e.label * (CAST(1 AS BIGINT) << gsel.g)
+                     + coalesce(sub.sub, 0) AS label,
+                   e.v
+                 FROM e CROSS JOIN gsel
+                 LEFT JOIN sub ON e.vec_id = sub.vec_id),
+          d AS (SELECT vec_id, label, i - 1 AS dim,
+                  CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT) AS xi
+                FROM e2, range(1, 4097) ri(i) WHERE i <= len(v)),
+          cent AS (SELECT label, dim,
+                     CAST((2 * (sum(xi) + 2000000 * count(*)) + count(*))
+                          // (2 * count(*)) - 2000000 AS BIGINT) AS ci
+                   FROM d GROUP BY 1, 2),
+          cn AS (SELECT label, sum(ci * ci) AS nc FROM cent GROUP BY 1),
+          vn AS (SELECT vec_id, sum(xi * xi) AS nv FROM d GROUP BY 1),
+          dt AS (SELECT d.vec_id, cent.label, sum(xi * ci) AS dot
+                 FROM d JOIN cent USING (dim) GROUP BY 1, 2),
+          smc AS (SELECT vec_id, label,
+                    CASE WHEN nv > 0 AND nc > 0
+                      THEN CAST(floor(10000.0 * dot
+                             / (sqrt(nv) * sqrt(nc))) AS BIGINT)
+                      ELSE 0 END AS cell_bp
+                  FROM dt JOIN cn USING (label) JOIN vn USING (vec_id)),
+          rkc AS (SELECT vec_id, label,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cell_bp DESC, label ASC) AS rk
+                  FROM smc),
+          home AS (SELECT vec_id AS cand_id, label AS cell
+                   FROM rkc WHERE rk = 1),
+          probes AS (SELECT vec_id AS query_id, label AS cell
+                     FROM rkc WHERE rk <= 2 AND vec_id % 50 = 0 AND vec_id < 2000),
+          cnd AS (SELECT DISTINCT query_id, cand_id
+                  FROM probes JOIN home USING (cell)
+                  WHERE query_id <> cand_id),
+          sc AS (SELECT query_id, cand_id,
+                   CAST(round(list_cosine_similarity(eq.v, ec.v) * 10000)
+                     AS BIGINT) AS sim_bp
+                 FROM cnd JOIN e eq ON cnd.query_id = eq.vec_id
+                          JOIN e ec ON cnd.cand_id = ec.vec_id),
+          rk2 AS (SELECT query_id, cand_id, sim_bp,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim_bp DESC, cand_id ASC) AS rank
+                  FROM sc)
+          SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, sim_bp
+          FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** The det IVF-PQ end-to-end replay, shared verbatim by
     * ann_ivf_pq_det_topk and ann_ivf_pq_served_topk (the serve path
     * is output-identical by construction). */
@@ -1911,6 +2031,8 @@ object AnnQueries extends Registry {
     // integer dots, home cell = rank 1, queries probe rank <= 2, exact
     // integer-bp cosine top-5 on the probed candidates.
     "ann_ivf_det_topk" -> ivfDetTopKSql,
+    "ann_ivf_nlist_topk" -> ivfNlistTopKSql,
+    "ann_ivf_nlist_served_topk" -> ivfNlistTopKSql,
 
     // The persisted-index serve path is output-identical to the inline
     // det-IVF chain by construction (same integers through a parquet

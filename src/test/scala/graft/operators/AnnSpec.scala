@@ -346,6 +346,68 @@ class AnnSpec extends SparkSpec {
     assert(rows.nonEmpty) // ids 2/6 still query their non-empty cells
   }
 
+  test("autoSubcellsExact: smallest power of two s with (labels*s)^2 " +
+       ">= n, integer-exact at the boundaries, capped") {
+    // boundary exactness is the reason for the no-float-log form: at
+    // n = (labels*s)^2 exactly, s must NOT double again
+    Ann.autoSubcellsExact(100L, 10L) shouldBe 1
+    Ann.autoSubcellsExact(101L, 10L) shouldBe 2
+    Ann.autoSubcellsExact(400L, 10L) shouldBe 2
+    Ann.autoSubcellsExact(500L, 10L) shouldBe 4 // sf0.001: nlist 40
+    Ann.autoSubcellsExact(2000L, 10L) shouldBe 8 // sf0.1: nlist 80
+    Ann.autoSubcellsExact(200000L, 10L) shouldBe 64 // deep 200k rung
+    Ann.autoSubcellsExact(2000000L, 10L) shouldBe 256 // deep 2M rung
+    Ann.autoSubcellsExact(Long.MaxValue / 4, 10L) shouldBe 1024 // cap
+    // nlist = labels*s lands in [sqrt(n), 2*sqrt(n)) below the cap —
+    // probed-list length ~ n/nlist <= sqrt(n)
+    for (n <- Seq(500L, 2000L, 50000L, 200000L, 2000000L)) {
+      val s = Ann.autoSubcellsExact(n, 10L).toLong
+      val nlist = 10L * s
+      assert(nlist * nlist >= n, s"nlist $nlist below sqrt($n)")
+      assert(s == 1 || 10L * (s / 2) * 10L * (s / 2) < n,
+        s"s=$s not minimal for n=$n")
+    }
+  }
+
+  test("ivfDetTopK under the subcells policy: still pruning-only " +
+       "(exact sims, dense ranks, <= k rows), and the policy-built " +
+       "SERVED index reproduces the inline chain bit-for-bit") {
+    val sub = Ann.autoSubcellsExact(embs.count(), 10L)
+    sub should be > 1
+    val inline = Ann.ivfDetTopK(embs, "vec_id", "embedding", "label",
+      col("id") % 50 === 0, k = 5, subcells = sub)
+    val got = inline.collect()
+    assert(got.nonEmpty)
+    val exactAll = edges(Ann.knnGraph(embs, "vec_id", "embedding", k = 500))
+    got.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.size <= 5)
+      g.map(_.getLong(1)).toSeq.sorted shouldBe (1L to g.size.toLong)
+    }
+    got.foreach { r =>
+      assertTrueSim(exactAll, r.getLong(0), r.getLong(2), r.getLong(3))
+    }
+    // build → serve parity: the policy index through the lifecycle
+    // build step serves identically to the inline refined chain
+    val built = Ann.buildDetIvfIndex(embs, "vec_id", "embedding",
+      "label", subcells = sub)
+    val served = Ann.ivfIndexTopK(built, embs, "vec_id", "embedding",
+      col("id") % 50 === 0, k = 5).collect()
+    served.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq shouldBe
+      got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // the policy controls probed-pair volume: refined cells mean
+    // FEWER candidates per query than the label-only quantizer
+    val candPolicy = Ann.ivfIndexCandidates(built, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, nprobe = 2).count()
+    val builtFlat = Ann.buildDetIvfIndex(embs, "vec_id", "embedding",
+      "label")
+    val candFlat = Ann.ivfIndexCandidates(builtFlat, embs, "vec_id",
+      "embedding", col("id") % 50 === 0, nprobe = 2).count()
+    assert(candPolicy < candFlat,
+      s"policy probed pairs $candPolicy !< label-only $candFlat")
+  }
+
   test("pqDetTopK: <= k exactly-ranked rows per query; sims are true cosines") {
     // same contract as the det-IVF twin: the ADC shortlist only PRUNES
     // — every surviving similarity is the exact integer-bp cosine,
