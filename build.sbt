@@ -26,5 +26,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ObjectHashAggregate falls back to SORT-BASED aggregation past this
+  // many distinct groups per partition (Spark default: 128). The
+  // k-bounded TopKAgg tails group by query id — thousands of tiny
+  // k-bounded buffers — and at 128 the fallback SORTED the whole
+  // 160M-row pair stream (measured: 8-14 GB spill, >90% of the deep
+  // rung chain-serve wall time). 65536 keeps k-bounded aggs on the
+  // hash path while wide-group object aggs (collect_list over a
+  // corpus-wide key) still fall back to the spill-protected sort.
+  "-Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=65536",
+  // 16g default (was 8g): the r14 quiet bench showed sticky ~1.2s
+  // full-GC pauses landing inside sub-second queries' timed windows
+  // once the old gen filled mid-run (324-query session); the host has
+  // 128 GiB — headroom is cheaper than polluted records. Override via
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

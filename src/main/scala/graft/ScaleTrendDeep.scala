@@ -30,6 +30,31 @@ object ScaleTrendDeep {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
+  /** Bench's host-drift sentinel (fixed 400M-step xorshift64 loop,
+    * one core): timed at run start and end and RECORDED in the JSON
+    * artifact, so cross-round comparison of deep-rung numbers can
+    * divide out host speed the same way the official bench records
+    * do. */
+  private var sentinelSink = 0L
+  private def sentinel(): Double = {
+    def loop(n: Long): Long = {
+      var s = 88172645463325252L
+      var i = 0L
+      while (i < n) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        i += 1
+      }
+      s
+    }
+    sentinelSink ^= loop(50000000L)
+    val t0 = System.nanoTime()
+    sentinelSink ^= loop(400000000L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the 100M+-pair ADC sorts of the DECADE3 rungs need far more
@@ -275,6 +300,15 @@ object ScaleTrendDeep {
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
 
+    val sentinelStart = sentinel()
+    // (rung, config, rows, nlist, subcells, write3Sec, serveSec,
+    //  serveRows, probedPairs, queries) per delta-served measurement —
+    // emitted as the machine-readable deep-rung record (r14 verdict
+    // #2: the 2M write/serve numbers must live in a committed JSON,
+    // not NOTES prose)
+    val deltaRecords = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Int, Double, Double, Long,
+        Long, Long)]
     val sb = new StringBuilder
     sb.append("| operator | input | rows in | secs | rows out |\n")
     sb.append("|---|---|---:|---:|---:|\n")
@@ -471,57 +505,110 @@ object ScaleTrendDeep {
             spark.read.parquet(s"$m200k/embeddings.parquet"), 50)
           resRung("emb_2m(4k queries)", emb2m, 500)
         }
-        // DELTA-SERVED decade (r12 directive 6): the O(batch)
-        // maintenance contract measured at depth — (a) per-trigger
-        // delta write over a 200k-row vs 2M-row routing table
-        // (expected ~flat: the write is O(batch), independent of the
-        // index), (b) chain serve (snapshot ∪ 3 trailing deltas) on
-        // the constant ~4k-query axis (expected ~linear in corpus,
-        // like the plain served path). Index build + base snapshot are
-        // setup, not timed — the lifecycle exists to amortize them.
+        // DELTA-SERVED decade (r12 directive 6; r14 verdict #1-#3):
+        // the O(batch) maintenance contract measured at depth — (a)
+        // per-trigger delta write over a 200k-row vs 2M-row routing
+        // table (expected ~flat: the write is O(batch), independent
+        // of the index), (b) chain serve (snapshot ∪ 3 trailing
+        // deltas) on the constant ~4k-query axis. Each rung runs
+        // under BOTH quantizer configs: "fixed" (label-only cells —
+        // the r14 configuration whose serve measured SUPERLINEAR,
+        // exponent 1.26, because cells fatten ∝ n) and "sqrt_policy"
+        // (Ann.autoSubcellsExact — nlist ~ √n, so per-query probed
+        // rows grow ~√n). Probed-pair volume is measured directly
+        // (ivfIndexCandidates.count) — the policy's controlled
+        // quantity. Index build + base snapshot are setup, not timed
+        // — the lifecycle exists to amortize them.
         if (wanted("ann_ivf_delta_served")) {
-          def deltaRung(label: String, eIn: DataFrame, mod: Int): Unit = {
+          for (policy <- Seq(false, true)) {
+            val config = if (policy) "sqrt_policy" else "fixed"
+            def deltaRung(label: String, eIn: DataFrame,
+                          mod: Int): Unit = {
+              spark.catalog.clearCache()
+              System.gc()
+              // a real corpus at this size is many files/partitions;
+              // the synthetic rung is a union over ONE part file, so
+              // without this the broadcast candidate join's ~1000x
+              // fan-out lands on a single task (first cut ran the 2M
+              // serve on one core for 40+ min — exactly the layout
+              // defect the ladder exists to surface)
+              val e = eIn.repartition(64).localCheckpoint(true)
+              val nIn = e.count()
+              val sub =
+                if (policy) Ann.autoSubcellsExact(nIn,
+                  e.select("label").distinct().count())
+                else 1
+              val built = Ann.buildDetIvfIndex(e, "vec_id", "embedding",
+                "label", subcells = sub)
+              val nlist = built.centroids.select("cell").distinct()
+                .count()
+              val store = graft.sources.VersionedStore(java.nio.file
+                .Files.createTempDirectory(s"deep_dlt_$label").toString)
+              graft.sources.AnnIndexStore.persistVersion(store, "m", 0L,
+                built)
+              val batch = built.home.limit(1000)
+                .select(col("id").as("vec_id"), col("cell"))
+                .localCheckpoint(true)
+              val (wSecs, _) = timed {
+                (0 until 3).foreach { b =>
+                  graft.sources.AnnIndexStore.foldBatchDelta(store, "m",
+                    built.centroids, baseVersion = 0L)(batch, b.toLong)
+                }
+                3L
+              }
+              val wRow = f"| ann_ivf_delta_write3(1k-row triggers," +
+                f"$config) | $label | $nIn | $wSecs%.2f | 3 |"
+              println(wRow); sb.append(wRow).append('\n')
+              val chain = graft.sources.AnnIndexStore
+                .loadChain(spark, store, "m")
+              val (sSecs, nOut) = timed(
+                Ann.ivfIndexTopK(chain, e, "vec_id", "embedding",
+                  col("id") % mod === 0, k = 5).count())
+              val sRow = f"| ann_ivf_delta_served(4k queries,$config) " +
+                f"| $label | $nIn | $sSecs%.2f | $nOut |"
+              println(sRow); sb.append(sRow).append('\n')
+              // probed-pair volume (the quantity the policy controls;
+              // measured outside the serve timing): fixed ~ q·n/nlist
+              // with nlist constant → ∝ n; policy → ~ q·√n
+              val probed = Ann.ivfIndexCandidates(chain, e, "vec_id",
+                "embedding", col("id") % mod === 0, nprobe = 2).count()
+              deltaRecords.append((label, config, nIn, nlist, sub,
+                wSecs, sSecs, nOut, probed, nIn / mod))
+              // free this rung's checkpoint blocks before the next
+              // config×rung pair builds its own copy of the corpus —
+              // stacked retained checkpoints were part of the 8g-heap
+              // OOM at the 2M serve
+              e.unpersist(blocking = true)
+            }
+            deltaRung("emb_200k",
+              spark.read.parquet(s"$m200k/embeddings.parquet"), 50)
+            deltaRung("emb_2m", emb2m, 500)
+          }
+        }
+        // the INLINE policy twin at the same two rungs: the full
+        // train+add+serve chain under the √n quantizer, next to the
+        // plain ann_ivf_det_topk rows above — the inline evidence that
+        // the policy, not the lifecycle plumbing, is what changes the
+        // slope
+        if (wanted("ann_ivf_nlist_det_topk")) {
+          def nlistRung(label: String, eIn: DataFrame, mod: Int): Unit = {
             spark.catalog.clearCache()
             System.gc()
-            // a real corpus at this size is many files/partitions; the
-            // synthetic rung is a union over ONE part file, so without
-            // this the broadcast candidate join's ~1000x fan-out lands
-            // on a single task (first cut ran the 2M serve on one core
-            // for 40+ min — exactly the layout defect the ladder
-            // exists to surface)
             val e = eIn.repartition(64).localCheckpoint(true)
-            val built = Ann.buildDetIvfIndex(e, "vec_id", "embedding",
-              "label")
-            val store = graft.sources.VersionedStore(java.nio.file.Files
-              .createTempDirectory(s"deep_dlt_$label").toString)
-            graft.sources.AnnIndexStore.persistVersion(store, "m", 0L,
-              built)
             val nIn = e.count()
-            val batch = built.home.limit(1000)
-              .select(col("id").as("vec_id"), col("cell"))
-              .localCheckpoint(true)
-            val (wSecs, _) = timed {
-              (0 until 3).foreach { b =>
-                graft.sources.AnnIndexStore.foldBatchDelta(store, "m",
-                  built.centroids, baseVersion = 0L)(batch, b.toLong)
-              }
-              3L
-            }
-            val wRow = f"| ann_ivf_delta_write3(1k-row triggers) | " +
-              f"$label | $nIn | $wSecs%.2f | 3 |"
-            println(wRow); sb.append(wRow).append('\n')
-            val chain = graft.sources.AnnIndexStore
-              .loadChain(spark, store, "m")
-            val (sSecs, nOut) = timed(
-              Ann.ivfIndexTopK(chain, e, "vec_id", "embedding",
-                col("id") % mod === 0, k = 5).count())
-            val sRow = f"| ann_ivf_delta_served(4k queries) | $label " +
-              f"| $nIn | $sSecs%.2f | $nOut |"
-            println(sRow); sb.append(sRow).append('\n')
+            val sub = Ann.autoSubcellsExact(nIn,
+              e.select("label").distinct().count())
+            val (secs, nOut) = timed(
+              Ann.ivfDetTopK(e, "vec_id", "embedding", "label",
+                col("id") % mod === 0, k = 5, subcells = sub).count())
+            val row = f"| ann_ivf_nlist_det_topk | $label($sub sub) " +
+              f"| $nIn | $secs%.2f | $nOut |"
+            println(row); sb.append(row).append('\n')
+            e.unpersist(blocking = true)
           }
-          deltaRung("emb_200k",
+          nlistRung("emb_200k(4k queries)",
             spark.read.parquet(s"$m200k/embeddings.parquet"), 50)
-          deltaRung("emb_2m", emb2m, 500)
+          nlistRung("emb_2m(4k queries)", emb2m, 500)
         }
       }
 
@@ -538,6 +625,38 @@ object ScaleTrendDeep {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/scale_deep.md"),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // machine-readable deep-rung record: per-phase seconds, probed
+    // pairs, and fitted per-config exponents over the rung pairs —
+    // committed as scaletrend_deep_r{N}.json so a fix's before/after
+    // diffs two JSONs, not prose
+    val sentinelEnd = sentinel()
+    if (sentinelSink == 42L) System.err.println("[deep] sentinel sink")
+    if (deltaRecords.nonEmpty) {
+      val recJson = deltaRecords.map { case (rung, config, n, nlist,
+          sub, w, s, sr, pp, q) =>
+        s"""{"rung":"$rung","config":"$config","rows":$n,""" +
+          s""""nlist":$nlist,"subcells":$sub,"write3_sec":${num(w)},""" +
+          s""""serve_sec":${num(s)},"serve_rows":$sr,""" +
+          s""""probed_pairs":$pp,"queries":$q}"""
+      }.mkString("[", ",", "]")
+      val exps = deltaRecords.groupBy(_._2).collect {
+        case (config, rs) if rs.length >= 2 =>
+          val lo = rs.minBy(_._3); val hi = rs.maxBy(_._3)
+          val dn = math.log(hi._3.toDouble / lo._3)
+          val se = math.log(hi._7 / lo._7) / dn
+          val pe = math.log(hi._9.toDouble / lo._9) / dn
+          s""""$config":{"serve_exponent":${num(se)},""" +
+            s""""probed_pairs_exponent":${num(pe)}}"""
+      }.mkString("{", ",", "}")
+      val line = s"""{"metric":"scaletrend_deep","delta_serve":""" +
+        recJson + s""","exponents":$exps,"sentinel_sec":""" +
+        s"""[${num(sentinelStart)},${num(sentinelEnd)}]}"""
+      println(line)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/scale_deep.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -90,8 +90,9 @@ object Ann {
         .as("e"))
       .select(col("e.src").as("src"), col("e.sim_bp").as("sim_bp"),
         col("e.dst").as("dst"))
-    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
-    dir.groupBy("src").agg(topk(col("sim_bp"), col("dst")).as("nn"))
+    dir.groupBy("src")
+      .agg(graft.functions.TopKAgg
+        .topk_longs(col("sim_bp"), col("dst"), k).as("nn"))
       .select(col("src"), posexplode(col("nn")))
       .select(col("src").as("vec_id"),
         (col("pos") + 1).cast("long").as("rank"),
@@ -615,32 +616,52 @@ object Ann {
     val e = detRefineLabels(spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v")), subcells)
-    val cand = detIvfCandidates(e, queryPred, nprobe)
-    ivfExactTopKTail(cand, e, queryPred, k)
+    val pk = planeKernelOf(detIvfCentroids(detDims(e))
+      .select(col("label").as("cell"), col("dim"), col("ci")))
+    // empty-array vectors get no home and no probes — see
+    // detIvfCandidates' note
+    val homeV = e.filter(size(col("v")) > 0)
+      .select(col("id").as("cand_id"), col("v").as("cv"),
+        element_at(kernelCells(pk, col("v"), 1), 1).as("cell"))
+    val probesV = e.filter(queryPred && size(col("v")) > 0)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(kernelCells(pk, col("v"), nprobe)).as("cell"))
+    ivfScoredTopKTail(probesV, homeV, k)
   }
 
-  /** Shared exact tail of the IVF-Flat serve paths ([[ivfDetTopK]] and
-    * the persisted-index [[ivfIndexTopK]]): candidate vectors join by
-    * cand_id (the only vector shuffle — 1 row per probed candidate),
-    * query vectors ride in as a broadcast, and the k-bounded
-    * TopKByScore partial agg means only k rows per (query, partition)
-    * — never the queries × probed-list scored relation — cross the
-    * final shuffle. Selection is identical to the row_number window
-    * (sim_bp DESC, cand_id ASC) — oracle-parity load-bearing like
-    * [[exactCosineRerank]]. */
-  private def ivfExactTopKTail(cand: DataFrame, e: DataFrame,
-                               queryPred: Column, k: Int): DataFrame = {
-    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
-    cand
-      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
-        "cand_id")
-      .join(broadcast(e.filter(queryPred)
-        .select(col("id").as("query_id"), col("v").as("qv"))),
-        "query_id")
+  /** Shared exact tail of the IVF-Flat paths ([[ivfDetTopK]] and the
+    * persisted-index [[ivfIndexTopK]]): the probe side rides in as a
+    * BROADCAST that already CARRIES the query vectors (queries ×
+    * nprobe rows — index-metadata-sized), the candidate side already
+    * carries its vector, so the q×(probed-list) pair stream is created
+    * map-side and flows STRAIGHT into the k-bounded top-k partial agg
+    * — it is never shuffled, sorted, or joined again. The previous
+    * form joined the bare pair stream against the vector table by
+    * cand_id, which at depth became a sort-merge join SORTING the
+    * entire pair stream (measured on the 200k deep rung: ~160M pairs,
+    * 13.8 GB spill, >90% of serve wall time); attaching vectors
+    * BEFORE the fan-out keeps every per-pair byte pipelined. Only k
+    * rows per (query, partition) cross the final shuffle. Selection
+    * is identical to the row_number window (sim_bp DESC, cand_id ASC)
+    * — oracle-parity load-bearing like [[exactCosineRerank]].
+    *
+    * Deployment note: the partial agg must stay on ObjectHashAggregate's
+    * HASH path — Spark's default
+    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold=128
+    * forces a sort-based fallback past 128 query groups per partition,
+    * which re-sorts the whole pair stream (measured 8-14 GB spill and
+    * ~10× serve wall time on a 160M-pair scan). This repo raises it to
+    * 65536 via build.sbt javaOptions; a deployment should size it to
+    * its per-partition query-panel cardinality. */
+  private def ivfScoredTopKTail(probesV: DataFrame, homeV: DataFrame,
+                                k: Int): DataFrame = {
+    homeV.join(broadcast(probesV), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         round(HashExprs.cosine_sim(col("qv"), col("cv")) * 10000)
           .cast("long").as("sim_bp"))
-      .groupBy("query_id").agg(topk(col("sim_bp"), col("cand_id")).as("nn"))
+      .groupBy("query_id").agg(graft.functions.TopKAgg
+        .topk_longs(col("sim_bp"), col("cand_id"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("cand_id"), col("col._1").as("sim_bp"))
@@ -696,9 +717,21 @@ object Ann {
                    k: Int, nprobe: Int = 2): DataFrame = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cand = ivfIndexCandidates(index, embs, idCol, vecCol, queryPred,
-      nprobe)
-    ivfExactTopKTail(cand, e, queryPred, k)
+    val pk = planeKernelOf(index.centroids
+      .select(col("cell"), col("dim"), col("ci")))
+    // attach the vector to each routing row ONCE — a LINEAR id-keyed
+    // join (n index rows against n corpus rows), never the pair
+    // stream; then repartition so the broadcast-probe fan-out's
+    // parallelism comes from the plan, not the routing table's file
+    // count (see ivfIndexCandidates' layout note)
+    val homeV = index.home.select(col("id").as("cand_id"), col("cell"))
+      .join(e.select(col("id").as("cand_id"), col("v").as("cv")),
+        "cand_id")
+      .repartition(e.sparkSession.sparkContext.defaultParallelism)
+    val probesV = e.filter(queryPred && size(col("v")) > 0)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(kernelCells(pk, col("v"), nprobe)).as("cell"))
+    ivfScoredTopKTail(probesV, homeV, k)
   }
 
   /** The (query_id, cand_id) probed-pair relation of the SERVE paths —
@@ -1401,10 +1434,9 @@ object Ann {
     * identical to ORDER BY adc ASC, cand_id ASC LIMIT shortlist. */
   private def adcShortlist(pairsAdc: DataFrame,
                            shortlist: Int): DataFrame = {
-    val mink = udaf(
-      new graft.functions.CraneAggregators.TopKByScore(shortlist))
     pairsAdc.groupBy("query_id")
-      .agg(mink(-col("adc"), col("cand_id")).as("top"))
+      .agg(graft.functions.TopKAgg
+        .topk_longs(-col("adc"), col("cand_id"), shortlist).as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t._2").as("cand_id"))
   }
@@ -1595,12 +1627,12 @@ object Ann {
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id") +: col("cand_id") +:
         widths.map { case (nm, m) => simBp(nm, m) }: _*)
-    val mink = udaf(
-      new graft.functions.CraneAggregators.TopKByScore(k))
     val tops = pairs.groupBy("query_id")
-      .agg(mink(col("sim_full"), col("cand_id")).as("t_full"),
-        prefixes.map(m =>
-          mink(col(s"sim_p$m"), col("cand_id")).as(s"t_p$m")): _*)
+      .agg(graft.functions.TopKAgg
+          .topk_longs(col("sim_full"), col("cand_id"), k).as("t_full"),
+        prefixes.map(m => graft.functions.TopKAgg
+          .topk_longs(col(s"sim_p$m"), col("cand_id"), k)
+          .as(s"t_p$m")): _*)
     val perQ = tops.select(col("query_id") +:
       expr("transform(t_full, t -> t._2)").as("f_ids") +:
       prefixes.map(m =>
@@ -1661,10 +1693,10 @@ object Ann {
           floor(lit(10000.0) * col("dot") /
             (sqrt(col("qn2")) * sqrt(col("cn2")))).cast("long"))
           .otherwise(0L).as("sim_pre"))
-    val mink = udaf(
-      new graft.functions.CraneAggregators.TopKByScore(shortlist))
     val short = pairs.groupBy("query_id")
-      .agg(mink(col("sim_pre"), col("cand_id")).as("top"))
+      .agg(graft.functions.TopKAgg
+        .topk_longs(col("sim_pre"), col("cand_id"), shortlist)
+        .as("top"))
       .select(col("query_id"), explode(col("top")).as("t"))
       .select(col("query_id"), col("t._2").as("cand_id"))
     exactCosineRerank(short, e, k)

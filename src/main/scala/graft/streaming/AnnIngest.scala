@@ -141,7 +141,6 @@ object AnnIngest {
         .take(nprobe)
         .map { case (_, c) => ProbeRow(v.vec_id, v.ts, c, qv) }
     }
-    val topk = udaf(new graft.functions.CraneAggregators.TopKByScore(k))
     probes.toDF()
       // the watermark must be (re)declared on the post-flatMap ts
       // attribute — a typed transform mints new attributes, and the
@@ -166,7 +165,8 @@ object AnnIngest {
       // horizon — the same magnitude the aggregation reads anyway.
       .dropDuplicatesWithinWatermark("query_id", "cand_id")
       .groupBy(window(col("ts"), windowLen), col("query_id"))
-      .agg(topk(col("sim_bp"), col("cand_id")).as("nn"))
+      .agg(graft.functions.TopKAgg
+        .topk_longs(col("sim_bp"), col("cand_id"), k).as("nn"))
       .select(col("query_id"), posexplode(col("nn")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("cand_id"), col("col._1").as("sim_bp"))

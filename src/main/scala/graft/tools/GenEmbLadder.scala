@@ -35,7 +35,13 @@ object GenEmbLadder {
     ("emb500", 500L, "/root/testdata/sf0.001"),
     ("emb5k", 5000L, "/root/testdata/sf0.01"),
     ("emb50k", 50000L, "/root/testdata/sf0.1"),
-    ("emb500k", 500000L, "/root/testdata/sf0.1"))
+    ("emb500k", 500000L, "/root/testdata/sf0.1"),
+    // the DEEP rung (r14 verdict #5): the serve-path defects the
+    // ladder exists to catch are invisible below ~1M vectors (the
+    // superlinear chain serve fit <= 0.2 on the 40-query axis at
+    // 500k) — the committed ladder needs the rung that finds them.
+    // ~520 MB, on-demand like emb500k.
+    ("emb2m", 2000000L, "/root/testdata/sf0.1"))
 
   /** Rungs generated when no explicit selection is passed — emb500k is
     * opt-in so a default regeneration never lands a 130 MB fixture in
