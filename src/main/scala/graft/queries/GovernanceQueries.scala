@@ -200,31 +200,50 @@ object GovernanceQueries extends Registry {
     // integer centi-cents, CI = the 2nd and 31st order statistics of
     // the replica means. ONE md5 digest per row supplies all 32
     // half-sample membership bits (hex digit b of md5(key) < '8' = the
-    // digit's top bit), so the per-row cost is a single hash plus 32
-    // character tests, and the fan-out explodes only the ~16 replicas
-    // that actually contain the row — map-side, partial-aggregated
-    // into 32 groups; no raw row crosses a shuffle more than once.
+    // digit's top bit). r15 shape: the digest's 32 hex digits are read
+    // as four 32-bit integer chunks once per row (conv is codegen'd)
+    // and each replica's membership is an integer shift-and-mask inside
+    // the whole-stage-codegen'd filter — the previous
+    // filter(sequence, lambda) higher-order form evaluated an
+    // INTERPRETED lambda with a substring allocation 32x per row; and
+    // the 2nd/31st order statistics now come from ONE pass over the
+    // ranked replicas (conditional aggregates) where the previous
+    // lo/hi cross-join pair duplicated the whole md5+explode+aggregate
+    // subtree (plan showed operators 6-16 twice). Same rows, same
+    // oracle.
     "stats_subsample_ci" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("k"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"))
       val reps = li
         .withColumn("h", md5(col("k").cast("binary")))
-        .select(col("cents"), explode(expr(
-          "filter(sequence(0, 31), b -> substring(h, b+1, 1) < '8')"))
-          .as("b"))
+        .select(col("cents"),
+          expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")
+            .as("c0"),
+          expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)")
+            .as("c1"),
+          expr("cast(conv(substring(h, 17, 8), 16, 10) as bigint)")
+            .as("c2"),
+          expr("cast(conv(substring(h, 25, 8), 16, 10) as bigint)")
+            .as("c3"))
+        .select(col("cents"), col("c0"), col("c1"), col("c2"), col("c3"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        // digit b < '8' == top bit of the b-th nibble clear; nibble b%8
+        // of chunk b DIV 8, counted from the most significant nibble
+        .filter(expr(
+          "(shiftright(CASE b DIV 8 WHEN 0 THEN c0 WHEN 1 THEN c1 " +
+            "WHEN 2 THEN c2 ELSE c3 END, (7 - b % 8) * 4) & 8) = 0"))
         .groupBy("b")
         .agg(expr("(100 * sum(cents)) DIV count(1)").as("mean_cc"))
       val wr = Window.orderBy("mean_cc", "b")
       val ranked = reps.select(col("mean_cc"),
         row_number().over(wr).as("rn"))
-      val lo = ranked.filter(col("rn") === 2)
-        .select(col("mean_cc").as("ci_lo_cc"))
-      val hi = ranked.filter(col("rn") === 31)
-        .select(col("mean_cc").as("ci_hi_cc"))
+      val ci = ranked.filter(col("rn") === 2 || col("rn") === 31)
+        .agg(max(when(col("rn") === 2, col("mean_cc"))).as("ci_lo_cc"),
+          max(when(col("rn") === 31, col("mean_cc"))).as("ci_hi_cc"))
       li.agg(count(lit(1)).as("n"),
           expr("(100 * sum(cents)) DIV count(1)").as("mean_cc"))
-        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .crossJoin(broadcast(ci))
     }),
 
     // Seasonal-naive forecast backtest: predict each day's event count
