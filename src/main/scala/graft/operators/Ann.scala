@@ -68,12 +68,12 @@ object Ann {
     * smaller neighbor id. Output: (vec_id, rank 1..k, sim_bp,
     * neighbor_id), total order. */
   def knnGraph(embs: DataFrame, idCol: String, vecCol: String, k: Int,
-               blocks: Int = 0): DataFrame = {
+               blocks: Int = 0, totalOrder: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val pairs = Dedup.blockPairSims(embs, idCol, vecCol, blocks)
       .select(col("id_a"), col("id_b"),
         round(col("sim") * 10000).cast("long").as("sim_bp"))
-    mirroredTopK(pairs, k)
+    mirroredTopK(pairs, k, totalOrder)
   }
 
   /** The shared kNN-graph reduction: mirror each undirected scored pair
@@ -83,21 +83,27 @@ object Ann {
     * [[graft.functions.CraneAggregators.TopKByScore]] partial
     * aggregate — at most k entries per (node, map partition) cross the
     * aggregation shuffle, never the pair relation itself. */
-  private def mirroredTopK(pairs: DataFrame, k: Int): DataFrame = {
+  /** `totalOrder = false` skips the final global sort (see
+    * [[Corpus.bm25Retrieve]]: a checkpoint boundary would execute the
+    * range-partition sampling pass, recomputing the whole pair
+    * pipeline; consumers that need the total order re-apply it over
+    * the tiny k-bounded result). */
+  private def mirroredTopK(pairs: DataFrame, k: Int,
+                           totalOrder: Boolean = true): DataFrame = {
     val dir = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("sim_bp"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("sim_bp"), col("id_a").as("dst"))))
         .as("e"))
       .select(col("e.src").as("src"), col("e.sim_bp").as("sim_bp"),
         col("e.dst").as("dst"))
-    dir.groupBy("src")
+    val ranked = dir.groupBy("src")
       .agg(graft.functions.TopKAgg
         .topk_longs(col("sim_bp"), col("dst"), k).as("nn"))
       .select(col("src"), posexplode(col("nn")))
       .select(col("src").as("vec_id"),
         (col("pos") + 1).cast("long").as("rank"),
         col("col._1").as("sim_bp"), col("col._2").as("neighbor_id"))
-      .orderBy("vec_id", "rank")
+    if (totalOrder) ranked.orderBy("vec_id", "rank") else ranked
   }
 
   /** Approximate kNN graph — [[knnGraph]]'s 100 TB path: candidate pairs
@@ -118,7 +124,7 @@ object Ann {
     * empty) and a node may carry fewer than k rows. */
   def knnGraphLsh(embs: DataFrame, idCol: String, vecCol: String, k: Int,
                   bits: Int = 4, tables: Int = 16, dim: Int = -1,
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L, totalOrder: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
@@ -126,7 +132,7 @@ object Ann {
       .select(col("id_a"), col("id_b"),
         round(HashExprs.cosine_sim(col("va"), col("vb")) * 10000)
           .cast("long").as("sim_bp"))
-    mirroredTopK(pairs, k)
+    mirroredTopK(pairs, k, totalOrder)
   }
 
   /** [[knnGraphLsh]]'s deterministic twin and the DEFAULT registered
@@ -142,14 +148,15 @@ object Ann {
     * hyperplane family (Charikar 2002 needs only symmetric random
     * directions), and md5 bits are as good as a seeded PRNG. */
   def knnGraphLshDet(embs: DataFrame, idCol: String, vecCol: String,
-                     k: Int, bits: Int, tables: Int = 16): DataFrame = {
+                     k: Int, bits: Int, tables: Int = 16,
+                     totalOrder: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val pairs = lshDetPairSims(v, bits, tables)
       .select(col("id_a"), col("id_b"),
         round(col("sim") * 10000).cast("long").as("sim_bp"))
-    mirroredTopK(pairs, k)
+    mirroredTopK(pairs, k, totalOrder)
   }
 
   /** Per-(vector, table) det-LSH bucket assignment over (id, v):

@@ -95,10 +95,19 @@ object Graph {
     val base = scale * (10000 - dampBp) / 10000
     // one materialization; every round re-reads this, not the (possibly
     // expensive) upstream plan that produced the edges
+    // LAZY checkpoints throughout (r15): the loop is a FIXED iteration
+    // count with no per-round convergence action, so nothing needs a
+    // blocking materialization job per round — the lazy checkpoint
+    // still hides each round's plan from Catalyst behind a LogicalRDD
+    // (bounded plan size) and still persists/truncates the RDD when the
+    // final action computes it, but the whole fixed point now executes
+    // as ONE job instead of 3 setup + iters materialization jobs
+    // (measured: the per-job scheduling overhead dominated these
+    // queries on the 25-node nation graph).
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val outD = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    val withDeg = e.join(outD, "src").localCheckpoint(true)
+    val withDeg = e.join(outD, "src").localCheckpoint(false)
     val nodesBase = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // is_seed gates where restart mass lands: all nodes in the classic
@@ -111,7 +120,7 @@ object Graph {
         .join(sd.select(col(sd.columns.head).as("node")).distinct()
           .withColumn("is_seed", lit(1L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-    }).localCheckpoint(true)
+    }).localCheckpoint(false)
     val nNodes = nodes.agg(count(lit(1)).as("nn"))
     // the damping reduction, overflow-safe (see Overflow above), over an
     // arbitrary non-negative integer column expression
@@ -138,7 +147,7 @@ object Graph {
           .select(col("node"), col("is_seed"),
             damped("coalesce(csum, CAST(0 AS BIGINT)) + dsum DIV nn")
               .as("rank"))
-      }).localCheckpoint(true) // truncate the iterative lineage each round
+      }).localCheckpoint(false) // truncate the iterative lineage each round
     }
     rank.select("node", "rank").orderBy("node")
   }

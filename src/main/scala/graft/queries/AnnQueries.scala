@@ -149,7 +149,8 @@ object AnnQueries extends Registry {
   private def knn5(s: org.apache.spark.sql.SparkSession,
                    d: String): org.apache.spark.sql.DataFrame =
     graft.core.Memo.dataFrame(s, s"knn_graph:$d:k=5") {
-      Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+      Ann.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding", k = 5,
+        totalOrder = false)
     }
 
   /** The DEFAULT k=5 kNN graph — deterministic-LSH candidates
@@ -164,7 +165,7 @@ object AnnQueries extends Registry {
     graft.core.Memo.dataFrame(s, s"knn_graph_det:$d:k=5") {
       val c = Tables.embeddings(s, d)
       Ann.knnGraphLshDet(c, "vec_id", "embedding", k = 5,
-        bits = Ann.autoBitsExact(c.count()))
+        bits = Ann.autoBitsExact(c.count()), totalOrder = false)
     }
 
   /** Integer covariance triangle (Ann.covarianceTri), materialized once
@@ -187,7 +188,7 @@ object AnnQueries extends Registry {
     graft.core.Memo.dataFrame(s, s"knn_graph_lsh:$d:k=5") {
       val c = Tables.embeddings(s, d)
       Ann.knnGraphLsh(c, "vec_id", "embedding", k = 5,
-        bits = Ann.autoBits(c.count()))
+        bits = Ann.autoBits(c.count()), totalOrder = false)
     }
 
   /** The deterministic (md5-hyperplane) LSH top-5 — the hash-checked
@@ -604,7 +605,8 @@ object AnnQueries extends Registry {
     // and the exact integer-bp ranking end-to-end. Memoized
     // (core.Memo): the clusters query below consumes the same graph.
     // AnnSpec additionally bounds its edge recall vs the exact graph.
-    "ann_knn_graph" -> ((s, d) => knn5Det(s, d)),
+    "ann_knn_graph" -> ((s, d) =>
+      knn5Det(s, d).orderBy("vec_id", "rank")),
 
     // Embedding-quality diagnostic: the distribution of nearest-neighbor
     // similarity across the corpus (rank-1 edges of the registered
@@ -628,7 +630,8 @@ object AnnQueries extends Registry {
     // paths' recall bounds are measured against, like ann_brute_topk
     // for the top-k family. Quadratic by definition; the registered
     // default above is the scale path.
-    "ann_knn_graph_exact" -> ((s, d) => knn5(s, d)),
+    "ann_knn_graph_exact" -> ((s, d) =>
+      knn5(s, d).orderBy("vec_id", "rank")),
 
     // The seeded Gaussian-hyperplane variant (production path when
     // engine-internal planes are fine): same candidate structure with
@@ -636,7 +639,8 @@ object AnnQueries extends Registry {
     // fixture (tools/GenSeededTruth — the planes are engine-internal,
     // but seeded, so the output is a pure function of the corpus);
     // AnnSpec additionally bounds recall vs the exact graph.
-    "ann_knn_graph_lsh" -> ((s, d) => knn5Lsh(s, d)),
+    "ann_knn_graph_lsh" -> ((s, d) =>
+      knn5Lsh(s, d).orderBy("vec_id", "rank")),
 
     // Hard-negative mining for contrastive training: each probe's top-5
     // most-similar candidates whose LABEL DIFFERS — the "close but

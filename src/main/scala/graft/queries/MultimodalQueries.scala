@@ -20,6 +20,20 @@ object MultimodalQueries extends Registry {
   private def media(s: org.apache.spark.sql.SparkSession, d: String) =
     Multimodal.mediaFromDocuments(Tables.documents(s, d))
 
+  /** The dim-64 content features of the default media corpus, memoized
+    * per (session, dir) — r15: media_features_knn, media_near_dup and
+    * media_near_dup_det each re-ran the full encode→decode→feature
+    * codec pass (the most expensive per-row kernel in the multimodal
+    * family); the memo materializes (media_id, embedding) once per
+    * session (guide §2.4; the dedup shingle-index pattern). */
+  private def mediaFeatures(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    graft.core.Memo.dataFrame(s, s"media_features:$d:dim=64") {
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
+        .toDF().withColumnRenamed("feature", "embedding")
+    }
+
   val defs: Map[String, QueryFn] = Map(
     "media_stats" -> ((s, d) =>
       media(s, d).groupBy("kind")
@@ -175,9 +189,7 @@ object MultimodalQueries extends Registry {
     }),
 
     "media_features_knn" -> ((s, d) => {
-      implicit val sp: org.apache.spark.sql.SparkSession = s
-      val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
-        .toDF().withColumnRenamed("feature", "embedding")
+      val feats = mediaFeatures(s, d)
       Ann.bruteForceTopK(feats,
         feats.filter(col("media_id") % 100 === 0), "media_id", "embedding", 3)
     }),
@@ -209,17 +221,17 @@ object MultimodalQueries extends Registry {
     // missed, which MultimodalSpec pins. Rows-only (stub codec); the
     // composition shows the dedup and multimodal families interlock.
     "media_near_dup" -> ((s, d) => {
-      implicit val sp: org.apache.spark.sql.SparkSession = s
-      val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
-        .toDF().withColumnRenamed("feature", "embedding")
+      val feats = mediaFeatures(s, d)
       // bits scale with the corpus (targetBucket 16: at a 0.95 cosine
       // threshold per-plane agreement is ~0.9, so even 12+ bits keep
-      // per-pair recall >= 0.99 over 16 tables) — bucket work stays
-      // constant as the table grows; the count is a metadata read
+      // per-pair recall >= 0.99 over 16 tables) — one media row per
+      // document, so the corpus count is the documents row count (a
+      // footer-metadata read; counting mediaFromDocuments ran the
+      // whole opaque encode kernel just to count rows)
       graft.operators.Ann.cosinePairsLsh(
         feats, "media_id", "embedding", threshold = 0.95,
-        bits = graft.operators.Ann.autoBits(media(s, d).count(),
-          targetBucket = 16))
+        bits = graft.operators.Ann.autoBits(
+          Tables.documents(s, d).count(), targetBucket = 16))
     }),
 
     // The hash-checked near-dup twin: the same banded-candidate shape
@@ -230,9 +242,7 @@ object MultimodalQueries extends Registry {
     // Gaussian planes); this is the registered verification surface,
     // mirroring the dedup_embedding_cosine role split.
     "media_near_dup_det" -> ((s, d) => {
-      implicit val sp: org.apache.spark.sql.SparkSession = s
-      val feats = Multimodal.extractFeatures(Multimodal.asMedia(media(s, d)))
-        .toDF().withColumnRenamed("feature", "embedding")
+      val feats = mediaFeatures(s, d)
       graft.operators.Ann.cosinePairsLshDet(
         feats, "media_id", "embedding", threshold = 0.95,
         bits = graft.operators.Ann.autoBitsExact(
