@@ -1988,7 +1988,12 @@ object Ann {
       .withColumn("rr", row_number().over(wRel))
       .filter(col("rr") <= pool)
       .select(col("query_id"), col("cand_id"), col("rel_bp"), col("cv"))
-      .localCheckpoint()
+      // lazy checkpoints throughout the greedy loop (r15): fixed k-1
+      // rounds with no per-round action — materialization happens once
+      // when the final action runs, persisting each handle on first
+      // use, without a blocking job per checkpoint (the pagerankInt
+      // rationale)
+      .localCheckpoint(false)
     val pairs = rel.select(col("query_id"), col("cand_id").as("a_id"),
         col("cv").as("av"))
       .join(rel.select(col("query_id"), col("cand_id").as("b_id"),
@@ -1997,12 +2002,12 @@ object Ann {
       .select(col("query_id"), col("a_id"), col("b_id"),
         round(HashExprs.cosine_sim(col("av"), col("bv")) * 10000)
           .cast("long").as("pair_bp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sel1 = rel.withColumn("rn", row_number().over(wRel))
       .filter(col("rn") === 1)
       .select(col("query_id"), lit(1L).as("pick_rank"), col("cand_id"),
         (lit(7L) * col("rel_bp")).as("mmr"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val selK = (2 to k).foldLeft(sel1) { (sel, i) =>
       val selIds = sel.select(col("query_id"), col("cand_id"))
       val maxsim = pairs
@@ -2022,7 +2027,7 @@ object Ann {
         .filter(col("rn") === 1)
         .select(col("query_id"), lit(i.toLong).as("pick_rank"),
           col("cand_id"), col("mmr"))
-      sel.unionByName(pick).localCheckpoint()
+      sel.unionByName(pick).localCheckpoint(false)
     }
     selK.orderBy("query_id", "pick_rank")
   }

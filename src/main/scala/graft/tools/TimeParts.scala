@@ -137,6 +137,81 @@ object TimeParts {
               .agg(count(lit(1)).as("inter"))
           }
         }
+      case "jacfan" =>
+        val docs = graft.core.Tables.documents(spark, dir)
+        val idx = graft.operators.Dedup
+          .shingleIndex(docs, "doc_id", "text", 3).localCheckpoint(true)
+        val pre = graft.operators.Dedup
+          .shinglePrefix(idx, 8000).localCheckpoint(true)
+        val cand = pre.as("a")
+          .join(pre.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct().localCheckpoint(true)
+        println(s"[parts] jac candidates ${cand.count()}")
+        val fan = cand.join(
+          idx.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .localCheckpoint(true)
+        println(s"[parts] jac fanout rows ${fan.count()}")
+        for (i <- 1 to 2) {
+          time(s"jac candidates($i)") {
+            pre.as("a").join(pre.as("b"),
+              col("a.shingle") === col("b.shingle") &&
+                col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("doc_a"),
+                col("b.doc_id").as("doc_b")).distinct()
+          }
+          time(s"jac verify($i)") {
+            val sizes = idx.select("doc_id", "nsh").distinct()
+            cand
+              .join(idx.select(col("doc_id").as("doc_a"), col("shingle")),
+                "doc_a")
+              .join(idx.select(col("doc_id").as("doc_b"), col("shingle")),
+                Seq("doc_b", "shingle"))
+              .groupBy("doc_a", "doc_b")
+              .agg(count(lit(1)).as("inter"))
+              .join(sizes.select(col("doc_id").as("doc_a"),
+                col("nsh").as("na")), "doc_a")
+              .join(sizes.select(col("doc_id").as("doc_b"),
+                col("nsh").as("nb")), "doc_b")
+          }
+        }
+      case "winnow" =>
+        import org.apache.spark.sql.expressions.Window
+        val K = 5
+        val docs = graft.core.Tables.documents(spark, dir)
+        for (i <- 1 to 2) {
+          time(s"hashed-lambda($i)") {
+            docs.select(col("doc_id"), graft.functions.TextFunctions
+              .tokens(col("text")).as("toks"))
+              .filter(expr(s"size(toks) >= $K"))
+              .select(col("doc_id"), posexplode(expr(
+                s"""transform(sequence(1, size(toks) - ${K - 1}),
+                    i -> CAST(conv(substring(md5(concat_ws(' ',
+                      slice(toks, i, $K))), 1, 15), 16, 10) AS BIGINT))"""))
+                .as(Seq("pos", "h")))
+          }
+          time(s"hashed-window($i)") {
+            val w0 = Window.partitionBy("doc_id").orderBy("p")
+            docs.select(col("doc_id"), graft.functions.TextFunctions
+              .tokens(col("text")).as("toks"))
+              .filter(expr(s"size(toks) >= $K"))
+              .select(col("doc_id"), posexplode(col("toks"))
+                .as(Seq("p", "tok")))
+              .select(col("doc_id"), col("p").as("pos"),
+                concat_ws(" ", col("tok"),
+                  lead(col("tok"), 1).over(w0),
+                  lead(col("tok"), 2).over(w0),
+                  lead(col("tok"), 3).over(w0),
+                  lead(col("tok"), 4).over(w0)).as("g"),
+                lead(col("tok"), 4).over(w0).as("g4"))
+              .filter(col("g4").isNotNull)
+              .select(col("doc_id"), col("pos"),
+                expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) " +
+                  "AS BIGINT)").as("h"))
+          }
+        }
       case other =>
         System.err.println(s"unknown probe $other")
     }
