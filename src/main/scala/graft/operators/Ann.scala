@@ -2079,19 +2079,28 @@ object Ann {
       .select(col("i"), col("j"),
         expr("CASE WHEN cov_u < 0 THEN -((-cov_u) DIV 100) " +
           "ELSE cov_u DIV 100 END").as("a"))
-      .localCheckpoint()
-    // cross-covariance: same decimal-sum discipline as covarianceStats
-    // (xi*y is ±xi, so sums stay far inside decimal(38,0))
+      // lazy (r15): fixed-iteration loop, no per-step action — see
+      // pagerankInt; consumers are sequential stages, so the handle
+      // computes once and later steps read the persisted blocks
+      .localCheckpoint(false)
+    // cross-covariance in LONG sums (r15): each addend is bounded by
+    // |xi| <= 2e6 (coords in (-2,2), micro-units) and y = ±1, so the
+    // per-dim sums stay inside a Long up to ~4.6e12 rows — far beyond
+    // any per-partition corpus — and a BigDecimal add per row was most
+    // of this pass's cost. covarianceTri keeps decimal because its
+    // xi*xj addends (<= 4e12) would overflow a Long sum at ~2.3e6
+    // rows; these addends are a million times smaller. Values are
+    // identical integers either way, so the result is unchanged.
     val cvec = dims.groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        sum((col("xi") * col("y")).cast("decimal(38,0)")).as("sxy"),
-        sum(col("xi").cast("decimal(38,0)")).as("sx"),
-        sum(col("y").cast("decimal(38,0)")).as("sy"))
+        sum(col("xi") * col("y")).as("sxy"),
+        sum(col("xi")).as("sx"),
+        sum(col("y")).as("sy"))
       .select(col("dim"),
         floor(col("sxy").cast("double") / col("n")
           - (col("sx").cast("double") / col("n"))
             * (col("sy").cast("double") / col("n"))).cast("long").as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val gersh = mat.groupBy("i").agg(sum(abs(col("a"))).as("rs"))
       .agg(max(col("rs")).as("m"))
       .select(expr("CAST(greatest(m, 1) AS BIGINT)").as("s"))
@@ -2109,7 +2118,7 @@ object Ann {
             "CASE WHEN c * 10000000000 - cw < 0 " +
             "THEN -((-(c * 10000000000 - cw)) DIV s) " +
             "ELSE (c * 10000000000 - cw) DIV s END)) AS BIGINT)").as("w"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     wK.select(col("dim").cast("long").as("dim"), col("w")).orderBy("dim")
   }
@@ -2123,7 +2132,8 @@ object Ann {
                         yCol: String, weights: DataFrame): DataFrame = {
     val dims = labeledDims(embs, idCol, vecCol, yCol)
     val mu = dims.groupBy("dim")
-      .agg(sum(col("xi").cast("decimal(38,0)")).as("sx"),
+      // long sum: |xi| <= 2e6, safe to ~4.6e12 rows (see linearProbe)
+      .agg(sum(col("xi")).as("sx"),
         count(lit(1)).as("n"))
       .select(col("dim"),
         expr("CAST(CASE WHEN sx >= 0 THEN sx DIV n " +

@@ -741,7 +741,10 @@ object AnnQueries extends Registry {
         // per step like embed_pca_power, or the plan doubles per iteration
         val acc = diff.unionByName(seeds)
           .groupBy("vec_id", "l").agg(sum("w").as("w"))
-          .localCheckpoint()
+          // lazy (r15): the rescale aggregate and the next step are
+          // sequential consumers of the same marked RDD — one compute,
+          // no per-step blocking job (pagerankInt rationale)
+          .localCheckpoint(false)
         val scale = acc.agg(max(col("w")).as("m"))
           .select(expr(
             "CAST(greatest((m + 99999) DIV 100000, 1) AS BIGINT)").as("s"))
@@ -872,7 +875,7 @@ object AnnQueries extends Registry {
         val u = full.join(v.select(col("dim").as("jd"), col("v")),
             col("j") === col("jd"))
           .groupBy("i").agg(sum(col("a") * col("v")).as("u"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val scale = u.agg(max(abs(col("u"))).as("m"))
           .select(expr(
             "CAST(greatest((m + 99999) DIV 100000, 1) AS BIGINT)").as("s"))

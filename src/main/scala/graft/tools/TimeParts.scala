@@ -212,6 +212,19 @@ object TimeParts {
                   "AS BIGINT)").as("h"))
           }
         }
+      case "probe" =>
+        val e = graft.core.Tables.embeddings(spark, dir)
+        val tri = time("covTri") {
+          graft.operators.Ann.covarianceTri(e, "vec_id", "embedding")
+        }.localCheckpoint(true)
+        for (i <- 1 to 3) {
+          time(s"linearProbe($i)") {
+            graft.operators.Ann.linearProbe(
+              e.withColumn("y", when(col("label") === 0, 1L)
+                .otherwise(-1L)),
+              "vec_id", "embedding", "y", iters = 8, covTri = Some(tri))
+          }
+        }
       case other =>
         System.err.println(s"unknown probe $other")
     }
