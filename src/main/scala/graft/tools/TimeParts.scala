@@ -225,6 +225,23 @@ object TimeParts {
               "vec_id", "embedding", "y", iters = 8, covTri = Some(tri))
           }
         }
+      case "lshdet" =>
+        val e = graft.core.Tables.embeddings(spark, dir)
+        val bits = graft.operators.Ann.autoBitsExact(e.count())
+        val v = e.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v"))
+        val buckets = v.filter(size(col("v")) > 0)
+          .select(col("id"), col("v"),
+            posexplode(graft.functions.HashExprs
+              .det_lsh_buckets(col("v"), bits, 16))
+              .as(Seq("t", "bucket")))
+          .localCheckpoint(true)
+        val pairRows = buckets.as("a").join(buckets.as("b"),
+            Seq("t", "bucket"))
+          .filter(col("a.id") < col("b.id"))
+        println(s"[parts] bucket-pair rows ${pairRows.count()}")
+        println(s"[parts] distinct pairs ${pairRows
+          .select(col("a.id"), col("b.id")).distinct().count()}")
       case other =>
         System.err.println(s"unknown probe $other")
     }
