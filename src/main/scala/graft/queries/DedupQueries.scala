@@ -55,8 +55,11 @@ object DedupQueries extends Registry {
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Memo.dataFrame(s, s"jaccard_pairs:$d:n=3:thr=0.8") {
+      // unsorted behind the memo (r15): the checkpoint boundary would
+      // execute the final total sort's range-sampling pass; the one
+      // order-sensitive consumer re-sorts the tiny pair relation
       Dedup.ngramJaccardPairsIdx(shingleIdx(s, d), thresholdBp = 8000,
-        prebuiltPrefix = Some(prefix08(s, d)))
+        prebuiltPrefix = Some(prefix08(s, d)), totalOrder = false)
     }
 
   /** Connected-component labels over the full-corpus pair relation,
@@ -112,7 +115,8 @@ object DedupQueries extends Registry {
         .orderBy("doc_id")
     }),
 
-    "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // Banded MinHash-LSH near-dup pairs with exact-Jaccard verification
     // — re-seeded (round 7) onto the md5 permutation recipe so band
