@@ -63,12 +63,48 @@ object Memo {
 
   private[core] def liveEntries: Int = cache.synchronized(cache.size())
 
+  /** Session-keyed DRIVER-SIDE object memo for collected index metadata
+    * (e.g. the det-IVF centroid plane kernel — a few KB of longs): the
+    * ANN det families re-collected the same plane per query, paying the
+    * aggregation job + driver round trip each time. Same lifecycle and
+    * anti-gaming contract as the DataFrame memo: session-scoped, never
+    * persisted across JVMs, enumerated by [[keys]] and evicted by
+    * [[clearKeys]] so Bench's outlier/min-of-2 reruns re-measure
+    * memo-building queries cold. */
+  private val values =
+    new java.util.LinkedHashMap[(Int, String), Any](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String), Any]): Boolean =
+        size() > MaxEntries
+    }
+
+  def value[T](s: SparkSession, key: String)(build: => T): T =
+    values.synchronized {
+      val k = (System.identityHashCode(s), key)
+      val hit = values.get(k)
+      if (hit != null) hit.asInstanceOf[T]
+      else {
+        val v = build
+        values.put(k, v)
+        v
+      }
+    }
+
   /** Keys currently memoized for `s` (Bench snapshots these around each
-    * timed query to find what the query built). */
-  def keys(s: SparkSession): Set[String] = cache.synchronized {
+    * timed query to find what the query built) — BOTH memo kinds, so a
+    * retried query's plane-kernel builds are evicted exactly like its
+    * DataFrame builds. */
+  def keys(s: SparkSession): Set[String] = {
     val sid = System.identityHashCode(s)
-    scala.jdk.CollectionConverters.SetHasAsScala(cache.keySet()).asScala
-      .collect { case (`sid`, k) => k }.toSet
+    val a = cache.synchronized {
+      scala.jdk.CollectionConverters.SetHasAsScala(cache.keySet()).asScala
+        .collect { case (`sid`, k) => k }.toSet
+    }
+    val b = values.synchronized {
+      scala.jdk.CollectionConverters.SetHasAsScala(values.keySet()).asScala
+        .collect { case (`sid`, k) => k }.toSet
+    }
+    a ++ b
   }
 
   /** Drop exactly `which` for `s` — Bench's outlier retry clears only
@@ -79,11 +115,15 @@ object Memo {
     * rebuilds into every subsequent memo consumer). Blocks are
     * reclaimed asynchronously by the ContextCleaner once
     * unreferenced. */
-  def clearKeys(s: SparkSession, which: Set[String]): Unit =
+  def clearKeys(s: SparkSession, which: Set[String]): Unit = {
+    val sid = System.identityHashCode(s)
     cache.synchronized {
-      val sid = System.identityHashCode(s)
       which.foreach(k => cache.remove((sid, k)))
     }
+    values.synchronized {
+      which.foreach(k => values.remove((sid, k)))
+    }
+  }
 
   private val done = TrieMap.empty[(Int, String), Unit]
 

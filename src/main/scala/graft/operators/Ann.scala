@@ -220,11 +220,18 @@ object Ann {
   private def lshDetPairSims(v: DataFrame, bits: Int,
                              tables: Int): DataFrame = {
     // buckets carry the vector from the same one-pass kernel projection
-    // (no join-back): n·tables rows, one vector each
+    // (no join-back): n·tables rows, one vector each. Lazily
+    // checkpointed: the self-join is planned as a BROADCAST join (one
+    // side a BroadcastExchange, so ReuseExchange cannot deduplicate the
+    // two sides) and each side re-ran the upstream projection + bucket
+    // kernel; steady-state A/B (QProbe, min of 4): margin_bitext_lsh
+    // 3.34 → 3.18, media_near_dup_det 1.46 → 1.18, dedup_embedding_
+    // cosine 1.07 → 0.98 s with the boundary.
     val buckets = v.filter(size(col("v")) > 0)
       .select(col("id"), col("v"),
         posexplode(HashExprs.det_lsh_buckets(col("v"), bits, tables))
           .as(Seq("t", "bucket")))
+      .localCheckpoint(false)
     buckets.as("a").join(buckets.as("b"), Seq("t", "bucket"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -619,12 +626,21 @@ object Ann {
     * the corpus grows instead of Θ(n/labels). */
   def ivfDetTopK(embs: DataFrame, idCol: String, vecCol: String,
                  labelCol: String, queryPred: Column, k: Int,
-                 nprobe: Int = 2, subcells: Int = 1): DataFrame = {
-    val e = detRefineLabels(spread(embs).select(col(idCol).as("id"),
-      col(labelCol).cast("long").as("label"),
-      col(vecCol).cast("array<double>").as("v")), subcells)
-    val pk = planeKernelOf(detIvfCentroids(detDims(e))
-      .select(col("label").as("cell"), col("dim"), col("ci")))
+                 nprobe: Int = 2, subcells: Int = 1,
+                 prebuiltPlane: Option[PlaneKernel] = None): DataFrame = {
+    // a prebuilt plane (the session-memoized [[buildDetPlane]] at the
+    // SAME subcells) skips the per-query centroid aggregation+collect;
+    // labels only feed the quantizer, so the home/probe side needs no
+    // refinement pass either
+    val pk = prebuiltPlane.getOrElse {
+      val er = detRefineLabels(spread(embs).select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("v")), subcells)
+      planeKernelOf(detIvfCentroids(detDims(er))
+        .select(col("label").as("cell"), col("dim"), col("ci")))
+    }
+    val e = spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
     // empty-array vectors get no home and no probes — see
     // detIvfCandidates' note
     val homeV = e.filter(size(col("v")) > 0)
@@ -876,12 +892,26 @@ object Ann {
     * truth the STREAMING cell assignment
     * ([[graft.streaming.AnnIngest.assignCells]]) must agree with. */
   def ivfDetHomeCells(embs: DataFrame, idCol: String, vecCol: String,
-                      labelCol: String): DataFrame = {
+                      labelCol: String,
+                      prebuiltPlane: Option[PlaneKernel] = None)
+      : DataFrame = {
+    // map-side assignment on the collected plane kernel (bit-identical
+    // to the relational detIvfCellRanks chain it replaces — the
+    // detIvfCandidates/buildDetIvfIndex precedent, already oracle-pinned
+    // via the served twins); empty-array vectors produced no rank rows
+    // relationally, so the size gate preserves the no-home contract
+    val pk = prebuiltPlane.getOrElse {
+      val er = spread(embs).select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      planeKernelOf(detIvfCentroids(detDims(er))
+        .select(col("label").as("cell"), col("dim"), col("ci")))
+    }
     val e = spread(embs).select(col(idCol).as("id"),
-      col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
-    detIvfCellRanks(e).filter(col("rk") === 1)
-      .select(col("id").as(idCol), col("label").as("cell"))
+    e.filter(size(col("v")) > 0)
+      .select(col("id").as(idCol),
+        element_at(kernelCells(pk, col("v"), 1), 1).as("cell"))
       .orderBy(idCol)
   }
 
@@ -943,9 +973,25 @@ object Ann {
     * RELATION (freshly aggregated or LOADED from a persisted index
     * version) and fanned to every consumer: one collect, map-side
     * ranking everywhere. */
-  private final case class PlaneKernel(cells: Array[Long],
-                                       flat: Array[Long],
-                                       nc: Array[Long], dims: Int)
+  final case class PlaneKernel(cells: Array[Long],
+                               flat: Array[Long],
+                               nc: Array[Long], dims: Int)
+
+  /** Build (aggregate + collect) the det-IVF coarse-quantizer kernel for
+    * `embs` under the label quantizer (optionally √n-refined via
+    * `subcells`) — the per-query preamble every det-IVF family ran for
+    * itself. Exposed so a registry can build it ONCE per (session, dir,
+    * subcells) and hand the collected kernel to every consumer
+    * ([[ivfDetTopK]], [[ivfDetHomeCells]], [[ivfPqDetTopK]],
+    * [[ivfPqResidualDetTopK]]) — index metadata, a few KB of longs. */
+  def buildDetPlane(embs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, subcells: Int = 1): PlaneKernel = {
+    val e = detRefineLabels(spread(embs).select(col(idCol).as("id"),
+      col(labelCol).cast("long").as("label"),
+      col(vecCol).cast("array<double>").as("v")), subcells)
+    planeKernelOf(detIvfCentroids(detDims(e))
+      .select(col("label").as("cell"), col("dim"), col("ci")))
+  }
 
   private def planeKernelOf(cent: DataFrame,
                             maxCells: Int = 65536): PlaneKernel = {
@@ -986,7 +1032,9 @@ object Ann {
     * between [[ivfDetTopK]] and [[ivfPqDetTopK]], whose oracles share
     * the one DuckDB cell CTE chain. */
   private def detIvfCandidates(e: DataFrame, queryPred: Column,
-                               nprobe: Int): DataFrame = {
+                               nprobe: Int,
+                               prebuiltPlane: Option[PlaneKernel] = None)
+      : DataFrame = {
     // map-side cell ranking (HashExprs.DetIvfCellsI64 — the streaming
     // assignCells loop as a codegen'd expression, bit-identical to the
     // relational detIvfCellRanks chain): the coarse quantizer is
@@ -996,8 +1044,9 @@ object Ann {
     // det-IVF families at the 500k ladder rung (43-52 s of which the
     // ranking was most) once the encode/ADC kernels had removed the
     // other interpreter costs
-    val pk = planeKernelOf(detIvfCentroids(detDims(e))
-      .select(col("label").as("cell"), col("dim"), col("ci")))
+    val pk = prebuiltPlane.getOrElse(
+      planeKernelOf(detIvfCentroids(detDims(e))
+        .select(col("label").as("cell"), col("dim"), col("ci"))))
     // EMPTY-array vectors get no home and no probes — the relational
     // rank chain produced no dims rows (hence no rank rows) for them,
     // while the kernel would rank every cell at affinity 0 and home
@@ -1093,13 +1142,21 @@ object Ann {
   def ivfPqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
                    labelCol: String, queryPred: Column, k: Int,
                    nprobe: Int = 2, ks: Int = 16,
-                   shortlist: Int = 32): DataFrame = {
+                   shortlist: Int = 32,
+                   prebuiltPlane: Option[PlaneKernel] = None,
+                   prebuiltCodebook: Option[DataFrame] = None,
+                   prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
-    val cand = detIvfCandidates(e, queryPred, nprobe)
-    val cb = detPqCodebook(e.select("id", "v"), ks)
-    val codesW = detPqCodesKernel(e.select("id", "v"), cb)
+    // prebuilts = the session-memoized shared preambles (plane kernel,
+    // PQ codebook, per-vector codes) — identical relations, built once
+    // per session instead of once per det-family query
+    val cand = detIvfCandidates(e, queryPred, nprobe, prebuiltPlane)
+    val cb = prebuiltCodebook.getOrElse(detPqCodebook(e.select("id", "v"),
+      ks))
+    val codesW = prebuiltCodes
+      .getOrElse(detPqCodesKernel(e.select("id", "v"), cb))
       .select(col("id").as("cand_id"), col("codes"))
     val qlutW = detPqQueryLut(e.filter(queryPred).select("id", "v"), cb)
     // ADC only over IVF-probed candidates: the pair relation carries
@@ -1131,12 +1188,13 @@ object Ann {
   def ivfPqResidualDetTopK(embs: DataFrame, idCol: String, vecCol: String,
                            labelCol: String, queryPred: Column, k: Int,
                            nprobe: Int = 2, ks: Int = 16,
-                           shortlist: Int = 32): DataFrame = {
+                           shortlist: Int = 32,
+                           prebuiltPlane: Option[PlaneKernel] = None)
+      : DataFrame = {
     val spark = embs.sparkSession
     val e = spread(embs).select(col(idCol).as("id"),
       col(labelCol).cast("long").as("label"),
       col(vecCol).cast("array<double>").as("v"))
-    val dimsFull = detDims(e)
     // the coarse quantizer is collected ONCE (maxCells-guarded index
     // metadata, the same plane a streaming ingest broadcasts) and
     // every downstream consumer — the cell ranking, the residual
@@ -1144,21 +1202,20 @@ object Ann {
     // COLLECTED values as a literal relation or reference object. The
     // first kernel cut recomputed the full n·d centroid aggregation
     // three times (two driver collects + the final plan), which cost
-    // more at the 50k rung than the fan-out it removed.
-    val plane = detIvfCentroidPlaneOf(detIvfCentroids(dimsFull)
-      .select(col("label").as("cell"), col("dim"), col("ci")))
-    require(plane.nonEmpty,
+    // more at the 50k rung than the fan-out it removed. A prebuilt
+    // plane (the session-memoized [[buildDetPlane]]) skips even the
+    // one remaining aggregation+collect.
+    val pk = prebuiltPlane.getOrElse(
+      planeKernelOf(detIvfCentroids(detDims(e))
+        .select(col("label").as("cell"), col("dim"), col("ci"))))
+    require(pk.cells.nonEmpty,
       "det-IVF over an empty corpus: no centroid cells to rank")
-    val cells = plane.map(_.cell)
-    val dimsN = plane.head.ci.length
-    val planeFlat = new Array[Long](plane.length * dimsN)
-    plane.zipWithIndex.foreach { case (c, i) =>
-      System.arraycopy(c.ci, 0, planeFlat, i * dimsN, dimsN) }
-    val ncArr = plane.map(_.nc)
-    import spark.implicits._
-    val centRel = plane.toSeq
-      .flatMap(c => c.ci.indices.map(d => (c.cell, d, c.ci(d))))
-      .toDF("label", "dim", "ci")
+    val cells = pk.cells
+    val dimsN = pk.dims
+    val planeFlat = pk.flat
+    val ncArr = pk.nc
+    val centRel = planeRelationOf(spark, pk)
+      .select(col("cell").as("label"), col("dim"), col("ci"))
     // rename the centroid keys once: both residual joins re-key on
     // (cell, dim) and an un-renamed join side makes `dim` ambiguous
     val cent = centRel
@@ -1338,6 +1395,23 @@ object Ann {
     * `ks` corpus vectors with the smallest md5("pq:" id) rank — the
     * persistable quantizer half of the PQ index (ks × dims rows of
     * longs, pure index metadata). */
+  /** [[detPqCodebook]] over a raw (id, vec) table — the public builder a
+    * registry memoizes once per (session, dir, ks) and passes back into
+    * [[pqDetTopK]] / [[ivfPqDetTopK]] as `prebuiltCodebook`. */
+  def detPqCodebookOf(embs: DataFrame, idCol: String, vecCol: String,
+                      ks: Int): DataFrame =
+    detPqCodebook(spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")), ks)
+
+  /** [[detPqCodesKernel]] over a raw (id, vec) table and a codebook
+    * relation — the public per-vector-codes builder, memoizable like
+    * [[detPqCodebookOf]] (2 registered consumers encode the full
+    * corpus). */
+  def detPqCodesOf(embs: DataFrame, idCol: String, vecCol: String,
+                   cb: DataFrame): DataFrame =
+    detPqCodesKernel(spread(embs).select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")), cb)
+
   private[graft] def detPqCodebook(e: DataFrame, ks: Int): DataFrame = {
     val seeds = e.select(col("id"))
       .withColumn("r", md5(concat(lit("pq:"), col("id").cast("string"))))
@@ -1450,11 +1524,16 @@ object Ann {
 
   def pqDetTopK(embs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int, ks: Int = 16,
-                shortlist: Int = 32): DataFrame = {
+                shortlist: Int = 32,
+                prebuiltCodebook: Option[DataFrame] = None,
+                prebuiltCodes: Option[DataFrame] = None): DataFrame = {
     val e = spread(embs).select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cb = detPqCodebook(e, ks)
-    val codesW = detPqCodesKernel(e, cb)
+    // prebuilt = the session-memoized [[detPqCodebookOf]] /
+    // [[detPqCodesOf]] relations at the same ks — identical by
+    // construction, shared across the det-PQ consumers
+    val cb = prebuiltCodebook.getOrElse(detPqCodebook(e, ks))
+    val codesW = prebuiltCodes.getOrElse(detPqCodesKernel(e, cb))
       .select(col("id").as("cand_id"), col("codes"))
     val qlutW = detPqQueryLut(e.filter(queryPred), cb)
     // flat PQ: every query scans every candidate's codes — as a

@@ -49,8 +49,14 @@ object DedupQueries extends Registry {
     * audit so the md5-permutation pipeline runs once per session. */
   private def minhashDet(s: SparkSession, d: String): DataFrame =
     Memo.dataFrame(s, s"minhash_det:$d:n=3:p=16:b=4") {
+      // postings from the session-memoized shingle index (one shingling
+      // pass per session, not one per sketch family); unsorted behind
+      // the memo — the checkpoint boundary would execute the total
+      // sort's range-sampling pass (r15 pattern), so the one
+      // order-sensitive consumer re-sorts the tiny pair relation
       Dedup.minhashDetPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numPerms = 16, rowsPerBand = 4)
+        n = 3, numPerms = 16, rowsPerBand = 4,
+        prebuiltPostings = Some(shingleIdx(s, d)), totalOrder = false)
     }
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
@@ -126,13 +132,16 @@ object DedupQueries extends Registry {
     // fastest library path (DedupSpec bounds its recall).
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshDetPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numPerms = 32, rowsPerBand = 4, threshold = 0.8)),
+        n = 3, numPerms = 32, rowsPerBand = 4, threshold = 0.8,
+        prebuiltIndex = Some(shingleIdx(s, d)))),
 
     // The oracle-checkable MinHash twin: md5-derived permutations replay
     // bit-for-bit in DuckDB (dedup_minhash_lsh's seeded in-JVM hashes
     // are the faster engine path; this one proves the banded-LSH
     // semantics end-to-end against SQL).
-    "dedup_minhash_det" -> ((s, d) => minhashDet(s, d)),
+    // re-sorts the memo's unsorted pair relation (tiny; see minhashDet)
+    "dedup_minhash_det" -> ((s, d) =>
+      minhashDet(s, d).orderBy("doc_a", "doc_b")),
 
     // b-bit MinHash (Li & Konig 2010): on the same banded candidate
     // pairs, the Jaccard estimate from only the 4 LOWEST BITS of each
@@ -141,7 +150,8 @@ object DedupQueries extends Registry {
     // estimator replayed in exact integer basis points.
     "dedup_minhash_bbit" -> ((s, d) =>
       Dedup.minhashBbitAudit(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numPerms = 16, rowsPerBand = 4, b = 4)),
+        n = 3, numPerms = 16, rowsPerBand = 4, b = 4,
+        prebuiltPostings = Some(shingleIdx(s, d)))),
 
     // Estimator calibration: on every det-MinHash candidate pair, how
     // far is the 16-perm Jaccard ESTIMATE from the exact shingle-set
@@ -151,13 +161,16 @@ object DedupQueries extends Registry {
     // the deterministic MinHash pairs and the exact intersection,
     // joined only on the (small) candidate set, never all pairs.
     "dedup_minhash_calibration" -> ((s, d) => {
-      import graft.functions.{TextFunctions => TFx}
+      // the exact-intersection side reads the SESSION-MEMOIZED 3-gram
+      // shingle index (shingles() dedups per doc, so idx's (doc_id,
+      // shingle) IS the distinct posting relation and nsh its set size)
+      // instead of re-running its own shingle+explode+distinct pipeline
+      // per branch — guide §2.4, the shared-derivation pattern the rest
+      // of the Jaccard family already uses
       val cand = minhashDet(s, d)
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(TFx.shingles(col("text"), 3)).as("shingle"))
-        .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val idx = shingleIdx(s, d)
+      val sh = idx.select("doc_id", "shingle")
+      val sizes = idx.select(col("doc_id"), col("nsh")).distinct()
       val inter = cand.select("doc_a", "doc_b")
         .join(sh.select(col("doc_id").as("doc_a"), col("shingle")),
           "doc_a")
@@ -230,12 +243,16 @@ object DedupQueries extends Registry {
         ("jaccard", jaccardPairs(s, d)),
         ("minhash", Dedup.minhashLshDetPairs(Tables.documents(s, d),
           "doc_id", "text", n = 3, numPerms = 32, rowsPerBand = 4,
-          threshold = 0.8)),
+          threshold = 0.8, prebuiltIndex = Some(shingleIdx(s, d)))),
         ("simhash", Dedup.simhashMd5Pairs(Tables.documents(s, d),
           "doc_id", "text", maxHamming = 3)))
+      // lazy checkpoint: tagged feeds the per-method sizes AND both
+      // sides of the intersection self-join — unboundaried, the minhash
+      // and simhash pair pipelines re-run per reference (guide §2.4);
+      // the relation is one row per (method, near-dup pair)
       val tagged = methods.map { case (m, df) =>
         df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
-      }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _).localCheckpoint(false)
       // method names come from a LITERAL relation, pair counts left-join
       // onto it — a method that finds zero pairs must still emit its
       // rows (n=0): "found nothing" has to stay distinguishable from
@@ -363,8 +380,16 @@ object DedupQueries extends Registry {
     // shared 5-grams per ordered source pair — the pre-mixing audit of
     // how much each source duplicates the others. The diagonal is each
     // source's own distinct-shingle count.
+    // reads the session-memoized n=5 shingle index (shared with
+    // dedup_contamination_pairs) instead of re-shingling the corpus
     "dedup_overlap_matrix" -> ((s, d) =>
-      Dedup.overlapMatrix(Tables.documents(s, d), "text", "source", n = 5)),
+      Dedup.overlapMatrixIdx(
+        Memo.dataFrame(s, s"shingle_idx:$d:n=5") {
+          Dedup.shingleIndex(Tables.documents(s, d), "doc_id", "text",
+            n = 5)
+        },
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source").as("g")))),
 
     // Contamination ATTRIBUTION: for every (train doc, eval doc) pair
     // sharing a discriminative 5-gram, the count of shared distinct
@@ -470,8 +495,13 @@ object DedupQueries extends Registry {
           .select(col("doc_id"),
             org.apache.spark.sql.functions.md5(col("chunk_text")).as("fp"))
           .distinct()
-      def survival(name: String, orig: DataFrame,
+      def survival(name: String, orig0: DataFrame,
                    ed: DataFrame): DataFrame = {
+        // lazy checkpoint: orig feeds BOTH the n_chunks count and the
+        // survival semi-join — unboundaried, each chunker's full
+        // tokenize+chunk+fingerprint pipeline over the original corpus
+        // runs twice (guide §2.4); the relation is (doc_id, md5) rows
+        val orig = orig0.localCheckpoint(false)
         val surv = orig.join(ed, Seq("doc_id", "fp"), "left_semi")
         orig.agg(count(lit(1)).as("n_chunks"))
           .crossJoin(surv.agg(count(lit(1)).as("n_survive")))
@@ -613,15 +643,22 @@ object DedupQueries extends Registry {
           .as(Seq("pos", "h")))
       val w = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(0, W - 1)
+      // lazy checkpoints (guide §2.4): fps feeds the df filter AND (via
+      // kept) both self-join sides — unboundaried, the k-gram hash +
+      // window-min pipeline re-runs 3x; kept's boundary additionally
+      // stops the df-filter join re-running per self-join side. Both
+      // relations are fingerprint-sized (≤ ~2/(w+1) of the k-gram
+      // count), cheap to materialize once.
       val fps = hashed
         .withColumn("nsh",
           cnt(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("wmin", min("h").over(w))
         .filter(col("pos") <= col("nsh") - W)
         .select(col("doc_id"), col("wmin").as("fp")).distinct()
+        .localCheckpoint(false)
       val rare = fps.groupBy("fp").agg(cnt(lit(1)).as("df"))
         .filter(col("df") <= 64).select("fp")
-      val kept = fps.join(rare, "fp")
+      val kept = fps.join(rare, "fp").localCheckpoint(false)
       kept.select(col("doc_id").as("doc_a"), col("fp"))
         .join(kept.select(col("doc_id").as("doc_b"), col("fp")), "fp")
         .filter(col("doc_a") < col("doc_b"))

@@ -548,18 +548,29 @@ object GovernanceQueries extends Registry {
     // the estimate, the (always >= 0) overcount, and the est <= exact +
     // 2N/width verdict, so the hash check pins the CM guarantee itself.
     "corpus_countmin_audit" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
+      // ONE tokenization pass: every downstream relation (sketch, total,
+      // top-20) is a pure function of the per-term exact counts — the
+      // bucket hash depends only on the term, so the per-(r, b) cell
+      // count over OCCURRENCES equals the cnt-weighted sum over the
+      // (vocabulary-sized) count relation, total tokens = Σ exact, and
+      // the top-20 ranks the same relation. The previous form re-ran
+      // the tokenize+explode scan per branch (3 scans) and md5'd every
+      // occurrence x4; this one hashes each distinct term x4. The
+      // checkpoint is vocabulary-sized (guide §2.3/§2.4).
+      val counts = Tables.documents(s, d)
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("term"))
-      val entries = toks
+        .groupBy("term").agg(count(lit(1)).as("exact"))
+        .localCheckpoint(false)
+      val bucketed = counts
         .withColumn("r", explode(sequence(lit(0L), lit(3L))))
         .withColumn("b",
           conv(substring(md5(concat(col("r").cast("string"), lit(":"),
             col("term"))), 1, 15), 16, 10).cast("long") % 256)
-      val sketch = entries.groupBy("r", "b").agg(count(lit(1)).as("c"))
-      val total = toks.agg(count(lit(1)).as("n"))
+      val sketch = bucketed.groupBy("r", "b").agg(sum("exact").as("c"))
+      val total = counts.agg(sum("exact").as("n"))
       val w = Window.orderBy(col("exact").desc, col("term").asc)
-      val top = toks.groupBy("term").agg(count(lit(1)).as("exact"))
+      val top = counts
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 20)
       top

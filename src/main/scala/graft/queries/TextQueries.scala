@@ -382,9 +382,16 @@ object TextQueries extends Registry {
     // (ceil ranks as (n+2) DIV 3, (2n+2) DIV 3), thresholds broadcast
     // back as one row. No global sort of docs anywhere.
     "corpus_perplexity_buckets" -> ((s, d) => {
+      // lazy checkpoints (guide §2.4): pairs feeds the vocabulary AND
+      // the per-doc scoring join, perDoc feeds the tercile histogram
+      // AND the final bucket join — unboundaried, the tokenize+count
+      // pipeline re-ran ~6x within one plan (20 parquet scans in the
+      // before dump). Both relations are bounded: (doc, term, tf) and
+      // one row per doc.
       val pairs = Tables.documents(s, d)
         .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
       val vocab = pairs.groupBy("term").agg(sum("tf").as("ctf"))
       val total = vocab.agg(sum("ctf").as("n_total"))
       val perDoc = pairs.join(vocab, "term")
@@ -395,6 +402,7 @@ object TextQueries extends Registry {
         .agg(sum(col("tf") * col("bits")).as("sum_bits"),
           sum("tf").as("ntok"))
         .withColumn("cb", expr("(100 * sum_bits) DIV ntok"))
+        .localCheckpoint(false)
       val hist = perDoc.groupBy("cb").agg(count(lit(1)).as("nk"))
       val wc = org.apache.spark.sql.expressions.Window.orderBy("cb")
         .rowsBetween(org.apache.spark.sql.expressions.Window

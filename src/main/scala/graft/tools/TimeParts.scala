@@ -242,6 +242,48 @@ object TimeParts {
         println(s"[parts] bucket-pair rows ${pairRows.count()}")
         println(s"[parts] distinct pairs ${pairRows
           .select(col("a.id"), col("b.id")).distinct().count()}")
+      case "annpq" =>
+        val e0 = graft.core.Tables.embeddings(spark, dir)
+        println(s"[parts] n_emb ${e0.count()}")
+        val e = e0.select(col("vec_id").as("id"),
+          col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val qp = col("id") % 50 === 0 && col("id") < 2000
+        for (i <- 1 to 2) {
+          time(s"centroid agg($i)") {
+            e.select(col("id"), col("label"),
+                posexplode(col("v")).as(Seq("dim", "x")))
+              .withColumn("xi",
+                floor(col("x") * 1000000.0 + 0.5).cast("long"))
+              .groupBy("label", "dim")
+              .agg(expr("CAST((2 * (sum(xi) + 2000000 * count(1)) + " +
+                "count(1)) DIV (2 * count(1)) - 2000000 AS BIGINT)")
+                .as("ci"))
+          }
+          time(s"pq codebook($i)") {
+            graft.operators.Ann.detPqCodebook(e.select("id", "v"), 16)
+          }
+          time(s"ivfDetHomeCells($i)") {
+            graft.operators.Ann.ivfDetHomeCells(e0, "vec_id",
+              "embedding", "label")
+          }
+          time(s"pqDetTopK($i)") {
+            graft.operators.Ann.pqDetTopK(e0, "vec_id", "embedding",
+              qp, k = 5)
+          }
+          time(s"ivfDetTopK($i)") {
+            graft.operators.Ann.ivfDetTopK(e0, "vec_id", "embedding",
+              "label", qp, k = 5)
+          }
+          time(s"ivfPqDetTopK($i)") {
+            graft.operators.Ann.ivfPqDetTopK(e0, "vec_id", "embedding",
+              "label", qp, k = 5)
+          }
+          time(s"sq8DetTopK($i)") {
+            graft.operators.Ann.sq8DetTopK(e0, "vec_id", "embedding",
+              qp, k = 5)
+          }
+        }
       case other =>
         System.err.println(s"unknown probe $other")
     }
