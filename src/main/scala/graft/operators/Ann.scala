@@ -66,7 +66,9 @@ object Ann {
     * Similarities rank in basis points (round(sim·10000), integer) so
     * the ordering replays exactly in any engine; ties resolve to the
     * smaller neighbor id. Output: (vec_id, rank 1..k, sim_bp,
-    * neighbor_id), total order. */
+    * neighbor_id), total order when `totalOrder` (the default);
+    * unordered otherwise (memo/materialization consumers re-sort the
+    * k-bounded result). */
   def knnGraph(embs: DataFrame, idCol: String, vecCol: String, k: Int,
                blocks: Int = 0, totalOrder: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -2144,7 +2146,14 @@ object Ann {
     * localCheckpointed: w is referenced twice per step, so an untruncated
     * lineage would double per iteration (see embed_pca_power).
     *
-    * y values must be ±1. Output: (dim, w), total order. */
+    * INPUT-DOMAIN CONTRACT: y values must be ±1 and coordinates must be
+    * unit-norm-scaled (|x| < 2, i.e. micro-units |xi| <= 2e6 — the
+    * embeddings table's contract): the cross-covariance pass sums
+    * xi·y in a LONG, whose addend bound (2e6) keeps the sum exact to
+    * ~4.6e12 rows. A caller feeding large-magnitude embeddings would
+    * silently wrap the Long sum under non-ANSI Spark where the old
+    * decimal(38) path was unconditionally safe — scale inputs first.
+    * Output: (dim, w), total order. */
   def linearProbe(embs: DataFrame, idCol: String, vecCol: String,
                   yCol: String, iters: Int = 8,
                   covTri: Option[DataFrame] = None): DataFrame = {

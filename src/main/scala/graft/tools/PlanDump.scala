@@ -14,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   * Plans are captured WITHOUT executing (explain of the analyzed plan,
   * AQE initial) — the artifact the judge diffs is the static plan shape
   * (Exchange count, join strategy, PushedFilters/ReadSchema), which is
-  * what `.explain("formatted")` prints. Uses the bench's session shape
-  * (32 shuffle partitions, AQE on) so plan shapes match the bench. */
+  * what `.explain("formatted")` prints. Session shape: local[8] with 8
+  * shuffle partitions (AQE on) — smaller than the bench's local[32]/32,
+  * which does not change the static shapes the artifact records
+  * (Exchange count, join strategy, pushed filters), only partition
+  * counts inside them. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val tag = args(0)
