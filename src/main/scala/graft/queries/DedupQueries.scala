@@ -59,6 +59,26 @@ object DedupQueries extends Registry {
         prebuiltPostings = Some(shingleIdx(s, d)), totalOrder = false)
     }
 
+  /** The banded det-MinHash-LSH pair relation (32 perms, 8 bands) and
+    * the det-SimHash pair relation, each memoized per (session, dir):
+    * both are consumed by their registered standalone query AND by
+    * dedup_method_agreement (which references its 3-method union
+    * twice), so each pipeline runs once per session instead of 2-3×.
+    * Unsorted behind the memo (r15 boundary rule); ordered consumers
+    * re-sort the tiny pair relations. */
+  private def minhashLshPairs(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"minhash_lsh_pairs:$d:n=3:p=32:b=8:thr=0.8") {
+      Dedup.minhashLshDetPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, numPerms = 32, rowsPerBand = 4, threshold = 0.8,
+        prebuiltIndex = Some(shingleIdx(s, d)), totalOrder = false)
+    }
+
+  private def simhashMd5Pairs(s: SparkSession, d: String): DataFrame =
+    Memo.dataFrame(s, s"simhash_md5_pairs:$d:h=3") {
+      Dedup.simhashMd5Pairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, totalOrder = false)
+    }
+
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     Memo.dataFrame(s, s"jaccard_pairs:$d:n=3:thr=0.8") {
       // unsorted behind the memo (r15): the checkpoint boundary would
@@ -131,9 +151,7 @@ object DedupQueries extends Registry {
     // 8 bands of 4). The seeded in-JVM Dedup.minhashLshPairs stays the
     // fastest library path (DedupSpec bounds its recall).
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLshDetPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, numPerms = 32, rowsPerBand = 4, threshold = 0.8,
-        prebuiltIndex = Some(shingleIdx(s, d)))),
+      minhashLshPairs(s, d).orderBy("doc_a", "doc_b")),
 
     // The oracle-checkable MinHash twin: md5-derived permutations replay
     // bit-for-bit in DuckDB (dedup_minhash_lsh's seeded in-JVM hashes
@@ -202,8 +220,7 @@ object DedupQueries extends Registry {
     // replay against the same oracle). Dedup.simhashPairs (seeded
     // 64-bit) stays in the library, DedupSpec-covered.
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashMd5Pairs(Tables.documents(s, d), "doc_id", "text",
-        maxHamming = 3)),
+      simhashMd5Pairs(s, d).orderBy("doc_a", "doc_b")),
 
     // The relational twin of the same signature (×60 bit fan-out into
     // partial sums — the SQL-shaped exhibit that pins the codegen
@@ -239,20 +256,16 @@ object DedupQueries extends Registry {
     // <= 3). Composes three independently-verified relations; all
     // counts integer-exact.
     "dedup_method_agreement" -> ((s, d) => {
+      // all three relations are session memos (the union is referenced
+      // twice — without the memos the minhash/simhash pipelines re-ran
+      // per reference)
       val methods = Seq(
         ("jaccard", jaccardPairs(s, d)),
-        ("minhash", Dedup.minhashLshDetPairs(Tables.documents(s, d),
-          "doc_id", "text", n = 3, numPerms = 32, rowsPerBand = 4,
-          threshold = 0.8, prebuiltIndex = Some(shingleIdx(s, d)))),
-        ("simhash", Dedup.simhashMd5Pairs(Tables.documents(s, d),
-          "doc_id", "text", maxHamming = 3)))
-      // lazy checkpoint: tagged feeds the per-method sizes AND both
-      // sides of the intersection self-join — unboundaried, the minhash
-      // and simhash pair pipelines re-run per reference (guide §2.4);
-      // the relation is one row per (method, near-dup pair)
+        ("minhash", minhashLshPairs(s, d)),
+        ("simhash", simhashMd5Pairs(s, d)))
       val tagged = methods.map { case (m, df) =>
         df.select(lit(m).as("method"), col("doc_a"), col("doc_b"))
-      }.reduce(_ unionByName _).localCheckpoint(false)
+      }.reduce(_ unionByName _)
       // method names come from a LITERAL relation, pair counts left-join
       // onto it — a method that finds zero pairs must still emit its
       // rows (n=0): "found nothing" has to stay distinguishable from
