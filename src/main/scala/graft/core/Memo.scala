@@ -78,6 +78,13 @@ object Memo {
         size() > MaxEntries
     }
 
+  /** NOTE: unlike [[dataFrame]] (whose build bodies are lazy plan
+    * construction), a value build typically EXECUTES Spark jobs (an
+    * aggregation + collect). The lock is held across the build — the
+    * single-threaded Bench/Verify drivers never contend, and holding it
+    * keeps the build exactly-once; a concurrent caller of a DIFFERENT
+    * key waits rather than double-building (the lock is reentrant, so
+    * nested memo builds are fine). */
   def value[T](s: SparkSession, key: String)(build: => T): T =
     values.synchronized {
       val k = (System.identityHashCode(s), key)
